@@ -1,0 +1,52 @@
+"""Benchmark runner (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query wall seconds.
+
+Each query is materialized via a count-style action that forces full
+execution without collecting results to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_apache_cassandra_spark.plans import QUERIES
+from cdc_apache_cassandra_spark.session import get_spark
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cdc-bench")
+    # warm the JVM/codegen path once so per-query numbers measure the plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    t_all = time.time()
+    for name, q in QUERIES.items():
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_seconds_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Query registry consumed by __spark_entry__ (the driver contract).
+
+Import side effects register every query module's entries into QUERIES.
+"""
+
+from cdc_apache_cassandra_spark.plans.registry import QUERIES, Query, register
+
+# registration side effects
+from cdc_apache_cassandra_spark.plans import cdc_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import tpch_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import llm_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import events_queries  # noqa: E402,F401

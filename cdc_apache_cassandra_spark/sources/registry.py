@@ -1,0 +1,53 @@
+"""Table registry over the driver-generated parquet corpus (TESTDATA.md).
+
+Spark reads parquet with predicate pushdown + column pruning; at 100 TB the
+same calls work against a partitioned table directory — nothing here is
+sf-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+#: fixes region=5 and nation=25 rows regardless of SF).
+BROADCASTABLE = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+    default. Read nanos as long, then truncate to µs TimestampType —
+    byte-identical to DuckDB's ns->µs truncation."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div: no double rounding at ns magnitude
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
