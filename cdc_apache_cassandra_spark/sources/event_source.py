@@ -40,6 +40,11 @@ REPLICAS = 2
 #: value columns carried by the data topic for the `customer` table.
 VALUE_COLS = ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
+#: µs-epoch base for writetimes (2020-09-13T12:26:40Z). Strictly positive,
+#: realistic event times — an epoch-0 writetime would sit exactly on the
+#: initial watermark and be treated as late by stateful operators.
+WRITETIME_BASE = 1_600_000_000_000_000
+
 
 def mutation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events DataFrame: (pk, op, writetime, segment, position, node_id,
@@ -47,7 +52,9 @@ def mutation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     base = c.select(
         F.col("c_custkey").alias("pk"),
-        (F.col("c_custkey") * F.lit(1_000_000)).cast("bigint").alias("writetime0"),
+        (F.lit(WRITETIME_BASE) + F.col("c_custkey") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("writetime0"),
         *VALUE_COLS,
     )
 
@@ -103,7 +110,7 @@ def events_cte() -> str:
     return """
 mut_base AS (
   SELECT c_custkey AS pk,
-         CAST(c_custkey * 1000000 AS BIGINT) AS writetime0,
+         CAST(1600000000000000 + c_custkey * 1000000 AS BIGINT) AS writetime0,
          c_name, c_nationkey, c_acctbal, c_mktsegment
   FROM customer
 ),

