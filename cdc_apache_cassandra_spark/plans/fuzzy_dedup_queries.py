@@ -1,0 +1,358 @@
+"""Fuzzy dedup + similarity search over ``documents`` / ``embeddings``
+(SURVEY §7.2 step 9; BASELINE.json north star).
+
+Five operators, each the Spark-first shape that survives 100 TB:
+
+- MinHash+LSH:  shingle -> k minhashes -> band -> bucket equi-join ->
+                exact-Jaccard verify on candidates only.
+- SimHash:      linear signature + collision groups (no pair join).
+- n-gram Jaccard: exact pairwise verify inside bounded blocks.
+- Embedding near-dup: sign-LSH bucket equi-join + cosine threshold.
+- IVF ANN:      coarse-quantize once, probe one cell per query.
+
+Oracles compute the identical md5-based hashes in DuckDB, so value hashes
+match exactly (see functions/hashing.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.text_dedup import (
+    candidate_pairs,
+    jaccard_expr,
+    lsh_band_rows,
+    minhash_signature,
+    simhash32_sql,
+    token_hash32_expr,
+    tokens_expr,
+    word_shingles,
+)
+from cdc_apache_cassandra_spark.operators.vectors import (
+    as_double_vec,
+    cosine,
+    ivf_assign,
+    sign_lsh_bucket,
+)
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+# --- MinHash + LSH near-dup pipeline ---------------------------------------
+
+_MINHASH_K = 12
+_BANDS = 4
+_ROWS_PER_BAND = 3
+_JACCARD_MIN = 0.5
+
+_MINHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens)-1),
+             i -> array_to_string(list_slice(tokens, i, i+2), ' '))) AS shingles
+  FROM toks WHERE len(tokens) >= 3
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, {_MINHASH_K}),
+             s -> list_min(list_transform(shingles,
+                  g -> md5(CAST(s AS VARCHAR) || ':' || g)))) AS minhash
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+         md5(CAST(b.band_id AS VARCHAR) || '|' ||
+             array_to_string(list_slice(minhash,
+                 b.band_id*{_ROWS_PER_BAND}+1,
+                 b.band_id*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}), ',')) AS band_key
+  FROM sig, (SELECT unnest(range(0, {_BANDS})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+            (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))), 6) AS DOUBLE) AS jaccard_r
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_a
+JOIN sh sb ON sb.doc_id = cand.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles))) >= {_JACCARD_MIN}
+"""
+
+
+@register("llm_dedup_minhash_lsh", sql=_MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({k})+LSH({b}x{r}) candidate generation, exact-Jaccard
+    verified. The only shuffles: the band-bucket equi-join and the two
+    candidate->shingle joins — each keyed on high-cardinality hashes, so
+    no skew; verification touches |candidates| pairs, never n²."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+    )
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
+    )
+    sig = sh.select(
+        "doc_id", minhash_signature(F.col("shingles"), _MINHASH_K).alias("minhash")
+    )
+    bands = lsh_band_rows(sig, "doc_id", "minhash", _BANDS, _ROWS_PER_BAND)
+    cand = candidate_pairs(bands, "doc_id")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+# --- SimHash signatures + exact-collision groups ---------------------------
+
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(tokens,
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hashes
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 32), b -> CASE WHEN
+             list_sum(list_transform(hashes, h -> 2*((h >> b) & 1) - 1)) > 0
+             THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS simhash
+  FROM hs
+)
+SELECT doc_id, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_colliding
+FROM sig
+"""
+
+
+@register("llm_dedup_simhash", sql=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc + collision-group size. Linear: signature is
+    a narrow per-row transform; the only shuffle is the window on the
+    signature. Near-dup extension = group by shifted prefixes (Hamming
+    buckets) — same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tokens"),
+    )
+    hs = toks.select("doc_id", token_hash32_expr(F.col("tokens")).alias("hashes"))
+    sig = hs.select("doc_id", F.expr(simhash32_sql("hashes")).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sig.select(
+        "doc_id", "simhash", F.count("*").over(w).alias("n_colliding")
+    )
+
+
+# --- n-gram Jaccard inside length blocks -----------------------------------
+
+_NGRAM_JACCARD_MIN = 0.3
+
+_NGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT doc_id, lang, len(tokens) // 20 AS len_bucket,
+         list_distinct(list_transform(range(1, len(tokens)),
+             i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS grams
+  FROM toks WHERE len(tokens) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+            AS DOUBLE) AS jaccard_r
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= {_NGRAM_JACCARD_MIN}
+"""
+
+
+@register("llm_dedup_ngram_jaccard", sql=_NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard, blocked on (lang, token-count/20) so the
+    pair join is bounded (near-dups share length to within a bucket).
+    Blocking trades recall for O(sum of block²) instead of n²."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+    )
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.floor(F.size("tokens") / 20).alias("len_bucket"),
+        word_shingles(F.col("tokens"), 2).alias("grams"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "len_bucket",
+        F.col("grams").alias("g_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "len_bucket",
+        F.col("grams").alias("g_b"),
+    )
+    jac = jaccard_expr(F.col("g_a"), F.col("g_b"))
+    return (
+        a.join(b, ["lang", "len_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= _NGRAM_JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+# --- Embedding near-dup: sign-LSH bucket + cosine threshold ----------------
+
+_COS_NEAR_MIN = 0.35
+_LSH_BITS = 4
+
+_EMB_NEAR_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(1, {_LSH_BITS + 1}),
+             i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END))
+         AS bucket
+  FROM n
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       CAST(ROUND(list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+            AS DOUBLE) AS cos_sim_r
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+      >= {_COS_NEAR_MIN}
+"""
+
+
+@register("llm_dedup_embedding_cosine", sql=_EMB_NEAR_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: sign-bit LSH bucket equi-join (the only
+    shuffle), cosine computed on in-bucket pairs only. 2^bits buckets
+    bound each block; more bits or multiple hash tables tune recall at
+    scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    bkt = n.select(
+        "vec_id", "v", sign_lsh_bucket(F.col("v"), _LSH_BITS).alias("bucket")
+    )
+    a = bkt.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bkt.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cs >= _COS_NEAR_MIN)
+        .select("vec_a", "vec_b", F.round(cs, 6).alias("cos_sim_r"))
+    )
+
+
+# --- IVF ANN: coarse quantization + single-cell probe ----------------------
+
+_IVF_STRIDE = 50  # centroid sample: vec_id % stride == 0
+_QUERY_STRIDE = 100
+_TOPK = 5
+
+_IVF_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % {_IVF_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, n.v, cent.cid,
+         list_sum(list_transform(range(1, len(n.v)+1),
+             i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))) AS dist2
+  FROM n CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, cid AS qcid FROM asg
+      WHERE vec_id % {_QUERY_STRIDE} = 0),
+pairs AS (
+  SELECT q.qid, m.vec_id AS nid,
+         list_dot_product(q.qv, m.v) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(m.v, m.v)))
+         AS cos_sim
+  FROM q JOIN asg m ON m.cid = q.qcid AND m.vec_id != q.qid
+)
+SELECT qid, nid, rk, CAST(ROUND(cos_sim, 6) AS DOUBLE) AS cos_sim_r
+FROM (
+  SELECT qid, nid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM pairs
+) WHERE rk <= {_TOPK}
+"""
+
+
+@register("llm_ann_ivf_topk", sql=_IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroid sample (vec_id % {stride}),
+    broadcast-assign every vector to its nearest cell (one corpus pass),
+    then each query probes ONLY its own cell — the scale path next to the
+    brute-force baseline (llm_ann_cosine_topk). nprobe=1 here; more
+    probes = union more cells, same plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    asg = ivf_assign(n, cent, "vec")  # vec_id, vec, cid
+    q = asg.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"), F.col("cid").alias("qcid")
+    )
+    m = asg.select(
+        F.col("vec_id").alias("nid"), F.col("vec").alias("nv"), F.col("cid")
+    )
+    cs = cosine(F.col("qv"), F.col("nv"))
+    pairs = (
+        F.broadcast(q)
+        .join(m, F.col("cid") == F.col("qcid"))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cs.alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("qid", "nid", "rk", F.round("cos_sim", 6).alias("cos_sim_r"))
+    )

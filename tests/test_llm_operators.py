@@ -1,0 +1,165 @@
+"""Unit tests for the fuzzy-dedup / vector / multimodal operator modules
+(SURVEY §7.2 step 9). DataFrame-level, local[*] session from conftest."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.multimodal import (
+    FRAME_SCHEMA,
+    attach_payload,
+    decode_frames,
+    decode_payload_stub,
+)
+from cdc_apache_cassandra_spark.operators.text_dedup import (
+    candidate_pairs,
+    jaccard_expr,
+    lsh_band_rows,
+    minhash_signature,
+    simhash32_sql,
+    token_hash32_expr,
+    tokens_expr,
+    word_shingles,
+)
+from cdc_apache_cassandra_spark.operators.vectors import (
+    as_double_vec,
+    cosine,
+    ivf_assign,
+    sign_lsh_bucket,
+)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    out = df.select(
+        word_shingles(tokens_expr(F.col("text")), 3).alias("sh")
+    ).first()
+    assert out.sh == ["a b c", "b c d"]
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([("x y x y x y",)], ["text"])
+    out = df.select(word_shingles(tokens_expr(F.col("text")), 2).alias("sh")).first()
+    assert sorted(out.sh) == ["x y", "y x"]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    sh = df.select(
+        "doc_id", word_shingles(tokens_expr(F.col("text")), 3).alias("s")
+    )
+    sig = sh.select("doc_id", minhash_signature(F.col("s"), 8).alias("m"))
+    a, b = [r.m for r in sig.orderBy("doc_id").collect()]
+    assert a == b and len(a) == 8
+
+
+def test_minhash_element_matches_python_md5(spark):
+    # seed 0, single shingle "a b c" -> md5("0:a b c")
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    sh = df.select(word_shingles(tokens_expr(F.col("text")), 3).alias("s"))
+    sig = sh.select(minhash_signature(F.col("s"), 1).alias("m")).first()
+    assert sig.m[0] == hashlib.md5(b"0:a b c").hexdigest()
+
+
+def test_lsh_bands_and_candidates(spark):
+    # identical signatures -> all bands collide -> one candidate pair
+    df = spark.createDataFrame(
+        [(1, ["h1", "h2", "h3", "h4"]), (2, ["h1", "h2", "h3", "h4"]),
+         (3, ["x1", "x2", "x3", "x4"])],
+        ["doc_id", "sig"],
+    )
+    bands = lsh_band_rows(df, "doc_id", "sig", bands=2, rows_per_band=2)
+    assert bands.count() == 6
+    pairs = candidate_pairs(bands, "doc_id").collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
+    j = df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).first().j
+    assert abs(j - 2 / 4) < 1e-12
+
+
+def test_simhash_deterministic_and_32bit(spark):
+    df = spark.createDataFrame([(1, ["alpha", "beta"]), (2, ["alpha", "beta"])],
+                               ["doc_id", "tokens"])
+    hs = df.select("doc_id", token_hash32_expr(F.col("tokens")).alias("hashes"))
+    sig = hs.select("doc_id", F.expr(simhash32_sql("hashes")).alias("s")).collect()
+    vals = {r.s for r in sig}
+    assert len(vals) == 1
+    v = vals.pop()
+    assert 0 <= v < 2**32
+
+
+def test_simhash_single_token_equals_hash(spark):
+    # one token: every bit's vote is +-1 from that token alone, so the
+    # simhash IS the token hash
+    tok = "hello"
+    expect = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+    df = spark.createDataFrame([(1, [tok])], ["doc_id", "tokens"])
+    hs = df.select(token_hash32_expr(F.col("tokens")).alias("hashes"))
+    got = hs.select(F.expr(simhash32_sql("hashes")).alias("s")).first().s
+    assert got == expect
+
+
+def test_cosine_and_double_vec(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+                               ["a", "b"])
+    out = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(out[0].c - 1.0) < 1e-12 and abs(out[1].c) < 1e-12
+
+
+def test_sign_lsh_bucket(spark):
+    df = spark.createDataFrame(
+        [([1.0, -1.0, 1.0, -1.0],), ([-1.0, 1.0, -1.0, 1.0],)], ["v"]
+    )
+    out = [r.b for r in df.select(sign_lsh_bucket(F.col("v"), 4).alias("b")).collect()]
+    assert out == [0b0101, 0b1010]
+
+
+def test_ivf_assign_nearest(spark):
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [5.0, 5.1]), (3, [0.0, 0.2])], ["vec_id", "vec"]
+    ).select("vec_id", as_double_vec(F.col("vec")).alias("vec"))
+    cents = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (20, [5.0, 5.0])], ["cid", "cvec"]
+    ).select("cid", as_double_vec(F.col("cvec")).alias("cvec"))
+    out = {r.vec_id: r.cid for r in ivf_assign(vecs, cents, "vec").collect()}
+    assert out == {1: 10, 2: 20, 3: 10}
+
+
+def test_decode_stub_deterministic():
+    frames = decode_payload_stub(7, b"x" * 33)
+    assert len(frames) == 33 % 3 + 1
+    assert frames[0]["doc_id"] == 7
+    assert frames == decode_payload_stub(7, b"x" * 33)
+
+
+def test_decode_frames_schema_and_rows(spark):
+    df = attach_payload(
+        spark.createDataFrame([(1, "hello world"), (2, "abc")], ["doc_id", "text"])
+    )
+    out = decode_frames(df)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    # len("hello world")=11 -> 11%3+1=3 frames; len("abc")=3 -> 3%3+1=1
+    per_doc = {r.doc_id for r in rows}
+    assert per_doc == {1, 2}
+    assert len([r for r in rows if r.doc_id == 1]) == 3
+    assert len([r for r in rows if r.doc_id == 2]) == 1
+
+
+def test_payload_meta_checksum_is_md5_of_text(spark):
+    from cdc_apache_cassandra_spark.operators.multimodal import payload_meta
+
+    df = attach_payload(spark.createDataFrame([(1, "abc")], ["doc_id", "text"]))
+    row = df.select(*payload_meta(F.col("payload"))).first()
+    assert row.checksum == hashlib.md5(b"abc").hexdigest()
+    assert row.n_bytes == 3
+    assert row.n_pixels == row.width * row.height
