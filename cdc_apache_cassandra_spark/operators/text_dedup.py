@@ -36,17 +36,36 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = 12) -> Column:
-    """k-permutation MinHash: seed s in [0,k), hash = md5(s || ':' || g),
-    signature element = lexicographic min. md5's uniformity makes the
-    string-min equivalent to a numeric min-hash; DuckDB computes the exact
-    same strings."""
+#: Mersenne prime for the affine MinHash permutations; all arithmetic
+#: stays within BIGINT (max h < 2^32, max multiplier < 2k) so Spark and
+#: DuckDB agree bit-for-bit.
+MINHASH_PRIME = 2**31 - 1
+
+
+def shingle_hash32(shingles: Column) -> Column:
+    """array<string> -> array<bigint>: uint32 from the first 8 md5 hex
+    chars — ONE md5 per shingle; the k permutations are affine maps."""
+    return F.transform(
+        shingles,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature(shingle_hashes: Column, k: int = 12) -> Column:
+    """k-permutation MinHash over pre-hashed shingles: permutation i maps
+    h -> ((2i+1)*h + 12345*i + 678) mod p, signature element = min.
+    One md5 per shingle (in shingle_hash32) instead of k — the classic
+    affine-permutation trick; identical arithmetic in the DuckDB oracle."""
     seeds = F.sequence(F.lit(0), F.lit(k - 1))
     return F.transform(
         seeds,
         lambda s: F.array_min(
             F.transform(
-                shingles, lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g))
+                shingle_hashes,
+                lambda h: (
+                    ((F.lit(2) * s + 1) * h + F.lit(12345) * s + F.lit(678))
+                    % F.lit(MINHASH_PRIME)
+                ),
             )
         ),
     )
@@ -62,19 +81,69 @@ def lsh_band_rows(
     exploded = df.select(
         F.col(id_col), F.explode(band_ids).alias("band_id"), F.col(sig_col)
     )
+    band_slice = F.slice(
+        F.col(sig_col), F.col("band_id") * rows_per_band + 1, rows_per_band
+    )
     band_key = F.md5(
         F.concat(
             F.col("band_id").cast("string"),
             F.lit("|"),
-            F.array_join(
-                F.slice(
-                    F.col(sig_col), F.col("band_id") * rows_per_band + 1, rows_per_band
-                ),
-                ",",
-            ),
+            F.array_join(F.transform(band_slice, lambda x: x.cast("string")), ","),
         )
     )
     return exploded.select(id_col, "band_id", band_key.alias("band_key"))
+
+
+def minhash_lsh_candidates(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    k: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via the AGGREGATE MinHash formulation:
+    explode shingle hashes, compute the k signature elements as k flat
+    ``min`` aggregates, band via ``stack``, bucket-join.
+
+    Semantically identical to minhash_signature + lsh_band_rows +
+    candidate_pairs (same affine permutations, same banding of the same
+    values — band keys encode the same tuple injectively), but the plan is
+    a plain explode -> hash-aggregate -> equi-join: no nested lambda
+    codegen, which costs seconds of compile time per fresh session and
+    whole-stage-codegen fallbacks at depth. This is the production path;
+    the array-based operators remain as the spec/reference.
+    """
+    h = sh_df.select(
+        id_col, F.explode(shingle_hash32(F.col(shingles_col))).alias("h")
+    )
+    sig = h.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(2 * s + 1) * F.col("h") + F.lit(12345 * s + 678))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"m{s}")
+            for s in range(k)
+        ]
+    )
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(j)),
+                *[F.col(f"m{j * rows_per_band + r}").cast("string")
+                  for r in range(rows_per_band)],
+            )
+        ).alias(f"k{j}")
+        for j in range(bands)
+    ]
+    stack = (
+        f"stack({bands}, "
+        + ", ".join(f"{j}, k{j}" for j in range(bands))
+        + ") as (band_id, band_key)"
+    )
+    band_rows = sig.select(id_col, *keys).selectExpr(id_col, stack)
+    return candidate_pairs(band_rows, id_col)
 
 
 def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:

@@ -15,10 +15,13 @@ from cdc_apache_cassandra_spark.operators.multimodal import (
     decode_payload_stub,
 )
 from cdc_apache_cassandra_spark.operators.text_dedup import (
+    MINHASH_PRIME,
     candidate_pairs,
     jaccard_expr,
     lsh_band_rows,
+    minhash_lsh_candidates,
     minhash_signature,
+    shingle_hash32,
     simhash32_sql,
     token_hash32_expr,
     tokens_expr,
@@ -54,17 +57,24 @@ def test_minhash_identical_docs_share_signature(spark):
     sh = df.select(
         "doc_id", word_shingles(tokens_expr(F.col("text")), 3).alias("s")
     )
-    sig = sh.select("doc_id", minhash_signature(F.col("s"), 8).alias("m"))
+    sig = sh.select(
+        "doc_id", minhash_signature(shingle_hash32(F.col("s")), 8).alias("m")
+    )
     a, b = [r.m for r in sig.orderBy("doc_id").collect()]
     assert a == b and len(a) == 8
 
 
-def test_minhash_element_matches_python_md5(spark):
-    # seed 0, single shingle "a b c" -> md5("0:a b c")
+def test_minhash_element_matches_python_reference(spark):
+    # single shingle "a b c": permutation s maps its 32-bit md5-prefix hash
+    # through ((2s+1)h + 12345s + 678) mod p
+    h = int(hashlib.md5(b"a b c").hexdigest()[:8], 16)
+    expect = [((2 * s + 1) * h + 12345 * s + 678) % MINHASH_PRIME for s in range(4)]
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     sh = df.select(word_shingles(tokens_expr(F.col("text")), 3).alias("s"))
-    sig = sh.select(minhash_signature(F.col("s"), 1).alias("m")).first()
-    assert sig.m[0] == hashlib.md5(b"0:a b c").hexdigest()
+    sig = sh.select(
+        minhash_signature(shingle_hash32(F.col("s")), 4).alias("m")
+    ).first()
+    assert sig.m == expect
 
 
 def test_lsh_bands_and_candidates(spark):
@@ -78,6 +88,35 @@ def test_lsh_bands_and_candidates(spark):
     assert bands.count() == 6
     pairs = candidate_pairs(bands, "doc_id").collect()
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_minhash_agg_pipeline_matches_array_formulation(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different words appear in this sentence here now"),
+        (4, "unrelated text with nothing shared at all whatsoever indeed"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = df.select(
+        "doc_id", word_shingles(tokens_expr(F.col("text")), 3).alias("shingles")
+    )
+    # array formulation
+    sig = sh.select(
+        "doc_id",
+        minhash_signature(shingle_hash32(F.col("shingles")), 8).alias("m"),
+    )
+    bands = lsh_band_rows(sig, "doc_id", "m", 4, 2)
+    arr_pairs = {
+        (r.doc_a, r.doc_b) for r in candidate_pairs(bands, "doc_id").collect()
+    }
+    # aggregate formulation
+    agg_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(sh, "doc_id", "shingles", 8, 4, 2).collect()
+    }
+    assert arr_pairs == agg_pairs
+    assert (1, 2) in agg_pairs  # near-identical docs must collide
 
 
 def test_jaccard(spark):
