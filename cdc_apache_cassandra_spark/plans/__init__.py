@@ -7,6 +7,7 @@ from cdc_apache_cassandra_spark.plans.registry import QUERIES, Query, register
 
 # registration side effects
 from cdc_apache_cassandra_spark.plans import cdc_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import cdc_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import tpch_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import tpch_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_queries  # noqa: E402,F401

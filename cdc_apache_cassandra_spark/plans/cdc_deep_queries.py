@@ -1,0 +1,307 @@
+"""Deep CDC semantics over the compound-PK event stream — the reference's
+correctness-critical record-assembly rules as deterministic queries
+(SURVEY §2 ◆ rows P2/P3/P6/P7/P8, W2/W3, T3, A6; e2e scenarios
+PulsarCassandraSourceTests.java testClusteringKey/testStaticColumn and
+FIXTURES F-4/F-5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.functions.hashing import (
+    route_expr,
+    route_sql,
+    token_expr,
+    token_sql,
+)
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.compound_event_source import (
+    PROCESSED_PTYPES,
+    compound_events,
+    compound_events_cte,
+)
+from cdc_apache_cassandra_spark.sources.event_source import events_cte, mutation_events
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+_CTE = compound_events_cte()
+_CTE_SKIPPED = compound_events_cte(include_skipped=True)
+_PROCESSED_IN = ", ".join(f"'{p}'" for p in PROCESSED_PTYPES)
+
+
+# --- P2/P3: partition-type classifier + skip filter ------------------------
+
+_CLASSIFIER_SQL = f"""
+WITH {_CTE_SKIPPED}
+SELECT ptype, op,
+       (ptype IN ({_PROCESSED_IN})) AS is_processed,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT digest) AS n_mutations
+FROM compound_events
+GROUP BY ptype, op
+"""
+
+
+@register("cdc_partition_classifier", sql=_CLASSIFIER_SQL)
+def cdc_partition_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3: classify every mutation into the 7 partition types; only the
+    first 4 are processed, MATERIALIZED_VIEW / SECONDARY_INDEX / COUNTER
+    are counted and dropped (CommitLogReadHandlerImpl.java:111-138).
+    n_events = n_mutations x RF (replica fan-in, T1)."""
+    ev = compound_events(spark, sf_dir, include_skipped=True)
+    return ev.groupBy("ptype", "op").agg(
+        F.col("ptype").isin(*PROCESSED_PTYPES).alias("is_processed"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("digest").alias("n_mutations"),
+    ).select("ptype", "op", "is_processed", "n_events", "n_mutations")
+
+
+# --- P6/P7/P8 + dedup: compound-key data-topic records ---------------------
+
+_RECORDS_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk_p, pk_c, ptype, op, writetime, digest,
+         s_mktsegment, v_totalprice, v_orderstatus
+  FROM compound_events
+  WHERE ptype IN ({_PROCESSED_IN})
+)
+SELECT pk_p AS key_custkey, pk_c AS key_orderkey,
+       (pk_c IS NULL) AS is_partition_event,
+       op, ptype, writetime,
+       (op = 'DELETE') AS is_tombstone,
+       s_mktsegment, v_totalprice, v_orderstatus
+FROM deduped
+"""
+
+
+@register("cdc_compound_key_records", sql=_RECORDS_SQL)
+def cdc_compound_key_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-topic record per deduped mutation for a compound-PK table:
+    full-PK deletes carry both key fields + null value; partition deletes
+    and static-only updates carry a NULL clustering key (P8 null-PK
+    compaction); static-only updates carry ONLY static columns in the
+    value (P7 switch); DELETE => tombstone (testClusteringKey,
+    PulsarCassandraSourceTests.java:346-455)."""
+    ev = compound_events(spark, sf_dir).filter(
+        F.col("ptype").isin(*PROCESSED_PTYPES)
+    )
+    deduped = ev.dropDuplicates(["digest"]).drop("node_id", "digest")
+    return deduped.select(
+        F.col("pk_p").alias("key_custkey"),
+        F.col("pk_c").alias("key_orderkey"),
+        F.col("pk_c").isNull().alias("is_partition_event"),
+        "op",
+        "ptype",
+        "writetime",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        "s_mktsegment",
+        "v_totalprice",
+        "v_orderstatus",
+    )
+
+
+# --- W3 at compound granularity: partition-delete-aware LWW ----------------
+
+_COMPOUND_LWW_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk_p, pk_c, ptype, op, writetime,
+         s_mktsegment, v_totalprice, v_orderstatus
+  FROM compound_events
+),
+part_del AS (
+  SELECT pk_p, MAX(writetime) AS wt_pd
+  FROM deduped WHERE ptype = 'PARTITION_KEY_ROW_DELETION'
+  GROUP BY pk_p
+),
+row_latest AS (
+  SELECT * FROM (
+    SELECT pk_p, pk_c, op, writetime, v_totalprice, v_orderstatus,
+           ROW_NUMBER() OVER (PARTITION BY pk_p, pk_c
+                              ORDER BY writetime DESC) AS rn
+    FROM deduped WHERE pk_c IS NOT NULL
+  ) WHERE rn = 1
+),
+static_latest AS (
+  SELECT * FROM (
+    SELECT pk_p, s_mktsegment, writetime AS wt_s,
+           ROW_NUMBER() OVER (PARTITION BY pk_p
+                              ORDER BY writetime DESC) AS rn
+    FROM deduped WHERE s_mktsegment IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT r.pk_p AS custkey, r.pk_c AS orderkey,
+       CASE WHEN s.wt_s > COALESCE(p.wt_pd, -1) THEN s.s_mktsegment END
+         AS mktsegment,
+       r.v_totalprice AS totalprice, r.v_orderstatus AS orderstatus,
+       r.writetime
+FROM row_latest r
+LEFT JOIN part_del p ON p.pk_p = r.pk_p
+LEFT JOIN static_latest s ON s.pk_p = r.pk_p
+WHERE r.op <> 'DELETE' AND r.writetime > COALESCE(p.wt_pd, -1)
+"""
+
+
+@register("cdc_compound_lww_state", sql=_COMPOUND_LWW_SQL)
+def cdc_compound_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged state of the compound-PK table: a row survives iff its
+    latest row-level event is not a DELETE and is newer than any
+    partition-level delete of its partition; the static column converges
+    independently across the whole partition (Cassandra semantics the
+    connector's per-row lookups reproduce; the partition tombstone
+    dominates older rows only — testUnorderedMutations convergence,
+    PulsarDualNodeTests.java:222-320)."""
+    ev = compound_events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["digest"]).drop("node_id", "digest")
+
+    part_del = (
+        deduped.filter(F.col("ptype") == "PARTITION_KEY_ROW_DELETION")
+        .groupBy("pk_p")
+        .agg(F.max("writetime").alias("wt_pd"))
+    )
+    w_row = Window.partitionBy("pk_p", "pk_c").orderBy(F.col("writetime").desc())
+    row_latest = (
+        deduped.filter(F.col("pk_c").isNotNull())
+        .withColumn("rn", F.row_number().over(w_row))
+        .filter(F.col("rn") == 1)
+        .select("pk_p", "pk_c", "op", "writetime", "v_totalprice", "v_orderstatus")
+    )
+    w_part = Window.partitionBy("pk_p").orderBy(F.col("writetime").desc())
+    static_latest = (
+        deduped.filter(F.col("s_mktsegment").isNotNull())
+        .withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") == 1)
+        .select("pk_p", "s_mktsegment", F.col("writetime").alias("wt_s"))
+    )
+    alive = (
+        row_latest.join(part_del, "pk_p", "left")
+        .join(static_latest, "pk_p", "left")
+        .filter(
+            (F.col("op") != "DELETE")
+            & (F.col("writetime") > F.coalesce(F.col("wt_pd"), F.lit(-1)))
+        )
+    )
+    return alive.select(
+        F.col("pk_p").alias("custkey"),
+        F.col("pk_c").alias("orderkey"),
+        F.when(
+            F.col("wt_s") > F.coalesce(F.col("wt_pd"), F.lit(-1)),
+            F.col("s_mktsegment"),
+        ).alias("mktsegment"),
+        F.col("v_totalprice").alias("totalprice"),
+        F.col("v_orderstatus").alias("orderstatus"),
+        "writetime",
+    )
+
+
+# --- F-4: PK-only table (value carries the PK columns) ---------------------
+
+_PK_ONLY_SQL = """
+WITH ev AS (
+  SELECT n_nationkey AS pk, r.node_id,
+         md5(CAST(n_nationkey AS VARCHAR) || '|INSERT') AS digest
+  FROM nation
+  CROSS JOIN (SELECT CAST(0 AS BIGINT) AS node_id UNION ALL SELECT 1) r
+),
+deduped AS (SELECT DISTINCT pk, digest FROM ev)
+SELECT pk AS key_nationkey, pk AS value_nationkey, FALSE AS is_tombstone
+FROM deduped
+"""
+
+
+@register("cdc_pk_only_table", sql=_PK_ONLY_SQL)
+def cdc_pk_only_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-only table: no regular columns, so the VALUE carries the PK
+    columns too (CassandraSource.java:346-350 special case; FIXTURES F-4,
+    testOnlyPk). Replica duplicates suppressed by digest dedup."""
+    n = load_table(spark, sf_dir, "nation")
+    replicas = spark.range(2).select(F.col("id").alias("node_id"))
+    ev = (
+        n.select(F.col("n_nationkey").alias("pk"))
+        .crossJoin(F.broadcast(replicas))
+        .withColumn("digest", F.md5(F.concat_ws("|", F.col("pk"), F.lit("INSERT"))))
+    )
+    deduped = ev.dropDuplicates(["digest"])
+    return deduped.select(
+        F.col("pk").alias("key_nationkey"),
+        F.col("pk").alias("value_nationkey"),
+        F.lit(False).alias("is_tombstone"),
+    )
+
+
+# --- T3: token partitioning / routing --------------------------------------
+
+_ROUTING_SQL = f"""
+WITH {events_cte()},
+keyed AS (
+  SELECT DISTINCT pk FROM events_stream
+),
+tokens AS (
+  SELECT pk, {token_sql("pk")} AS token FROM keyed
+)
+SELECT {route_sql("token", 32)} AS route,
+       COUNT(*) AS n_keys, MIN(token) AS min_token, MAX(token) AS max_token
+FROM tokens GROUP BY 1
+"""
+
+
+@register("cdc_token_routing", sql=_ROUTING_SQL)
+def cdc_token_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 token-affinity routing: deterministic per-key token (murmur3
+    stand-in, functions/hashing.py) -> partition route. The distribution
+    check is what Murmur3MessageRouter.java:25-28 guarantees: stable
+    route per key, near-uniform spread."""
+    ev = mutation_events(spark, sf_dir)
+    keyed = ev.select("pk").distinct()
+    tokens = keyed.select("pk", token_expr("pk").alias("token"))
+    return tokens.groupBy(
+        route_expr(F.col("token"), 32).alias("route")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.min("token").alias("min_token"),
+        F.max("token").alias("max_token"),
+    )
+
+
+# --- W2/A6: writetime propagation + replication-latency metric -------------
+
+_LATENCY_SQL = f"""
+WITH {events_cte()},
+proc AS (
+  SELECT node_id, writetime,
+         writetime + (pk % 50) * 1000 + node_id * 500 AS processing_ts
+  FROM events_stream
+)
+SELECT node_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(processing_ts - writetime) AS DOUBLE) / COUNT(*)
+         AS avg_latency_us,
+       MAX(processing_ts - writetime) AS max_latency_us
+FROM proc GROUP BY node_id
+"""
+
+
+@register("cdc_replication_latency", sql=_LATENCY_SQL)
+def cdc_replication_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A6: the writetime rides every event (Constants.java writetime
+    property); replication latency = processing time - writetime, here a
+    deterministic synthetic delay. The reference exports the same metric
+    per node (CassandraSource.java:529-553, monitor.adoc)."""
+    ev = mutation_events(spark, sf_dir)
+    proc = ev.select(
+        "node_id",
+        "writetime",
+        (
+            F.col("writetime")
+            + (F.col("pk") % 50) * 1000
+            + F.col("node_id") * 500
+        ).alias("processing_ts"),
+    )
+    lat = F.col("processing_ts") - F.col("writetime")
+    return proc.groupBy("node_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(lat).cast("double") / F.count("*")).alias("avg_latency_us"),
+        F.max(lat).alias("max_latency_us"),
+    )
