@@ -1,0 +1,203 @@
+"""Deep event-stream operators the reference lacks but an events engine
+needs (SURVEY §2.5 note: Spark gives windows/rankings free; these add the
+as-of join, range join, sliding windows, and lag/lead — each in its
+scalable Spark-first formulation with a portable SQL oracle).
+
+Timestamps: events.ts is µs-precision (sources/registry.py nanos
+truncation); all window math uses integer µs so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+# --- As-of join: purchase -> latest prior click (attribution) --------------
+
+_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS typ
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN typ = 0 THEN event_id END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, typ, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+         LAST_VALUE(CASE WHEN typ = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, typ, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_id, value AS purchase_value,
+       click_id, epoch_us(ts) - click_us AS us_since_click
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
+@register("events_asof_click_attribution", sql=_ASOF_SQL)
+def events_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, streaming-union formulation: tag clicks+purchases into
+    ONE stream, single shuffle+sort per user, carry the latest click
+    forward with last_value(ignore nulls), keep purchases. Never builds
+    the |clicks| x |purchases| pair space — at 100 TB the only cost is the
+    sort within user partitions. Ties break (ts, type, event_id): a click
+    at the same µs as a purchase attributes to it."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("typ"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "typ", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.last(
+        F.when(F.col("typ") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_us = F.last(
+        F.when(F.col("typ") == 0, F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_id", click_id)
+        .withColumn("click_us", click_us)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+            "click_id",
+            (F.unix_micros("ts") - F.col("click_us")).alias("us_since_click"),
+        )
+    )
+
+
+# --- Range join: event value -> tier table ---------------------------------
+
+_TIERS = [
+    (0, "T0_SMALL", 0.0, 50.0),
+    (1, "T1_MEDIUM", 50.0, 150.0),
+    (2, "T2_LARGE", 150.0, 300.0),
+    (3, "T3_WHALE", 300.0, 1000.0),
+]
+
+_TIERS_VALUES = ", ".join(
+    f"({i}, '{name}', {lo}, {hi})" for i, name, lo, hi in _TIERS
+)
+
+_RANGE_SQL = f"""
+WITH tiers(tier_id, tier_name, lo, hi) AS (VALUES {_TIERS_VALUES})
+SELECT tier_name, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier_name
+"""
+
+
+@register("join_range_value_tiers", sql=_RANGE_SQL)
+def join_range_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (non-equi) JOIN against a tier dimension: the dim is tiny and
+    broadcast, so the theta-join is a per-row scan of 4 ranges — no
+    shuffle, no pair blow-up. For a large ranges table the same query
+    switches to bucket-prejoin (equi-join on floor(value/width) + residual
+    predicate); Catalyst keeps the scan-side filter pushed down."""
+    e = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, ["tier_id", "tier_name", "lo", "hi"])
+    joined = e.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("tier_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# --- Sliding windows (30 min window, 15 min slide) -------------------------
+
+_SLIDE_US = 15 * 60 * 1_000_000
+_WIN_US = 30 * 60 * 1_000_000
+
+_SLIDING_SQL = f"""
+WITH ks AS (SELECT unnest([0, 1]) AS k),
+assigned AS (
+  SELECT user_id, value,
+         make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                        - k * {_SLIDE_US}) AS window_start
+  FROM events, ks
+  WHERE epoch_us(ts) >= (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                        - k * {_SLIDE_US}
+    AND epoch_us(ts) < (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                        - k * {_SLIDE_US} + {_WIN_US}
+)
+SELECT window_start, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY window_start
+"""
+
+
+@register("events_sliding_30m_15m", sql=_SLIDING_SQL)
+def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows via the built-in window() — each event lands in
+    duration/slide = 2 windows (Spark Expand, then one partial-agg
+    shuffle). The oracle reproduces the assignment with integer-µs
+    arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "30 minutes", "15 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+# --- lag/lead: inter-event gaps per user -----------------------------------
+
+_GAPS_SQL = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS us_since_prev,
+       LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+@register("events_lag_lead_gaps", sql=_GAPS_SQL)
+def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD analytics: per-user inter-event gap (µs, exact integers)
+    and next event type — the funnel-analysis primitive. One shuffle+sort
+    per user partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
