@@ -115,6 +115,9 @@ def test_late_events_dropped_by_watermark(spark):
         # the invariant is: never MORE than the distinct mutations, and the
         # fresh one always survives.
         assert "new" in digests and len(digests) <= 2
+
+
+def test_mutation_cache_bounded_eviction(spark):
     """Reference MutationCache semantics: ≤N digests per key, oldest
     evicted — a digest re-arriving after N others is NOT suppressed
     (at-least-once, MutationCache.java:47-73)."""
