@@ -33,3 +33,27 @@ def backfill_mutations(
         F.lit(-1).cast("bigint").alias("segment"),
         F.lit(-1).cast("bigint").alias("position"),
     )
+
+
+def export_pk_csv(snapshot: DataFrame, pk_col: str, path: str) -> None:
+    """S8, dsbulk-unload equivalent: export the table's PK column(s) to CSV
+    (TableExporter.buildExportQuery — `SELECT pk1,…,pkN FROM ks.t`).
+    Distributed write, one file per partition."""
+    snapshot.select(pk_col).write.mode("overwrite").option("header", True).csv(path)
+
+
+def backfill_from_csv(
+    spark, csv_path: str, snapshot: DataFrame, pk_col: str, value_cols: list[str]
+) -> DataFrame:
+    """S9, the CSV import leg: read exported PK rows (strings on disk, like
+    dsbulk's CSV), cast back to the PK type (PulsarImporter.java:157-174
+    string->CQL codec conversion), re-read the current row per PK from the
+    snapshot, and emit synthetic mutations through the SAME
+    backfill_mutations path the batch leg uses (T2 unification)."""
+    pk_type = dict(snapshot.dtypes)[pk_col]
+    keys = (
+        spark.read.option("header", True).csv(csv_path)
+        .select(F.col(pk_col).cast(pk_type).alias(pk_col))
+    )
+    rows = keys.join(snapshot, pk_col, "inner")
+    return backfill_mutations(rows, pk_col, value_cols)
