@@ -60,6 +60,9 @@ def compound_events(
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # base feeds 5+ union branches below — persist so the orders-customer
+    # join runs once per query instead of once per branch (bounded: one
+    # narrow row per order; a production source reads the topic once).
     base = (
         o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
@@ -72,6 +75,7 @@ def compound_events(
             F.col("o_totalprice").alias("price"),
             F.col("o_orderstatus").alias("status"),
         )
+        .persist()
     )
     parts = (
         base.groupBy("pk_p")

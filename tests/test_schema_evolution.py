@@ -1,0 +1,102 @@
+"""Schema evolution (reference ALTER TABLE ADD scenario, testSinglePk
+PulsarCassandraSourceTests.java:261-343 + BACKWARD-transitive compat
+rules) — additive columns flow as nulls for pre-DDL events; drops and
+type changes are rejected."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_apache_cassandra_spark.streaming.schema_evolution import (
+    IncompatibleSchemaChange,
+    align_to_schema,
+    reconcile_schemas,
+    union_evolved,
+)
+
+OLD = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("a", T.StringType(), True),
+    ]
+)
+NEW = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("a", T.StringType(), True),
+        T.StructField("b", T.IntegerType(), True),
+    ]
+)
+
+
+def test_reconcile_adds_nullable_column():
+    merged = reconcile_schemas(OLD, NEW)
+    names = [f.name for f in merged.fields]
+    assert names == ["pk", "a", "b"]
+    assert merged["b"].nullable
+
+
+def test_reconcile_keeps_dropped_columns():
+    """A column dropped upstream keeps flowing as nulls (Avro null
+    default) — merged schema is the union."""
+    merged = reconcile_schemas(NEW, OLD)
+    assert [f.name for f in merged.fields] == ["pk", "a", "b"]
+
+
+def test_reconcile_rejects_type_change():
+    changed = T.StructType(
+        [
+            T.StructField("pk", T.LongType(), False),
+            T.StructField("a", T.DoubleType(), True),
+        ]
+    )
+    with pytest.raises(IncompatibleSchemaChange):
+        reconcile_schemas(OLD, changed)
+
+
+def test_align_fills_typed_nulls(spark):
+    df = spark.createDataFrame([(1, "x")], OLD)
+    out = align_to_schema(df, NEW)
+    assert out.schema["b"].dataType == T.IntegerType()
+    assert out.first()["b"] is None
+
+
+def test_align_rejects_unreconciled_extra(spark):
+    df = spark.createDataFrame([(1, "x", 2)], NEW)
+    with pytest.raises(IncompatibleSchemaChange):
+        align_to_schema(df, OLD)
+
+
+def test_union_evolved_alter_table_add(spark):
+    """Pre-DDL events + post-DDL events (new column) unify into one
+    stream; the old rows show null for the added column and downstream
+    LWW sees a single consistent schema."""
+    pre = spark.createDataFrame([(1, "v1"), (2, "v1")], OLD)
+    post = spark.createDataFrame([(1, "v2", 42)], NEW)
+    unified = union_evolved(pre, post)
+    assert [f.name for f in unified.schema.fields] == ["pk", "a", "b"]
+    rows = {(r.pk, r.a): r.b for r in unified.collect()}
+    assert rows[(1, "v1")] is None and rows[(1, "v2")] == 42
+
+
+def test_union_evolved_streaming_file_replay(spark, tmp_path):
+    """Evolved parquet files (a later file adds a column) replay as ONE
+    stream once aligned — the restart-on-DDL recipe with the same
+    checkpoint."""
+    import uuid
+
+    from cdc_apache_cassandra_spark.streaming.pipeline import run_to_memory
+
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "x"), (2, "y")], OLD).write.parquet(d1)
+    spark.createDataFrame([(3, "z", 7)], NEW).write.parquet(d2)
+
+    merged = reconcile_schemas(OLD, NEW)
+    stream = spark.readStream.schema(merged).option(
+        "mergeSchema", "true"
+    ).parquet(str(tmp_path) + "/v*")
+    name = f"evo_{uuid.uuid4().hex[:8]}"
+    run_to_memory(stream.filter(F.col("pk") > 0), name)
+    got = spark.table(name)
+    assert got.count() == 3
+    assert {r.b for r in got.collect()} == {None, 7}
