@@ -1,0 +1,106 @@
+"""Property-based invariants (hypothesis) — the convergence guarantees the
+reference establishes with container chaos tests
+(PulsarDualNodeTests.testUnorderedMutations): the converged state must be
+invariant under event reordering, replica duplication, replay, and any
+micro-batch partitioning of the stream.
+
+Small example counts: each example round-trips through Spark.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
+from cdc_apache_cassandra_spark.operators.lww import last_write_wins
+from cdc_apache_cassandra_spark.streaming.materialize import merge_batch_lww
+
+SCHEMA = (
+    "op string, pk long, writetime long, v string, digest string, "
+    "segment long, position long, node_id long"
+)
+
+#: (op, pk, writetime, segment, position) — digest derived, like the md5
+#: over the mutation identity.
+mutation = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+    st.integers(0, 3),
+    st.integers(0, 8),
+    st.integers(0, 2),
+    st.integers(0, 4),
+)
+
+streams = st.lists(mutation, min_size=1, max_size=12, unique=True)
+
+
+def rows(muts, node_id=0):
+    return [
+        (
+            op,
+            pk,
+            wt,
+            f"v{pk}_{wt}_{seg}_{pos}",
+            f"d|{pk}|{op}|{wt}|{seg}|{pos}",
+            seg,
+            pos,
+            node_id,
+        )
+        for op, pk, wt, seg, pos in muts
+    ]
+
+
+def state_of(spark, data):
+    df = spark.createDataFrame(data, SCHEMA)
+    return {
+        (r.pk): (r.op, r.writetime, r.segment, r.position, r.v)
+        for r in last_write_wins(dedup_mutations(df)).collect()
+    }
+
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(muts=streams, seed=st.randoms())
+@_SETTINGS
+def test_lww_invariant_under_reorder_and_replication(spark, muts, seed):
+    """Replicas (RF=2), replays, and arbitrary arrival order must not
+    change the converged per-key state."""
+    base = rows(muts, node_id=0)
+    doubled = base + rows(muts, node_id=1) + base[: len(base) // 2]
+    seed.shuffle(doubled)
+    assert state_of(spark, base) == state_of(spark, doubled)
+
+
+@given(muts=streams)
+@_SETTINGS
+def test_dedup_idempotent_and_unique(spark, muts):
+    df = spark.createDataFrame(rows(muts, 0) + rows(muts, 1), SCHEMA)
+    once = dedup_mutations(df)
+    assert once.count() == len(muts)
+    assert dedup_mutations(once.withColumn("node_id", once.pk * 0)).count() == len(muts)
+
+
+@given(muts=streams, cut=st.integers(0, 12), seed=st.randoms())
+@_SETTINGS
+def test_materializer_invariant_under_batching(spark, muts, cut, seed):
+    """Applying the stream in ANY two-batch split (any order within
+    batches) converges to the same retained state as one batch."""
+    data = rows(muts)
+    seed.shuffle(data)
+    k = min(cut, len(data))
+    whole = spark.createDataFrame(data, SCHEMA)
+    want = {
+        (r.pk): (r.op, r.writetime) for r in merge_batch_lww(None, whole, ["pk"]).collect()
+    }
+    b1 = spark.createDataFrame(data[:k], SCHEMA) if k else None
+    b2 = spark.createDataFrame(data[k:], SCHEMA) if k < len(data) else None
+    state = None
+    for b in (b1, b2):
+        if b is not None:
+            state = merge_batch_lww(state, b, ["pk"])
+    got = {(r.pk): (r.op, r.writetime) for r in state.collect()}
+    assert got == want
