@@ -33,6 +33,10 @@ def main():
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
+        # intra-query persists (signature/posting tables) are scoped to
+        # their query; drop them so later queries aren't measured under
+        # accumulated cache memory pressure
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     print(

@@ -10,6 +10,7 @@ from cdc_apache_cassandra_spark.plans import cdc_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import cdc_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import tpch_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import tpch_deep_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import relational_extra_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import events_queries  # noqa: E402,F401

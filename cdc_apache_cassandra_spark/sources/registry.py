@@ -27,12 +27,23 @@ TABLES = (
 BROADCASTABLE = frozenset({"region", "nation"})
 
 
+#: analyzed-relation cache: a DataFrame is an immutable plan, so reusing
+#: it across queries skips the per-call parquet footer/schema read (64
+#: queries x 1-3 tables adds up at bench granularity). Keyed by session
+#: so an externally-provided (driver) session gets its own entries.
+_RELATION_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    if key not in _RELATION_CACHE:
+        if name == "events":
+            _RELATION_CACHE[key] = _load_events(spark, sf_dir)
+        else:
+            _RELATION_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _RELATION_CACHE[key]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,7 @@ def main():
     for name in names:
         ok, msg = check(spark, con, name, sf_dir)
         print(f"{'PASS' if ok else 'FAIL'}  {name:45s} {msg}")
+        spark.catalog.clearCache()  # drop intra-query persists
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} pass")
