@@ -61,6 +61,103 @@ def read_after_event(
     return out.select(*pk_cols, op_col, *passthrough, "is_tombstone", *value_cols)
 
 
+def read_after_event_compound(
+    events: DataFrame,
+    snapshot: DataFrame,
+    partition_cols: list[str],
+    clustering_cols: list[str],
+    static_cols: list[str],
+    regular_cols: list[str],
+    op_col: str = "op",
+    ptype_col: str = "ptype",
+) -> DataFrame:
+    """Compound-PK read-after-event with the reference's THREE lookup
+    shapes (SURVEY §7.4 'partition events join on a PK prefix — second
+    join branch + union, not a dynamic key list'):
+
+    - row-level events (full PK bound): left join on partition+clustering
+      keys; value = statics + regulars; DELETE or missing row → tombstone
+      (ConverterAndQuery full projection).
+    - partition-level modification (statics present): PREFIX join against
+      the per-partition static row; value = STATIC COLUMNS ONLY (P7,
+      ConverterAndQuery.getProjectionClause).
+    - partition-level deletion: no lookup at all — tombstone with null
+      clustering fields (P8, CassandraSource.java:534,540).
+
+    Output: partition_cols, clustering_cols (null on partition events),
+    op, ptype, is_tombstone, static_cols, regular_cols.
+    """
+    full_pk = partition_cols + clustering_cols
+    passthrough = [
+        c for c in events.columns
+        if c not in full_pk and c not in (op_col, ptype_col)
+    ]
+    row_kinds = (
+        "ROW_LEVEL_MODIFICATION",
+        "PARTITION_AND_CLUSTERING_KEY_ROW_DELETION",
+    )
+
+    # branch 1: full-PK lookup
+    row_snap = snapshot.select(
+        *full_pk,
+        *[F.col(c).alias(f"_s_{c}") for c in static_cols + regular_cols],
+    )
+    row_ev = events.filter(F.col(ptype_col).isin(*row_kinds)).join(
+        row_snap, on=full_pk, how="left"
+    )
+    row_found = F.col(f"_s_{(static_cols + regular_cols)[0]}").isNotNull()
+    row_tomb = (F.col(op_col) == "DELETE") | ~row_found
+    row_out = row_ev.select(
+        *partition_cols,
+        *clustering_cols,
+        op_col,
+        ptype_col,
+        *passthrough,
+        row_tomb.alias("is_tombstone"),
+        *[
+            F.when(row_tomb, F.lit(None)).otherwise(F.col(f"_s_{c}")).alias(c)
+            for c in static_cols + regular_cols
+        ],
+    )
+
+    # branch 2: PK-prefix lookup, static-only projection (one static row
+    # per partition — max() collapses the per-row copies)
+    static_snap = snapshot.groupBy(*partition_cols).agg(
+        *[F.max(c).alias(f"_s_{c}") for c in static_cols]
+    )
+    stat_ev = events.filter(
+        F.col(ptype_col) == "PARTITION_LEVEL_MODIFICATION"
+    ).join(static_snap, on=partition_cols, how="left")
+    stat_out = stat_ev.select(
+        *partition_cols,
+        *[F.lit(None).cast(dict(snapshot.dtypes)[c]).alias(c)
+          for c in clustering_cols],
+        op_col,
+        ptype_col,
+        *passthrough,
+        F.lit(False).alias("is_tombstone"),
+        *[F.col(f"_s_{c}").alias(c) for c in static_cols],
+        *[F.lit(None).cast(dict(snapshot.dtypes)[c]).alias(c) for c in regular_cols],
+    )
+
+    # branch 3: partition delete — tombstone, no lookup
+    del_ev = events.filter(F.col(ptype_col) == "PARTITION_KEY_ROW_DELETION")
+    del_out = del_ev.select(
+        *partition_cols,
+        *[F.lit(None).cast(dict(snapshot.dtypes)[c]).alias(c)
+          for c in clustering_cols],
+        op_col,
+        ptype_col,
+        *passthrough,
+        F.lit(True).alias("is_tombstone"),
+        *[
+            F.lit(None).cast(dict(snapshot.dtypes)[c]).alias(c)
+            for c in static_cols + regular_cols
+        ],
+    )
+    return row_out.unionByName(stat_out).unionByName(del_out)
+
+
 def key_value_records(
     enriched: DataFrame, pk_cols: list[str], value_cols: list[str]
 ) -> DataFrame:

@@ -196,6 +196,81 @@ def cdc_compound_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J1 at compound granularity: three-branch read-after-event -------------
+
+_COMPOUND_RAE_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk_p, pk_c, ptype, op, writetime FROM compound_events
+),
+snap AS (
+  SELECT o_custkey AS pk_p, o_orderkey AS pk_c, c_mktsegment AS s_seg,
+         o_totalprice AS r_price, o_orderstatus AS r_status
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+statics AS (SELECT pk_p, MAX(s_seg) AS s_seg FROM snap GROUP BY pk_p),
+row_branch AS (
+  SELECT d.pk_p, d.pk_c, d.op, d.ptype, d.writetime,
+         (d.op = 'DELETE' OR s.s_seg IS NULL) AS is_tombstone,
+         CASE WHEN d.op = 'DELETE' OR s.s_seg IS NULL THEN NULL
+              ELSE s.s_seg END AS s_seg,
+         CASE WHEN d.op = 'DELETE' OR s.s_seg IS NULL THEN NULL
+              ELSE s.r_price END AS r_price,
+         CASE WHEN d.op = 'DELETE' OR s.s_seg IS NULL THEN NULL
+              ELSE s.r_status END AS r_status
+  FROM deduped d LEFT JOIN snap s ON s.pk_p = d.pk_p AND s.pk_c = d.pk_c
+  WHERE d.ptype IN ('ROW_LEVEL_MODIFICATION',
+                    'PARTITION_AND_CLUSTERING_KEY_ROW_DELETION')
+),
+static_branch AS (
+  SELECT d.pk_p, CAST(NULL AS BIGINT) AS pk_c, d.op, d.ptype, d.writetime,
+         FALSE AS is_tombstone, st.s_seg,
+         CAST(NULL AS DOUBLE) AS r_price, CAST(NULL AS VARCHAR) AS r_status
+  FROM deduped d LEFT JOIN statics st ON st.pk_p = d.pk_p
+  WHERE d.ptype = 'PARTITION_LEVEL_MODIFICATION'
+),
+del_branch AS (
+  SELECT pk_p, CAST(NULL AS BIGINT), op, ptype, writetime,
+         TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR)
+  FROM deduped WHERE ptype = 'PARTITION_KEY_ROW_DELETION'
+)
+SELECT * FROM row_branch
+UNION ALL SELECT * FROM static_branch
+UNION ALL SELECT * FROM del_branch
+"""
+
+
+@register("cdc_compound_read_after_event", sql=_COMPOUND_RAE_SQL)
+def cdc_compound_read_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with the three compound lookup shapes (SURVEY §7.4): row events
+    join the snapshot on the FULL primary key; partition-level static
+    updates join on the PK PREFIX and project statics only (P7); partition
+    deletes skip the lookup entirely. Implemented as two join branches +
+    union, not a dynamic key list."""
+    from cdc_apache_cassandra_spark.operators.lookup import (
+        read_after_event_compound,
+    )
+
+    ev = (
+        compound_events(spark, sf_dir)
+        .dropDuplicates(["digest"])
+        .select("pk_p", "pk_c", "ptype", "op", "writetime")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    snap = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("o_custkey").alias("pk_p"),
+        F.col("o_orderkey").alias("pk_c"),
+        F.col("c_mktsegment").alias("s_seg"),
+        F.col("o_totalprice").alias("r_price"),
+        F.col("o_orderstatus").alias("r_status"),
+    )
+    return read_after_event_compound(
+        ev, snap, ["pk_p"], ["pk_c"], ["s_seg"], ["r_price", "r_status"]
+    )
+
+
 # --- F-4: PK-only table (value carries the PK columns) ---------------------
 
 _PK_ONLY_SQL = """

@@ -113,6 +113,46 @@ def test_row_delete_removes_row(spark, sf_dir):
     assert state.filter(F.col("orderkey") % 9 == 0).count() == 0
 
 
+def test_compound_read_after_event_branches(spark):
+    """The three lookup shapes: full-PK join, prefix static join,
+    lookup-free partition tombstone."""
+    from cdc_apache_cassandra_spark.operators.lookup import (
+        read_after_event_compound,
+    )
+
+    ev_rows = [
+        (1, 10, "ROW_LEVEL_MODIFICATION", "INSERT", 100),
+        (1, 99, "ROW_LEVEL_MODIFICATION", "INSERT", 101),  # missing in snap
+        (1, 10, "PARTITION_AND_CLUSTERING_KEY_ROW_DELETION", "DELETE", 102),
+        (1, None, "PARTITION_LEVEL_MODIFICATION", "UPDATE", 103),
+        (2, None, "PARTITION_KEY_ROW_DELETION", "DELETE", 104),
+    ]
+    ev = spark.createDataFrame(
+        ev_rows, "pk_p long, pk_c long, ptype string, op string, writetime long"
+    )
+    snap = spark.createDataFrame(
+        [(1, 10, "SEG_A", 5.0, "O")],
+        "pk_p long, pk_c long, s_seg string, r_price double, r_status string",
+    )
+    out = read_after_event_compound(
+        ev, snap, ["pk_p"], ["pk_c"], ["s_seg"], ["r_price", "r_status"]
+    )
+    rows = {(r.pk_p, r.pk_c, r.ptype): r for r in out.collect()}
+    assert len(rows) == 5
+    # full-PK hit: current row values
+    hit = rows[(1, 10, "ROW_LEVEL_MODIFICATION")]
+    assert not hit.is_tombstone and hit.r_price == 5.0 and hit.s_seg == "SEG_A"
+    # full-PK miss: tombstone (row vanished)
+    assert rows[(1, 99, "ROW_LEVEL_MODIFICATION")].is_tombstone
+    # row delete: tombstone regardless of snapshot
+    assert rows[(1, 10, "PARTITION_AND_CLUSTERING_KEY_ROW_DELETION")].is_tombstone
+    # static update: prefix join, statics only
+    st = rows[(1, None, "PARTITION_LEVEL_MODIFICATION")]
+    assert st.s_seg == "SEG_A" and st.r_price is None and not st.is_tombstone
+    # partition delete: tombstone, null clustering
+    assert rows[(2, None, "PARTITION_KEY_ROW_DELETION")].is_tombstone
+
+
 def test_compound_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Streaming digest-dedup over a file replay of the compound stream
     collapses the RF=2 duplication to the batch cardinality."""
