@@ -78,6 +78,150 @@ def q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F10/F11: collection marshalling under the oracle gate -----------------
+
+_COLLECTION_SQL = """
+SELECT o_custkey,
+       list_sort(list(epoch_ms(o_orderdate))) AS order_ts_ms,
+       list(CAST(o_orderkey AS VARCHAR)
+            ORDER BY CAST(o_orderkey AS VARCHAR)) AS map_keys_sorted,
+       list(o_orderstatus
+            ORDER BY CAST(o_orderkey AS VARCHAR)) AS map_values_by_key,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("cql_collection_marshalling", sql=_COLLECTION_SQL)
+def cql_collection_marshalling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (timestamps inside collections -> epoch millis,
+    AbstractNativeConverter.java:305-332) and F10 (map keys stringified,
+    :265-295) on aggregated per-customer collections: a sorted array of
+    order timestamps and the order->status map flattened to key-sorted
+    parallel arrays (engines surface MAP values incompatibly to Python,
+    so the gate compares the entry lists; note the LEXICOGRAPHIC order —
+    the stringified keys ARE the sort key, which is the F10 semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    ts_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    entries = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("o_orderkey").cast("string").alias("k"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+    )
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(ts_ms)).alias("order_ts_ms"),
+        F.transform(entries, lambda x: x["k"]).alias("map_keys_sorted"),
+        F.transform(entries, lambda x: x["v"]).alias("map_values_by_key"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- IVF recall vs brute force (ANN evaluation) ----------------------------
+
+_RECALL_SQL = """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT n.vec_id, n.v, cent.cid,
+         list_sum(list_transform(range(1, len(n.v)+1),
+             i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))) AS dist2
+  FROM n CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, cid AS qcid FROM asg
+      WHERE vec_id % 100 = 0),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, m.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               list_dot_product(q.qv, m.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(m.v, m.v))) DESC, m.vec_id) AS rk
+    FROM q JOIN n m ON m.vec_id != q.qid
+  ) WHERE rk <= 5
+),
+ivf AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, m.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               list_dot_product(q.qv, m.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(m.v, m.v))) DESC, m.vec_id) AS rk
+    FROM q JOIN asg m ON m.cid = q.qcid AND m.vec_id != q.qid
+  ) WHERE rk <= 5
+)
+SELECT b.qid,
+       CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5
+         AS recall_at_5
+FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
+GROUP BY b.qid
+"""
+
+
+@register("llm_ann_ivf_recall", sql=_RECALL_SQL)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation: recall@5 of the IVF single-probe search against the
+    exact brute-force top-5 — the measurement loop that tunes
+    nprobe/centroid count in production. Both searches share the corpus
+    pass; the comparison is a tiny join on (qid, nid)."""
+    from cdc_apache_cassandra_spark.operators.vectors import (
+        as_double_vec,
+        cosine,
+        ivf_assign,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    cent = n.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    asg = ivf_assign(n, cent, "vec").persist()
+    q = asg.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    cs = cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+
+    def topk(pairs):
+        ranked = (
+            pairs.filter(F.col("nid") != F.col("qid"))
+            .select("qid", "nid", cs.alias("cos_sim"))
+            .withColumn("rk", F.row_number().over(w))
+        )
+        return ranked.filter(F.col("rk") <= 5).select("qid", "nid")
+
+    corpus = n.select(F.col("vec_id").alias("nid"), F.col("vec").alias("nv"))
+    brute = topk(F.broadcast(q).crossJoin(corpus))
+    members = asg.select(
+        F.col("vec_id").alias("nid"), F.col("vec").alias("nv"), F.col("cid")
+    )
+    ivf = topk(F.broadcast(q).join(members, F.col("cid") == F.col("qcid")))
+    hit = brute.join(ivf, ["qid", "nid"], "left_semi")
+    per_q = brute.groupBy("qid").count().select("qid")
+    hits = hit.groupBy("qid").agg(F.count("*").alias("n_hit"))
+    return (
+        per_q.join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(5)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 # --- Golden type-conversion matrix (DataSpec under the oracle gate) --------
 
 _CONV_SQL = """
