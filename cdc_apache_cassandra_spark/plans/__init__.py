@@ -13,6 +13,7 @@ from cdc_apache_cassandra_spark.plans import tpch_deep_queries  # noqa: E402,F40
 from cdc_apache_cassandra_spark.plans import relational_extra_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_deep_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import llm_sampling_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import events_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import events_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import fuzzy_dedup_queries  # noqa: E402,F401
