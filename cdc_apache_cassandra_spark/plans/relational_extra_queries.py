@@ -18,6 +18,11 @@ from cdc_apache_cassandra_spark.functions.conversions import (
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
 
+
+def _dec(c):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
 # --- EXCEPT ----------------------------------------------------------------
 
 _EXCEPT_SQL = """
@@ -75,6 +80,84 @@ def q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("s_acctbal").cast("double").alias("acctbal"),
         )
+    )
+
+
+# --- Q21 shape: semi + anti on the same fact -------------------------------
+
+_Q21ISH_SQL = """
+SELECT s_suppkey, s_name, COUNT(*) AS n_returned_items
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey AND l1.l_returnflag = 'R'
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_suppkey = s_suppkey AND l2.l_returnflag = 'N'
+                    AND l2.l_quantity > 49)
+GROUP BY s_suppkey, s_name
+"""
+
+
+@register("tpch_q21ish_blamed_suppliers", sql=_Q21ISH_SQL)
+def q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's join shape on the slim schema: the same fact table used
+    as a positive (join) AND negative (NOT EXISTS -> anti join) evidence
+    source for the same key — suppliers with returned items and no
+    never-returned items."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem")
+    li = t["lineitem"]
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("sk")
+    )
+    clean = li.filter(
+        (F.col("l_returnflag") == "N") & (F.col("l_quantity") > 49)
+    ).select(F.col("l_suppkey").alias("anti_sk"))
+    s = t["supplier"].join(
+        clean, F.col("anti_sk") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        s.join(returned, F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_returned_items"))
+    )
+
+
+# --- Q11 shape: HAVING against a global scalar -----------------------------
+
+_Q11ISH_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(part_rev AS DOUBLE) AS part_revenue
+FROM rev
+WHERE part_rev > (SELECT SUM(part_rev) * 0.0008 FROM rev)
+"""
+
+
+@register("tpch_q11ish_important_parts", sql=_Q11ISH_SQL)
+def q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: a grouped aggregate filtered by a fraction of
+    its own global total (HAVING against a scalar subquery). The global
+    sum re-aggregates the per-part decimals exactly, broadcasts as one
+    row — the derived table is NOT recomputed twice thanks to persist."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("part_rev")
+        )
+        .persist()
+    )
+    total = rev.agg(
+        (F.sum("part_rev") * F.lit("0.0008").cast("decimal(6,4)")).alias("cutoff")
+    )
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev") > F.col("cutoff"))
+        .select("l_partkey", F.col("part_rev").cast("double").alias("part_revenue"))
     )
 
 

@@ -117,6 +117,28 @@ def test_scan_pruning_llm_token_count(spark, sf_dir):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
+def test_asof_join_is_single_window_no_pair_join(spark, sf_dir):
+    """The as-of attribution must be one shuffle + window over the union
+    stream — no join operator (the pair-join formulation explodes)."""
+    p = plan_str(q("events_asof_click_attribution", spark, sf_dir))
+    assert count_op(p, "Window") >= 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_op(p, join_op) == 0, join_op
+
+
+def test_ivf_ann_broadcasts_queries_and_centroids(spark, sf_dir):
+    """IVF: centroid assignment and query probe both broadcast the small
+    side — the corpus is never shuffled for the search."""
+    p = plan_str(q("llm_ann_ivf_topk", spark, sf_dir))
+    assert "BroadcastExchange" in p
+
+
+def test_q21_uses_anti_join(spark, sf_dir):
+    p = plan_str(q("tpch_q21ish_blamed_suppliers", spark, sf_dir))
+    assert "LeftAnti" in p
+
+
 def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
     """The Q1/Q6 hot paths must run inside whole-stage codegen. Under AQE
     the pre-execution explain hides codegen stage assignment, so plan
