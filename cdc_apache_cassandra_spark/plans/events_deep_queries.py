@@ -174,6 +174,77 @@ def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- staged funnel: signup -> click -> purchase -----------------------------
+
+_FUNNEL_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click_any,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase_any
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+         (t_signup IS NOT NULL) AS did_signup,
+         (t_signup IS NOT NULL AND t_click_any > t_signup) AS clicked_after,
+         (t_signup IS NOT NULL AND t_click_any > t_signup
+          AND t_purchase_any > t_click_any) AS purchased_after
+  FROM stages
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN did_signup THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN clicked_after THEN 1 ELSE 0 END) AS n_click_after_signup,
+       SUM(CASE WHEN purchased_after THEN 1 ELSE 0 END)
+         AS n_purchase_after_click,
+       CAST(SUM(CASE WHEN purchased_after THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN did_signup THEN 1 ELSE 0 END) AS conversion_rate
+FROM staged
+"""
+
+
+@register("events_funnel_signup_click_purchase", sql=_FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> first later click -> first later purchase,
+    computed from per-user stage-minimum timestamps (ONE aggregation pass
+    over the stream, conditional minima — no self-joins; NULL minima
+    propagate falsity through the stage comparisons exactly like the SQL
+    CASE logic)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def stage_min(t):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    stages = e.groupBy("user_id").agg(
+        stage_min("signup").alias("t_signup"),
+        stage_min("click").alias("t_click_any"),
+        stage_min("purchase").alias("t_purchase_any"),
+    )
+    did = F.col("t_signup").isNotNull()
+    clicked = did & (F.col("t_click_any") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase_any") > F.col("t_click_any"))
+    staged = stages.select(
+        did.alias("did_signup"),
+        clicked.alias("clicked_after"),
+        purchased.alias("purchased_after"),
+    )
+
+    def cnt(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0))
+
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        cnt("did_signup").alias("n_signup"),
+        cnt("clicked_after").alias("n_click_after_signup"),
+        cnt("purchased_after").alias("n_purchase_after_click"),
+        (
+            cnt("purchased_after").cast("double") / cnt("did_signup")
+        ).alias("conversion_rate"),
+    )
+
+
 # --- lag/lead: inter-event gaps per user -----------------------------------
 
 _GAPS_SQL = """
