@@ -113,3 +113,59 @@ def mutation_cache_dedup_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def mutation_cache_dedup_stream_event_time(
+    events: DataFrame,
+    max_digests: int = DEFAULT_MAX_DIGESTS,
+    ttl_ms: int = DEFAULT_TTL_MS,
+    pk_col: str = "pk",
+    event_time_col: str = "event_time",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Event-time TTL variant: a key's digests expire when the WATERMARK
+    (not the wall clock) passes last-event-time + ttl — the faithful
+    analogue of the reference's expireAfterWrite under event-time replays
+    (a backfilled/stalled stream cannot prematurely forget digests the
+    way a processing-time clock would).
+
+    ``events`` must carry a TimestampType ``event_time_col``; the
+    watermark on it drives both expiry and the timeout firing. Replays
+    with finite sources settle because timeouts fire from data progress,
+    not empty scheduler batches.
+    """
+    out_schema = events.schema
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = list(state.get[0]) if state.exists else []
+        max_ts_ms = 0
+        for pdf in pdfs:
+            out, seen = _dedup_rows(pdf, seen, max_digests)
+            batch_max = pdf[  # event time in ms for the timeout horizon
+                "event_time"
+            ].max()
+            if batch_max is not None:
+                max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+            if len(out):
+                yield out
+        state.update((seen,))
+        # the engine rejects horizons at/behind the watermark — a key whose
+        # events are already older than watermark - ttl expires on the next
+        # possible tick instead
+        horizon = max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(horizon)
+
+    return (
+        events.withWatermark(event_time_col, watermark_delay)
+        .groupBy(pk_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

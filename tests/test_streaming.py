@@ -148,6 +148,31 @@ def test_mutation_cache_suppresses_within_window(spark):
     assert [r["digest"] for r in out.orderBy("writetime").collect()] == ["d0", "d1"]
 
 
+def test_mutation_cache_event_time_ttl(spark, sf_dir, event_dir):
+    """EventTimeTimeout variant: dedups the replay like the batch twin;
+    expiry horizon comes from the watermark, so a finite replay settles."""
+    from pyspark.sql import functions as F
+
+    from cdc_apache_cassandra_spark.streaming.state import (
+        mutation_cache_dedup_stream_event_time,
+    )
+
+    stream = _read_stream(spark, event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    ).withColumn("event_time", F.timestamp_micros(F.col("writetime")))
+    name = f"cache_et_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        mutation_cache_dedup_stream_event_time(stream, ttl_ms=60_000), name
+    )
+    got = spark.table(name)
+    batch = spark.read.parquet(event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    want = mutation_cache_dedup_batch(batch)
+    assert got.count() == want.count()
+    assert got.groupBy("pk", "digest").count().filter("count > 1").count() == 0
+
+
 def test_mutation_cache_stream_matches_batch(spark, sf_dir, event_dir):
     """The applyInPandasWithState operator dedups the replayed stream to the
     same per-(pk,digest) cardinality as the batch twin."""
