@@ -163,6 +163,74 @@ def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the near-dup candidate graph — the
+    cluster stage of a dedup pipeline (keep one representative per
+    component). Min-label propagation to a FIXPOINT:
+
+        label(v) <- min(label(v), min over neighbors u of label(u))
+
+    iterated until no label changes (driver-controlled loop; iteration
+    count is bounded by the component diameter, which for near-dup
+    clusters is tiny). Each iteration is one broadcast-or-shuffle join +
+    aggregate — the standard large-graph CC under Spark (GraphFrames uses
+    the same shape). Returns (id_col, component) where component = min id
+    in the component.
+    """
+    # undirected: both directions; the edge list drives every iteration
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(
+                labels.select(
+                    F.col(id_col).alias("dst"), F.col("component").alias("n_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("min_n_comp"))
+            .withColumnRenamed("src", id_col)
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("min_n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old_comp"), id_col
+            )
+            .filter(F.col("component") != F.col("old_comp"))
+            .count()  # materializes new_labels, truncating its lineage
+        )
+        labels.unpersist()  # superseded snapshot (no-op on iteration 1)
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
 def jaccard_expr(a: Column, b: Column) -> Column:
     """Exact Jaccard over two DISTINCT-element arrays, as double."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

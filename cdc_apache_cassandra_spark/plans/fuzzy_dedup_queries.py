@@ -44,8 +44,10 @@ _JACCARD_MIN = 0.5
 
 _MINHASH_PRIME = 2**31 - 1
 
-_MINHASH_SQL = rf"""
-WITH toks AS (
+#: shared CTE chain: documents -> shingles -> signatures -> LSH bands ->
+#: candidates -> verified (n_inter/n_a/n_b); reused by the pair query and
+#: the connected-components clustering oracle.
+_MINHASH_CTES = rf"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
   FROM documents WHERE length(trim(text)) > 0
 ),
@@ -89,7 +91,10 @@ verified AS (
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.doc_a
   JOIN sh sb ON sb.doc_id = cand.doc_b
-)
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b,
        CAST(ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS DOUBLE)
        AS jaccard_r
@@ -139,6 +144,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+# --- near-dup clusters: connected components over verified pairs -----------
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= {_JACCARD_MIN}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, component, (doc_id = component) AS is_keeper
+FROM comp
+"""
+
+
+@register("llm_dedup_clusters", sql=_CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment — the final dedup stage: connected
+    components over the verified near-dup graph; component id = min doc
+    in the component; keep exactly the keeper per cluster. Spark runs
+    min-label propagation to fixpoint (iterations ~ cluster diameter,
+    each one join+aggregate); the oracle computes the exact transitive
+    closure recursively. Both are exact, so they agree at any SF."""
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        connected_components,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(nodes, pairs, "doc_id", "doc_a", "doc_b")
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"),
     )
 
 

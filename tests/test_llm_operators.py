@@ -119,6 +119,24 @@ def test_minhash_agg_pipeline_matches_array_formulation(spark):
     assert (1, 2) in agg_pairs  # near-identical docs must collide
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) collapses to component 1 (needing
+    several propagation hops); disconnected nodes stay singletons."""
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (6, 7)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r.doc_id: r.component
+        for r in connected_components(nodes, edges, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
 def test_jaccard(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
     j = df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).first().j
