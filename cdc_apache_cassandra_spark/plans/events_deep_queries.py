@@ -174,6 +174,45 @@ def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weekly cohort retention ------------------------------------------------
+
+_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS active_week
+  FROM events
+)
+SELECT f.cohort_week, a.active_week - f.cohort_week AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM firsts f JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.active_week - f.cohort_week
+"""
+
+
+@register("events_cohort_retention", sql=_RETENTION_SQL)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    per week-offset they stay active — two aggregations and one equi-join
+    on user_id (epoch-week integer arithmetic keeps both engines exact)."""
+    e = load_table(spark, sf_dir, "events")
+    # integer `div`, not double division: a timestamp sitting exactly on a
+    # week boundary must not round down an ulp
+    week = F.expr(f"unix_micros(ts) div {7 * 86400 * 1_000_000}L")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # --- staged funnel: signup -> click -> purchase -----------------------------
 
 _FUNNEL_SQL = """
