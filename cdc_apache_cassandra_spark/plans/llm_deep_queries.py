@@ -9,6 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
+from cdc_apache_cassandra_spark.operators.text_dedup import (
+    tokens_expr,
+    word_shingles,
+)
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.event_source import (
     events_cte,
@@ -114,6 +118,130 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).alias("n_fingerprints"),
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
+    )
+
+
+# --- Gopher-style multi-rule quality gate -----------------------------------
+
+_GOPHER_SQL = r"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS mean_word_len,
+         CAST(length(text) - length(regexp_replace(text, '[#*]', '', 'g'))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS symbol_ratio,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, n_words,
+       CAST(ROUND(mean_word_len, 6) AS DOUBLE) AS mean_word_len_r,
+       (n_words BETWEEN 5 AND 10000) AS rule_word_count,
+       (mean_word_len >= 2 AND mean_word_len <= 12) AS rule_word_len,
+       (symbol_ratio <= 0.1) AS rule_symbols,
+       (stop_ratio >= 0.01) AS rule_stopwords,
+       ((n_words BETWEEN 5 AND 10000)
+        AND mean_word_len >= 2 AND mean_word_len <= 12
+        AND symbol_ratio <= 0.1 AND stop_ratio >= 0.01) AS passes_all
+FROM feats
+"""
+
+
+@register("llm_quality_gopher_rules", sql=_GOPHER_SQL)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules (word-count range,
+    mean word length band, symbol-to-word ratio, stopword floor) with a
+    combined gate — one narrow projection, every rule a reusable boolean
+    column for downstream slicing."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    symbol_ratio = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[#*]", ""))
+    ).cast("double") / n_words
+    stopwords = ["the", "a", "of", "and", "to", "in", "is"]
+    stop_ratio = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t.isin(stopwords),
+        )
+    ).cast("double") / n_words
+    r_wc = n_words.between(5, 10000)
+    r_wl = (mean_wl >= 2) & (mean_wl <= 12)
+    r_sym = symbol_ratio <= 0.1
+    r_stop = stop_ratio >= 0.01
+    return d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len_r"),
+        r_wc.alias("rule_word_count"),
+        r_wl.alias("rule_word_len"),
+        r_sym.alias("rule_symbols"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_wl & r_sym & r_stop).alias("passes_all"),
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+#: "benchmark" = every 100th doc stands in for an eval set (scales with SF).
+_CONTAM_BENCH_MOD = 100
+_CONTAM_NGRAM = 4
+
+_CONTAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tokens)-{_CONTAM_NGRAM - 2}),
+             i -> array_to_string(list_slice(tokens, i, i+{_CONTAM_NGRAM - 1}), ' '))))
+           AS gram
+  FROM toks WHERE len(tokens) >= {_CONTAM_NGRAM}
+),
+bench AS (SELECT DISTINCT gram FROM grams
+          WHERE doc_id % {_CONTAM_BENCH_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+  FROM grams g JOIN bench b ON b.gram = g.gram
+  WHERE g.doc_id % {_CONTAM_BENCH_MOD} != 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_shared_grams FROM hits
+"""
+
+
+@register("llm_decontamination", sql=_CONTAM_SQL)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 4-gram
+    with the eval set (every 100th doc as the stand-in benchmark). The
+    benchmark gram set is small -> broadcast join against the exploded
+    training grams; at 100 TB this is the standard contaminated-document
+    sweep (one pass, no n^2)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= _CONTAM_NGRAM)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("tokens"), _CONTAM_NGRAM)).alias("gram"),
+    )
+    is_bench = F.col("doc_id") % _CONTAM_BENCH_MOD == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
     )
 
 
