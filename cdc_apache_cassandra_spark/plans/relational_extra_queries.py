@@ -305,6 +305,66 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- column data profile (pipeline hygiene) --------------------------------
+
+_PROFILE_SQL = """
+SELECT 'l_quantity' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(l_quantity) AS n_non_null,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+         AS avg_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l_discount)
+FROM lineitem
+"""
+
+
+@register("stats_numeric_profile", sql=_PROFILE_SQL)
+def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (min/max/exact-decimal mean/null counts) for the
+    pipeline-hygiene stage — ONE scan computes all three columns' stats
+    (the per-column rows are unpivoted from a single aggregate, not three
+    scans; Catalyst collapses the shared subplan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            x
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.min(c).cast("double").alias(f"min_{c}"),
+                F.max(c).cast("double").alias(f"max_{c}"),
+                (
+                    F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                    / F.count(c)
+                ).alias(f"avg_{c}"),
+            )
+        ],
+    )
+    stacked = agg.selectExpr(
+        "stack(3, "
+        + ", ".join(
+            f"'{c}', n_rows, nn_{c}, min_{c}, max_{c}, avg_{c}"
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        )
+        + ") as (col_name, n_rows, n_non_null, min_v, max_v, avg_v)"
+    )
+    return stacked
+
+
 # --- Golden type-conversion matrix (DataSpec under the oracle gate) --------
 
 _CONV_SQL = """
