@@ -1,0 +1,213 @@
+"""Statistical / analytic query surface: the remaining TPC-H shape (Q20),
+exact distribution statistics (percentiles, correlation), and rank-bucket
+analytics. All engine additions beyond the reference's J1-only surface
+(SURVEY §2.3 note) — Catalyst built-ins behind our API.
+
+Determinism rules per plans/registry.py: DECIMAL exact aggregation before
+any double math; double formulas written with the SAME operation order in
+Spark and the DuckDB oracle (IEEE ops are deterministic, so identical
+expressions yield identical bits); ROUND only as a final presentation
+step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
+
+
+def _dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _ts(s: str) -> Column:
+    return F.lit(s).cast("timestamp")
+
+
+# --- Q20: dominant suppliers of a part family (nested-aggregate shape) ------
+
+_Q20_SHARE = 0.3
+
+_Q20_SQL = f"""
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+shipped AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN red ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+),
+tot AS (
+  SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominant_parts
+FROM shipped
+JOIN tot USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE CAST(qty AS DOUBLE) > {_Q20_SHARE} * CAST(part_qty AS DOUBLE)
+GROUP BY s_suppkey, s_name
+"""
+
+
+@register("tpch_q20ish_dominant_suppliers", sql=_Q20_SQL)
+def q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp in the corpus): a supplier is
+    'dominant' for a part when its 1996 shipped quantity exceeds {share} of
+    that part's total — per-group aggregate compared against a second
+    aggregate over the SAME grouped relation (reused, not recomputed: one
+    scan feeds both levels). part filter broadcast; the only big shuffle
+    is the (suppkey, partkey) aggregate; the per-part total is a
+    re-aggregation of that already-small intermediate."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    shipped = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    dominant = shipped.join(tot, "l_partkey").filter(
+        F.col("qty").cast("double") > _Q20_SHARE * F.col("part_qty").cast("double")
+    )
+    return (
+        dominant.join(
+            t["supplier"], dominant["l_suppkey"] == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+
+
+# --- exact percentiles per group --------------------------------------------
+
+_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+_PCT_COLS_SQL = ",\n       ".join(
+    f"CAST(ROUND(quantile_cont(l_extendedprice, {p}), 4) AS DOUBLE)"
+    f" AS price_p{int(p * 100)}"
+    for p in _PCTS
+)
+
+_PCT_SQL = f"""
+SELECT l_returnflag,
+       {_PCT_COLS_SQL},
+       CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_percentiles_by_flag", sql=_PCT_SQL)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (no approx sketch:
+    the oracle needs exact, and Spark's `percentile` is a single-pass
+    sort-based exact aggregate). One shuffle on the 3-value group key;
+    at 100 TB swap in approx_percentile for the sketch path — same plan
+    shape, mergeable state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.percentile("l_extendedprice", p), 4).alias(
+            f"price_p{int(p * 100)}"
+        )
+        for p in _PCTS
+    ]
+    aggs.append(F.round(F.percentile("l_quantity", 0.5), 4).alias("qty_median"))
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+# --- correlation from exact component sums ----------------------------------
+
+_CORR_SQL = """
+WITH comp AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(ROUND((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS DOUBLE)
+         AS corr_price_discount_r
+FROM comp
+"""
+
+
+@register("stats_corr_price_discount", sql=_CORR_SQL)
+def corr_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, computed from EXACT decimal component
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) then one double formula — unlike the
+    built-in `corr` (streaming double accumulation, order-dependent in the
+    last bits), this is bit-reproducible across partitionings and engines.
+    Single map-side-combinable aggregate; the formula runs on G rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_extendedprice"), _dec("l_discount")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return comp.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_price_discount_r")
+    )
+
+
+# --- ntile decile buckets over event values ---------------------------------
+
+_NTILE_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n_events,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM ranked
+GROUP BY event_type, decile
+"""
+
+
+@register("events_ntile_value_deciles", sql=_NTILE_SQL)
+def ntile_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing per event type: NTILE(10) with a TOTAL order
+    (value, event_id tie-break — without it the bucket boundaries are
+    nondeterministic), then per-bucket count/min/max. min/max of doubles
+    are order-independent, so no decimal detour needed. One shuffle on
+    event_type (5 partitions — at 100 TB pre-range-partition by value
+    instead; same semantics via percent_rank)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -1,0 +1,316 @@
+r"""Text-corpus statistics for the training-data pipeline: TF-IDF term
+weighting, Gopher-style token-repetition stats, deterministic stratified
+sampling, and the full-recall variant of blocked n-gram Jaccard dedup
+(adjacent length buckets — closes the recall gap of single-bucket
+blocking on near-dups that straddle a bucket edge).
+
+All hash-deterministic / rational-arithmetic (no log, no float sums), so
+the DuckDB oracles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.text_dedup import (
+    tokens_expr,
+    word_shingles,
+)
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+# --- TF-IDF top terms per document ------------------------------------------
+
+_TFIDF_TOPK = 3
+
+# rational idf (N/df as a double ratio) instead of log(N/df): same ranking
+# (log is monotone), zero cross-engine log-ulp risk.
+_TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+           AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, rk,
+       CAST(ROUND(score, 6) AS DOUBLE) AS tfidf_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rk
+  FROM scored
+) WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
+@register("llm_tfidf_top_terms", sql=_TFIDF_SQL)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document. idf kept rational (N/df) — log
+    is monotone so the ranking is identical, and a ratio of exact counts
+    is bit-reproducible where cross-engine log() is not. Plan: explode →
+    two hash aggregates (doc,token) and (token) — the df table is tiny
+    relative to the corpus (vocabulary-sized) and joins back on the
+    high-cardinality token key; top-k is a bounded per-doc window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf.persist()  # feeds df-build AND the score join
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()  # driver scalar: one long
+    score = (
+        F.col("tf").cast("double")
+        * F.lit(float(n_docs))
+        / F.col("df").cast("double")
+    )
+    scored = tf.join(df, "token").select(
+        "doc_id", "token", "tf", "df", score.alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select(
+            "doc_id", "token", "tf", "df", "rk",
+            F.round("score", 6).alias("tfidf_r"),
+        )
+    )
+
+
+# --- Gopher-style repetition statistics -------------------------------------
+
+_REP_TOP_FRAC = 0.2
+_REP_DUP_FRAC = 0.3
+
+_REPETITION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tc AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, token) AS rn
+  FROM tc
+),
+agg AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct FROM tc
+  GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct, r.token AS top_token,
+       r.cnt AS top_cnt,
+       CAST(ROUND(CAST(r.cnt AS DOUBLE) / a.n_tokens, 6) AS DOUBLE)
+         AS top_frac_r,
+       CAST(ROUND(CAST(a.n_tokens - a.n_distinct AS DOUBLE) / a.n_tokens, 6)
+            AS DOUBLE) AS dup_frac_r,
+       (CAST(r.cnt AS DOUBLE) / a.n_tokens > {_REP_TOP_FRAC}
+        OR CAST(a.n_tokens - a.n_distinct AS DOUBLE) / a.n_tokens
+           > {_REP_DUP_FRAC}) AS is_repetitive
+FROM agg a JOIN ranked r ON r.doc_id = a.doc_id AND r.rn = 1
+"""
+
+
+@register("llm_repetition_gopher", sql=_REPETITION_SQL)
+def repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition screen at token granularity: most-frequent-
+    token mass fraction and duplicate-token fraction per document, with
+    the filter verdict. One explode → (doc,token) count; both the per-doc
+    totals and the arg-max reuse that single aggregate (persisted) — no
+    second corpus scan. Per-doc state is bounded by vocabulary, so the
+    plan is stable at any document count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    tc = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    tc.persist()  # feeds totals AND top-token selection
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"), F.count("*").alias("n_distinct")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "token")
+    top = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("token").alias("top_token"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
+        "n_tokens"
+    )
+    return agg.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token",
+        "top_cnt",
+        F.round(top_frac, 6).alias("top_frac_r"),
+        F.round(dup_frac, 6).alias("dup_frac_r"),
+        ((top_frac > _REP_TOP_FRAC) | (dup_frac > _REP_DUP_FRAC)).alias(
+            "is_repetitive"
+        ),
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+#: per-language keep rates (percent) — downsample the dominant language,
+#: keep the tail. Production passes its own dict (e.g. from
+#: llm_domain_mix_weights).
+_SAMPLE_RATES = {"en": 30, "de": 80, "zh": 80, "fr": 80, "es": 80}
+
+_RATE_VALUES = ", ".join(f"('{k}', {v})" for k, v in _SAMPLE_RATES.items())
+
+_STRAT_SQL = f"""
+WITH rates(lang, rate) AS (VALUES {_RATE_VALUES}),
+h AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 100 AS bucket
+  FROM documents
+)
+SELECT h.doc_id, h.lang, h.source, h.bucket
+FROM h JOIN rates ON rates.lang = h.lang
+WHERE h.bucket < rates.rate
+"""
+
+
+@register("llm_stratified_sample", sql=_STRAT_SQL)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling by salted content hash: a doc's verdict
+    never changes across reruns/retries (never rand()), rates come from a
+    broadcast one-row-per-stratum table, and the filter is a narrow
+    per-row transform — no shuffle at all, which is the whole point at
+    100 TB (sampling must not cost a sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_SAMPLE_RATES.items()), ["lang", "rate"]
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+# --- n-gram Jaccard, adjacent-bucket (full-recall) variant ------------------
+
+_NGRAM_JACCARD_MIN = 0.3
+
+_NGRAM_ADJ_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT doc_id, lang, len(tokens) // 20 AS len_bucket,
+         list_distinct(list_transform(range(1, len(tokens)),
+             i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS grams
+  FROM toks WHERE len(tokens) >= 2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams)) AS n_inter,
+         len(a.grams) AS n_a, len(b.grams) AS n_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.len_bucket - b.len_bucket) <= 1
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS DOUBLE)
+       AS jaccard_r
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= {_NGRAM_JACCARD_MIN}
+"""
+
+
+@register("llm_dedup_ngram_jaccard_adjacent", sql=_NGRAM_ADJ_SQL)
+def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-recall refinement of llm_dedup_ngram_jaccard: candidate pairs
+    may differ by ±1 length bucket, so near-dups straddling a bucket edge
+    (a doc 19 tokens long vs its 21-token variant) are no longer missed —
+    Jaccard ≥ {t} forces |len_a − len_b| within one bucket width, so ±1
+    adjacency IS exhaustive, not a heuristic. Same inverted-index join
+    (shuffle key = (lang, gram), high-cardinality); the bucket predicate
+    becomes a post-join filter instead of a join key, roughly doubling
+    candidate mass — the documented recall/cost trade."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+    )
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.floor(F.size("tokens") / 20).alias("len_bucket"),
+        word_shingles(F.col("tokens"), 2).alias("grams"),
+    )
+    g = sh.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
+    ).persist()
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), "lang", "gram",
+        F.col("len_bucket").alias("bucket_a"), F.col("n").alias("n_a"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), "lang", "gram",
+        F.col("len_bucket").alias("bucket_b"), F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, ["lang", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.abs(F.col("bucket_a") - F.col("bucket_b")) <= 1)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        pairs.filter(jac >= _NGRAM_JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
+    )

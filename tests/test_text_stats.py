@@ -1,0 +1,113 @@
+"""Semantics + plan-shape tests for the text-stats / analytics batch
+(llm_text_stats_queries.py, analytics_deep_queries.py). The DuckDB oracle
+gate checks value parity; these pin the invariants and the physical plans
+the scale mandate cares about."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.plans import QUERIES
+from tests.test_plan_shapes import count_op, plan_str
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(name, spark, sf_dir=SF):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_tfidf_topk_bounded_and_ranked(spark):
+    rows = q("llm_tfidf_top_terms", spark).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        assert len(rs) <= 3
+        rs.sort(key=lambda r: r.rk)
+        scores = [r.tfidf_r for r in rs]
+        assert scores == sorted(scores, reverse=True), doc
+
+
+def test_repetition_fractions_bounded(spark):
+    df = q("llm_repetition_gopher", spark)
+    bad = df.filter(
+        (F.col("top_frac_r") <= 0)
+        | (F.col("top_frac_r") > 1)
+        | (F.col("dup_frac_r") < 0)
+        | (F.col("dup_frac_r") >= 1)
+        | (F.col("n_distinct") > F.col("n_tokens"))
+    ).count()
+    assert bad == 0
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Sampling is a narrow transform + broadcast rates join — a shuffle
+    exchange in this plan means the 100 TB path regressed."""
+    df = q("llm_stratified_sample", spark)
+    p = plan_str(df)
+    assert count_op(p, "Exchange") == 0
+    assert "BroadcastExchange" in p
+    # respect per-stratum rate: bucket always under the stratum's rate
+    from cdc_apache_cassandra_spark.plans.llm_text_stats_queries import (
+        _SAMPLE_RATES,
+    )
+    for r in df.collect():
+        assert r.bucket < _SAMPLE_RATES[r.lang]
+
+
+def test_ngram_adjacent_superset_of_blocked(spark):
+    """The adjacent-bucket variant must find every pair the single-bucket
+    blocking finds (recall strictly ≥)."""
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in q("llm_dedup_ngram_jaccard", spark, "/root/testdata/sf0.01").collect()
+    }
+    adjacent = {
+        (r.doc_a, r.doc_b)
+        for r in q(
+            "llm_dedup_ngram_jaccard_adjacent", spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert blocked <= adjacent
+    assert len(adjacent) >= len(blocked)
+
+
+def test_q20_dominance_invariant(spark):
+    """Every reported supplier must dominate ≥1 part; n_dominant_parts
+    positive and bounded by the red-part count."""
+    rows = q("tpch_q20ish_dominant_suppliers", spark).collect()
+    assert rows, "q20 returned nothing at smoke SF"
+    for r in rows:
+        assert r.n_dominant_parts >= 1
+
+
+def test_percentiles_monotone(spark):
+    for r in q("stats_percentiles_by_flag", spark).collect():
+        assert r.price_p25 <= r.price_p50 <= r.price_p75 <= r.price_p90
+
+
+def test_corr_in_range(spark):
+    for r in q("stats_corr_price_discount", spark).collect():
+        assert -1.0 <= r.corr_price_discount_r <= 1.0
+
+
+def test_ntile_deciles_partition_counts(spark):
+    """NTILE(10) bucket sizes within each event_type differ by at most 1,
+    and bucket value ranges are non-overlapping in order."""
+    rows = q("events_ntile_value_deciles", spark).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.decile)
+        sizes = [r.n_events for r in rs]
+        assert max(sizes) - min(sizes) <= 1, et
+        for a, b in zip(rs, rs[1:]):
+            assert a.hi <= b.lo, et
+
+
+def test_corr_single_shuffle(spark):
+    """Component-sum corr is one aggregate: exactly one exchange."""
+    p = plan_str(q("stats_corr_price_discount", spark))
+    assert count_op(p, "Exchange") == 1
