@@ -211,3 +211,84 @@ def ntile_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# --- fixed-width histogram ---------------------------------------------------
+
+_HIST_BIN_WIDTH = 5000.0
+_HIST_MAX_BIN = 19
+
+_HIST_SQL = f"""
+SELECT l_returnflag,
+       LEAST(CAST(FLOOR(l_extendedprice / {_HIST_BIN_WIDTH}) AS BIGINT),
+             {_HIST_MAX_BIN}) AS bin,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY l_returnflag,
+         LEAST(CAST(FLOOR(l_extendedprice / {_HIST_BIN_WIDTH}) AS BIGINT),
+               {_HIST_MAX_BIN})
+"""
+
+
+@register("stats_histogram_price", sql=_HIST_SQL)
+def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with a clamped overflow bin — the profiling
+    primitive behind data-quality dashboards. bin = min(⌊x/w⌋, max_bin):
+    one double divide + floor per row (deterministic — no percentile
+    sort), then a single group-by whose key space is bounded (flags ×
+    bins), so the final aggregate is tiny at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / _HIST_BIN_WIDTH).cast("bigint"),
+        F.lit(_HIST_MAX_BIN).cast("bigint"),
+    )
+    return (
+        li.select("l_returnflag", bin_col.alias("bin"), "l_extendedprice")
+        .groupBy("l_returnflag", "bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+# --- exact heavy hitters per event type --------------------------------------
+
+_HH_TOPK = 5
+
+_HH_SQL = f"""
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n_events, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id) AS rk
+  FROM counts
+) WHERE rk <= {_HH_TOPK}
+"""
+
+
+@register("events_heavy_hitters", sql=_HH_SQL)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{k} users by event count per type: count aggregate (the
+    corpus-sized shuffle, map-side combinable) then a bounded top-k window
+    over the already-aggregated counts with a total-order tie-break. At
+    100 TB the window input is |users × types| rows, not |events| — the
+    heavy lifting stays in the combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HH_TOPK)
+        .select("event_type", "user_id", "n_events", "rk")
+    )

@@ -1,0 +1,110 @@
+"""Point-in-time CDC queries: snapshot-as-of and change-feed-between —
+the time-travel surface a CDC consumer gets for free once mutations carry
+writetime (SURVEY W2) and materialization is last-write-wins (W3).
+
+The reference replays history from the events topic to any point by
+bounded consumption (offsets); here the same semantics are a writetime
+predicate pushed to the scan plus the standard dedup + LWW pipeline —
+no separate code path for "historical" vs "current" state (§7.1 one
+logical pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
+from cdc_apache_cassandra_spark.operators.lww import last_write_wins
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.event_source import (
+    VALUE_COLS,
+    WRITETIME_BASE,
+    events_cte,
+    mutation_events,
+)
+
+_CTE = events_cte()
+_VALUE_LIST = ", ".join(VALUE_COLS)
+
+#: snapshot cutoff (µs): keys with writetime ≤ base+300s have happened;
+#: later mutations (higher pks, and the +5s/+9s update/delete tails near
+#: the boundary) have not — so the snapshot genuinely differs from the
+#: converged state at every SF.
+_AS_OF = WRITETIME_BASE + 300_000_000
+
+#: change-feed window (µs]: captures a band of inserts plus the
+#: update/delete tails of slightly-earlier keys.
+_FROM = WRITETIME_BASE + 100_000_000
+_TO = WRITETIME_BASE + 200_000_000
+
+_SNAPSHOT_SQL = f"""
+WITH {_CTE},
+cut AS (SELECT * FROM events_stream WHERE writetime <= {_AS_OF}),
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest, {_VALUE_LIST}
+  FROM cut
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+)
+SELECT pk, op, (op = 'DELETE') AS is_tombstone, writetime, {_VALUE_LIST}
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_snapshot_time_travel", sql=_SNAPSHOT_SQL)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table state AS OF a past instant: writetime ≤ T filter, then the
+    SAME dedup + last-write-wins pipeline as the live materializer — time
+    travel is a predicate, not a code path. The filter is pushed to the
+    event scan (at 100 TB with writetime-partitioned event storage it
+    prunes partitions, so old snapshots don't scan the recent firehose)."""
+    ev = mutation_events(spark, sf_dir).filter(F.col("writetime") <= _AS_OF)
+    latest = last_write_wins(dedup_mutations(ev))
+    return latest.select(
+        "pk",
+        "op",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        "writetime",
+        *VALUE_COLS,
+    )
+
+
+_CHANGES_SQL = f"""
+WITH {_CTE},
+win AS (
+  SELECT * FROM events_stream
+  WHERE writetime > {_FROM} AND writetime <= {_TO}
+),
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest, {_VALUE_LIST}
+  FROM win
+)
+SELECT pk, op, writetime, digest, (op = 'DELETE') AS is_tombstone,
+       {_VALUE_LIST}
+FROM deduped
+"""
+
+
+@register("cdc_changes_between", sql=_CHANGES_SQL)
+def changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed for a half-open writetime window (T1, T2]: every
+    distinct mutation in the window with its op and tombstone flag — the
+    incremental-consumer contract (Delta CDF / DynamoDB-streams shape).
+    Replica duplicates collapse via the digest dedup; no LWW here — a
+    change feed preserves every mutation, the consumer folds it."""
+    ev = mutation_events(spark, sf_dir).filter(
+        (F.col("writetime") > _FROM) & (F.col("writetime") <= _TO)
+    )
+    return dedup_mutations(ev).select(
+        "pk",
+        "op",
+        "writetime",
+        "digest",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        *VALUE_COLS,
+    )

@@ -31,6 +31,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 DEFAULT_MAX_DIGESTS = 3  # cache.max.digest
 DEFAULT_TTL_MS = 60_000  # cache.expire.after.ms
@@ -168,4 +172,68 @@ def mutation_cache_dedup_stream_event_time(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+class MutationCacheProcessor(StatefulProcessor):
+    """Spark-4 ``transformWithStateInPandas`` form of the mutation cache.
+
+    The bounded digest list lives in a ValueState with NATIVE state TTL
+    (``ttlDurationMs``) — the engine evicts expired keys itself, the exact
+    analogue of the reference cache's expireAfterWrite
+    (connector/.../MutationCache.java:41-43) with no hand-rolled timer
+    bookkeeping (contrast mutation_cache_dedup_stream's timeout dance).
+    Same pure core (`_dedup_rows`), so all three operators agree.
+    """
+
+    def __init__(self, max_digests: int = DEFAULT_MAX_DIGESTS,
+                 ttl_ms: int | None = DEFAULT_TTL_MS):
+        self._max_digests = max_digests
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "seen array<string>", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        seen = list(self._seen.get()[0]) if self._seen.exists() else []
+        for pdf in rows:
+            out, seen = _dedup_rows(pdf, seen, self._max_digests)
+            if len(out):
+                yield out
+        self._seen.update((seen,))
+
+    def close(self) -> None:
+        pass
+
+
+def mutation_cache_dedup_stream_tws(
+    events: DataFrame,
+    max_digests: int = DEFAULT_MAX_DIGESTS,
+    ttl_ms: int | None = DEFAULT_TTL_MS,
+    pk_col: str = "pk",
+) -> DataFrame:
+    """transformWithStateInPandas variant (Spark 4 stateful-processor API).
+
+    Requires the RocksDB state store (the only provider transformWithState
+    supports) — set on the session here; at scale that is also the right
+    store (changelog checkpointing, bounded executor memory). ``ttl_ms``
+    None disables TTL (timeMode "None") so finite replays settle in tests.
+
+    Runtime dependency: the transformWithState Python driver worker needs
+    the ``protobuf`` package. Clusters ship it; this container does not,
+    so the test suite gates on importorskip("google.protobuf") and the
+    applyInPandasWithState operators above remain the default path here.
+    """
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy(pk_col).transformWithStateInPandas(
+        MutationCacheProcessor(max_digests, ttl_ms),
+        outputStructType=events.schema,
+        outputMode="append",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

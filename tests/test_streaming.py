@@ -195,3 +195,36 @@ def test_mutation_cache_stream_matches_batch(spark, sf_dir, event_dir):
         .count()
         == 0
     )
+
+
+def test_mutation_cache_transform_with_state(spark, sf_dir, event_dir):
+    """The Spark-4 transformWithStateInPandas operator (RocksDB state store,
+    native TTL) dedups the replay to the same per-(pk,digest) multiset as
+    the batch twin — all three cache operators agree.
+
+    Requires the `protobuf` package (the transformWithState driver worker
+    speaks protobuf to the JVM); skipped where it isn't installed — the
+    operator itself is the scale path on real clusters, which ship it.
+    """
+    pytest.importorskip("google.protobuf")
+    from cdc_apache_cassandra_spark.streaming.state import (
+        mutation_cache_dedup_stream_tws,
+    )
+
+    stream = _read_stream(spark, event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    name = f"tws_out_{uuid.uuid4().hex[:8]}"
+    run_to_memory(mutation_cache_dedup_stream_tws(stream, ttl_ms=None), name)
+    got = spark.table(name)
+    batch = spark.read.parquet(event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    want = mutation_cache_dedup_batch(batch)
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("pk", "digest").count()
+        .exceptAll(want.groupBy("pk", "digest").count())
+        .count()
+        == 0
+    )
