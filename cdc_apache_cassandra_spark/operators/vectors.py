@@ -80,3 +80,25 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .drop("rn", "dist2", "cvec")
     )
+
+
+def ivf_probe_topn(
+    vectors: DataFrame, centroids: DataFrame, vec_col: str = "vec", n: int = 2
+) -> DataFrame:
+    """Multi-probe cell selection: keep each vector's ``n`` nearest cells
+    (probe_rank 1..n). Same broadcast cross-score as `ivf_assign` — the
+    corpus keeps ONE cell (its partition), only queries fan out to n cells,
+    so index size is unchanged and query cost scales linearly in nprobe.
+    """
+    from pyspark.sql import Window
+
+    cent = F.broadcast(centroids.select(F.col("cid"), F.col("cvec")))
+    scored = vectors.crossJoin(cent).withColumn(
+        "dist2", squared_distance(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n)
+        .drop("dist2", "cvec")
+    )

@@ -1,0 +1,221 @@
+"""Deeper vector/analytics surface: multi-probe IVF ANN (the recall knob
+of the IVF scale path), rolling-window distinct users, and a cross-modal
+quality-gated clustering pipeline (documents ⋈ embeddings).
+
+Same determinism regime as fuzzy_dedup_queries.py: sequential-fold dot
+products, total-order tie-breaks, ROUND as presentation only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.vectors import (
+    as_double_vec,
+    cosine,
+    ivf_assign,
+    ivf_probe_topn,
+    squared_distance,
+)
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+# --- IVF ANN with multi-probe (nprobe=2) ------------------------------------
+
+_IVF_STRIDE = 50
+_QUERY_STRIDE = 100
+_NPROBE = 2
+_TOPK = 5
+
+_MULTIPROBE_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % {_IVF_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, n.v, cent.cid,
+         list_sum(list_transform(range(1, len(n.v)+1),
+             i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))) AS dist2
+  FROM n CROSS JOIN cent
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM scored
+),
+asg AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, v AS qv, cid AS pcid FROM ranked
+  WHERE rn <= {_NPROBE} AND vec_id % {_QUERY_STRIDE} = 0
+),
+pairs AS (
+  SELECT p.qid, m.vec_id AS nid,
+         list_dot_product(p.qv, m.v) /
+         (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.v, m.v)))
+         AS cos_sim
+  FROM probes p JOIN asg m ON m.cid = p.pcid AND m.vec_id != p.qid
+)
+SELECT qid, nid, rk, CAST(ROUND(cos_sim, 6) AS DOUBLE) AS cos_sim_r
+FROM (
+  SELECT qid, nid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM pairs
+) WHERE rk <= {_TOPK}
+"""
+
+
+@register("llm_ann_ivf_multiprobe", sql=_MULTIPROBE_SQL)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe={p}: each query probes its {p} nearest cells while
+    the corpus stays single-cell-partitioned — recall rises toward
+    brute force at linear (not quadratic) extra cost, the standard IVF
+    recall knob. A corpus vector lives in exactly one cell and probe
+    cells are distinct, so no candidate dedup pass is needed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    asg = ivf_assign(n, cent, "vec")
+    probes = (
+        ivf_probe_topn(
+            n.filter(F.col("vec_id") % _QUERY_STRIDE == 0), cent, "vec", _NPROBE
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec").alias("qv"),
+            F.col("cid").alias("pcid"),
+        )
+    )
+    m = asg.select(
+        F.col("vec_id").alias("nid"), F.col("vec").alias("nv"), F.col("cid")
+    )
+    cs = cosine(F.col("qv"), F.col("nv"))
+    pairs = (
+        F.broadcast(probes)
+        .join(m, F.col("cid") == F.col("pcid"))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cs.alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("qid", "nid", "rk", F.round("cos_sim", 6).alias("cos_sim_r"))
+    )
+
+
+# --- rolling 7-day distinct users -------------------------------------------
+
+_ROLLING_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+FROM days d JOIN du u
+  ON u.day <= d.day AND u.day >= d.day - 6
+GROUP BY d.day
+"""
+
+
+@register("events_rolling_7d_distinct_users", sql=_ROLLING_SQL)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling weekly-active-users: EXACT distinct over a sliding 7-day
+    window. Sliding distinct doesn't decompose into a window aggregate
+    (distinct isn't subtractable), so the scalable exact form is: collapse
+    to (day, user) once — the only corpus-sized shuffle — then a day×7
+    range self-join over the TINY day-grain relation and a distinct count
+    per anchor day. Approximate path at 100 TB: per-day HLL sketches
+    merged over the window (same plan, sketch-valued)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    return (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+
+
+# --- cross-modal: quality-gated embedding clustering ------------------------
+
+_Q_MIN_CHARS = 50
+_Q_MAX_CHARS = 400
+
+_CROSS_SQL = f"""
+WITH quality AS (
+  SELECT doc_id, lang FROM documents
+  WHERE n_chars BETWEEN {_Q_MIN_CHARS} AND {_Q_MAX_CHARS}
+),
+n AS (
+  SELECT q.doc_id, q.lang, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM quality q JOIN embeddings e ON e.vec_id = q.doc_id
+),
+cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0),
+scored AS (
+  SELECT n.doc_id, n.lang, cent.cid,
+         list_sum(list_transform(range(1, len(n.v)+1),
+             i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))) AS dist2
+  FROM n CROSS JOIN cent
+),
+asg AS (
+  SELECT doc_id, lang, cid, dist2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT cid, lang, COUNT(*) AS n_docs,
+       CAST(ROUND(MIN(dist2), 6) AS DOUBLE) AS min_dist2_r,
+       CAST(ROUND(MAX(dist2), 6) AS DOUBLE) AS max_dist2_r
+FROM asg GROUP BY cid, lang
+"""
+
+
+@register("llm_quality_filtered_clustering", sql=_CROSS_SQL)
+def quality_filtered_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline: quality-gate the TEXT table, join its ids to
+    the EMBEDDING table (1:1 on doc_id=vec_id — the multimodal-column
+    layout: modalities in separate aligned tables), cluster survivors to
+    the nearest centroid, report per-(cell, lang) occupancy. The quality
+    filter runs BEFORE the join and the join before the broadcast scoring,
+    so the expensive vector math touches only surviving docs."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    quality = d.filter(
+        F.col("n_chars").between(_Q_MIN_CHARS, _Q_MAX_CHARS)
+    ).select("doc_id", "lang")
+    vecs = quality.join(
+        e, quality["doc_id"] == e["vec_id"]
+    ).select("doc_id", "lang", as_double_vec(F.col("embedding")).alias("v"))
+    cent = (
+        e.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .select(F.col("vec_id").alias("cid"),
+                as_double_vec(F.col("embedding")).alias("cvec"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).withColumn(
+        "dist2", squared_distance(F.col("v"), F.col("cvec"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "cid", "dist2")
+    )
+    return asg.groupBy("cid", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("dist2"), 6).alias("min_dist2_r"),
+        F.round(F.max("dist2"), 6).alias("max_dist2_r"),
+    )

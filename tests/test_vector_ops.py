@@ -1,0 +1,93 @@
+"""Vector-surface tests: multi-probe recall dominance, cross-modal join
+integrity, rolling-window invariants, and the approx-vs-exact quantile
+envelope (the 100 TB sketch path's accuracy contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.plans import QUERIES
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def q(name, spark, sf_dir=SF):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def _topk_sets(df):
+    out: dict[int, set] = {}
+    for r in df.collect():
+        out.setdefault(r.qid, set()).add(r.nid)
+    return out
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recall at least as much of the exact top-k as
+    nprobe=1 for every query, and strictly more in aggregate unless
+    single-probe was already perfect."""
+    exact = _topk_sets(q("llm_ann_cosine_topk", spark))
+    single = _topk_sets(q("llm_ann_ivf_topk", spark))
+    multi = _topk_sets(q("llm_ann_ivf_multiprobe", spark))
+    hits_single = sum(len(exact[k] & single.get(k, set())) for k in exact)
+    hits_multi = sum(len(exact[k] & multi.get(k, set())) for k in exact)
+    assert hits_multi >= hits_single
+    for k in exact:
+        # multiprobe candidates are a superset of single-probe candidates,
+        # so per-query hits can't regress
+        assert len(exact[k] & multi.get(k, set())) >= len(
+            exact[k] & single.get(k, set())
+        ), k
+
+
+def test_cross_modal_counts_bounded_by_quality_gate(spark):
+    from cdc_apache_cassandra_spark.plans.vector_deep_queries import (
+        _Q_MAX_CHARS,
+        _Q_MIN_CHARS,
+    )
+
+    d = load_table(spark, SF, "documents")
+    n_quality = d.filter(
+        F.col("n_chars").between(_Q_MIN_CHARS, _Q_MAX_CHARS)
+    ).count()
+    total = (
+        q("llm_quality_filtered_clustering", spark)
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert total <= n_quality  # join can only drop docs without embeddings
+    assert total > 0
+
+
+def test_rolling_wau_bounds(spark):
+    """WAU on any day is ≥ that day's DAU and ≤ the 7-day sum of DAUs."""
+    ev = load_table(spark, SF, "events")
+    dau = {
+        r.day: r.n
+        for r in ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in q("events_rolling_7d_distinct_users", spark).collect():
+        assert r.wau >= dau[r.day]
+        window_sum = sum(
+            n for day, n in dau.items() if 0 <= (r.day - day).days <= 6
+        )
+        assert r.wau <= window_sum
+
+
+def test_approx_percentile_within_envelope(spark):
+    """The sketch path (approx_percentile, mergeable at 100 TB) must land
+    within 1% relative error of the exact sort-based percentile it
+    replaces."""
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.01
