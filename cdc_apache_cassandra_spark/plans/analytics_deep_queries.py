@@ -292,3 +292,55 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HH_TOPK)
         .select("event_type", "user_id", "n_events", "rk")
     )
+
+
+# --- pivot: daily event-type count matrix ------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {", ".join(
+           f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS DATE)
+"""
+
+
+@register("events_pivot_daily_type_counts", sql=_PIVOT_SQL)
+def pivot_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape: one row per day, one column per event type,
+    as ONE conditional aggregate (single shuffle on day, map-side
+    combinable). Spark's `.pivot(values)` expresses the same result but
+    compiles to TWO aggregates/exchanges ((day,type) count then
+    pivotfirst) — measured and pinned in test_pivot_fewer_exchanges — so
+    for a FIXED small column set the CASE-sum form is the 100 TB plan;
+    `.pivot` earns its keep only when the value list is open-ended."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    return ev.select(day, "event_type").groupBy("day").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+            for t in _EVENT_TYPES
+        ]
+    )
+
+
+def pivot_daily_type_counts_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.pivot`-operator twin of events_pivot_daily_type_counts (same
+    rows/schema; two-exchange plan). Kept for the plan-shape comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )

@@ -314,3 +314,75 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(jac >= _NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
     )
+
+
+# --- sliding-window document chunking ---------------------------------------
+
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 8
+
+_CHUNK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+spans AS (
+  SELECT doc_id, tokens,
+         GREATEST(CAST(FLOOR((len(tokens) - {_CHUNK_SIZE + 1}) / {_CHUNK_STRIDE}.0)
+                       AS BIGINT), -1) + 1 AS n_extra
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, c.chunk_id,
+         list_slice(tokens, c.chunk_id * {_CHUNK_STRIDE} + 1,
+                    c.chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS chunk_tokens
+  FROM spans, (SELECT unnest(range(0, 1000)) AS chunk_id) c
+  WHERE c.chunk_id <= n_extra
+)
+SELECT doc_id, chunk_id, len(chunk_tokens) AS n_chunk_tokens,
+       array_to_string(chunk_tokens, ' ') AS chunk_text
+FROM chunks
+"""
+
+
+@register("llm_chunk_documents", sql=_CHUNK_SQL)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking ({size}-token windows, stride {stride}) —
+    the context-window prep stage before embedding/tokenization. Chunk
+    spans come from a JVM-side `sequence` + `slice` (whole-stage codegen,
+    no Python in the hot path); output rows ≈ n_tokens/stride per doc.
+    Narrow transform + explode: zero shuffles at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    )
+    # number of chunks beyond the first: floor((n - size - 1)/stride) + 1,
+    # clamped at 0 (short docs still yield their single partial chunk)
+    n_extra = (
+        F.greatest(
+            F.floor(
+                (F.size("tokens") - F.lit(_CHUNK_SIZE + 1))
+                / F.lit(float(_CHUNK_STRIDE))
+            ).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        )
+        + 1
+    )
+    spans = toks.select(
+        "doc_id", "tokens", F.sequence(F.lit(0).cast("bigint"), n_extra).alias("ids")
+    )
+    chunk = F.slice(
+        F.col("tokens"),
+        (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_SIZE,
+    )
+    return (
+        spans.select("doc_id", F.explode("ids").alias("chunk_id"), "tokens")
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

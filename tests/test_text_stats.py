@@ -111,3 +111,54 @@ def test_corr_single_shuffle(spark):
     """Component-sum corr is one aggregate: exactly one exchange."""
     p = plan_str(q("stats_corr_price_discount", spark))
     assert count_op(p, "Exchange") == 1
+
+
+def test_chunking_covers_all_tokens(spark):
+    """Every token index of every doc is covered by ≥1 chunk; chunk sizes
+    are full except possibly the tail; stride respected."""
+    from cdc_apache_cassandra_spark.plans.llm_text_stats_queries import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+
+    n_tokens = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in q("llm_chunk_documents", spark).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    assert set(chunks) == set(n_tokens)
+    for doc, rs in chunks.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        ids = [r.chunk_id for r in rs]
+        assert ids == list(range(len(ids)))
+        # coverage: last chunk must reach the last token
+        last = rs[-1]
+        assert last.chunk_id * _CHUNK_STRIDE + last.n_chunk_tokens == n_tokens[doc]
+        for r in rs[:-1]:
+            assert r.n_chunk_tokens == _CHUNK_SIZE
+
+
+def test_pivot_fewer_exchanges(spark):
+    """The conditional-aggregate pivot (product query) is a single
+    exchange; the built-in `.pivot` twin needs two — same result, and the
+    comparison is why the CASE-sum form is the fixed-column scale plan."""
+    from cdc_apache_cassandra_spark.plans.analytics_deep_queries import (
+        pivot_daily_type_counts_builtin,
+    )
+
+    p = plan_str(q("events_pivot_daily_type_counts", spark))
+    assert count_op(p, "Exchange") == 1
+    p2 = plan_str(pivot_daily_type_counts_builtin(spark, SF))
+    assert count_op(p2, "Exchange") == 2
+    got = q("events_pivot_daily_type_counts", spark).orderBy("day").collect()
+    want = pivot_daily_type_counts_builtin(spark, SF).orderBy("day").collect()
+    assert got == want
