@@ -1,0 +1,169 @@
+"""CdcEngine — the user-facing facade: the reference's whole workflow
+(agent → events topic → connector → data topic, plus backfill CLI) as one
+config-driven object over the operator library.
+
+A reference user's mental model maps 1:1:
+
+| reference                          | CdcEngine call                     |
+|------------------------------------|------------------------------------|
+| connector consumes events topic    | ``dedup(events)``                  |
+| MutationCache (cache.max.digest,   | ``mutation_cache(events)``         |
+|   cache.expire.after.ms)           |                                    |
+| CQL read-after-event + data topic  | ``to_records(events, snapshot)``   |
+| converged table state              | ``converged_state(events)``        |
+| backfill CLI                       | ``backfill(snapshot)`` + union     |
+| replay to a point in time          | ``snapshot_as_of(events, t)``      |
+| incremental consumption            | ``changes_between(events, t1, t2)``|
+| stream materialization             | ``materialize(stream, path)``      |
+
+Every method is DataFrame → DataFrame and works on batch or streaming
+inputs where the underlying operator supports it (§7.1 one pipeline).
+Config comes from :class:`~cdc_apache_cassandra_spark.config.CdcPipelineConfig`
+— construct from reference-style keys via ``CdcEngine.from_config_keys``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.config import (
+    CdcPipelineConfig,
+    from_reference_keys,
+)
+from cdc_apache_cassandra_spark.operators.dedup import (
+    dedup_mutations,
+    dedup_mutations_stream,
+)
+from cdc_apache_cassandra_spark.operators.lookup import (
+    key_value_records,
+    read_after_event,
+)
+from cdc_apache_cassandra_spark.operators.lww import last_write_wins
+from cdc_apache_cassandra_spark.sources.backfill import backfill_mutations
+from cdc_apache_cassandra_spark.streaming.pipeline import (
+    build_pipeline,
+    with_event_time,
+)
+from cdc_apache_cassandra_spark.streaming.state import (
+    mutation_cache_dedup_batch,
+    mutation_cache_dedup_stream,
+)
+
+
+class CdcEngine:
+    """One engine instance per logical pipeline (≈ one connector task)."""
+
+    def __init__(
+        self, spark: SparkSession, config: CdcPipelineConfig | None = None
+    ):
+        self.spark = spark
+        self.config = (config or CdcPipelineConfig()).validate()
+        self.config.apply(spark)
+
+    @classmethod
+    def from_config_keys(
+        cls, spark: SparkSession, keys: dict[str, str]
+    ) -> "CdcEngine":
+        """Build from reference-style config keys (strict: unknown keys
+        raise, like CassandraSourceConnectorConfig)."""
+        return cls(spark, from_reference_keys(keys))
+
+    # --- dedup (MutationCache) ----------------------------------------------
+
+    def dedup(self, events: DataFrame) -> DataFrame:
+        """Replica-duplicate suppression. Streaming inputs get the
+        watermark-bounded state (TTL = cache.expire.after.ms); batch
+        inputs the hash-aggregate form."""
+        if events.isStreaming:
+            return dedup_mutations_stream(
+                with_event_time(events), ttl=self.config.ttl
+            )
+        return dedup_mutations(events)
+
+    def mutation_cache(self, events: DataFrame) -> DataFrame:
+        """Exact reference-cache semantics (≤cache.max.digest digests per
+        key, TTL) — the applyInPandasWithState operator; batch twin for
+        batch inputs."""
+        if events.isStreaming:
+            return mutation_cache_dedup_stream(
+                events,
+                max_digests=self.config.cache_max_digest,
+                ttl_ms=self.config.cache_expire_after_ms,
+            )
+        return mutation_cache_dedup_batch(
+            events, max_digests=self.config.cache_max_digest
+        )
+
+    # --- data-topic records -------------------------------------------------
+
+    def to_records(
+        self,
+        events: DataFrame,
+        snapshot: DataFrame,
+        pk_cols: list[str],
+        value_cols: list[str],
+    ) -> DataFrame:
+        """events (already deduped or raw) → keyed records with tombstones:
+        the connector's read() loop. Raw inputs are deduped first."""
+        deduped = self.dedup(events) if "node_id" in events.columns else events
+        enriched = read_after_event(deduped, snapshot, pk_cols, value_cols)
+        recs = key_value_records(enriched, pk_cols, value_cols)
+        if self.config.output_format == "json":
+            recs = recs.select(
+                F.to_json(F.col("key")).alias("key"),
+                F.when(
+                    F.col("value").isNotNull(), F.to_json(F.col("value"))
+                ).alias("value"),
+            )
+        return recs
+
+    def pipeline(
+        self,
+        events: DataFrame,
+        snapshot: DataFrame,
+        pk_cols: list[str],
+        value_cols: list[str],
+    ) -> DataFrame:
+        """The full §3.2 slice (dedup → lookup → records), batch or
+        streaming by the input's nature."""
+        return build_pipeline(
+            events,
+            snapshot,
+            pk_cols,
+            value_cols,
+            ttl=self.config.ttl,
+            streaming=events.isStreaming,
+        )
+
+    # --- state views --------------------------------------------------------
+
+    def converged_state(self, events: DataFrame) -> DataFrame:
+        """Dedup + last-write-wins: the table the data topic converges to."""
+        return last_write_wins(self.dedup(events))
+
+    def snapshot_as_of(self, events: DataFrame, writetime_us: int) -> DataFrame:
+        """Point-in-time state: converged view of mutations ≤ t."""
+        return self.converged_state(
+            events.filter(F.col("writetime") <= writetime_us)
+        )
+
+    def changes_between(
+        self, events: DataFrame, from_us: int, to_us: int
+    ) -> DataFrame:
+        """Deduped change feed for the half-open window (t1, t2]."""
+        return self.dedup(
+            events.filter(
+                (F.col("writetime") > from_us) & (F.col("writetime") <= to_us)
+            )
+        )
+
+    # --- backfill -----------------------------------------------------------
+
+    def backfill(
+        self, snapshot: DataFrame, pk_col: str, value_cols: list[str]
+    ) -> DataFrame:
+        """Snapshot rows as synthetic mutations (digest BACK_FILL_INSERT,
+        writetime −1 so any live event wins) — unionByName with the live
+        stream and run through the same pipeline (T2)."""
+        return backfill_mutations(snapshot, pk_col, value_cols)
