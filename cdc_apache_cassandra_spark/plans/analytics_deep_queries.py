@@ -344,3 +344,57 @@ def pivot_daily_type_counts_builtin(spark: SparkSession, sf_dir: str) -> DataFra
     return wide.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# --- z-score anomaly flagging ------------------------------------------------
+
+_Z_THRESH = 3.0
+
+_ZSCORE_SQL = """
+WITH comp AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n, s1 / n AS mu,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+  FROM comp
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(ROUND((e.value - s.mu) / s.sigma, 6) AS DOUBLE) AS z_r
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > {z}
+""".format(z=_Z_THRESH)
+
+
+@register("events_anomaly_zscore", sql=_ZSCORE_SQL)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging per event type: population mean/std from
+    EXACT decimal component sums (bit-reproducible, like
+    stats_corr_price_discount), broadcast back onto the stream, keep
+    |z| > {t}. Two passes over events — the stats aggregate (5 groups)
+    and the scoring scan with a broadcast join; no row-level shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    comp = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    stats = comp.select(
+        "event_type",
+        "n",
+        mu.alias("mu"),
+        F.sqrt(F.col("s2") / F.col("n") - mu * mu).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > _Z_THRESH)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z_r"))
+    )

@@ -470,3 +470,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("qid", "nid", "rk", F.round("cos_sim", 6).alias("cos_sim_r"))
     )
+
+
+# --- containment near-dup: asymmetric subset detection ----------------------
+
+_CONTAINMENT_MIN = 0.7
+
+_CONTAINMENT_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b,
+       CAST(ROUND(CAST(n_inter AS DOUBLE) / LEAST(n_a, n_b), 6) AS DOUBLE)
+         AS containment_r,
+       (n_a <= n_b) AS a_is_smaller
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / LEAST(n_a, n_b) >= {_CONTAINMENT_MIN}
+"""
+
+
+@register("llm_dedup_containment", sql=_CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity (|A∩B| / min|A|,|B|) over the SAME LSH
+    candidate pairs as llm_dedup_minhash_lsh: catches subset duplication
+    (a doc quoted inside a larger one) that symmetric Jaccard under-scores
+    — the n_a ≪ n_b pair has small Jaccard but containment ≈ 1. Zero new
+    index cost: candidates, shingles, and the verify join are shared with
+    the Jaccard pipeline; only the final scoring expression differs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+    )
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
+    ).persist()
+    cand = minhash_lsh_candidates(
+        sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    cont = F.col("n_inter").cast("double") / F.least("n_a", "n_b")
+    return (
+        verified.filter(cont >= _CONTAINMENT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment_r"),
+            (F.col("n_a") <= F.col("n_b")).alias("a_is_smaller"),
+        )
+    )
