@@ -158,3 +158,67 @@ def cdc_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("digest") == "BACK_FILL_INSERT").alias("from_backfill"),
         *VALUE_COLS,
     )
+
+
+# --- schema evolution: ALTER TABLE ADD column mid-stream --------------------
+# (testSinglePk scenario, PulsarCassandraSourceTests.java:261-343: rows from
+# before the DDL carry null for the added column)
+
+_EVOLVED_SQL = f"""
+WITH {_CTE},
+old_events AS (
+  SELECT *, CAST(NULL AS VARCHAR) AS c_tier FROM events_stream WHERE pk % 2 = 0
+),
+new_events AS (
+  SELECT *, CASE WHEN c_acctbal IS NULL THEN NULL
+                 WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS c_tier
+  FROM events_stream WHERE pk % 2 = 1
+),
+unioned AS (SELECT * FROM old_events UNION ALL SELECT * FROM new_events),
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest,
+         {_VALUE_LIST}, c_tier
+  FROM unioned
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+)
+SELECT pk, op, (op = 'DELETE') AS is_tombstone, (pk % 2 = 0) AS pre_ddl,
+       {_VALUE_LIST}, c_tier
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_schema_evolution_union", sql=_EVOLVED_SQL)
+def cdc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKWARD-compatible schema evolution mid-stream: pre-DDL events
+    (old schema) and post-DDL events (added nullable c_tier column) are
+    reconciled by streaming/schema_evolution.union_evolved — old rows
+    flow with typed nulls, exactly the reference's Avro union-null
+    default — then the standard dedup + LWW converges the mixed stream.
+    The reconcile/align is plan-time projection only: no extra shuffle."""
+    from cdc_apache_cassandra_spark.streaming.schema_evolution import (
+        union_evolved,
+    )
+
+    ev = mutation_events(spark, sf_dir)
+    old = ev.filter(F.col("pk") % 2 == 0)
+    new = ev.filter(F.col("pk") % 2 == 1).withColumn(
+        "c_tier",
+        F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .otherwise("std"),
+    )
+    unioned = union_evolved(old, new)
+    latest = last_write_wins(dedup_mutations(unioned))
+    return latest.select(
+        "pk",
+        "op",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        (F.col("pk") % 2 == 0).alias("pre_ddl"),
+        *VALUE_COLS,
+        "c_tier",
+    )
