@@ -39,6 +39,36 @@ def main():
         spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
+    # CDC pipeline throughput — comparable to BASELINE.md's envelope
+    # (reference demo: 20k events; CQL lookup p50 2 ms on 1-10 threads).
+    # Full slice: dedup -> read-after-event join -> keyed records.
+    from cdc_apache_cassandra_spark.plans import registry  # noqa: F401
+    from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
+    from cdc_apache_cassandra_spark.operators.lookup import (
+        key_value_records,
+        read_after_event,
+    )
+    from cdc_apache_cassandra_spark.sources.event_source import (
+        VALUE_COLS,
+        mutation_events,
+    )
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+
+    n_events = mutation_events(spark, sf_dir).count()
+    t0 = time.time()
+    snap = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "pk"
+    )
+    recs = key_value_records(
+        read_after_event(
+            dedup_mutations(mutation_events(spark, sf_dir)),
+            snap, ["pk"], list(VALUE_COLS),
+        ),
+        ["pk"], list(VALUE_COLS),
+    )
+    recs.write.format("noop").mode("overwrite").save()
+    cdc_sec = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -47,6 +77,9 @@ def main():
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_events": n_events,
+                "cdc_pipeline_sec": round(cdc_sec, 3),
+                "cdc_events_per_sec": round(n_events / cdc_sec, 1),
             }
         )
     )

@@ -398,3 +398,52 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > _Z_THRESH)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z_r"))
     )
+
+
+# --- Markov transition matrix over user event sequences ----------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(ROUND(CAST(n_transitions AS DOUBLE) /
+            SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS DOUBLE)
+         AS prob_r
+FROM trans
+"""
+
+
+@register("events_markov_transitions", sql=_MARKOV_SQL)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: lag window
+    per user (total order (ts, event_id)), transition counts, row-
+    normalized probabilities. The per-user window shuffles events once on
+    user_id; everything after runs on the |types|² transition matrix.
+    Probabilities are exact-count ratios — no float accumulation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_type")
+    prob = F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wt)
+    return trans.select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(prob, 6).alias("prob_r"),
+    )
