@@ -222,3 +222,48 @@ def cdc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         *VALUE_COLS,
         "c_tier",
     )
+
+
+# --- replica divergence audit ------------------------------------------------
+
+_DIVERGENCE_SQL = f"""
+WITH {_CTE},
+-- simulate replica loss: node 1's copy never arrives for pk % 11 = 0
+-- (a stopped node whose hints were not yet replayed)
+lossy AS (
+  SELECT * FROM events_stream
+  WHERE NOT (node_id = 1 AND pk % 11 = 0)
+),
+arrival AS (
+  SELECT pk, digest, op, writetime,
+         COUNT(*) AS n_copies,
+         COUNT(DISTINCT node_id) AS n_nodes
+  FROM lossy
+  GROUP BY pk, digest, op, writetime
+)
+SELECT pk, digest, op, writetime, n_copies, n_nodes,
+       (n_nodes < 2) AS under_replicated
+FROM arrival
+WHERE n_nodes < 2
+"""
+
+
+@register("cdc_replica_divergence", sql=_DIVERGENCE_SQL)
+def cdc_replica_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once audit: mutations whose digest arrived from FEWER
+    than RF distinct nodes — the observable signature of a down replica
+    with unreplayed hints (the dual-node test's stopped-node scenario,
+    PulsarDualNodeTests.java:222-320, inverted into a monitoring query).
+    One aggregate on the full mutation identity; at 100 TB this runs as
+    a windowed streaming aggregate with the same shape."""
+    ev = mutation_events(spark, sf_dir).filter(
+        ~((F.col("node_id") == 1) & (F.col("pk") % 11 == 0))
+    )
+    arrival = ev.groupBy("pk", "digest", "op", "writetime").agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct("node_id").alias("n_nodes"),
+    )
+    return arrival.filter(F.col("n_nodes") < 2).select(
+        "pk", "digest", "op", "writetime", "n_copies", "n_nodes",
+        (F.col("n_nodes") < 2).alias("under_replicated"),
+    )

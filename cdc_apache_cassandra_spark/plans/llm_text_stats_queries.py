@@ -386,3 +386,68 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+# --- rare-token ratio quality signal ----------------------------------------
+
+_RARE_DF_MAX = 5
+
+_RARE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+per_doc AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf) AS n_tokens,
+         SUM(CASE WHEN df.df <= {_RARE_DF_MAX} THEN tf.tf ELSE 0 END)
+           AS n_rare
+  FROM tf JOIN df USING (token)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens, n_rare,
+       CAST(ROUND(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+         AS rare_frac_r
+FROM per_doc
+"""
+
+
+@register("llm_rare_token_ratio", sql=_RARE_SQL)
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token mass fraction per document (df ≤ {k} corpus-wide) — a
+    cheap perplexity proxy: gibberish/OCR noise scores high, boilerplate
+    scores low. Same two hash aggregates as TF-IDF (the df side is
+    vocabulary-sized), exact-count ratio — no log, no float sums."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf.persist()  # feeds df-build AND the per-doc rollup
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    per_doc = (
+        tf.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("df") <= _RARE_DF_MAX, F.col("tf")).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    frac = F.col("n_rare").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_rare", F.round(frac, 6).alias("rare_frac_r")
+    )
