@@ -71,3 +71,66 @@ def test_no_uncommitted_files(topic_run):
 
     assert uncommitted_files(topic_run) == []
     assert glob.glob(os.path.join(topic_run, "_staging", "*")) == []
+
+
+def test_full_reference_dataflow_end_to_end(spark, tmp_path_factory):
+    """The whole reference pipeline as ONE streaming query on custom
+    endpoints: cdc_commitlog source → watermarked dedup → read-after-event
+    join → keyed records with tombstones → cdc_topic sink. The consumer
+    view must converge to the batch pipeline's records."""
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+    from cdc_apache_cassandra_spark.streaming.pipeline import build_pipeline
+
+    base = tmp_path_factory.mktemp("e2e")
+    seg_dir, topic_dir, ck = (
+        str(base / "segments"), str(base / "topic"), str(base / "ckpt")
+    )
+    write_segments(mutation_events(spark, SF), seg_dir, n_segments=3)
+    register_source(spark)
+    register_sink(spark)
+
+    value_cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    snapshot = load_table(spark, SF, "customer").withColumnRenamed(
+        "c_custkey", "pk"
+    )
+    events = (
+        spark.readStream.format("cdc_commitlog").option("path", seg_dir).load()
+    )
+    records = build_pipeline(
+        events, snapshot, ["pk"], value_cols, ttl="365 days", streaming=True
+    ).select(
+        F.col("key.pk").alias("pk"),
+        F.col("value").isNull().alias("tombstone"),
+        F.col("value.c_acctbal").alias("c_acctbal"),
+    )
+    q = (
+        records.writeStream.format("cdc_topic")
+        .option("path", topic_dir)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_topic(spark, topic_dir)
+    want = build_pipeline(
+        mutation_events(spark, SF), snapshot, ["pk"], value_cols,
+        streaming=False,
+    ).select(
+        F.col("key.pk").alias("pk"),
+        F.col("value").isNull().alias("tombstone"),
+        F.col("value.c_acctbal").alias("c_acctbal"),
+    )
+    assert got.count() == want.count()
+    g = {
+        (r.pk, r.tombstone, r.c_acctbal)
+        for r in got.select(
+            F.col("pk").cast("long").alias("pk"),
+            F.col("tombstone").cast("boolean").alias("tombstone"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        ).collect()
+    }
+    w = {(r.pk, r.tombstone, r.c_acctbal) for r in want.collect()}
+    assert g == w
