@@ -112,3 +112,68 @@ def decode_frames(df: DataFrame, decoder=decode_payload_stub) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(extract, FRAME_SCHEMA)
+
+
+#: Schema of byte-window chunks (audio-style fixed-frame sampling).
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_id", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("checksum", T.StringType(), False),
+    ]
+)
+
+
+def chunk_payload_bytes(
+    df: DataFrame, window: int = 64, stride: int = 64
+) -> DataFrame:
+    """Fixed byte-window chunking of opaque payloads (the audio
+    frame-sampling layout: PCM windows every ``stride`` bytes) via
+    mapInPandas — payload bytes cross into Python once per Arrow batch
+    and never enter a shuffle; output carries only chunk metadata +
+    checksum, so downstream dedup/indexing is narrow-column."""
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                i = 0
+                cid = 0
+                while i < len(b) or cid == 0:
+                    w = b[i : i + window]
+                    if not w and cid > 0:
+                        break
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "chunk_id": cid,
+                            "n_bytes": len(w),
+                            "checksum": hashlib.md5(w).hexdigest(),
+                        }
+                    )
+                    i += stride
+                    cid += 1
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CHUNK_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(extract, CHUNK_SCHEMA)
+
+
+def resize_frames(frames: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stage stub: recomputes geometry + scale factors JVM-side
+    (a real resize would be a mapInPandas over decoded pixel buffers —
+    same plumbing as decode_frames; the planner-visible part IS this
+    metadata transform, which is why it stays Catalyst-side)."""
+    return frames.select(
+        "doc_id",
+        "frame_id",
+        F.lit(target_w).alias("width"),
+        F.lit(target_h).alias("height"),
+        (F.col("width").cast("double") / target_w).alias("scale_x"),
+        (F.col("height").cast("double") / target_h).alias("scale_y"),
+        "mean_intensity",
+    )

@@ -45,3 +45,57 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     image/audio libs absent by design — see operators/multimodal.py)."""
     d = attach_payload(load_table(spark, sf_dir, "documents"))
     return decode_frames(d)
+
+
+# --- chunk checksums: JVM-side window slicing over payload content ----------
+
+_CHUNK_W = 64
+
+_CHUNK_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n_chars FROM documents
+  WHERE length(text) > 0
+),
+spans AS (
+  SELECT doc_id, text,
+         CAST(CEIL(CAST(n_chars AS DOUBLE) / {_CHUNK_W}) AS BIGINT) AS n_chunks
+  FROM docs
+)
+SELECT doc_id, c.chunk_id,
+       length(substr(text, CAST(c.chunk_id * {_CHUNK_W} + 1 AS BIGINT),
+                     {_CHUNK_W})) AS n_chars,
+       md5(substr(text, CAST(c.chunk_id * {_CHUNK_W} + 1 AS BIGINT),
+                  {_CHUNK_W})) AS checksum
+FROM spans, (SELECT unnest(range(0, 10000)) AS chunk_id) c
+WHERE c.chunk_id < n_chunks
+"""
+
+
+@register("multimodal_chunk_checksums", sql=_CHUNK_SQL)
+def multimodal_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window payload chunk manifest (id, size, md5 per {w}-char
+    window) computed ENTIRELY JVM-side — sequence + substring + md5 under
+    whole-stage codegen; the Python byte-window twin
+    (operators.multimodal.chunk_payload_bytes) is for payloads needing
+    format-aware logic and is pinned to these checksums in tests. The
+    manifest is what ships to dedup/transfer layers — payload bytes stay
+    in place."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    )
+    n_chunks = F.ceil(F.col("n_chars").cast("double") / _CHUNK_W).cast("bigint")
+    spans = docs.select(
+        "doc_id", "text", F.sequence(F.lit(0).cast("bigint"), n_chunks - 1).alias("ids")
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_id") * _CHUNK_W + 1).cast("int"), _CHUNK_W
+    )
+    return spans.select(
+        "doc_id", F.explode("ids").alias("chunk_id"), "text"
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.length(chunk).alias("n_chars"),
+        F.md5(F.encode(chunk, "UTF-8")).alias("checksum"),
+    )

@@ -220,3 +220,51 @@ def test_payload_meta_checksum_is_md5_of_text(spark):
     assert row.checksum == hashlib.md5(b"abc").hexdigest()
     assert row.n_bytes == 3
     assert row.n_pixels == row.width * row.height
+
+
+def test_byte_chunker_matches_jvm_checksums(spark):
+    """The mapInPandas byte-window chunker must produce the same chunk
+    manifest as the JVM substring+md5 query for ASCII payloads (character
+    slicing == byte slicing there)."""
+    from collections import Counter
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        attach_payload,
+        chunk_payload_bytes,
+    )
+    from cdc_apache_cassandra_spark.plans import QUERIES
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = attach_payload(
+        load_table(spark, sf, "documents").filter(F.length("text") > 0)
+    )
+    got = chunk_payload_bytes(d, window=64, stride=64)
+    want = QUERIES["multimodal_chunk_checksums"].fn(spark, sf)
+    g = Counter(
+        (r.doc_id, r.chunk_id, r.n_bytes, r.checksum) for r in got.collect()
+    )
+    w = Counter(
+        (r.doc_id, r.chunk_id, r.n_chars, r.checksum) for r in want.collect()
+    )
+    assert g == w
+
+
+def test_resize_frames_scales_geometry(spark):
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        attach_payload,
+        decode_frames,
+        resize_frames,
+    )
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    frames = decode_frames(
+        attach_payload(load_table(spark, sf, "documents").limit(50))
+    )
+    resized = resize_frames(frames, 32, 32)
+    rows = resized.collect()
+    assert rows
+    for r in rows:
+        assert r.width == 32 and r.height == 32
+        assert r.scale_x > 0 and r.scale_y > 0
