@@ -26,17 +26,24 @@ def main():
     # warm the JVM/codegen path once so per-query numbers measure the plan
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # SPARK_GRAFT_BENCH_REPS>1: per-query median over N reps (JVM/JIT
+    # noise at small SFs swings single measurements ±20%); default 1 rep
+    # keeps the driver-run cheap.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     per_query: dict[str, float] = {}
     t_all = time.time()
     for name, q in QUERIES.items():
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
-        # intra-query persists (signature/posting tables) are scoped to
-        # their query; drop them so later queries aren't measured under
-        # accumulated cache memory pressure
-        spark.catalog.clearCache()
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            # intra-query persists (signature/posting tables) are scoped to
+            # their query; drop them so later queries aren't measured under
+            # accumulated cache memory pressure
+            spark.catalog.clearCache()
+        per_query[name] = round(sorted(times)[len(times) // 2], 3)
     total = round(time.time() - t_all, 3)
 
     # CDC pipeline throughput — comparable to BASELINE.md's envelope

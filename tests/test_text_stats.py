@@ -162,3 +162,29 @@ def test_pivot_fewer_exchanges(spark):
     got = q("events_pivot_daily_type_counts", spark).orderBy("day").collect()
     want = pivot_daily_type_counts_builtin(spark, SF).orderBy("day").collect()
     assert got == want
+
+
+def test_q20_broadcasts_part_filter(spark):
+    p = plan_str(q("tpch_q20ish_dominant_suppliers", spark))
+    assert "BroadcastExchange" in p
+
+
+def test_zscore_broadcasts_stats(spark):
+    """The 5-row stats side must broadcast — a shuffle join against the
+    full events stream would be the 100 TB mistake."""
+    p = plan_str(q("events_anomaly_zscore", spark))
+    assert "BroadcastExchange" in p
+
+
+def test_heavy_hitters_window_runs_on_aggregate(spark):
+    """The rank window's input is the (type,user) aggregate, never raw
+    events: plan order must be Exchange->Aggregate before Window."""
+    import re
+
+    p = plan_str(q("events_heavy_hitters", spark))
+    # formatted-plan node ids increase leaf -> root; the Window must sit
+    # ABOVE (higher id than) every aggregate, i.e. consume the aggregate
+    win_ids = [int(m) for m in re.findall(r"^\((\d+)\) Window", p, re.M)]
+    agg_ids = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", p, re.M)]
+    assert win_ids and agg_ids
+    assert min(win_ids) > max(agg_ids)
