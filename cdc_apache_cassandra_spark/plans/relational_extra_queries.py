@@ -406,3 +406,89 @@ def cql_type_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         tinyint_to_unsigned_int(signed_byte).cast("bigint").alias("tinyint_widened"),
         signed_byte.alias("tinyint_signed"),
     )
+
+
+# --- LATERAL correlated subquery: top-2 orders per customer -----------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+     LATERAL (
+       SELECT o_orderkey, o_totalprice FROM orders o
+       WHERE o.o_custkey = c.c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 2
+     ) t
+WHERE c.c_nationkey < 5
+"""
+
+
+@register("join_lateral_top2_orders", sql=_LATERAL_SQL)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    per-row dependent-join shape. Catalyst decorrelates it into a
+    ranked window over the one orders shuffle (same physical plan as the
+    hand-written row_number form — DecorrelateInnerQuery does the
+    rewrite, which is exactly why the declarative form is safe at scale);
+    expressed here via spark.sql because LATERAL has no DataFrame verb."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("v_customer")
+    t["orders"].createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice FROM v_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        WHERE c.c_nationkey < 5
+        """
+    )
+
+
+# --- array aggregation: ordered per-order item arrays -----------------------
+
+_ARRAY_AGG_SQL = """
+SELECT l_orderkey,
+       COUNT(*) AS n_items,
+       list(l_linenumber ORDER BY l_linenumber, l_quantity) AS linenumbers,
+       list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber, l_quantity)
+         AS quantities
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("agg_order_item_arrays", sql=_ARRAY_AGG_SQL)
+def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation per group (the nested/array-building
+    surface): collect line items into arrays SORTED BY a TOTAL key
+    (linenumber alone ties — duplicates exist — so quantity breaks them;
+    collect_list alone is partition-order-nondeterministic). The portable
+    form is collect structs then array_sort then project, which also
+    survives AQE re-partitioning. HAVING prunes groups after one
+    combinable count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber"),
+                F.col("l_quantity").cast("double").alias("l_quantity"),
+            )
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"), items.alias("items"))
+        .filter(F.col("n_items") >= 5)
+        .select(
+            "l_orderkey",
+            "n_items",
+            F.transform("items", lambda x: x["l_linenumber"]).alias("linenumbers"),
+            F.transform("items", lambda x: x["l_quantity"]).alias("quantities"),
+        )
+    )

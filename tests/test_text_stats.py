@@ -188,3 +188,13 @@ def test_heavy_hitters_window_runs_on_aggregate(spark):
     agg_ids = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", p, re.M)]
     assert win_ids and agg_ids
     assert min(win_ids) > max(agg_ids)
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """The correlated LATERAL top-2 must decorrelate (WindowGroupLimit /
+    Window + hash join) — a CartesianProduct or nested-loop join here
+    would be the per-row-subquery disaster at scale."""
+    p = plan_str(q("join_lateral_top2_orders", spark))
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
