@@ -267,3 +267,63 @@ def cdc_replica_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", "digest", "op", "writetime", "n_copies", "n_nodes",
         (F.col("n_nodes") < 2).alias("under_replicated"),
     )
+
+
+# --- out-of-order arrival statistics ----------------------------------------
+
+_OOO_SQL = f"""
+WITH {_CTE},
+arrivals AS (
+  SELECT DISTINCT pk, digest, op, writetime, segment, position
+  FROM events_stream
+),
+seq AS (
+  SELECT pk, digest, op, writetime,
+         ROW_NUMBER() OVER (PARTITION BY pk ORDER BY segment, position, digest)
+           AS arrival_rank,
+         MAX(writetime) OVER (PARTITION BY pk ORDER BY segment, position, digest
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+  FROM arrivals
+)
+SELECT pk, digest, op, writetime, arrival_rank,
+       (max_seen IS NOT NULL AND writetime < max_seen) AS is_late
+FROM seq
+"""
+
+
+@register("cdc_out_of_order_stats", sql=_OOO_SQL)
+def cdc_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder observability (the W3 tolerance made measurable): replay
+    each key's mutations in ARRIVAL order (segment, position — the
+    commitlog's physical order) and flag events whose writetime is older
+    than something already seen for that key — exactly the events whose
+    correctness depends on last-write-wins rather than arrival order.
+    One shuffle on pk; the running max is a bounded per-key window. The
+    late fraction is the metric that sizes the production watermark."""
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).select(
+        "pk", "digest", "op", "writetime", "segment", "position"
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("segment"), F.col("position"), F.col("digest")]
+    w = Window.partitionBy("pk").orderBy(*order)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = ev.select(
+        "pk",
+        "digest",
+        "op",
+        "writetime",
+        F.row_number().over(w).alias("arrival_rank"),
+        F.max("writetime").over(w_prev).alias("max_seen"),
+    )
+    return seq.select(
+        "pk",
+        "digest",
+        "op",
+        "writetime",
+        "arrival_rank",
+        (
+            F.col("max_seen").isNotNull()
+            & (F.col("writetime") < F.col("max_seen"))
+        ).alias("is_late"),
+    )
