@@ -10,8 +10,10 @@ This package re-expresses that surface Spark-first:
 - ``sources``      event-stream generation/ingest, backfill union (SURVEY §2.1)
 - ``functions``    CQL logical type system + scalar conversions (SURVEY §1.2, §2.8)
 - ``operators``    dedup, last-write-wins, read-after-event join, classifiers
-                   (SURVEY §2.2-2.7), plus LLM-pipeline operators (dedup/
-                   similarity/text/multimodal) under ``operators.llm``
+                   (SURVEY §2.2-2.7), plus the LLM-pipeline operators:
+                   ``text_dedup`` (shingles/MinHash/SimHash/components),
+                   ``vectors`` (cosine/LSH/IVF), ``multimodal`` (binary
+                   payloads), ``skew`` (salting)
 - ``streaming``    Structured Streaming pipeline + stateful mutation cache
 - ``plans``        query registry consumed by __spark_entry__ (driver contract)
 
