@@ -104,12 +104,15 @@ def cdc_compound_key_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W3 at compound granularity: partition-delete-aware LWW ----------------
 
-_COMPOUND_LWW_SQL = f"""
+def _compound_lww_sql(where: str = "TRUE") -> str:
+    """Compound converged-state SQL, optionally truncated at a writetime
+    cutoff (time travel = a predicate on the same pipeline)."""
+    return f"""
 WITH {_CTE},
 deduped AS (
   SELECT DISTINCT pk_p, pk_c, ptype, op, writetime,
          s_mktsegment, v_totalprice, v_orderstatus
-  FROM compound_events
+  FROM compound_events WHERE {where}
 ),
 part_del AS (
   SELECT pk_p, MAX(writetime) AS wt_pd
@@ -144,16 +147,16 @@ WHERE r.op <> 'DELETE' AND r.writetime > COALESCE(p.wt_pd, -1)
 """
 
 
-@register("cdc_compound_lww_state", sql=_COMPOUND_LWW_SQL)
-def cdc_compound_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Converged state of the compound-PK table: a row survives iff its
-    latest row-level event is not a DELETE and is newer than any
-    partition-level delete of its partition; the static column converges
-    independently across the whole partition (Cassandra semantics the
-    connector's per-row lookups reproduce; the partition tombstone
-    dominates older rows only — testUnorderedMutations convergence,
-    PulsarDualNodeTests.java:222-320)."""
-    ev = compound_events(spark, sf_dir)
+_COMPOUND_LWW_SQL = _compound_lww_sql()
+
+#: compound time-travel cutoff (µs): truncates the higher-orderkey row
+#: events and the partition/static tail near the boundary.
+_COMPOUND_AS_OF = 1_600_000_000_000_000 + 2_000_000_000
+
+
+def _compound_converged(ev) -> DataFrame:
+    """Shared compound converged-state pipeline (dedup → partition-delete
+    dominance → row/static LWW)."""
     deduped = ev.dropDuplicates(["digest"]).drop("node_id", "digest")
 
     part_del = (
@@ -194,6 +197,34 @@ def cdc_compound_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_orderstatus").alias("orderstatus"),
         "writetime",
     )
+
+
+@register("cdc_compound_lww_state", sql=_COMPOUND_LWW_SQL)
+def cdc_compound_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged state of the compound-PK table: a row survives iff its
+    latest row-level event is not a DELETE and is newer than any
+    partition-level delete of its partition; the static column converges
+    independently across the whole partition (Cassandra semantics the
+    connector's per-row lookups reproduce; the partition tombstone
+    dominates older rows only — testUnorderedMutations convergence,
+    PulsarDualNodeTests.java:222-320)."""
+    return _compound_converged(compound_events(spark, sf_dir))
+
+
+@register(
+    "cdc_compound_snapshot_asof",
+    sql=_compound_lww_sql(f"writetime <= {_COMPOUND_AS_OF}"),
+)
+def cdc_compound_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-PK state AS OF a past instant: the writetime predicate
+    truncates history BEFORE the same dedup/dominance/LWW pipeline —
+    partition-delete dominance is evaluated against only the deletes
+    that had happened by T (a later partition tombstone must not erase
+    the historical view). Predicate pushes to the event scan."""
+    ev = compound_events(spark, sf_dir).filter(
+        F.col("writetime") <= _COMPOUND_AS_OF
+    )
+    return _compound_converged(ev)
 
 
 # --- J1 at compound granularity: three-branch read-after-event -------------
