@@ -219,3 +219,96 @@ def quality_filtered_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("dist2"), 6).alias("min_dist2_r"),
         F.round(F.max("dist2"), 6).alias("max_dist2_r"),
     )
+
+
+# --- semantic dedup: per-cell cosine graph -> keeper selection --------------
+
+_SEM_COS_MIN = 0.35
+
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % {_IVF_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, n.v, cent.cid,
+         list_sum(list_transform(range(1, len(n.v)+1),
+             i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))) AS dist2
+  FROM n CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_SEM_COS_MIN}
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION SELECT vb, va FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT x.vec_id, x.cid,
+         LEAST(x.vec_id, COALESCE(MIN(r.b), x.vec_id)) AS component
+  FROM asg x LEFT JOIN reach r ON r.a = x.vec_id
+  GROUP BY x.vec_id, x.cid
+)
+SELECT vec_id, cid, component, (vec_id = component) AS is_keeper
+FROM comp
+"""
+
+
+@register("llm_semdedup", sql=_SEMDEDUP_SQL)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-quantize the corpus (IVF
+    cells), build the cosine-similarity graph WITHIN cells only (the
+    candidate bound that keeps this o(n²): cells are the blocking key),
+    connected-components it, keep the min-id representative per semantic
+    cluster. Spark side: broadcast centroid assign → per-cell self-join →
+    min-label propagation (operators.text_dedup.connected_components).
+    Deletion rate = 1 − keepers/N. Cross-cell near-dups are the recall
+    trade documented on the multi-probe query — same knob applies."""
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        connected_components,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    asg = ivf_assign(n, cent, "vec")  # vec_id, vec, cid
+    a = asg.select(
+        F.col("vec_id").alias("va"), F.col("vec").alias("xa"), "cid"
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vb"), F.col("vec").alias("xb"), "cid"
+    )
+    cs = cosine(F.col("xa"), F.col("xb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cs >= _SEM_COS_MIN)
+        .select("va", "vb")
+    )
+    nodes = asg.select("vec_id", "cid")
+    labels = connected_components(
+        nodes.select("vec_id"), pairs, "vec_id", "va", "vb"
+    )
+    return nodes.join(labels, "vec_id").select(
+        "vec_id",
+        "cid",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )
