@@ -215,15 +215,20 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("min_n_comp"), F.col("component"))
                 ).alias("component"),
             )
-        ).persist()
+            # localCheckpoint (eager), NOT persist: each iteration's plan
+            # references `labels` twice, so without a true lineage CUT the
+            # logical tree doubles per iteration — exponential plan growth
+            # that OOMs the driver at plan stringification on dense graphs.
+            # Checkpointing replaces the plan with a LogicalRDD leaf.
+            .localCheckpoint()
+        )
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component", "old_comp"), id_col
             )
             .filter(F.col("component") != F.col("old_comp"))
-            .count()  # materializes new_labels, truncating its lineage
+            .count()
         )
-        labels.unpersist()  # superseded snapshot (no-op on iteration 1)
         labels = new_labels
         if changed == 0:
             break

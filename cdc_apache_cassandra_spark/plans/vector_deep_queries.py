@@ -288,7 +288,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
-    asg = ivf_assign(n, cent, "vec")  # vec_id, vec, cid
+    # assignment feeds BOTH self-join sides and the node list — persist so
+    # the broadcast-score-window pipeline runs once, not three times
+    asg = ivf_assign(n, cent, "vec").persist()  # vec_id, vec, cid
     a = asg.select(
         F.col("vec_id").alias("va"), F.col("vec").alias("xa"), "cid"
     )
