@@ -23,8 +23,23 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cdc-bench")
-    # warm the JVM/codegen path once so per-query numbers measure the plan
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-touch JIT: a scalar job, plus one scan+explode over
+    # each heavy table family (documents tokenization dominated the first
+    # text query by ~3x before this).
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+    load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).groupBy("t").count().write.format("noop").mode("overwrite").save()
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().write \
+        .format("noop").mode("overwrite").save()
+    load_table(spark, sf_dir, "events").groupBy("event_type").count().write \
+        .format("noop").mode("overwrite").save()
+    load_table(spark, sf_dir, "embeddings").selectExpr(
+        "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x) as s"
+    ).agg({"s": "sum"}).collect()
 
     # SPARK_GRAFT_BENCH_REPS>1: per-query median over N reps (JVM/JIT
     # noise at small SFs swings single measurements ±20%); default 1 rep
