@@ -447,3 +447,69 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n_transitions",
         F.round(prob, 6).alias("prob_r"),
     )
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+_RFM_SQL = """
+WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+purchases AS (
+  SELECT user_id,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary,
+         MAX(ts) AS last_purchase
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT p.user_id, p.frequency, p.monetary,
+         date_diff('second', p.last_purchase, a.max_ts) AS recency_s,
+         NTILE(5) OVER (ORDER BY date_diff('second', p.last_purchase, a.max_ts),
+                        p.user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY p.frequency DESC, p.user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY p.monetary DESC, p.user_id) AS m_score
+  FROM purchases p CROSS JOIN anchor a
+)
+SELECT user_id, frequency, monetary, recency_s, r_score, f_score, m_score,
+       (r_score = 1 AND f_score <= 2) AS is_champion
+FROM scored
+"""
+
+
+@register("events_rfm_segmentation", sql=_RFM_SQL)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per user with
+    NTILE(5) scores (total-order tie-breaks on user_id — without them the
+    quintile edges are nondeterministic). Monetary uses the exact-decimal
+    sum. The heavy aggregate collapses events to one row per user; the
+    three global NTILEs then run on the small user-grain relation (at
+    100 TB: range-partition by the order key or swap to percent_rank over
+    pre-computed distribution bounds — same scores, no single-partition
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    purchases = p.groupBy("user_id").agg(
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+        F.max("ts").alias("last_purchase"),
+    )
+    scored = purchases.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_s",
+        F.col("max_ts").cast("long") - F.col("last_purchase").cast("long"),
+    )
+    w_r = Window.orderBy("recency_s", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary").desc(), "user_id")
+    out = scored.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        "recency_s",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return out.withColumn(
+        "is_champion", (F.col("r_score") == 1) & (F.col("f_score") <= 2)
+    )

@@ -314,3 +314,72 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("vec_id") == F.col("component")).alias("is_keeper"),
     )
+
+
+# --- cross-lingual duplicate mining (bitext candidates) ---------------------
+
+_XL_LSH_BITS = 4
+_XL_COS_MIN = 0.35
+
+_XLINGUAL_SQL = f"""
+WITH n AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+b AS (
+  SELECT vec_id, v, lang,
+         list_sum(list_transform(range(1, {_XL_LSH_BITS + 1}),
+             i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END))
+         AS bucket
+  FROM n
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       a.lang AS lang_a, c.lang AS lang_b,
+       CAST(ROUND(list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+            AS DOUBLE) AS cos_sim_r
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE a.lang <> c.lang
+  AND list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+      >= {_XL_COS_MIN}
+"""
+
+
+@register("llm_crosslingual_pairs", sql=_XLINGUAL_SQL)
+def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate mining — the bitext-candidate stage of
+    a multilingual pretraining pipeline: same sign-LSH bucket equi-join as
+    monolingual embedding dedup, but KEEP only pairs whose documents carry
+    DIFFERENT language tags (high cosine + different lang ≈ translation
+    pair). The lang tag rides the posting (one documents⋈embeddings join
+    before bucketing), so the pair filter is free."""
+    from cdc_apache_cassandra_spark.operators.vectors import sign_lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v"), "lang"
+    )
+    bkt = n.select(
+        "vec_id", "v", "lang", sign_lsh_bucket(F.col("v"), _XL_LSH_BITS).alias("bucket")
+    )
+    a = bkt.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("lang").alias("lang_a"), "bucket",
+    )
+    b = bkt.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("lang").alias("lang_b"), "bucket",
+    )
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .filter(cs >= _XL_COS_MIN)
+        .select(
+            "vec_a", "vec_b", "lang_a", "lang_b",
+            F.round(cs, 6).alias("cos_sim_r"),
+        )
+    )
