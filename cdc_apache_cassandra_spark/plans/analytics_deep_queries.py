@@ -513,3 +513,112 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "is_champion", (F.col("r_score") == 1) & (F.col("f_score") <= 2)
     )
+
+
+# --- top 3-step user paths ---------------------------------------------------
+
+_PATHS_TOPK = 10
+
+_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS prev1,
+         LAG(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT prev2 || '>' || prev1 || '>' || event_type AS path,
+         COUNT(*) AS n_paths
+  FROM seq WHERE prev2 IS NOT NULL
+  GROUP BY prev2 || '>' || prev1 || '>' || event_type
+)
+SELECT path, n_paths, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS rk
+  FROM paths
+) WHERE rk <= {_PATHS_TOPK}
+"""
+
+
+@register("events_top_paths_3step", sql=_PATHS_SQL)
+def top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: top-{k} 3-step event-type sequences across all user
+    journeys — two LAGs over the same per-user window (one shuffle on
+    user_id, windows share the sort), then a count on the tiny |types|³
+    path space and a bounded top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    paths = (
+        seq.filter(F.col("prev2").isNotNull())
+        .select(
+            F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    wr = Window.orderBy(F.col("n_paths").desc(), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _PATHS_TOPK)
+        .select("path", "n_paths", "rk")
+    )
+
+
+# --- referential-integrity audit ---------------------------------------------
+
+_RI_SQL = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk, COUNT(*) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey -> customer', COUNT(*)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', COUNT(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', COUNT(*)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+"""
+
+
+@register("dq_referential_integrity", sql=_RI_SQL)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the corpus, as LEFT ANTI joins (no row multiplication, dims
+    broadcast). The union of four tiny counts is the DQ report a
+    pipeline gates on before publishing — the batch analogue of the
+    connector's tombstone-vs-missing-row distinction."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+
+    def orphans(child, key, parent, pkey, label):
+        return (
+            child.select(F.col(key))
+            .join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+                "lineitem.l_orderkey -> orders")
+        .unionByName(
+            orphans(t["orders"], "o_custkey", t["customer"], "c_custkey",
+                    "orders.o_custkey -> customer"))
+        .unionByName(
+            orphans(t["customer"], "c_nationkey", t["nation"], "n_nationkey",
+                    "customer.c_nationkey -> nation"))
+        .unionByName(
+            orphans(t["lineitem"], "l_partkey", t["part"], "p_partkey",
+                    "lineitem.l_partkey -> part"))
+    )
