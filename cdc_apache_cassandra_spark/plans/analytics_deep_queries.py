@@ -622,3 +622,84 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans(t["lineitem"], "l_partkey", t["part"], "p_partkey",
                     "lineitem.l_partkey -> part"))
     )
+
+
+# --- market-basket part-pair lift --------------------------------------------
+
+_BASKET_MIN_PAIR = 3
+_BASKET_TOPK = 20
+
+_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item AS (
+  SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY l_partkey
+),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+         CAST(p.n_pair AS DOUBLE) * n.n_orders
+           / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+  FROM pair p
+  JOIN item ia ON ia.l_partkey = p.part_a
+  JOIN item ib ON ib.l_partkey = p.part_b
+  CROSS JOIN n
+)
+SELECT part_a, part_b, n_pair, n_a, n_b, rk,
+       CAST(ROUND(lift, 6) AS DOUBLE) AS lift_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY lift DESC, part_a, part_b) AS rk
+  FROM scored
+) WHERE rk <= {_BASKET_TOPK}
+"""
+
+
+@register("basket_part_pair_lift", sql=_BASKET_SQL)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top part pairs by lift = P(a,b)/(P(a)P(b))
+    over order baskets. The pair self-join is keyed on the ORDER (baskets
+    are small, so per-key pair mass is |basket|² ≈ 16, never corpus²);
+    supports come from one distinct + two aggregates; lift is an exact-
+    count rational. HAVING prunes the pair tail before scoring."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    baskets.persist()  # feeds the self-join both sides + supports
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.lit(n_orders)
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    scored = pair.join(ia, "part_a").join(ib, "part_b").select(
+        "part_a", "part_b", "n_pair", "n_a", "n_b", lift.alias("lift")
+    )
+    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BASKET_TOPK)
+        .select(
+            "part_a", "part_b", "n_pair", "n_a", "n_b", "rk",
+            F.round("lift", 6).alias("lift_r"),
+        )
+    )
