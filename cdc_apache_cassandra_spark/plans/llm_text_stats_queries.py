@@ -451,3 +451,38 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_tokens", "n_rare", F.round(frac, 6).alias("rare_frac_r")
     )
+
+
+# --- fixed-budget per-stratum sampling --------------------------------------
+
+_FIXED_K = 40
+
+_FIXED_K_SQL = f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_FIXED_K}
+"""
+
+
+@register("llm_fixed_k_sample", sql=_FIXED_K_SQL)
+def fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sampling: exactly min(k, |stratum|) docs per language,
+    chosen by salted-hash order — deterministic (reruns pick the same
+    docs), uniform (hash order ≈ random order), and budget-exact where
+    rate-based sampling (llm_stratified_sample) only hits the rate in
+    expectation. One bounded rank window per stratum; at 100 TB with a
+    huge stratum, pre-filter by a generous hash-rate cut before ranking
+    so the sort touches ~k log k candidates, not the stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("pick:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _FIXED_K)
+    )

@@ -492,3 +492,44 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("items", lambda x: x["l_quantity"]).alias("quantities"),
         )
     )
+
+
+# --- UDT / tuple projection (§1.2 nested types under the gate) --------------
+
+_UDT_SQL = """
+SELECT o_orderkey,
+       to_json({status: o_orderstatus, priority: o_orderpriority})
+         AS order_udt_json,
+       o_custkey AS index_0,
+       CAST(o_totalprice AS DOUBLE) AS index_1,
+       md5(o_orderstatus || '|' || o_orderpriority) AS udt_digest
+FROM orders
+WHERE o_orderkey % 97 = 0
+"""
+
+
+@register("cql_udt_tuple_projection", sql=_UDT_SQL)
+def udt_tuple_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL nested types as engine columns (SURVEY §1.2): a UDT maps to a
+    named StructType — rendered to JSON here because the oracle harness
+    canonicalizes Spark Rows as tuples but DuckDB structs as dicts, so
+    raw struct columns can't hash-match (F13's JSON converter is exactly
+    this rendering) — and a tuple maps to index_0..n fields, flattened
+    (the reference's Avro tuple record layout,
+    AbstractNativeConverter.java:213-215,245-263). Zero-shuffle
+    projection; the digest pins struct-content agreement."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("order_udt_json"),
+        F.col("o_custkey").alias("index_0"),
+        F.col("o_totalprice").cast("double").alias("index_1"),
+        F.md5(
+            F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority"))
+        ).alias("udt_digest"),
+    )
