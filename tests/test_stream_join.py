@@ -172,3 +172,36 @@ def test_streaming_tumbling_window_agg_closed_windows(spark, sorted_event_dir):
     for (ws, et), n in want.items():
         if ws + datetime.timedelta(hours=1) <= final_wm:
             assert (ws, et) in got, (ws, et)
+
+
+def test_streaming_complete_mode_running_counts(spark, user_event_dir):
+    """Complete-mode aggregation: after draining the replay, the final
+    emitted table must equal the batch group-by exactly (update/complete
+    modes re-emit evolving groups; complete's last snapshot is total)."""
+    schema = spark.read.parquet(user_event_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(user_event_dir)
+    )
+    counts = src.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.event_type, r.n) for r in spark.table(name).collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(user_event_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
