@@ -108,3 +108,59 @@ def changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("op") == "DELETE").alias("is_tombstone"),
         *VALUE_COLS,
     )
+
+
+# --- tombstone GC: retention horizon on materialized state ------------------
+
+#: GC grace horizon (µs): tombstones older than this are purged from the
+#: materialized view; younger ones are retained so late replicas can
+#: still observe the delete (Cassandra's gc_grace_seconds rationale).
+_GC_HORIZON = WRITETIME_BASE + 600_000_000
+
+_GC_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest, {_VALUE_LIST}
+  FROM events_stream
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+),
+state AS (
+  SELECT pk, op, (op = 'DELETE') AS is_tombstone, writetime, {_VALUE_LIST}
+  FROM ranked WHERE rn = 1
+)
+SELECT pk, op, is_tombstone, writetime,
+       (is_tombstone AND writetime < {_GC_HORIZON}) AS gc_purged,
+       {_VALUE_LIST}
+FROM state
+WHERE NOT (is_tombstone AND writetime < {_GC_HORIZON})
+"""
+
+
+@register("cdc_tombstone_gc", sql=_GC_SQL)
+def tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone garbage collection on the materialized state: tombstones
+    older than the grace horizon are dropped (their deletes are fully
+    propagated); younger tombstones are retained so late/replaying
+    replicas still see the deletion — the gc_grace_seconds contract that
+    makes compaction safe under at-least-once delivery. One predicate on
+    the converged state; in the foreachBatch materializer this is the
+    compaction step's WHERE clause (streaming/materialize.py retention)."""
+    latest = last_write_wins(dedup_mutations(mutation_events(spark, sf_dir)))
+    is_tomb = F.col("op") == "DELETE"
+    purged = is_tomb & (F.col("writetime") < _GC_HORIZON)
+    return (
+        latest.select(
+            "pk",
+            "op",
+            is_tomb.alias("is_tombstone"),
+            "writetime",
+            purged.alias("gc_purged"),
+            *VALUE_COLS,
+        )
+        .filter(~purged)
+    )

@@ -486,3 +486,38 @@ def fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _FIXED_K)
     )
+
+
+# --- per-language length distribution ---------------------------------------
+
+_LEN_SQL = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS DOUBLE)
+         AS median_chars,
+       CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS DOUBLE)
+         AS p90_chars,
+       MAX(n_chars) AS max_chars,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("llm_length_distribution", sql=_LEN_SQL)
+def length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length profile (count, min/median/p90/max, total
+    chars) — the corpus-composition report that drives mixing and
+    truncation decisions. Exact integer extremes and sums, exact sorted
+    percentiles; one combinable aggregate per language."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.percentile(x, 0.5), 4).alias("median_chars"),
+        F.round(F.percentile(x, 0.9), 4).alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
