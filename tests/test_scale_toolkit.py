@@ -109,3 +109,28 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
     assert got.count() > 0
     # sessions are per-user disjoint intervals
     assert got.filter("n_events <= 0").count() == 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: a fact partitioned on the join key, joined to a selective
+    dimension, must prune partitions at RUNTIME via a dynamicpruning
+    subquery filter — the mechanism that keeps star joins from scanning
+    100 TB when the dim filter eliminates most partitions."""
+    d = str(tmp_path / "events_dpp")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 2.0)], ["event_type", "weight"]
+    )
+    joined = fact.join(dim, "event_type").filter(F.col("weight") > 1.5)
+    p = plan_str(joined)
+    assert "dynamicpruning" in p.lower()
+    # correctness: only purchase rows survive
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert joined.count() == want
