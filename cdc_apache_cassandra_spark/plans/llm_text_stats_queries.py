@@ -521,3 +521,170 @@ def length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --- incremental dedup: new batch vs existing LSH index ---------------------
+
+_INCR_SPLIT = 250  # doc_id < split = indexed corpus; >= split = incoming
+_INCR_JACCARD_MIN = 0.5
+
+
+def _incremental_sql() -> str:
+    from cdc_apache_cassandra_spark.plans.fuzzy_dedup_queries import (
+        _MINHASH_CTES,
+    )
+
+    # reuse the shared signature/band CTE chain; the symmetric cand /
+    # verified tail CTEs it also defines go unused here
+    return f"""
+WITH {_MINHASH_CTES},
+cand2 AS (
+  SELECT DISTINCT x.doc_id AS matched_doc, i.doc_id AS new_doc
+  FROM bands x JOIN bands i
+    ON x.band_id = i.band_id AND x.band_key = i.band_key
+   AND x.doc_id < {_INCR_SPLIT} AND i.doc_id >= {_INCR_SPLIT}
+),
+ver2 AS (
+  SELECT c.new_doc, c.matched_doc,
+         len(list_intersect(si.shingles, sx.shingles)) AS n_inter,
+         len(si.shingles) AS n_i, len(sx.shingles) AS n_x
+  FROM cand2 c
+  JOIN sh si ON si.doc_id = c.new_doc
+  JOIN sh sx ON sx.doc_id = c.matched_doc
+)
+SELECT new_doc, matched_doc,
+       CAST(ROUND(CAST(n_inter AS DOUBLE) / (n_i + n_x - n_inter), 6) AS DOUBLE)
+         AS jaccard_r
+FROM ver2
+WHERE CAST(n_inter AS DOUBLE) / (n_i + n_x - n_inter) >= {_INCR_JACCARD_MIN}
+"""
+
+
+@register("llm_dedup_incremental", sql=_incremental_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: ONLY the incoming batch is banded and
+    joined against the EXISTING corpus's LSH band index — the production
+    shape (the index is a materialized table keyed by band_key; each new
+    batch probes it; never corpus × corpus again), verified by exact
+    Jaccard on the candidate pairs. The asymmetric band join's cost
+    scales with |incoming| × collision rate; at 100 TB the stored index
+    is bucketed by band_key so the probe is shuffle-free on the index
+    side. Intra-batch duplicates are the symmetric query's job."""
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        lsh_band_rows,
+        minhash_signature,
+        shingle_hash32,
+        tokens_expr,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+    )
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
+    ).persist()
+
+    def bands_of(side):
+        sig = side.select(
+            "doc_id",
+            minhash_signature(shingle_hash32(F.col("shingles")), 12).alias("sig"),
+        )
+        return lsh_band_rows(sig, "doc_id", "sig", 4, 3)
+
+    idx_bands = bands_of(sh.filter(F.col("doc_id") < _INCR_SPLIT)).select(
+        F.col("doc_id").alias("matched_doc"), "band_id", "band_key"
+    )
+    inc_bands = bands_of(sh.filter(F.col("doc_id") >= _INCR_SPLIT)).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+    )
+    cand = (
+        inc_bands.join(idx_bands, ["band_id", "band_key"])
+        .select("new_doc", "matched_doc")
+        .distinct()
+    )
+    si = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_i"))
+    sx = sh.select(
+        F.col("doc_id").alias("matched_doc"), F.col("shingles").alias("sh_x")
+    )
+    ver = (
+        cand.join(si, "new_doc")
+        .join(sx, "matched_doc")
+        .select(
+            "new_doc",
+            "matched_doc",
+            F.size(F.array_intersect("sh_i", "sh_x")).alias("n_inter"),
+            F.size("sh_i").alias("n_i"),
+            F.size("sh_x").alias("n_x"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_i") + F.col("n_x") - F.col("n_inter")
+    )
+    return (
+        ver.filter(jac >= _INCR_JACCARD_MIN)
+        .select("new_doc", "matched_doc", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+# --- blocklist screening -----------------------------------------------------
+
+#: category -> trigger words (demo blocklist over the synthetic vocab;
+#: production swaps in its own list, same plan).
+_BLOCKLIST = {
+    "infra": ("spark", "table", "shuffle"),
+    "ops": ("batch", "merge", "scan"),
+}
+
+_BLOCK_VALUES = ", ".join(
+    f"('{w}', '{cat}')" for cat, ws in _BLOCKLIST.items() for w in ws
+)
+
+_BLOCKLIST_SQL = rf"""
+WITH bl(word, category) AS (VALUES {_BLOCK_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+hits AS (
+  SELECT t.doc_id, bl.category, COUNT(*) AS n_hits
+  FROM toks t JOIN bl ON bl.word = t.token
+  GROUP BY t.doc_id, bl.category
+)
+SELECT doc_id, category, n_hits, (n_hits >= 3) AS flagged
+FROM hits
+"""
+
+
+@register("llm_blocklist_screen", sql=_BLOCKLIST_SQL)
+def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category blocklist screening: per-(doc, category) trigger-word hit
+    counts with a flag threshold — the safety-filter stage shape. The
+    blocklist is a broadcast table joined on the exploded token (never a
+    per-row regex alternation over thousands of patterns — the join scales
+    with list size, the regex does not)."""
+    d = load_table(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [(w, cat) for cat, ws in _BLOCKLIST.items() for w in ws],
+        ["word", "category"],
+    )
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    hits = (
+        toks.join(F.broadcast(bl), toks["token"] == bl["word"])
+        .groupBy("doc_id", "category")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id", "category", "n_hits", (F.col("n_hits") >= 3).alias("flagged")
+    )
