@@ -25,12 +25,21 @@ class ChunkDocs:
     """Sliding-window token chunker: windows of ``size`` every ``stride``
     tokens; short docs yield their single partial chunk. Mirrors the
     n_extra = max(floor((n - size - 1)/stride), -1) + 1 span rule of the
-    JVM chunker exactly."""
+    JVM chunker exactly — INCLUDING engine tokenizer semantics: Spark's
+    `trim` strips spaces only (not tabs) and `split(.., '\\s+')` keeps a
+    leading empty token when the text starts with a separator, so this
+    uses space-strip + re.split, not Python's strip()/split() (hypothesis
+    caught the '\\t' divergence)."""
 
     def eval(self, text: str, size: int, stride: int):
-        if text is None or not text.strip():
+        import re
+
+        if text is None:
             return
-        toks = text.strip().split()
+        trimmed = text.strip(" ")  # F.trim semantics: spaces only
+        if not trimmed:
+            return
+        toks = re.split(r"\s+", trimmed)  # may keep a leading '' like Spark
         n = len(toks)
         n_chunks = max((n - size - 1) // stride, -1) + 2  # incl. chunk 0
         for i in range(n_chunks):

@@ -104,3 +104,83 @@ def test_materializer_invariant_under_batching(spark, muts, cut, seed):
             state = merge_batch_lww(state, b, ["pk"])
     got = {(r.pk): (r.op, r.writetime) for r in state.collect()}
     assert got == want
+
+
+# --- chunker: UDTF twin agrees with the JVM plan on arbitrary text ----------
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\t"),  # words + spaces/tabs
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts)
+def test_chunkers_agree_on_arbitrary_text(spark, docs):
+    """Sequence+slice JVM chunking ≡ the Python UDTF chunker for ANY
+    whitespace shape (empty docs, runs of separators, tab/space mix) —
+    the two extension paths may never drift."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cdc_apache_cassandra_spark.functions.udtf_surface import ChunkDocs
+    from cdc_apache_cassandra_spark.operators.text_dedup import tokens_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("prop_docs")
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    got = Counter(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text "
+                "FROM prop_docs d, LATERAL chunk_docs(d.text, 16, 8) c "
+                "WHERE length(trim(d.text)) > 0"
+            ).collect(),
+        )
+    )
+
+    toks = (
+        df.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    )
+    n_extra = (
+        F.greatest(
+            F.floor((F.size("tokens") - F.lit(17)) / F.lit(8.0)).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        )
+        + 1
+    )
+    spans = toks.select(
+        "doc_id", "tokens",
+        F.sequence(F.lit(0).cast("bigint"), n_extra).alias("ids"),
+    )
+    chunk = F.slice(
+        F.col("tokens"), (F.col("chunk_id") * 8 + 1).cast("int"), 16
+    )
+    want = Counter(
+        map(
+            tuple,
+            spans.select("doc_id", F.explode("ids").alias("chunk_id"), "tokens")
+            .select(
+                "doc_id",
+                "chunk_id",
+                F.size(chunk).alias("n_chunk_tokens"),
+                F.concat_ws(" ", chunk).alias("chunk_text"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
