@@ -100,3 +100,61 @@ def test_union_evolved_streaming_file_replay(spark, tmp_path):
     got = spark.table(name)
     assert got.count() == 3
     assert {r.b for r in got.collect()} == {None, 7}
+
+
+def test_restart_on_ddl_with_same_checkpoint(spark, tmp_path):
+    """The restart-on-DDL policy end-to-end: consume old-schema segments,
+    stop, land NEW-schema segments (ALTER TABLE ADD), restart the stream
+    with the reconciled schema and the SAME checkpoint — offsets must
+    resume (no replay of consumed files) and old rows surface the added
+    column as null in the merged sink."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    src, out, ck = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pk long, v string"
+    )
+    old.coalesce(1).write.mode("overwrite").parquet(src)
+
+    old_schema = T.StructType(
+        [T.StructField("pk", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def run(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(old_schema)
+    assert spark.read.parquet(out).count() == 2
+
+    # DDL: new segments carry an added nullable column
+    new = spark.createDataFrame(
+        [(3, "c", "X"), (4, "d", "Y")], "pk long, v string, v2 string"
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+    new_schema = reconcile_schemas(
+        old_schema,
+        T.StructType(
+            old_schema.fields + [T.StructField("v2", T.StringType())]
+        ),
+    )
+    run(new_schema)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert merged.count() == 4  # no replay of the consumed old segment
+    assert merged.filter(F.col("pk").isin(1, 2))\
+        .filter(F.col("v2").isNull()).count() == 2
+    assert merged.filter(F.col("pk").isin(3, 4))\
+        .filter(F.col("v2").isNotNull()).count() == 2
