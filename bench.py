@@ -47,17 +47,23 @@ def main():
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     per_query: dict[str, float] = {}
     t_all = time.time()
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         times = []
-        for _ in range(reps):
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times.append(time.time() - t0)
-            # intra-query persists (signature/posting tables) are scoped to
-            # their query; drop them so later queries aren't measured under
-            # accumulated cache memory pressure
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+                # intra-query persists (signature/posting tables) are scoped
+                # to their query; drop them so later queries aren't measured
+                # under accumulated cache memory pressure
+                spark.catalog.clearCache()
+        except Exception as exc:  # record and keep benching the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()
+            continue
         per_query[name] = round(sorted(times)[len(times) // 2], 3)
     total = round(time.time() - t_all, 3)
 
@@ -91,20 +97,19 @@ def main():
     recs.write.format("noop").mode("overwrite").save()
     cdc_sec = time.time() - t0
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_events": n_events,
-                "cdc_pipeline_sec": round(cdc_sec, 3),
-                "cdc_events_per_sec": round(n_events / cdc_sec, 1),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_wall_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_events": n_events,
+        "cdc_pipeline_sec": round(cdc_sec, 3),
+        "cdc_events_per_sec": round(n_events / cdc_sec, 1),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
