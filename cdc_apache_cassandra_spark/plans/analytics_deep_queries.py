@@ -703,3 +703,168 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift", 6).alias("lift_r"),
         )
     )
+
+
+# --- CUSUM changepoint detection over daily volumes --------------------------
+
+_CUSUM_THRESH = 50.0
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+),
+m AS (
+  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM daily
+),
+c AS (
+  SELECT day, n,
+         SUM(CAST(n AS DOUBLE) - m.mu) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily CROSS JOIN m
+)
+SELECT day, n, CAST(ROUND(cusum, 6) AS DOUBLE) AS cusum_r,
+       (abs(cusum) > {t}) AS is_shift
+FROM c
+""".format(t=_CUSUM_THRESH)
+
+
+@register("events_cusum_changepoint", sql=_CUSUM_SQL)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on daily event volume: cumulative sum of
+    deviations from the global mean; |CUSUM| exceeding the threshold
+    flags a level shift. The corpus-sized work is one daily count
+    aggregate; the running sum orders only the day-grain relation. The
+    deviations are exact-count rationals accumulated in day order —
+    deterministic (a FIXED summation order, unlike a parallel float
+    sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    m = daily.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(m)).withColumn(
+        "cusum", F.sum(F.col("n").cast("double") - F.col("mu")).over(w)
+    )
+    return c.select(
+        "day",
+        "n",
+        F.round("cusum", 6).alias("cusum_r"),
+        (F.abs(F.col("cusum")) > _CUSUM_THRESH).alias("is_shift"),
+    )
+
+
+# --- Pareto 80/20: cumulative revenue concentration --------------------------
+
+_PARETO_SHARE = 0.8
+
+_PARETO_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(revenue) AS total FROM cust),
+ranked AS (
+  SELECT c.o_custkey, c.revenue,
+         ROW_NUMBER() OVER (ORDER BY c.revenue DESC, c.o_custkey) AS rk,
+         CAST(SUM(c.revenue) OVER (ORDER BY c.revenue DESC, c.o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(t.total AS DOUBLE) AS cum_share
+  FROM cust c CROSS JOIN tot t
+)
+SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue_d, rk,
+       CAST(ROUND(cum_share, 6) AS DOUBLE) AS cum_share_r
+FROM ranked
+WHERE cum_share <= {_PARETO_SHARE}
+"""
+
+
+@register("orders_pareto_8020", sql=_PARETO_SQL)
+def pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the top customers that together cover 80% of
+    revenue — descending running share over the customer-grain aggregate
+    (exact decimal sums inside the window; ONE double division against
+    the exact total per row, so the share is order-independent of the
+    aggregate's parallelism). Revenue ties broken by custkey for a total
+    order."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    tot = cust.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cust.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(w).alias("rk"),
+        (
+            F.sum("revenue").over(wsum).cast("double")
+            / F.col("total").cast("double")
+        ).alias("cum_share"),
+    )
+    return ranked.filter(F.col("cum_share") <= _PARETO_SHARE).select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue_d"),
+        "rk",
+        F.round("cum_share", 6).alias("cum_share_r"),
+    )
+
+
+# --- triangle counting on the co-purchase graph ------------------------------
+
+_TRI_MIN_PAIR = 2
+
+_TRIANGLE_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_TRI_MIN_PAIR}
+)
+SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@register("graph_copurchase_triangles", sql=_TRIANGLE_SQL)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the co-purchase graph (parts bought
+    together ≥ {m} times): the canonical u<v<w two-join pattern over the
+    ORIENTED edge list — orientation (u<v) means each triangle matches
+    exactly once and the join fan-out is bounded by out-degree, the
+    standard distributed triangle formulation. Edge building reuses the
+    basket self-join shape (order-keyed, never corpus²)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_PAIR)
+        .select("u", "v")
+    )
+    edges.persist()  # three roles in the triangle join
+    e1 = edges.select(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
+    e2 = edges.select(F.col("u").alias("part_b"), F.col("v").alias("part_c"))
+    e3 = edges.select(F.col("u").alias("part_a"), F.col("v").alias("part_c"))
+    return (
+        e1.join(e2, "part_b")
+        .join(e3, ["part_a", "part_c"])
+        .select("part_a", "part_b", "part_c")
+    )
