@@ -868,3 +868,148 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, ["part_a", "part_c"])
         .select("part_a", "part_b", "part_c")
     )
+
+
+# --- A/B conversion z-test ---------------------------------------------------
+
+_AB_SQL = """
+WITH assign AS (
+  SELECT DISTINCT user_id, (user_id % 2 = 0) AS treated FROM events
+),
+converted AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= 150
+),
+arms AS (
+  SELECT a.treated,
+         COUNT(*) AS n_users,
+         SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+  FROM assign a LEFT JOIN converted c ON c.user_id = a.user_id
+  GROUP BY a.treated
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated THEN n_users END) AS n1,
+    MAX(CASE WHEN treated THEN n_conv END) AS x1,
+    MAX(CASE WHEN NOT treated THEN n_users END) AS n2,
+    MAX(CASE WHEN NOT treated THEN n_conv END) AS x2
+  FROM arms
+)
+SELECT n1, x1, n2, x2,
+       CAST(ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS DOUBLE) AS p1_r,
+       CAST(ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS DOUBLE) AS p2_r,
+       CAST(ROUND(
+         (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1.0 / n1 + 1.0 / n2)), 6) AS DOUBLE) AS z_r
+FROM wide
+"""
+
+
+@register("events_ab_conversion_ztest", sql=_AB_SQL)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between hash-assigned
+    arms (user_id parity — the deterministic assignment an experiment
+    platform uses); conversion = any high-value purchase (≥150 — plain
+    'any purchase' is degenerate on this corpus: every user converts and
+    the pooled variance is zero). Counts are exact; the z statistic is ONE double
+    formula over four integers, written with identical operation order in
+    both engines. The per-user collapse is the only corpus-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("treated")
+    ).distinct()
+    converted = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+        )
+        .select("user_id").distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    arms = (
+        assign.join(converted, "user_id", "left")
+        .groupBy("treated")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0))).alias("n_conv"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("treated"), F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("treated"), F.col("n_conv"))).alias("x1"),
+        F.max(F.when(~F.col("treated"), F.col("n_users"))).alias("n2"),
+        F.max(F.when(~F.col("treated"), F.col("n_conv"))).alias("x2"),
+    )
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    p1 = x1.cast("double") / n1
+    p2 = x2.cast("double") / n2
+    pool = (x1 + x2).cast("double") / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return wide.select(
+        "n1", "x1", "n2", "x2",
+        F.round(p1, 6).alias("p1_r"),
+        F.round(p2, 6).alias("p2_r"),
+        F.round(z, 6).alias("z_r"),
+    )
+
+
+# --- PK uniqueness audit -----------------------------------------------------
+
+_UNIQ_SQL = """
+SELECT 'customer.c_custkey' AS pk, COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_custkey) AS n_distinct,
+       (COUNT(*) = COUNT(DISTINCT c_custkey)) AS is_unique
+FROM customer
+UNION ALL
+SELECT 'orders.o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey),
+       COUNT(*) = COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'part.p_partkey', COUNT(*), COUNT(DISTINCT p_partkey),
+       COUNT(*) = COUNT(DISTINCT p_partkey)
+FROM part
+UNION ALL
+SELECT 'lineitem.(orderkey,linenumber,partkey,suppkey)', COUNT(*),
+       COUNT(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey)),
+       COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey))
+FROM lineitem
+"""
+
+
+@register("dq_pk_uniqueness", sql=_UNIQ_SQL)
+def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit per table (row count vs distinct key
+    count) — with the RI audit, the two invariants every CDC-materialized
+    table must keep (a broken LWW merge shows up here first). Each leg is
+    one combinable aggregate; the compound lineitem key counts distinct
+    structs."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "part", "lineitem")
+
+    def leg(df, label, *cols):
+        key = F.struct(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+        ).select(
+            F.lit(label).alias("pk"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+        )
+
+    return (
+        leg(t["customer"], "customer.c_custkey", "c_custkey")
+        .unionByName(leg(t["orders"], "orders.o_orderkey", "o_orderkey"))
+        .unionByName(leg(t["part"], "part.p_partkey", "p_partkey"))
+        .unionByName(
+            leg(
+                t["lineitem"],
+                "lineitem.(orderkey,linenumber,partkey,suppkey)",
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            )
+        )
+    )
