@@ -164,3 +164,59 @@ def tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~purged)
     )
+
+
+# --- SCD Type-2 reconstruction: validity intervals from mutation history ----
+
+_SCD2_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, {_VALUE_LIST}
+  FROM events_stream
+),
+versions AS (
+  SELECT pk, op, writetime AS valid_from, {_VALUE_LIST},
+         LEAD(writetime) OVER (PARTITION BY pk
+             ORDER BY writetime, segment, position) AS valid_to
+  FROM deduped
+)
+SELECT pk, op, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current,
+       (op = 'DELETE') AS is_deleted,
+       {_VALUE_LIST}
+FROM versions
+"""
+
+
+@register("cdc_scd2_intervals", sql=_SCD2_SQL)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from the CDC stream: every deduped
+    mutation becomes a VERSION row with [valid_from, valid_to) — valid_to
+    = the next mutation's writetime via LEAD over the per-key mutation
+    order (same total order as LWW), null = the open current version,
+    DELETE versions mark the key dead for their interval. This is the
+    temporal-table materialization an as-of consumer joins against —
+    time travel without replaying events. One shuffle on pk; LEAD is a
+    bounded per-key window."""
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).select(
+        "pk", "op", "writetime", "segment", "position", *VALUE_COLS
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pk").orderBy("writetime", "segment", "position")
+    versions = ev.select(
+        "pk",
+        "op",
+        F.col("writetime").alias("valid_from"),
+        F.lead("writetime").over(w).alias("valid_to"),
+        *VALUE_COLS,
+    )
+    return versions.select(
+        "pk",
+        "op",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        (F.col("op") == "DELETE").alias("is_deleted"),
+        *VALUE_COLS,
+    )

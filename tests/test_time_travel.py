@@ -71,3 +71,33 @@ def test_snapshot_filter_pushed_to_scan(spark):
     assert "Filter" in p  # predicate present pre-shuffle
     # the dedup aggregate must see the filtered stream, not filter after it
     assert p.index("Filter") < p.index("Exchange")
+
+
+def test_scd2_current_versions_match_lww_state(spark):
+    """The SCD2 materialization's open (is_current) versions must be
+    exactly the last-write-wins converged state — two views of one
+    history."""
+    cur = {
+        r.pk: (r.op, r.c_name, r.c_acctbal)
+        for r in q("cdc_scd2_intervals", spark).collect()
+        if r.is_current
+    }
+    lww = {
+        r.pk: (r.op, r.c_name, r.c_acctbal)
+        for r in q("cdc_lww_state", spark).collect()
+    }
+    assert cur == lww
+
+
+def test_scd2_intervals_partition_key_timeline(spark):
+    """Per key: intervals are contiguous (valid_to == next valid_from),
+    non-overlapping, exactly one open version."""
+    by_pk: dict[int, list] = {}
+    for r in q("cdc_scd2_intervals", spark).collect():
+        by_pk.setdefault(r.pk, []).append(r)
+    for pk, rs in by_pk.items():
+        rs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in rs if r.valid_to is None]
+        assert len(opens) == 1, pk
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, pk
