@@ -23,6 +23,7 @@ from cdc_apache_cassandra_spark.sources.event_source import (
     events_cte,
     mutation_events,
 )
+from cdc_apache_cassandra_spark.sources.registry import load_table
 
 _CTE = events_cte()
 _VALUE_LIST = ", ".join(VALUE_COLS)
@@ -219,4 +220,91 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").isNull().alias("is_current"),
         (F.col("op") == "DELETE").alias("is_deleted"),
         *VALUE_COLS,
+    )
+
+
+# --- as-of version lookup against the SCD2 table ----------------------------
+
+#: probe offset (µs) after each key's INSERT: lands between the UPDATE
+#: (+5 s, keys %3) and the DELETE (+9 s, keys %7), so probes observe a
+#: mix of INSERT/UPDATE versions and never the post-delete state.
+_PROBE_OFFSET = 7_000_000
+
+_ASOF_LOOKUP_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, {_VALUE_LIST}
+  FROM events_stream
+),
+versions AS (
+  SELECT pk, op, writetime AS valid_from, {_VALUE_LIST},
+         LEAD(writetime) OVER (PARTITION BY pk
+             ORDER BY writetime, segment, position) AS valid_to
+  FROM deduped
+),
+probes AS (
+  SELECT c_custkey AS pk,
+         CAST({WRITETIME_BASE} + c_custkey * 1000000 + {_PROBE_OFFSET}
+              AS BIGINT) AS query_ts
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT p.pk, p.query_ts, v.op AS version_op, v.valid_from,
+       (v.op = 'DELETE') AS was_deleted, v.c_acctbal
+FROM probes p JOIN versions v
+  ON v.pk = p.pk
+ AND v.valid_from <= p.query_ts
+ AND (v.valid_to IS NULL OR p.query_ts < v.valid_to)
+"""
+
+
+@register("cdc_asof_version_lookup", sql=_ASOF_LOOKUP_SQL)
+def asof_version_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point lookup: (pk, ts) probes joined to the SCD2 version
+    whose [valid_from, valid_to) interval contains ts — at most one match
+    per probe because intervals partition each key's timeline (pinned by
+    test_scd2_intervals_partition_key_timeline). The join is equi on pk
+    with a range residual — Catalyst plans the pk hash join and filters
+    the interval in place; no interval index needed because versions per
+    key are few."""
+    from pyspark.sql import Window
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).select(
+        "pk", "op", "writetime", "segment", "position", *VALUE_COLS
+    )
+    w = Window.partitionBy("pk").orderBy("writetime", "segment", "position")
+    versions = ev.select(
+        "pk",
+        "op",
+        F.col("writetime").alias("valid_from"),
+        F.lead("writetime").over(w).alias("valid_to"),
+        "c_acctbal",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("pk"),
+        (
+            F.lit(WRITETIME_BASE)
+            + F.col("c_custkey") * 1_000_000
+            + _PROBE_OFFSET
+        ).cast("bigint").alias("query_ts"),
+    )
+    v = versions.withColumnRenamed("pk", "v_pk")
+    return (
+        probes.join(
+            v,
+            (F.col("v_pk") == F.col("pk"))
+            & (F.col("valid_from") <= F.col("query_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("query_ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "pk",
+            "query_ts",
+            F.col("op").alias("version_op"),
+            "valid_from",
+            (F.col("op") == "DELETE").alias("was_deleted"),
+            "c_acctbal",
+        )
     )
