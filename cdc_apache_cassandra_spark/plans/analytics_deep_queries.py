@@ -719,13 +719,20 @@ m AS (
 ),
 c AS (
   SELECT day, n,
-         SUM(CAST(n AS DOUBLE) - m.mu) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+         SUM(n) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         ROW_NUMBER() OVER (ORDER BY day) AS rk,
+         m.mu
   FROM daily CROSS JOIN m
+),
+s AS (
+  SELECT day, n,
+         CAST(cum_n AS DOUBLE) - CAST(rk AS DOUBLE) * mu AS cusum
+  FROM c
 )
-SELECT day, n, CAST(ROUND(cusum, 6) AS DOUBLE) AS cusum_r,
+SELECT day, n, CAST(ROUND(cusum, 6) + 0.0 AS DOUBLE) AS cusum_r,
        (abs(cusum) > {t}) AS is_shift
-FROM c
+FROM s
 """.format(t=_CUSUM_THRESH)
 
 
@@ -734,10 +741,12 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint screen on daily event volume: cumulative sum of
     deviations from the global mean; |CUSUM| exceeding the threshold
     flags a level shift. The corpus-sized work is one daily count
-    aggregate; the running sum orders only the day-grain relation. The
-    deviations are exact-count rationals accumulated in day order —
-    deterministic (a FIXED summation order, unlike a parallel float
-    sum)."""
+    aggregate; the running sum orders only the day-grain relation.
+    Accumulation is INTEGER (exact running count), and the deviation form
+    cusum_k = cum_n − k·mu is a single float expression per row — no
+    float accumulation at all, because engines disagree on windowed float
+    summation internals (DuckDB produced −0.0 where Spark produced +0.0
+    on the naive Σ(n−mu) form)."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
@@ -747,15 +756,24 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = daily.agg(
         (F.sum("n").cast("double") / F.count("*")).alias("mu")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = daily.crossJoin(F.broadcast(m)).withColumn(
-        "cusum", F.sum(F.col("n").cast("double") - F.col("mu")).over(w)
+    w_rows = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_rank = Window.orderBy("day")
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.sum("n").over(w_rows).alias("cum_n"),
+        F.row_number().over(w_rank).alias("rk"),
+        "mu",
     )
+    cusum = F.col("cum_n").cast("double") - F.col("rk").cast("double") * F.col("mu")
     return c.select(
         "day",
         "n",
-        F.round("cusum", 6).alias("cusum_r"),
-        (F.abs(F.col("cusum")) > _CUSUM_THRESH).alias("is_shift"),
+        # +0.0 folds IEEE −0.0 to +0.0: DuckDB's ROUND preserves the sign
+        # of a tiny negative (−0.0) where Spark's BigDecimal round gives
+        # +0.0 — the one place the engines' ROUNDs disagree
+        (F.round(cusum, 6) + F.lit(0.0)).alias("cusum_r"),
+        (F.abs(cusum) > _CUSUM_THRESH).alias("is_shift"),
     )
 
 

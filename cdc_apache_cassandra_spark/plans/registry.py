@@ -10,6 +10,12 @@ values. Determinism rules used throughout:
 - ratios: double division of deterministically-derived operands.
 - hashes: md5 only (both engines agree); never engine-native hash().
 - timestamps: session timezone pinned UTC (see session.tune).
+- NO windowed float accumulation (engines disagree on window-SUM
+  internals): accumulate integers/decimals exactly and derive the float
+  once per row instead.
+- values that can round to zero from below: add `+ 0.0` after ROUND —
+  DuckDB's ROUND preserves IEEE −0.0, Spark's BigDecimal round yields
+  +0.0, and the hash comparison sees two different doubles.
 """
 
 from __future__ import annotations
