@@ -158,6 +158,13 @@ class CdcEngine:
             )
         )
 
+    def scd2(self, events: DataFrame) -> DataFrame:
+        """SCD Type-2 temporal table: one version row per mutation with
+        [valid_from, valid_to) intervals; open version ≡ converged state."""
+        from cdc_apache_cassandra_spark.operators.lww import scd2_intervals
+
+        return scd2_intervals(self.dedup(events))
+
     # --- backfill -----------------------------------------------------------
 
     def backfill(

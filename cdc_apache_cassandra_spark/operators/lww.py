@@ -32,3 +32,25 @@ def last_write_wins(deduped: DataFrame, pk_cols: list[str] | None = None) -> Dat
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def scd2_intervals(
+    deduped: DataFrame, pk_cols: list[str] | None = None
+) -> DataFrame:
+    """SCD Type-2 view of a deduped mutation stream: every mutation
+    becomes a version row with [valid_from, valid_to) from LEAD over the
+    same (writetime, segment, position) total order LWW uses — so the
+    open version per key is exactly the LWW winner. Null valid_to = the
+    current version; DELETE versions mark the key dead for the interval.
+    One shuffle on the key; LEAD is a bounded per-key window."""
+    from pyspark.sql import Window
+
+    keys = pk_cols or ["pk"]
+    w = Window.partitionBy(*keys).orderBy("writetime", "segment", "position")
+    out = deduped.withColumn(
+        "valid_from", F.col("writetime")
+    ).withColumn("valid_to", F.lead("writetime").over(w))
+    return (
+        out.withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn("is_deleted", F.col("op") == "DELETE")
+    )

@@ -100,3 +100,16 @@ def test_snapshot_as_of_and_changes_consistency(spark, engine):
     assert Counter(map(tuple, folded.collect())) == Counter(
         map(tuple, s2.collect())
     )
+
+
+def test_scd2_facade_current_equals_converged(spark, engine):
+    from collections import Counter
+
+    scd2 = engine.scd2(mutation_events(spark, SF))
+    cur = scd2.filter("is_current").select("pk", "op", "writetime")
+    state = engine.converged_state(mutation_events(spark, SF)).select(
+        "pk", "op", "writetime"
+    )
+    assert Counter(map(tuple, cur.collect())) == Counter(
+        map(tuple, state.collect())
+    )

@@ -184,3 +184,39 @@ def test_chunkers_agree_on_arbitrary_text(spark, docs):
         )
     )
     assert got == want
+
+
+# --- SCD2 operator: temporal view consistent with LWW on any stream ---------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(streams)
+def test_scd2_consistent_with_lww_on_any_stream(spark, muts):
+    """For ANY mutation stream: the SCD2 open versions equal the LWW
+    winners, and each key's intervals are contiguous with exactly one
+    open version."""
+    from cdc_apache_cassandra_spark.operators.lww import scd2_intervals
+
+    df = spark.createDataFrame(rows(muts), SCHEMA)
+    deduped = dedup_mutations(df)
+    scd2 = scd2_intervals(deduped).collect()
+    lww = {
+        (r.pk): (r.op, r.writetime, r.segment, r.position)
+        for r in last_write_wins(dedup_mutations(df)).collect()
+    }
+    by_pk: dict[int, list] = {}
+    for r in scd2:
+        by_pk.setdefault(r.pk, []).append(r)
+    assert set(by_pk) == set(lww)
+    for pk, rs in by_pk.items():
+        opens = [r for r in rs if r.is_current]
+        assert len(opens) == 1
+        o = opens[0]
+        assert (o.op, o.writetime, o.segment, o.position) == lww[pk]
+        rs.sort(key=lambda r: (r.valid_from, r.segment, r.position))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
