@@ -688,3 +688,70 @@ def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", "category", "n_hits", (F.col("n_hits") >= 3).alias("flagged")
     )
+
+
+# --- language-ID evaluation: confusion counts + precision/recall ------------
+
+_EVAL_SQL = r"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS en_hits
+  FROM documents WHERE length(trim(text)) > 0
+),
+pred AS (
+  SELECT doc_id, (lang = 'en') AS is_en,
+         (CAST(en_hits AS DOUBLE) / n_tokens >= 0.1) AS pred_en
+  FROM feats
+),
+cm AS (
+  SELECT SUM(CASE WHEN is_en AND pred_en THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN NOT is_en AND pred_en THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN is_en AND NOT pred_en THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN NOT is_en AND NOT pred_en THEN 1 ELSE 0 END) AS tn
+  FROM pred
+)
+SELECT tp, fp, fn, tn,
+       CAST(ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS DOUBLE) AS precision_r,
+       CAST(ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS DOUBLE) AS recall_r,
+       CAST(ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS DOUBLE)
+         AS f1_r
+FROM cm
+"""
+
+
+@register("llm_langid_eval", sql=_EVAL_SQL)
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the stopword language-ID heuristic:
+    confusion counts against the gold lang label, plus precision / recall
+    / F1 as exact-count rationals (F1 in its 2TP/(2TP+FP+FN) closed form
+    — one division, no float chaining). The whole evaluation is one
+    conditional aggregate over the per-doc predictions; this is the
+    filter-quality report a pipeline publishes next to every heuristic
+    gate."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    pred = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            (F.col("lang") == "en").alias("is_en"),
+            (en_hits.cast("double") / n_tokens >= 0.1).alias("pred_en"),
+        )
+    )
+    cm = pred.agg(
+        F.sum(F.when(F.col("is_en") & F.col("pred_en"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_en") & F.col("pred_en"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_en") & ~F.col("pred_en"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("is_en") & ~F.col("pred_en"), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_r"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_r"),
+        F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6).alias("f1_r"),
+    )

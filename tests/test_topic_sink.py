@@ -134,3 +134,35 @@ def test_full_reference_dataflow_end_to_end(spark, tmp_path_factory):
     }
     w = {(r.pk, r.tombstone, r.c_acctbal) for r in want.collect()}
     assert g == w
+
+
+def test_commit_replay_is_idempotent(tmp_path):
+    """A replayed batch commit (restart after a successful commit, before
+    the engine recorded it) must publish nothing twice: the existing
+    manifest short-circuits and staged leftovers are discarded."""
+    import json
+    import os
+
+    from cdc_apache_cassandra_spark.sources.topic_sink import (
+        TopicStreamWriter,
+        _StagedFile,
+    )
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(os.path.join(topic, "_staging"))
+    w = TopicStreamWriter({"path": topic})
+
+    def stage(content):
+        p = os.path.join(topic, "_staging", f"{content}.jsonl")
+        with open(p, "w") as f:
+            f.write(json.dumps({"k": content}) + "\n")
+        return _StagedFile(p, 1)
+
+    w.commit([stage("a"), stage("b")], batchId=7)
+    files_after_first = sorted(os.listdir(topic))
+    # replay: same batch id, fresh staged files (the task re-ran)
+    w.commit([stage("a2")], batchId=7)
+    assert sorted(os.listdir(topic)) == files_after_first  # nothing new
+    assert os.listdir(os.path.join(topic, "_staging")) == []  # drained
+    with open(os.path.join(topic, "_manifest", "batch-0000000007.json")) as f:
+        assert json.load(f)["rows"] == 2  # original commit intact
