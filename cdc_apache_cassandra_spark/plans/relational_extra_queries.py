@@ -533,3 +533,47 @@ def udt_tuple_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority"))
         ).alias("udt_digest"),
     )
+
+
+# --- entity resolution: edit-distance fuzzy match ----------------------------
+
+_ER_MAX_DIST = 1
+
+_ER_SQL = f"""
+WITH s AS (SELECT s_suppkey, s_name, length(s_name) AS n FROM supplier)
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM s a JOIN s b
+  ON a.n = b.n AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= {_ER_MAX_DIST}
+"""
+
+
+@register("er_supplier_fuzzy_match", sql=_ER_SQL)
+def er_supplier_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: supplier-name pairs within
+    Levenshtein {d} (typo-level variants), blocked on name length (an
+    edit-distance-1 pair differs by ≤1 in length; equality blocking is
+    exact here because the corpus names are fixed-width). Levenshtein is
+    an exact integer in both engines. At 100 TB the block key becomes
+    q-gram signatures (length alone doesn't bound block size on natural
+    names) — same join, finer key."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.length("s_name").alias("n")
+    )
+    a = s.select(
+        F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("name_a"),
+        "n",
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("name_b"),
+        "n",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "n")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .filter(dist <= _ER_MAX_DIST)
+        .select("supp_a", "supp_b", "name_a", "name_b", dist.alias("edit_dist"))
+    )
