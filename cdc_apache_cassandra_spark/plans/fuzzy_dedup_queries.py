@@ -530,3 +530,107 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") <= F.col("n_b")).alias("a_is_smaller"),
         )
     )
+
+
+# --- LSH recall evaluation vs exhaustive ground truth -----------------------
+
+_EVAL_MAX_DOC = 200  # exhaustive pairwise ground truth on doc_id < N
+
+_LSH_EVAL_SQL = f"""
+WITH {_MINHASH_CTES},
+lsh_pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= {_JACCARD_MIN}
+    AND doc_a < {_EVAL_MAX_DOC} AND doc_b < {_EVAL_MAX_DOC}
+),
+sample AS (SELECT * FROM sh WHERE doc_id < {_EVAL_MAX_DOC}),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= {_JACCARD_MIN}
+),
+cm AS (
+  SELECT
+    (SELECT COUNT(*) FROM truth t
+      WHERE EXISTS (SELECT 1 FROM lsh_pairs l
+                    WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b)) AS tp,
+    (SELECT COUNT(*) FROM lsh_pairs l
+      WHERE NOT EXISTS (SELECT 1 FROM truth t
+                        WHERE t.doc_a = l.doc_a AND t.doc_b = l.doc_b)) AS fp,
+    (SELECT COUNT(*) FROM truth t
+      WHERE NOT EXISTS (SELECT 1 FROM lsh_pairs l
+                        WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b)) AS fn
+)
+SELECT tp, fp, fn,
+       CAST(ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS DOUBLE) AS recall_r
+FROM cm
+"""
+
+
+@register("llm_lsh_recall_eval", sql=_LSH_EVAL_SQL)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit: MinHash-LSH's verified pairs vs the EXHAUSTIVE
+    pairwise-Jaccard ground truth on a bounded doc sample — the recall
+    measurement that justifies the banding parameters (b×r trades recall
+    for candidate volume). FP should be 0 (pairs are exact-verified);
+    FN counts truths whose bands never collided. Ground truth is O(k²)
+    on the SAMPLE only — the audit pattern that scales (sample the
+    ground truth, never the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+    )
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
+    ).persist()
+    cand = minhash_lsh_candidates(
+        sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    lsh_pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(jac >= _JACCARD_MIN)
+        .filter(
+            (F.col("doc_a") < _EVAL_MAX_DOC) & (F.col("doc_b") < _EVAL_MAX_DOC)
+        )
+        .select("doc_a", "doc_b")
+    )
+    lsh_pairs.persist()  # three confusion counts reuse it
+    sample = sh.filter(F.col("doc_id") < _EVAL_MAX_DOC)
+    a = sample.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sample.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    truth.persist()
+    tp = truth.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi").count()
+    fp = lsh_pairs.join(truth, ["doc_a", "doc_b"], "left_anti").count()
+    fn = truth.join(lsh_pairs, ["doc_a", "doc_b"], "left_anti").count()
+    recall = round(tp / (tp + fn), 6) if (tp + fn) else None
+    return spark.createDataFrame(
+        [(tp, fp, fn, recall)], "tp long, fp long, fn long, recall_r double"
+    )
