@@ -1031,3 +1031,48 @@ def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- day-of-week seasonality profile ----------------------------------------
+
+_DOW_SQL = """
+WITH d AS (
+  SELECT dayofweek(ts) AS dow, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+  FROM events GROUP BY dayofweek(ts)
+),
+t AS (SELECT SUM(n) AS total FROM d)
+SELECT d.dow, d.n, d.n_purch,
+       CAST(ROUND(CAST(d.n AS DOUBLE) / t.total, 6) AS DOUBLE) AS share_r,
+       CAST(ROUND(CAST(d.n_purch AS DOUBLE) / d.n, 6) AS DOUBLE)
+         AS purchase_rate_r
+FROM d CROSS JOIN t
+"""
+
+
+@register("events_dow_seasonality", sql=_DOW_SQL)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: traffic share and purchase rate per
+    weekday — the seasonal profile that feeds anomaly baselines and
+    capacity planning. One conditional aggregate over events (7 groups);
+    shares are exact-count rationals. DuckDB's dayofweek is 0=Sunday and
+    Spark's is 1=Sunday — normalized to DuckDB's numbering."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday
+    dow = (F.dayofweek("ts") - 1).alias("dow")
+    d = ev.select(dow, "event_type").groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+    )
+    t = d.agg(F.sum("n").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n",
+        "n_purch",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share_r"),
+        F.round(F.col("n_purch").cast("double") / F.col("n"), 6).alias(
+            "purchase_rate_r"
+        ),
+    )
