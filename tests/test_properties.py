@@ -22,15 +22,36 @@ SCHEMA = (
 
 #: (op, pk, writetime, segment, position) — digest derived, like the md5
 #: over the mutation identity.
-mutation = st.tuples(
-    st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+#: physical identity of a mutation: (pk, writetime, segment, position).
+#: UNIQUE like the commitlog guarantees — (segment, position) is a byte
+#: address, so two distinct mutations can never share the full tuple.
+#: Without this invariant the canonical (writetime, segment, position)
+#: ordering is not total and LWW/SCD2 tie-break nondeterministically
+#: (hypothesis found exactly that with an op-only-differing pair).
+_mutation_key = st.tuples(
     st.integers(0, 3),
     st.integers(0, 8),
     st.integers(0, 2),
     st.integers(0, 4),
 )
 
-streams = st.lists(mutation, min_size=1, max_size=12, unique=True)
+
+@st.composite
+def _streams(draw):
+    keys = draw(
+        st.lists(_mutation_key, min_size=1, max_size=12, unique=True)
+    )
+    ops = draw(
+        st.lists(
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            min_size=len(keys),
+            max_size=len(keys),
+        )
+    )
+    return [(op, pk, wt, seg, pos) for op, (pk, wt, seg, pos) in zip(ops, keys)]
+
+
+streams = _streams()
 
 
 def rows(muts, node_id=0):
