@@ -1076,3 +1076,54 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate_r"
         ),
     )
+
+
+# --- month-over-month revenue growth -----------------------------------------
+
+_MOM_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+),
+seq AS (
+  SELECT month, revenue,
+         LAG(revenue) OVER (ORDER BY month) AS prev_rev
+  FROM monthly
+)
+SELECT month, CAST(revenue AS DOUBLE) AS revenue_d,
+       CAST(ROUND(CASE WHEN prev_rev IS NULL THEN NULL
+            ELSE CAST(revenue - prev_rev AS DOUBLE)
+                 / CAST(prev_rev AS DOUBLE) END, 6) AS DOUBLE) AS mom_growth_r
+FROM seq
+"""
+
+
+@register("orders_monthly_growth", sql=_MOM_SQL)
+def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: exact decimal monthly sums, LAG
+    over the month-grain relation, growth = exact decimal difference over
+    the exact prior month (ONE double division — no float chaining).
+    First month's growth is null by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("month")
+        .agg(F.sum("p").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    seq = monthly.withColumn("prev_rev", F.lag("revenue").over(w))
+    growth = F.when(
+        F.col("prev_rev").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("revenue") - F.col("prev_rev")).cast("double")
+        / F.col("prev_rev").cast("double")
+    )
+    return seq.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue_d"),
+        F.round(growth, 6).alias("mom_growth_r"),
+    )

@@ -755,3 +755,78 @@ def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp.cast("double") / (tp + fn), 6).alias("recall_r"),
         F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6).alias("f1_r"),
     )
+
+
+# --- vocabulary growth curve (Heaps' law) -----------------------------------
+
+_VOCAB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+first_occ AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tf GROUP BY token
+),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS new_tokens
+  FROM first_occ GROUP BY first_doc
+),
+per_doc AS (
+  SELECT t.doc_id, SUM(t.tf) AS n_tokens,
+         COALESCE(MAX(n.new_tokens), 0) AS new_tokens
+  FROM tf t LEFT JOIN new_per_doc n ON n.doc_id = t.doc_id
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       SUM(new_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+FROM per_doc
+"""
+
+
+@register("llm_vocab_growth", sql=_VOCAB_SQL)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law observable): cumulative token
+    count vs cumulative DISTINCT vocabulary in doc_id ingestion order.
+    The trick that distributes: a token contributes to the vocabulary at
+    its MIN(doc_id) first occurrence — one aggregate — so the curve is
+    two INTEGER running sums over the doc-grain relation, never a
+    cumulative set union. The curve's flattening is the diminishing-
+    returns signal corpus collectors act on."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf.persist()  # feeds first-occurrence AND per-doc totals
+    first_occ = tf.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first_occ.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").alias("new_tokens"))
+    per_doc = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"))
+        .join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("new_tokens"), F.lit(0)).alias("new_tokens"),
+        )
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return per_doc.select(
+        "doc_id",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_tokens").over(w).alias("cum_vocab"),
+    )
