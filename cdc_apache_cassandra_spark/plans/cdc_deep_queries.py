@@ -411,3 +411,54 @@ def cdc_replication_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(lat).cast("double") / F.count("*")).alias("avg_latency_us"),
         F.max(lat).alias("max_latency_us"),
     )
+
+
+# --- compound change feed ----------------------------------------------------
+
+_COMPOUND_FROM = 1_600_000_000_000_000 + 500_000_000
+_COMPOUND_TO = 1_600_000_000_000_000 + 1_500_000_000
+
+_COMPOUND_CHANGES_SQL = f"""
+WITH {_CTE},
+win AS (
+  SELECT * FROM compound_events
+  WHERE writetime > {_COMPOUND_FROM} AND writetime <= {_COMPOUND_TO}
+),
+deduped AS (
+  SELECT DISTINCT pk_p, pk_c, ptype, op, writetime,
+         s_mktsegment, v_totalprice, v_orderstatus
+  FROM win
+)
+SELECT pk_p, pk_c, ptype, op, writetime,
+       (pk_c IS NULL) AS is_partition_event,
+       (op = 'DELETE') AS is_tombstone,
+       s_mktsegment, v_totalprice, v_orderstatus
+FROM deduped
+"""
+
+
+@register("cdc_compound_changes_between", sql=_COMPOUND_CHANGES_SQL)
+def cdc_compound_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-PK change feed for a writetime window: every distinct
+    mutation — row-level AND partition-level (null clustering key) AND
+    static-only — with its classifier columns, so an incremental consumer
+    can apply partition-delete dominance itself. The single-PK variant is
+    cdc_changes_between; together they cover the reference's full event
+    taxonomy as a feed."""
+    ev = compound_events(spark, sf_dir).filter(
+        (F.col("writetime") > _COMPOUND_FROM)
+        & (F.col("writetime") <= _COMPOUND_TO)
+    )
+    deduped = ev.dropDuplicates(["digest"]).drop("node_id", "digest")
+    return deduped.select(
+        "pk_p",
+        "pk_c",
+        "ptype",
+        "op",
+        "writetime",
+        F.col("pk_c").isNull().alias("is_partition_event"),
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        "s_mktsegment",
+        "v_totalprice",
+        "v_orderstatus",
+    )

@@ -830,3 +830,48 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         F.sum("new_tokens").over(w).alias("cum_vocab"),
     )
+
+
+# --- Zipf rank-frequency profile --------------------------------------------
+
+_ZIPF_TOPK = 50
+
+_ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+SELECT token, n, rk, rk * n AS rank_freq_product
+FROM (
+  SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+  FROM freq
+) WHERE rk <= {_ZIPF_TOPK}
+"""
+
+
+@register("llm_zipf_profile", sql=_ZIPF_SQL)
+def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: top-{k} tokens with rank·frequency —
+    near-constant under Zipf's law, so drift in this product is the
+    cheapest corpus-composition change detector (a crawl gone wrong bends
+    the head of the curve first). One corpus-sized hash aggregate; the
+    rank window runs on the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ZIPF_TOPK)
+        .select(
+            "token", "n", "rk", (F.col("rk") * F.col("n")).alias("rank_freq_product")
+        )
+    )
