@@ -1127,3 +1127,52 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue_d"),
         F.round(growth, 6).alias("mom_growth_r"),
     )
+
+
+# --- inter-arrival gap statistics per event type -----------------------------
+
+_GAP_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       MIN(gap_s) AS min_gap_s,
+       CAST(ROUND(quantile_cont(CAST(gap_s AS DOUBLE), 0.5), 4) AS DOUBLE)
+         AS median_gap_s,
+       CAST(ROUND(quantile_cont(CAST(gap_s AS DOUBLE), 0.9), 4) AS DOUBLE)
+         AS p90_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM seq WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("events_interarrival_gaps", sql=_GAP_SQL)
+def interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (per-user LAG, then
+    exact percentiles of the integer-second gaps) — the statistic that
+    calibrates session-gap thresholds and watermark delays (p90 gap ≈
+    the smallest safe session timeout). One shuffle on (user, type) for
+    the lag; percentiles aggregate the gap relation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    seq = ev.select("event_type", gap.alias("gap_s"))
+    g = F.col("gap_s").cast("double")
+    return (
+        seq.filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.round(F.percentile(g, 0.5), 4).alias("median_gap_s"),
+            F.round(F.percentile(g, 0.9), 4).alias("p90_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
