@@ -383,3 +383,53 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cs, 6).alias("cos_sim_r"),
         )
     )
+
+
+# --- embedding normalization audit ------------------------------------------
+
+_NORM_TOL = 1e-5
+
+_NORM_AUDIT_SQL = f"""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vecs,
+       COUNT(DISTINCT dim) AS n_distinct_dims,
+       SUM(CASE WHEN abs(nrm - 1.0) > {_NORM_TOL} THEN 1 ELSE 0 END)
+         AS n_unnormalized,
+       CAST(ROUND(MIN(nrm), 9) AS DOUBLE) AS min_norm_r,
+       CAST(ROUND(MAX(nrm), 9) AS DOUBLE) AS max_norm_r
+FROM n
+"""
+
+
+@register("dq_embedding_norm_audit", sql=_NORM_AUDIT_SQL)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table DQ gate: every vector must be L2-normalized (the
+    cosine pipelines assume it) and share one dimensionality — corrupt or
+    truncated vectors show up as norm/dim violations before they poison
+    similarity scores. One pass, sequential-fold norms (bit-identical in
+    the oracle), count-only output."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec(F.col("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = e.select(nrm.alias("nrm"), F.size("embedding").alias("dim"))
+    return n.agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("dim").alias("n_distinct_dims"),
+        F.sum(
+            F.when(F.abs(F.col("nrm") - 1.0) > _NORM_TOL, 1).otherwise(0)
+        ).alias("n_unnormalized"),
+        F.round(F.min("nrm"), 9).alias("min_norm_r"),
+        F.round(F.max("nrm"), 9).alias("max_norm_r"),
+    )
