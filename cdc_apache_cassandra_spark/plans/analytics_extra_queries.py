@@ -1,0 +1,284 @@
+"""Analytics surface extensions: distribution-rank windows
+(percent_rank / cume_dist), event-time RANGE frames, iterative
+integer-arithmetic PageRank, and anchor-hyperplane SRP-LSH ANN.
+
+Determinism regime (see registry.py): decimal accumulation for money,
+integer arithmetic for iterative scores (float PageRank would drift with
+summation order at scale), sequential-fold dot products for vectors.
+
+Scale notes (100 TB):
+- rank windows shuffle once on the partition key; frame evaluation is a
+  single ordered pass per partition (no self-join).
+- RANGE frames replace the classic "self-join on date BETWEEN" pattern —
+  O(n log n) per key instead of O(n²) pairs.
+- PageRank is the canonical iterative join/agg: edges stay partitioned by
+  src across iterations (one shuffle per iteration for the dst-side agg);
+  lineage is cut with localCheckpoint per the iterative-loop invariant
+  (NOTES_BUILD.md) so the plan stays O(1) per iteration.
+- SRP-LSH turns ANN candidate generation into an equi-join on an 8-bit
+  signature — 2^8 buckets bound each block; anchors are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.vectors import as_double_vec, cosine, dot
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+
+def _dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+# --- percent_rank / cume_dist over per-customer spend -----------------------
+
+_PCTRANK_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(spend AS DOUBLE) AS spend_d,
+       CAST(ROUND(PERCENT_RANK() OVER (
+           PARTITION BY c_mktsegment ORDER BY spend), 6) AS DOUBLE) AS pct_rank_r,
+       CAST(ROUND(CUME_DIST() OVER (
+           PARTITION BY c_mktsegment ORDER BY spend), 6) AS DOUBLE) AS cume_dist_r
+FROM spend
+"""
+
+
+@register("window_percentile_rank_spend", sql=_PCTRANK_SQL)
+def window_percentile_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank analytics (PERCENT_RANK + CUME_DIST) over exact
+    decimal customer spend, partitioned by market segment. Rank functions
+    depend only on the ORDER BY key, and ties on an exact decimal compare
+    identically in any engine — no float-order hazard. One shuffle on the
+    segment key; the rank pass is a single partition-local sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("spend").cast("double").alias("spend_d"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_r"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist_r"),
+    )
+
+
+# --- event-time RANGE frame: trailing 90-day spend --------------------------
+
+_RANGE_90D_S = 90 * 86400
+
+_RANGE_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_part('epoch', o_orderdate)
+           RANGE BETWEEN {_RANGE_90D_S} PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS spend_90d
+FROM orders
+"""
+
+
+@register("window_range_90d_spend", sql=_RANGE_SQL)
+def window_range_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day customer spend with a value-RANGE frame over epoch
+    seconds — the scalable replacement for the 'self-join on o_orderdate
+    BETWEEN x - 90d AND x' anti-pattern (O(n log n) ordered pass per key
+    vs O(n²) pairs). RANGE includes all peers at equal keys, so same-day
+    orders agree in both engines regardless of intra-key order; the frame
+    sum is exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-_RANGE_90D_S, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_90d"),
+    )
+
+
+# --- iterative integer PageRank over the co-purchase graph ------------------
+
+_PR_MIN_PAIR = 2  # same edge definition as graph_copurchase_triangles
+_PR_INIT = 1_000_000  # rank scale: 1.0 == 1e6
+_PR_ITERS = 3
+
+# One iteration in SQL: r' = 0.15e6 + 0.85 * sum(r(u) // deg(u)), all in
+# BIGINT floor division (values positive => DuckDB `//` == Spark DIV).
+_PR_SQL = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_PR_MIN_PAIR}
+),
+edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT node, deg, {_PR_INIT}::BIGINT AS pr FROM deg),
+r1 AS (
+  SELECT d.node, d.deg,
+         CAST(150000 + (85 * CAST(SUM(r.pr // r.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
+  FROM edges e JOIN r0 r ON r.node = e.u JOIN deg d ON d.node = e.v
+  GROUP BY d.node, d.deg
+),
+r2 AS (
+  SELECT d.node, d.deg,
+         CAST(150000 + (85 * CAST(SUM(r.pr // r.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
+  FROM edges e JOIN r1 r ON r.node = e.u JOIN deg d ON d.node = e.v
+  GROUP BY d.node, d.deg
+),
+r3 AS (
+  SELECT d.node, d.deg,
+         CAST(150000 + (85 * CAST(SUM(r.pr // r.deg) AS BIGINT)) // 100 AS BIGINT) AS pr
+  FROM edges e JOIN r2 r ON r.node = e.u JOIN deg d ON d.node = e.v
+  GROUP BY d.node, d.deg
+)
+SELECT node AS part_id, deg, pr AS rank_scaled FROM r3
+"""
+
+
+@register("graph_pagerank_parts", sql=_PR_SQL)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({it} iterations, damping 0.85) on the co-purchase graph in
+    scaled-integer arithmetic: rank 1.0 == 1e6, per-edge contribution is
+    BIGINT floor division — bit-exact under any summation order, unlike
+    float PageRank whose shuffle-order drift breaks cross-engine hashes.
+    Iterative join/agg shape: edges reused every round (persisted),
+    lineage cut per round with localCheckpoint so the logical plan stays
+    O(1); one dst-side shuffle per iteration. Undirected graph => no
+    dangling nodes, every node re-scores each round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _PR_MIN_PAIR)
+        .select("u", "v")
+    )
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    ranks = deg.withColumn("pr", F.lit(_PR_INIT).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select("node", "deg", "pr"),
+                edges.u == F.col("node"),
+            )
+            .select(F.col("v").alias("node"), F.expr("pr DIV deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, "node")
+            .select(
+                "node",
+                "deg",
+                (F.lit(150000) + F.expr("(85 * s) DIV 100")).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"), "deg", F.col("pr").alias("rank_scaled")
+    )
+
+
+graph_pagerank_parts.__doc__ = graph_pagerank_parts.__doc__.format(it=_PR_ITERS)
+
+
+# --- SRP-LSH ANN: anchor-hyperplane signatures ------------------------------
+
+_SRP_ANCHORS = 8  # vec_id < 8 serve as hyperplanes => 2^8 buckets
+_SRP_COS_MIN = 0.35
+
+_SRP_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+anchors AS (SELECT vec_id AS aid, v AS av FROM n WHERE vec_id < {_SRP_ANCHORS}),
+sig AS (
+  SELECT n.vec_id, n.v,
+         CAST(SUM(CASE WHEN list_dot_product(n.v, a.av) >= 0
+                  THEN (1::BIGINT << CAST(a.aid AS INT)) ELSE 0::BIGINT END)
+              AS BIGINT) AS bucket
+  FROM n CROSS JOIN anchors a
+  GROUP BY n.vec_id, n.v
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
+       CAST(ROUND(list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+            AS DOUBLE) AS cos_sim_r
+FROM sig a JOIN sig c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+      >= {_SRP_COS_MIN}
+"""
+
+
+@register("llm_ann_srp_anchor_lsh", sql=_SRP_SQL)
+def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH with real hyperplanes: bit i is the
+    sign of the dot product against anchor vector i (first {a} corpus
+    vectors; production swaps in seeded Gaussian planes through the same
+    operator). Complements the axis-sign bucketing of
+    llm_dedup_embedding_cosine — anchor planes adapt to the data's
+    orientation, so collisions track cosine similarity more tightly.
+    Anchors broadcast (tiny cross join), signature is a map-side agg;
+    the only shuffle is the 2^{a}-bucket equi-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    anchors = F.broadcast(
+        n.filter(F.col("vec_id") < _SRP_ANCHORS).select(
+            F.col("vec_id").alias("aid"), F.col("v").alias("av")
+        )
+    )
+    sig = (
+        n.crossJoin(anchors)
+        .select(
+            "vec_id",
+            "v",
+            F.when(
+                dot(F.col("v"), F.col("av")) >= 0,
+                F.expr("CAST(shiftleft(1L, CAST(aid AS INT)) AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "v")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    c = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cs >= _SRP_COS_MIN)
+        .select("vec_a", "vec_b", "bucket", F.round(cs, 6).alias("cos_sim_r"))
+    )
+
+
+ann_srp_anchor_lsh.__doc__ = ann_srp_anchor_lsh.__doc__.format(a=_SRP_ANCHORS)
