@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.operators.text_dedup import tokens_expr, word_shingles
 from cdc_apache_cassandra_spark.operators.vectors import as_double_vec, cosine, dot
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
@@ -282,3 +283,123 @@ def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_srp_anchor_lsh.__doc__ = ann_srp_anchor_lsh.__doc__.format(a=_SRP_ANCHORS)
+
+
+# --- FIRST_VALUE / LAST_VALUE / NTH_VALUE over order history ----------------
+
+_FLN_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         FIRST_VALUE(o_totalprice) OVER w AS first_price,
+         LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_price,
+         NTH_VALUE(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, n_orders, first_price, last_price, second_price
+FROM seq WHERE rn = 1
+"""
+
+
+@register("window_first_last_orders", sql=_FLN_SQL)
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window functions (FIRST_VALUE / LAST_VALUE / NTH_VALUE
+    over the full-partition ROWS frame) on each customer's order history,
+    collapsed to one row per customer via rn=1. Ordering key
+    (o_orderdate, o_orderkey) is unique, so positional picks are
+    deterministic; values pass through untouched (no float arithmetic).
+    All five window expressions share one (partition, sort) pass."""
+    o = load_table(spark, sf_dir, "orders")
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seq = o.select(
+        "o_custkey",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        F.first("o_totalprice").over(ws).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+    return seq.filter(F.col("rn") == 1).select(
+        "o_custkey", "n_orders", "first_price", "last_price", "second_price"
+    )
+
+
+# --- bigram novelty: corpus-rare n-gram share per document ------------------
+
+_NOVEL_DF_MAX = 1  # gram is "rare" when it appears in <= this many docs
+
+_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens)),
+             i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS grams
+  FROM toks WHERE len(tokens) >= 2
+),
+posting AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+df AS (SELECT gram, COUNT(*) AS n_docs FROM posting GROUP BY gram),
+per_doc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN df.n_docs <= {_NOVEL_DF_MAX} THEN 1 ELSE 0 END) AS n_rare
+  FROM posting p JOIN df ON df.gram = p.gram
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_grams, n_rare,
+       CAST(ROUND(CAST(n_rare AS DOUBLE) / n_grams, 6) AS DOUBLE) AS novelty_r
+FROM per_doc
+"""
+
+
+@register("llm_bigram_novelty", sql=_NOVELTY_SQL)
+def llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of the doc's distinct word bigrams that
+    are corpus-unique (document frequency <= {m}) — high novelty flags
+    fresh/noisy text, low novelty flags boilerplate; the complement of a
+    decontamination screen. Same inverted-index shape as the n-gram
+    Jaccard dedup: explode grams once, one DF aggregation (map-side
+    partial), one posting->df equi-join on the high-cardinality gram key —
+    no doc x doc work anywhere, so it scales with total gram count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+    )
+    posting = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("tokens"), 2)).alias("gram")
+    ).persist()
+    dfreq = posting.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        posting.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") <= _NOVEL_DF_MAX, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_rare",
+        F.round(F.col("n_rare").cast("double") / F.col("n_grams"), 6).alias(
+            "novelty_r"
+        ),
+    )
+
+
+llm_bigram_novelty.__doc__ = llm_bigram_novelty.__doc__.format(m=_NOVEL_DF_MAX)
