@@ -403,3 +403,143 @@ def llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_bigram_novelty.__doc__ = llm_bigram_novelty.__doc__.format(m=_NOVEL_DF_MAX)
+
+
+# --- OLS regression from exact component sums -------------------------------
+
+_OLS_SQL = """
+WITH comp AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+fit AS (
+  SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM comp
+)
+SELECT l_returnflag, n,
+       CAST(ROUND(slope, 6) AS DOUBLE) AS slope_r,
+       CAST(ROUND((sy - slope * sx) / n, 6) AS DOUBLE) AS intercept_r,
+       CAST(ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS DOUBLE) AS r2_r
+FROM fit
+"""
+
+
+@register("stats_ols_price_on_quantity", sql=_OLS_SQL)
+def stats_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (extendedprice ~ quantity): slope, intercept, R²
+    derived from EXACT decimal component sums in one map-side-combinable
+    aggregate, then double formulas written in identical operation order
+    in both engines — the same bit-reproducibility regime as
+    stats_corr_price_discount (built-in regr_slope streams doubles and is
+    partition-order-dependent in the last bits). G formula rows; the only
+    shuffle is the tiny group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    fit = comp.withColumn("slope", (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    slope = F.col("slope")
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope_r"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_r"),
+        F.round(r2, 6).alias("r2_r"),
+    )
+
+
+# --- session duration profile (composes gap sessionization) -----------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+_SESS_DUR_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) > {_SESS_GAP_US}
+              OR LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS dur_s
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CASE WHEN n_events >= 8 THEN 8 ELSE n_events END AS size_bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+       MAX(dur_s) AS max_dur_s,
+       CAST(ROUND(CAST(SUM(dur_s) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+         AS avg_dur_s_r
+FROM per_sess
+GROUP BY 1
+"""
+
+
+@register("events_session_duration_stats", sql=_SESS_DUR_SQL)
+def events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session duration profile bucketed by session size (events per
+    session, capped at 8+): composes the gap-sessionization operator with
+    integer-microsecond duration arithmetic — durations are exact BIGINTs,
+    the mean is one double division of exact operands. Two window passes
+    share the (user_id; ts, event_id) sort; the final rollup groups on a
+    9-value key (trivial shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > _SESS_GAP_US), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(new_session).over(wsum).alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("dur_s"),
+    )
+    bucket = F.when(F.col("n_events") >= 8, 8).otherwise(F.col("n_events"))
+    return (
+        per_sess.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+            F.max("dur_s").alias("max_dur_s"),
+            F.round(
+                F.sum("dur_s").cast("double") / F.count("*"), 4
+            ).alias("avg_dur_s_r"),
+        )
+    )
