@@ -543,3 +543,75 @@ def events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("avg_dur_s_r"),
         )
     )
+
+
+# --- FULL OUTER reconciliation: order days vs event days --------------------
+
+_FO_SQL = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.d, ed.d) AS d,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ed.n_events, 0) AS n_events,
+       (od.d IS NULL OR ed.d IS NULL) AS one_sided
+FROM od FULL OUTER JOIN ed ON ed.d = od.d
+"""
+
+
+@register("join_full_outer_daily_activity", sql=_FO_SQL)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-vs-event reconciliation via FULL OUTER join — the one
+    join type the rest of the surface doesn't exercise. Both sides
+    pre-aggregate to one row per day before joining (shuffle carries day
+    counts, not raw rows), the canonical pattern for reconciling two fact
+    streams at scale; COALESCE closes the null sides."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    od = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ed = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    j = od.join(ed, "d", "full_outer")
+    return j.select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.col("n_orders").isNull() | F.col("n_events").isNull()).alias("one_sided"),
+    )
+
+
+# --- HLL approximate distinct (sketch scale path; rows-only check) ----------
+
+
+@register("stats_approx_distinct_users", sql=None)
+def stats_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for COUNT(DISTINCT) at 100 TB: HyperLogLog++
+    `approx_count_distinct` per event type (mergeable partial aggregate —
+    one narrow shuffle of sketches, never a distinct-expand), reported
+    next to the exact distinct and the signed relative error. Sketch
+    estimates are engine-specific, so no cross-engine value oracle
+    (rows-only check): Spark's HLL++ and DuckDB's approx_count_distinct
+    disagree by design; the exact twin is what the relational surface
+    already covers under the gate (agg_distinct_customers_per_status)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    err = (F.col("approx_users") - F.col("exact_users")).cast("double") / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(err, 4).alias("rel_err_r"),
+    )
