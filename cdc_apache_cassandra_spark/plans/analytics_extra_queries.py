@@ -251,26 +251,23 @@ def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the 2^{a}-bucket equi-join."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    anchors = F.broadcast(
-        n.filter(F.col("vec_id") < _SRP_ANCHORS).select(
-            F.col("vec_id").alias("aid"), F.col("v").alias("av")
-        )
+    # anchors are tiny and fixed: pull them to the driver and inline as
+    # array literals, so the whole signature is a map-side projection (no
+    # cross join, no signature shuffle) — the explicit-literal analog of a
+    # broadcast. The only shuffle left is the bucket equi-join.
+    anchor_rows = (
+        n.filter(F.col("vec_id") < _SRP_ANCHORS)
+        .orderBy("vec_id")
+        .collect()
     )
-    sig = (
-        n.crossJoin(anchors)
-        .select(
-            "vec_id",
-            "v",
-            F.when(
-                dot(F.col("v"), F.col("av")) >= 0,
-                F.expr("CAST(shiftleft(1L, CAST(aid AS INT)) AS BIGINT)"),
-            )
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("bit"),
-        )
-        .groupBy("vec_id", "v")
-        .agg(F.sum("bit").alias("bucket"))
-    )
+    bucket = F.lit(0).cast("bigint")
+    for row in anchor_rows:
+        plane = F.array(*[F.lit(x) for x in row.v])
+        bucket = bucket + F.when(
+            dot(F.col("v"), plane) >= 0,
+            F.lit(1 << int(row.vec_id)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    sig = n.select("vec_id", "v", bucket.alias("bucket"))
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     c = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     cs = cosine(F.col("va"), F.col("vb"))
