@@ -23,3 +23,4 @@ from cdc_apache_cassandra_spark.plans import llm_text_stats_queries  # noqa: E40
 from cdc_apache_cassandra_spark.plans import cdc_time_travel_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import vector_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import analytics_extra_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import profile_queries  # noqa: E402,F401

@@ -311,3 +311,74 @@ def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(w)).alias("us_since_prev"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+# --- gaps & islands: consecutive-day activity streaks ----------------------
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grouped AS (
+  SELECT user_id, d,
+         datediff('day', DATE '1970-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS streak_len, MIN(d) AS start_day
+  FROM grouped GROUP BY user_id, grp
+),
+ranked AS (
+  SELECT user_id, streak_len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, start_day) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+         CAST(SUM(streak_len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days
+  FROM streaks
+)
+SELECT user_id, n_active_days, n_streaks,
+       streak_len AS longest_len, start_day AS longest_start
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("events_streak_islands", sql=_STREAK_SQL)
+def streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per user
+    via the classic (day-ordinal - row_number) grouping key — pure integer
+    date arithmetic, no session state. Two keyed shuffles on user_id that
+    AQE coalesces; nothing is driver-side, so it holds at any event count."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w_ord = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w_ord),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len"), F.min("d").alias("start_day")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("start_day")
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        streaks.select(
+            "user_id",
+            "streak_len",
+            "start_day",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count("*").over(w_all).cast("bigint").alias("n_streaks"),
+            F.sum("streak_len").over(w_all).cast("bigint").alias("n_active_days"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("streak_len").alias("longest_len"),
+            F.col("start_day").alias("longest_start"),
+        )
+    )

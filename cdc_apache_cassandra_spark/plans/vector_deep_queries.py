@@ -433,3 +433,253 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 9).alias("min_norm_r"),
         F.round(F.max("nrm"), 9).alias("max_norm_r"),
     )
+
+
+# --- scalar-quantized (int8) ANN -------------------------------------------
+
+_SQ8_TOPK = 5
+_SQ8_QUERY_STRIDE = 100
+
+_SQ8_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+),
+stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+),
+codes AS (
+  SELECT e.vec_id, e.pos,
+         LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+             CAST(FLOOR(((e.x - s.mn) * 255.0) / (s.mx - s.mn)) AS BIGINT))) AS code
+  FROM ex e JOIN stats s USING (pos)
+  WHERE s.mx > s.mn
+),
+qc AS (
+  SELECT vec_id AS qid, pos, code AS qcode FROM codes
+  WHERE vec_id % {_SQ8_QUERY_STRIDE} = 0
+),
+pairs AS (
+  SELECT qc.qid, c.vec_id AS nid, CAST(SUM(qc.qcode * c.code) AS BIGINT) AS score
+  FROM qc JOIN codes c USING (pos)
+  WHERE qc.qid != c.vec_id
+  GROUP BY qc.qid, c.vec_id
+),
+ranked AS (
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+  FROM pairs
+)
+SELECT qid, nid, rk, score FROM ranked WHERE rk <= {_SQ8_TOPK}
+"""
+
+
+@register("llm_ann_sq8_topk", sql=_SQ8_SQL)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN: per-dimension min/max learned from the
+    corpus (one tiny aggregate), every vector compressed to int8 codes
+    (4x smaller than f32 — at 100 TB that is the difference between
+    spilling and staying in memory), ranking by exact INTEGER code dot
+    products (order-independent, so the oracle agrees bit-for-bit).
+    Corpus streams through once with the quantizer and the query codes
+    broadcast; constant dimensions (mx == mn) are dropped on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("x"),
+        )
+    )
+    stats = (
+        ex.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .filter(F.col("mx") > F.col("mn"))
+    )
+    code = F.least(
+        F.lit(255).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor(
+                ((F.col("x") - F.col("mn")) * F.lit(255.0))
+                / (F.col("mx") - F.col("mn"))
+            ).cast("bigint"),
+        ),
+    )
+    codes = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", code.alias("code")
+    )
+    # reassemble ordered code vectors: broadcast-query x corpus single pass
+    arr = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "code"))).alias("pc"))
+        .select("vec_id", F.transform("pc", lambda s: s["code"]).alias("cvec"))
+    )
+    q = arr.filter(F.col("vec_id") % _SQ8_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("cvec").alias("qvec")
+    )
+    intdot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(arr.select(F.col("vec_id").alias("nid"), F.col("cvec").alias("nvec")))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", intdot.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SQ8_TOPK)
+        .select("qid", "nid", "rk", "score")
+    )
+
+
+# --- product-quantization ANN with asymmetric-distance lookup --------------
+
+_PQ_SUBDIMS = 8
+_PQ_STRIDE = 50
+_PQ_QSTRIDE = 100
+_PQ_TOPK = 5
+
+_PQ_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+),
+stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+),
+codes AS (
+  SELECT e.vec_id, e.pos,
+         CAST(FLOOR((e.pos - 1) / {_PQ_SUBDIMS}.0) AS BIGINT) AS sub,
+         CASE WHEN s.mx > s.mn THEN
+           LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+               CAST(FLOOR(((e.x - s.mn) * 255.0) / (s.mx - s.mn)) AS BIGINT)))
+         ELSE CAST(0 AS BIGINT) END AS code
+  FROM ex e JOIN stats s USING (pos)
+),
+cent AS (
+  SELECT vec_id AS cid, pos, sub, code AS ccode FROM codes
+  WHERE vec_id % {_PQ_STRIDE} = 0
+),
+cdist AS (
+  SELECT c.vec_id, ct.cid, c.sub,
+         CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d2
+  FROM codes c JOIN cent ct ON c.pos = ct.pos
+  GROUP BY c.vec_id, ct.cid, c.sub
+),
+assign AS (
+  SELECT vec_id, sub, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+  FROM cdist
+),
+amin AS (SELECT vec_id, sub, cid FROM assign WHERE rn = 1),
+qdist AS (
+  SELECT vec_id AS qid, cid, sub, d2 FROM cdist
+  WHERE vec_id % {_PQ_QSTRIDE} = 0
+),
+score AS (
+  SELECT q.qid, a.vec_id AS nid, CAST(SUM(q.d2) AS BIGINT) AS adc
+  FROM amin a JOIN qdist q ON q.cid = a.cid AND q.sub = a.sub
+  WHERE q.qid != a.vec_id
+  GROUP BY q.qid, a.vec_id
+),
+ranked AS (
+  SELECT qid, nid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+  FROM score
+)
+SELECT qid, nid, rk, adc FROM ranked WHERE rk <= {_PQ_TOPK}
+"""
+
+
+@register("llm_ann_pq_adc", sql=_PQ_SQL)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over int8 codes: 64 dims split into 8
+    subspaces, per-subspace codebook learned from strided corpus donors,
+    each vector encoded as 8 centroid ids (8 bytes — 32x smaller than
+    f32), queries ranked by asymmetric distance (query-to-centroid lookup
+    table summed across subspaces). EVERY distance is an integer sum of
+    squared int8-code deltas, so no float-order drift exists anywhere and
+    the oracle matches exactly. At 100 TB the amin table (vec_id, 8
+    codes) is the only thing scanned per query — the classic PQ memory
+    win; the ADC table is queries x centroids, broadcast-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("x"),
+        )
+    )
+    stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    sq8 = F.least(
+        F.lit(255).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor(
+                ((F.col("x") - F.col("mn")) * F.lit(255.0))
+                / (F.col("mx") - F.col("mn"))
+            ).cast("bigint"),
+        ),
+    )
+    # persisted: read thrice (centroid extraction, corpus side of cdist,
+    # and the broadcast build) — without it the explode+stats subtree
+    # re-runs per consumer.
+    codes = (
+        ex.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.floor((F.col("pos") - 1) / F.lit(float(_PQ_SUBDIMS)))
+            .cast("bigint")
+            .alias("sub"),
+            F.when(F.col("mx") > F.col("mn"), sq8)
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("code"),
+        )
+        .persist()
+    )
+    cent = codes.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        "pos",
+        F.col("sub").alias("csub"),
+        F.col("code").alias("ccode"),
+    )
+    delta2 = (F.col("code") - F.col("ccode")) * (F.col("code") - F.col("ccode"))
+    # cdist feeds BOTH sides of the ADC join (corpus assignment + query
+    # lookup table) — persist so the quantize+encode subtree runs once.
+    cdist = (
+        codes.join(F.broadcast(cent.drop("csub")), "pos")
+        .groupBy("vec_id", "cid", "sub")
+        .agg(F.sum(delta2).cast("bigint").alias("d2"))
+        .persist()
+    )
+    # argmin as an aggregate (min of (d2, cid) struct = lexicographic, so
+    # ties break on smallest cid exactly like the oracle's ROW_NUMBER) —
+    # map-side combinable, unlike a ranking window's full sort shuffle.
+    amin = (
+        cdist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "sub", F.col("m.cid").alias("cid"))
+    )
+    qdist = cdist.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("qid"), "cid", "sub", "d2"
+    )
+    score = (
+        amin.join(F.broadcast(qdist), ["cid", "sub"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("d2").cast("bigint").alias("adc"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy("adc", "nid")
+    return (
+        score.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid", "rk", "adc")
+    )

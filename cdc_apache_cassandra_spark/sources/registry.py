@@ -47,16 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-    default. Read nanos as long, then truncate to µs TimestampType —
-    byte-identical to DuckDB's ns->µs truncation."""
+    """Normalize events.ts to µs TimestampType whatever the parquet layout:
+    TIMESTAMP(NANOS) (older corpus generations; Spark rejects it unless
+    read as long, then integer-truncated ns->µs exactly like DuckDB) or
+    TIMESTAMP(MICROS)/NTZ (current generations; plain cast, values are
+    already wall-clock µs and the session timezone is pinned UTC)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div: no double rounding at ns magnitude
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer div: no double rounding at ns magnitude
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
