@@ -24,3 +24,4 @@ from cdc_apache_cassandra_spark.plans import cdc_time_travel_queries  # noqa: E4
 from cdc_apache_cassandra_spark.plans import vector_deep_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import analytics_extra_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import profile_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import function_gallery_queries  # noqa: E402,F401
