@@ -25,3 +25,4 @@ from cdc_apache_cassandra_spark.plans import vector_deep_queries  # noqa: E402,F
 from cdc_apache_cassandra_spark.plans import analytics_extra_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import profile_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import function_gallery_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import extra_surface_queries  # noqa: E402,F401

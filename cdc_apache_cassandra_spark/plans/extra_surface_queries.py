@@ -1,0 +1,238 @@
+"""Additional engine surface: bounded BFS traversal, median-absolute-
+deviation robust stats, and array/regexp function galleries.
+
+Determinism: BFS hops and MAD follow the established regimes (integer
+hops / interpolated exact percentiles that Spark `percentile` and DuckDB
+`quantile_cont` compute identically, ROUND as presentation). Regexp
+patterns are restricted to constructs RE2 (DuckDB) and Java regex agree
+on (character classes, anchors, +) — no backrefs/lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+# --- bounded BFS: hop distance from seed parts over co-purchase edges -------
+
+_BFS_MIN_PAIR = 2
+_BFS_SEED_SIZE = 50
+_BFS_HOPS = 3
+
+_BFS_EDGES_CTE = f"""
+baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+halfedges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_BFS_MIN_PAIR}
+),
+edges AS (
+  SELECT u, v FROM halfedges UNION ALL SELECT v, u FROM halfedges
+),
+seeds AS (
+  SELECT p_partkey AS node FROM part WHERE p_size = {_BFS_SEED_SIZE}
+),
+h0 AS (SELECT node, 0 AS hop FROM seeds),
+h1 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM h0
+    UNION ALL
+    SELECT e.v AS node, 1 AS hop FROM h0 JOIN edges e ON e.u = h0.node
+  ) GROUP BY node
+),
+h2 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM h1
+    UNION ALL
+    SELECT e.v AS node, h1.hop + 1 AS hop FROM h1 JOIN edges e ON e.u = h1.node
+  ) GROUP BY node
+),
+h3 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM h2
+    UNION ALL
+    SELECT e.v AS node, h2.hop + 1 AS hop FROM h2 JOIN edges e ON e.u = h2.node
+  ) GROUP BY node
+)
+"""
+
+_BFS_SQL = f"""
+WITH {_BFS_EDGES_CTE}
+SELECT node AS p_partkey, hop FROM h3
+"""
+
+
+@register("graph_bfs_hops", sql=_BFS_SQL)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS ({h} hops) from seed parts over the symmetric
+    co-purchase graph: each iteration is one join + min-aggregate —
+    frontier-free label relaxation (every iteration relaxes ALL labels,
+    so min(hop) converges like Bellman-Ford; for a {h}-hop cap the
+    unrolled form IS the fixpoint). The oracle unrolls the identical
+    three steps. Each iteration persists its label table (read twice:
+    union + join) and broadcasts it into the edge join — labels stay
+    seed-bounded while edges stream; for unbounded BFS reuse
+    operators/text_dedup.connected_components' checkpoint discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    half = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _BFS_MIN_PAIR)
+        .select("u", "v")
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    hops = part.filter(F.col("p_size") == _BFS_SEED_SIZE).select(
+        F.col("p_partkey").alias("node"), F.lit(0).alias("hop")
+    )
+    for _ in range(_BFS_HOPS):
+        relaxed = F.broadcast(hops).join(edges, hops["node"] == edges["u"]).select(
+            F.col("v").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        hops = (
+            hops.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            # each iteration reads `hops` TWICE (union + join input): persist
+            # or the subtree doubles per hop (2^h recomputation)
+            .persist()
+        )
+    return hops.select(F.col("node").alias("p_partkey"), "hop")
+
+
+# --- robust stats: median absolute deviation --------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, COUNT(*) AS n,
+         quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.n, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+)
+SELECT event_type, n,
+       CAST(ROUND(med, 4) AS DOUBLE) AS median_r,
+       CAST(ROUND(quantile_cont(adev, 0.5), 4) AS DOUBLE) AS mad_r
+FROM dev GROUP BY event_type, n, med
+"""
+
+
+@register("stats_mad_value", sql=_MAD_SQL)
+def mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust spread
+    estimator outlier screens want (z-scores blow up on heavy tails).
+    Two exact percentile passes: per-type median (tiny broadcast back),
+    then median of |value − median|. Same deterministic interpolated
+    percentile both engines; doubles only pass through abs/subtract."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    return dev.groupBy("event_type", "n", "med").agg(
+        F.round(F.first("med"), 4).alias("median_r0"),
+        F.round(F.percentile("adev", 0.5), 4).alias("mad_r"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("median_r0").alias("median_r"),
+        "mad_r",
+    )
+
+
+# --- array function gallery -------------------------------------------------
+
+_ARRAY_SQL = """
+WITH items AS (
+  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(parts) AS n_items,
+       len(list_distinct(parts)) AS n_distinct,
+       parts[1:3] AS first3,
+       parts[1] AS head_part,
+       parts[len(parts)] AS last_part,
+       list_min(parts) AS min_part,
+       list_max(parts) AS max_part,
+       list_contains(parts, 10) AS has_anchor,
+       list_reverse(parts) AS parts_desc
+FROM items
+"""
+
+
+@register("fn_array_gallery", sql=_ARRAY_SQL)
+def array_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array built-ins over the per-order item list (array built by a
+    total-order sort so both engines hold identical arrays): size,
+    distinct, slice, head/last element_at, min/max, membership, reverse.
+    One shuffle (the groupBy); everything after is a narrow map."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    return items.select(
+        "l_orderkey",
+        F.size("parts").alias("n_items"),
+        F.size(F.array_distinct("parts")).alias("n_distinct"),
+        F.slice("parts", 1, 3).alias("first3"),
+        F.element_at("parts", 1).alias("head_part"),
+        F.element_at("parts", -1).alias("last_part"),
+        F.array_min("parts").alias("min_part"),
+        F.array_max("parts").alias("max_part"),
+        F.array_contains("parts", F.lit(10)).alias("has_anchor"),
+        F.reverse("parts").alias("parts_desc"),
+    )
+
+
+# --- regexp function gallery ------------------------------------------------
+
+_REGEX_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_no_vowels,
+       regexp_matches(p_name, 'widget$') AS is_widget,
+       regexp_matches(p_name, '^(small|large)') AS has_size_prefix,
+       length(regexp_replace(p_brand, '[^0-9]', '', 'g')) AS n_digits,
+       regexp_replace(p_type, '^PROMO', 'P_', 'g') AS type_abbrev
+FROM part
+"""
+
+
+@register("fn_regex_gallery", sql=_REGEX_SQL)
+def regex_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp built-ins: extract/replace-all/match, restricted to the
+    regex subset RE2 and Java agree on (classes, anchors, alternation —
+    no backrefs or lookaround, which RE2 rejects by design). Narrow map,
+    codegen'd JVM regex in the hot path."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_no_vowels"),
+        F.col("p_name").rlike("widget$").alias("is_widget"),
+        F.col("p_name").rlike("^(small|large)").alias("has_size_prefix"),
+        F.length(F.regexp_replace("p_brand", "[^0-9]", "")).alias("n_digits"),
+        F.regexp_replace("p_type", "^PROMO", "P_").alias("type_abbrev"),
+    )
