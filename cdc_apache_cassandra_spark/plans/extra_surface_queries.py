@@ -236,3 +236,151 @@ def regex_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("p_brand", "[^0-9]", "")).alias("n_digits"),
         F.regexp_replace("p_type", "^PROMO", "P_").alias("type_abbrev"),
     )
+
+
+# --- null-safe join (IS NOT DISTINCT FROM / eqNullSafe) ---------------------
+
+_NULLSAFE_SQL_TEMPLATE = """
+WITH {cte},
+muts AS (
+  SELECT DISTINCT pk_p, pk_c, op, writetime FROM compound_events
+),
+pairs AS (
+  SELECT a.pk_p, a.pk_c
+  FROM muts a JOIN muts b
+    ON a.pk_p = b.pk_p
+   AND a.pk_c IS NOT DISTINCT FROM b.pk_c
+   AND a.writetime < b.writetime
+),
+paircnt AS (
+  SELECT pk_p, pk_c, COUNT(*) AS n_ordered_pairs
+  FROM pairs GROUP BY pk_p, pk_c
+)
+SELECT m.pk_p, m.pk_c, COUNT(*) AS n_muts,
+       COALESCE(MAX(p.n_ordered_pairs), 0) AS n_ordered_pairs
+FROM muts m
+LEFT JOIN paircnt p
+  ON p.pk_p = m.pk_p AND p.pk_c IS NOT DISTINCT FROM m.pk_c
+GROUP BY m.pk_p, m.pk_c
+"""
+
+
+def _nullsafe_sql() -> str:
+    from cdc_apache_cassandra_spark.sources.compound_event_source import (
+        compound_events_cte,
+    )
+
+    return _NULLSAFE_SQL_TEMPLATE.format(cte=compound_events_cte())
+
+
+@register("join_null_safe_mutation_pairs", sql=_nullsafe_sql())
+def null_safe_mutation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): mutations
+    hitting the same (partition, clustering) target must group together
+    even when the clustering key is NULL (partition-level events, P8) —
+    a plain `=` join silently drops every NULL-keyed row, the classic
+    tombstone-handling bug. Spark plans eqNullSafe as a hash join on the
+    null-wrapped key, so it shuffles like any equi-join (no nested loop)."""
+    from cdc_apache_cassandra_spark.sources.compound_event_source import (
+        compound_events,
+    )
+
+    muts = (
+        compound_events(spark, sf_dir)
+        .select("pk_p", "pk_c", "op", "writetime")
+        .distinct()
+        .persist()
+    )
+    a = muts.select("pk_p", "pk_c", F.col("writetime").alias("wt_a"))
+    b = muts.select(
+        F.col("pk_p").alias("pk_p_b"),
+        F.col("pk_c").alias("pk_c_b"),
+        F.col("writetime").alias("wt_b"),
+    )
+    paircnt = (
+        a.join(
+            b,
+            (F.col("pk_p") == F.col("pk_p_b"))
+            & F.col("pk_c").eqNullSafe(F.col("pk_c_b"))
+            & (F.col("wt_a") < F.col("wt_b")),
+        )
+        .groupBy("pk_p", "pk_c")
+        .agg(F.count("*").alias("n_ordered_pairs"))
+    )
+    pc = paircnt.select(
+        F.col("pk_p").alias("pk_p_p"),
+        F.col("pk_c").alias("pk_c_p"),
+        "n_ordered_pairs",
+    )
+    return (
+        muts.join(
+            pc,
+            (F.col("pk_p") == F.col("pk_p_p"))
+            & F.col("pk_c").eqNullSafe(F.col("pk_c_p")),
+            "left",
+        )
+        .groupBy("pk_p", "pk_c")
+        .agg(
+            F.count("*").alias("n_muts"),
+            F.coalesce(F.max("n_ordered_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_ordered_pairs"),
+        )
+    )
+
+
+# --- DAU/MAU stickiness ------------------------------------------------------
+
+_STICKY_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+daily AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         COUNT(DISTINCT user_id) AS mau
+  FROM du GROUP BY CAST(date_trunc('month', day) AS DATE)
+),
+dsum AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         CAST(SUM(dau) AS BIGINT) AS dau_sum,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY CAST(date_trunc('month', day) AS DATE)
+)
+SELECT m.month, m.mau, d.dau_sum, d.n_days,
+       CAST(ROUND(CAST(d.dau_sum AS DOUBLE) /
+            (CAST(d.n_days AS DOUBLE) * CAST(m.mau AS DOUBLE)), 6) AS DOUBLE)
+         AS stickiness_r
+FROM monthly m JOIN dsum d ON d.month = m.month
+"""
+
+
+@register("events_stickiness_dau_mau", sql=_STICKY_SQL)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (avg DAU / MAU) per month — the engagement ratio product
+    analytics always asks for. One corpus-sized distinct to (day, user);
+    everything after runs on day- and month-grain relations. Exact integer
+    counts; one double ratio in identical operation order both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    du = du.persist()
+    daily = du.groupBy("day").agg(F.count("*").alias("dau"))
+    month = F.date_trunc("month", F.col("day")).cast("date").alias("month")
+    monthly = du.groupBy(month).agg(F.countDistinct("user_id").alias("mau"))
+    dsum = daily.groupBy(month).agg(
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+        F.count("*").alias("n_days"),
+    )
+    return monthly.join(dsum, "month").select(
+        "month",
+        "mau",
+        "dau_sum",
+        "n_days",
+        F.round(
+            F.col("dau_sum").cast("double")
+            / (F.col("n_days").cast("double") * F.col("mau").cast("double")),
+            6,
+        ).alias("stickiness_r"),
+    )
