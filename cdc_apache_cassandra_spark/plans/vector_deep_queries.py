@@ -597,17 +597,11 @@ SELECT qid, nid, rk, adc FROM ranked WHERE rk <= {_PQ_TOPK}
 """
 
 
-@register("llm_ann_pq_adc", sql=_PQ_SQL)
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization over int8 codes: 64 dims split into 8
-    subspaces, per-subspace codebook learned from strided corpus donors,
-    each vector encoded as 8 centroid ids (8 bytes — 32x smaller than
-    f32), queries ranked by asymmetric distance (query-to-centroid lookup
-    table summed across subspaces). EVERY distance is an integer sum of
-    squared int8-code deltas, so no float-order drift exists anywhere and
-    the oracle matches exactly. At 100 TB the amin table (vec_id, 8
-    codes) is the only thing scanned per query — the classic PQ memory
-    win; the ADC table is queries x centroids, broadcast-sized."""
+def _pq_build(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared PQ pipeline stages: int8 codes (persisted), per-(vector,
+    centroid, subspace) distances (persisted), subspace assignments, and
+    the query ADC lookup table. Used by the ADC top-k query and the
+    recall evaluation."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = (
         e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
@@ -671,8 +665,13 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdist = cdist.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
         F.col("vec_id").alias("qid"), "cid", "sub", "d2"
     )
+    return {"codes": codes, "cdist": cdist, "amin": amin, "qdist": qdist}
+
+
+def _pq_topk(parts: dict) -> DataFrame:
     score = (
-        amin.join(F.broadcast(qdist), ["cid", "sub"])
+        parts["amin"]
+        .join(F.broadcast(parts["qdist"]), ["cid", "sub"])
         .filter(F.col("qid") != F.col("vec_id"))
         .groupBy("qid", F.col("vec_id").alias("nid"))
         .agg(F.sum("d2").cast("bigint").alias("adc"))
@@ -682,4 +681,104 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("qid", "nid", "rk", "adc")
+    )
+
+
+@register("llm_ann_pq_adc", sql=_PQ_SQL)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over int8 codes: 64 dims split into 8
+    subspaces, per-subspace codebook learned from strided corpus donors,
+    each vector encoded as 8 centroid ids (8 bytes — 32x smaller than
+    f32), queries ranked by asymmetric distance (query-to-centroid lookup
+    table summed across subspaces). EVERY distance is an integer sum of
+    squared int8-code deltas, so no float-order drift exists anywhere and
+    the oracle matches exactly. At 100 TB the amin table (vec_id, 8
+    codes) is the only thing scanned per query — the classic PQ memory
+    win; the ADC table is queries x centroids, broadcast-sized."""
+    return _pq_topk(_pq_build(spark, sf_dir))
+
+
+# --- PQ recall vs exact code-space ground truth ------------------------------
+
+_PQ_CODES_CTES = _PQ_SQL.split("qdist AS (")[0].rstrip().rstrip(",")
+# _PQ_CODES_CTES reuses the WITH chain through `amin`; the recall query
+# re-derives qdist/score inline below.
+
+_PQ_RECALL_SQL = f"""
+{_PQ_CODES_CTES},
+qdist AS (
+  SELECT vec_id AS qid, cid, sub, d2 FROM cdist
+  WHERE vec_id % {_PQ_QSTRIDE} = 0
+),
+score AS (
+  SELECT q.qid, a.vec_id AS nid, CAST(SUM(q.d2) AS BIGINT) AS adc
+  FROM amin a JOIN qdist q ON q.cid = a.cid AND q.sub = a.sub
+  WHERE q.qid != a.vec_id
+  GROUP BY q.qid, a.vec_id
+),
+pq5 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+    FROM score
+  ) WHERE rk <= {_PQ_TOPK}
+),
+exactd AS (
+  SELECT qc.vec_id AS qid, c.vec_id AS nid,
+         CAST(SUM((qc.code - c.code) * (qc.code - c.code)) AS BIGINT) AS d2
+  FROM codes qc JOIN codes c ON qc.pos = c.pos
+  WHERE qc.vec_id % {_PQ_QSTRIDE} = 0 AND c.vec_id != qc.vec_id
+  GROUP BY qc.vec_id, c.vec_id
+),
+exact5 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+    FROM exactd
+  ) WHERE rk <= {_PQ_TOPK}
+)
+SELECT e.qid,
+       CAST(SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / {_PQ_TOPK} AS recall_at_5
+FROM exact5 e LEFT JOIN pq5 p ON p.qid = e.qid AND p.nid = e.nid
+GROUP BY e.qid
+"""
+
+
+@register("llm_ann_pq_recall", sql=_PQ_RECALL_SQL)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ-ADC against the exact top-5 in the SAME int8 code
+    space (full 64-dim squared distance) — isolates the loss introduced
+    by the 8-byte PQ compression from quantization loss, the number an
+    ANN tuning loop watches when picking subspace count/codebook size.
+    Both rankings are integer-exact, so recall is deterministic."""
+    parts = _pq_build(spark, sf_dir)
+    codes = parts["codes"]
+    pq5 = _pq_topk(parts).select("qid", "nid")
+    qc = codes.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("code").alias("qcode")
+    )
+    delta = F.col("qcode") - F.col("code")
+    exactd = (
+        codes.join(F.broadcast(qc), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum(delta * delta).cast("bigint").alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    exact5 = (
+        exactd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
+    )
+    hits = pq5.select("qid", "nid", F.lit(1).alias("hit"))
+    return (
+        exact5.join(hits, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(_PQ_TOPK)
+            ).alias("recall_at_5")
+        )
     )
