@@ -154,3 +154,49 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
             assert "*(" in p, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must plan as an equi-join on the null-wrapped key
+    (coalesce + isnull key pair) — a nested-loop join here would be
+    O(n*m) at scale. (The plan DOES contain BroadcastNestedLoopJoins:
+    the intended 2-row replica-fanout cross joins in the event source —
+    assert they are all condition-free Cross joins, nothing more.)"""
+    p = plan_str(q("join_null_safe_mutation_pairs", spark, sf_dir))
+    assert re.search(r"Left keys \[\d+\]: \[pk_p\S+, coalesce\(pk_c", p)
+    for blk in re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\) )", p
+    ):
+        assert "Join type: Cross" in blk and "Join condition: None" in blk
+
+
+def test_bfs_frontier_broadcasts(spark, sf_dir):
+    """BFS must broadcast the (seed-bounded) label table into the edge
+    join every hop — shuffling the edge list per hop is the scale bug."""
+    p = plan_str(q("graph_bfs_hops", spark, sf_dir))
+    assert count_op(p, "BroadcastHashJoin") >= 3  # one per hop
+
+
+def test_unpivot_single_shuffle(spark, sf_dir):
+    """stack() reshape feeds ONE exchange (the 4-group aggregate); the
+    explode itself must stay narrow."""
+    p = plan_str(q("stats_unpivot_measure_profile", spark, sf_dir))
+    assert count_op(p, "Exchange") == 1
+
+
+def test_gallery_scans_prune_columns(spark, sf_dir):
+    """fn_string_gallery touches 5 of part's 6 columns via expressions;
+    ReadSchema must not include the untouched one (p_retailprice)."""
+    p = plan_str(q("fn_string_gallery", spark, sf_dir))
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "p_retailprice" not in read_schema
+    assert "p_name" in read_schema
+
+
+def test_mode_query_map_side_combines(spark, sf_dir):
+    """Deterministic MODE = partial-count -> exchange -> final count ->
+    tiny rank window; the count aggregate must map-side combine (two
+    HashAggregates around one Exchange)."""
+    p = plan_str(q("agg_mode_priority_by_status", spark, sf_dir))
+    assert count_op(p, "HashAggregate") >= 2
+    assert count_op(p, "Exchange") <= 3  # count + window partitioning
