@@ -351,6 +351,12 @@ def streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE coalesces; nothing is driver-side, so it holds at any event count."""
     ev = load_table(spark, sf_dir, "events")
     days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return streak_profile(days)
+
+
+def streak_profile(days: DataFrame) -> DataFrame:
+    """Streak rollup over a (user_id, d date) relation — reusable so the
+    hypothesis property can drive it with generated day sets."""
     w_ord = Window.partitionBy("user_id").orderBy("d")
     grouped = days.withColumn(
         "grp",

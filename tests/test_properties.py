@@ -241,3 +241,65 @@ def test_scd2_consistent_with_lww_on_any_stream(spark, muts):
         rs.sort(key=lambda r: (r.valid_from, r.segment, r.position))
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from
+
+
+# --- gaps & islands: Spark streaks == pure-Python reference ----------------
+
+_day_sets = st.dictionaries(
+    st.integers(0, 5),                       # user ids
+    st.sets(st.integers(0, 40), min_size=1, max_size=15),  # day offsets
+    min_size=1,
+    max_size=4,
+)
+
+
+def _py_streaks(day_offsets):
+    runs = []
+    days = sorted(day_offsets)
+    start = prev = days[0]
+    for d in days[1:]:
+        if d == prev + 1:
+            prev = d
+            continue
+        runs.append((start, prev - start + 1))
+        start = prev = d
+    runs.append((start, prev - start + 1))
+    longest = max(r[1] for r in runs)
+    longest_start = min(s for s, ln in runs if ln == longest)
+    return len(days), len(runs), longest, longest_start
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(users=_day_sets)
+def test_streak_profile_matches_python_reference(spark, users):
+    import datetime
+
+    from cdc_apache_cassandra_spark.plans.events_deep_queries import (
+        streak_profile,
+    )
+
+    epoch = datetime.date(2024, 1, 1)
+    rows = [
+        (uid, epoch + datetime.timedelta(days=off))
+        for uid, offs in users.items()
+        for off in offs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d date")
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest_len, r.longest_start)
+        for r in streak_profile(df).collect()
+    }
+    want = {}
+    for uid, offs in users.items():
+        n_days, n_runs, longest, longest_start = _py_streaks(offs)
+        want[uid] = (
+            n_days,
+            n_runs,
+            longest,
+            epoch + datetime.timedelta(days=longest_start),
+        )
+    assert got == want
