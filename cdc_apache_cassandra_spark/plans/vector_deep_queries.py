@@ -782,3 +782,56 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5")
         )
     )
+
+
+# --- SQ8 recall vs exact float cosine ground truth ---------------------------
+
+_SQ8_BODY = _SQ8_SQL.strip().rsplit("SELECT qid, nid, rk, score", 1)[0].strip()
+
+_SQ8_RECALL_SQL = f"""
+{_SQ8_BODY},
+sq5 AS (SELECT qid, nid FROM ranked WHERE rk <= {_SQ8_TOPK}),
+nn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qq AS (SELECT vec_id AS qid, v AS qv FROM nn
+       WHERE vec_id % {_SQ8_QUERY_STRIDE} = 0),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT qq.qid, m.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY qq.qid ORDER BY
+               list_dot_product(qq.qv, m.v) /
+               (sqrt(list_dot_product(qq.qv, qq.qv)) *
+                sqrt(list_dot_product(m.v, m.v))) DESC, m.vec_id) AS rk
+    FROM qq JOIN nn m ON m.vec_id != qq.qid
+  ) WHERE rk <= {_SQ8_TOPK}
+)
+SELECT b.qid,
+       CAST(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / {_SQ8_TOPK} AS recall_at_5
+FROM brute b LEFT JOIN sq5 s ON s.qid = b.qid AND s.nid = b.nid
+GROUP BY b.qid
+"""
+
+
+@register("llm_ann_sq8_recall", sql=_SQ8_RECALL_SQL)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8 scalar quantization against the TRUE float cosine
+    top-5 — unlike the PQ audit (code-space vs code-space) this crosses
+    the quantization boundary, measuring what 8-bit compression costs in
+    end-metric terms. Completes the recall matrix: LSH, IVF, PQ, SQ8,
+    each audited against its ground truth."""
+    from cdc_apache_cassandra_spark.plans.llm_queries import ann_cosine_topk
+
+    exact5 = ann_cosine_topk(spark, sf_dir).select("qid", "nid")
+    sq5 = ann_sq8_topk(spark, sf_dir).select(
+        "qid", "nid", F.lit(1).alias("hit")
+    )
+    return (
+        exact5.join(sq5, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(_SQ8_TOPK)
+            ).alias("recall_at_5")
+        )
+    )
