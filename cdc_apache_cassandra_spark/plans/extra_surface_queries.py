@@ -10,7 +10,7 @@ on (character classes, anchors, +) — no backrefs/lookaround.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.plans.registry import register
@@ -383,4 +383,189 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_days").cast("double") * F.col("mau").cast("double")),
             6,
         ).alias("stickiness_r"),
+    )
+
+
+# --- map-type surface: build / extract / fold a MapType column --------------
+
+_MAP_SQL = """
+WITH counts AS (
+  SELECT o_custkey, o_orderstatus, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderstatus
+),
+m AS (
+  SELECT o_custkey,
+         map(list(o_orderstatus ORDER BY o_orderstatus),
+             list(cnt ORDER BY o_orderstatus)) AS status_map
+  FROM counts GROUP BY o_custkey
+)
+SELECT o_custkey,
+       len(map_keys(status_map)) AS n_statuses,
+       CAST(COALESCE(map_extract(status_map, 'O')[1], 0) AS BIGINT) AS open_cnt,
+       CAST(list_sum(map_values(status_map)) AS BIGINT) AS total_orders
+FROM m
+"""
+
+
+@register("fn_map_gallery", sql=_MAP_SQL)
+def map_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: build a per-customer status->count map from
+    sorted entries (map_from_entries), then size / element_at / fold over
+    map_values — the CQL map-column operations (§1.2 map<k,v>) as engine
+    surface. The map stays internal; outputs are scalars because DuckDB
+    fetches MAP as a key/value struct-of-lists (representation, not
+    semantics — both engines hold the same mapping)."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    m = counts.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("status_map")
+    )
+    return m.select(
+        "o_custkey",
+        F.size("status_map").alias("n_statuses"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0))
+        .cast("bigint")
+        .alias("open_cnt"),
+        F.aggregate(
+            F.map_values("status_map"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_orders"),
+    )
+
+
+# --- trailing-N ROWS frame with conditional aggregate -----------------------
+
+_TRAIL_N = 10
+
+_TRAIL_SQL = f"""
+SELECT event_id, user_id, ts, event_type,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w
+         AS purchases_last{_TRAIL_N},
+       COUNT(*) OVER w AS window_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_TRAIL_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_trailing10_purchases", sql=_TRAIL_SQL)
+def trailing10_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-events conditional count per user (ROWS frame — the
+    physical-offset complement of the RANGE frame already covered):
+    recent-behavior features for churn/propensity models. Integer counts
+    over a total order (ts, event_id), one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_TRAIL_N - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias(f"purchases_last{_TRAIL_N}"),
+        F.count("*").over(w).alias("window_n"),
+    )
+
+
+# --- systematic sampling (every k-th in a total order) -----------------------
+
+_SYS_K = 25
+
+_SYS_SQL = f"""
+WITH numbered AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rn FROM numbered WHERE rn % {_SYS_K} = 1
+"""
+
+
+@register("llm_systematic_sample", sql=_SYS_SQL)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sample in doc_id order — the third sampling
+    mode beside hash-stratified and fixed-k: deterministic, evenly spaced
+    through the corpus (good for eyeball QA sweeps), trivially repeatable.
+    The global row_number is the deliberate cost (single ordered pass);
+    for 100 TB use the hash-stratified sampler instead — documented
+    trade, which is why all three modes exist."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % _SYS_K == 1)
+    )
+
+
+# --- per-table topic routing (S4: events-<ks>.<table>) ----------------------
+
+_ROUTING_SQL_TEMPLATE = """
+WITH {cte},
+{ccte},
+tagged AS (
+  SELECT 'events-ks1.customer' AS topic, CAST(pk AS VARCHAR) AS mkey
+  FROM events_stream
+  UNION ALL
+  SELECT 'events-ks1.orders',
+         CAST(pk_p AS VARCHAR) || ':' || CAST(COALESCE(pk_c, -1) AS VARCHAR)
+  FROM compound_events
+)
+SELECT topic, COUNT(*) AS n_events, COUNT(DISTINCT mkey) AS n_keys
+FROM tagged GROUP BY topic
+"""
+
+
+def _routing_sql() -> str:
+    from cdc_apache_cassandra_spark.sources.compound_event_source import (
+        compound_events_cte,
+    )
+    from cdc_apache_cassandra_spark.sources.event_source import events_cte
+
+    return _ROUTING_SQL_TEMPLATE.format(
+        cte=events_cte(), ccte=compound_events_cte()
+    )
+
+
+@register("cdc_multi_table_routing", sql=_routing_sql())
+def multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table topic routing (S4: one `events-<ks>.<table>` topic per
+    table, AbstractPulsarMutationSender.java:168-172): two tables' event
+    streams tagged with their topic and fanned in; per-topic event and
+    distinct-key counts. In production each topic is a separate sink —
+    the union here exists only to audit the routing in one result."""
+    from cdc_apache_cassandra_spark.sources.compound_event_source import (
+        compound_events,
+    )
+    from cdc_apache_cassandra_spark.sources.event_source import mutation_events
+
+    single = mutation_events(spark, sf_dir).select(
+        F.lit("events-ks1.customer").alias("topic"),
+        F.col("pk").cast("string").alias("mkey"),
+    )
+    compound = compound_events(spark, sf_dir).select(
+        F.lit("events-ks1.orders").alias("topic"),
+        F.concat(
+            F.col("pk_p").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("pk_c"), F.lit(-1)).cast("string"),
+        ).alias("mkey"),
+    )
+    return (
+        single.unionByName(compound)
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("mkey").alias("n_keys"),
+        )
     )
