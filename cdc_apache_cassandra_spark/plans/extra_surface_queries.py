@@ -569,3 +569,58 @@ def multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("mkey").alias("n_keys"),
         )
     )
+
+
+# --- time-series gap fill: date spine + LOCF --------------------------------
+
+_LOCF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders WHERE o_custkey % 100 = 0
+  GROUP BY CAST(o_orderdate AS DATE)
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+joined AS (
+  SELECT s.day, d.rev, (d.rev IS NULL) AS was_gap
+  FROM spine s LEFT JOIN daily d ON d.day = s.day
+)
+SELECT day, was_gap,
+       CAST(LAST_VALUE(rev IGNORE NULLS) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_filled
+FROM joined
+"""
+
+
+@register("events_locf_gap_fill", sql=_LOCF_SQL)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: build the complete date spine with
+    sequence()/generate_series, LEFT JOIN the sparse daily aggregate, and
+    carry the last observation forward (LAST_VALUE IGNORE NULLS) — the
+    standard densify step before any rolling model. The spine explode is
+    bounds-sized (one row per day, never corpus-sized); values stay
+    DECIMAL until the presentation cast."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = spine.join(daily, "day", "left").select(
+        "day", "rev", F.col("rev").isNull().alias("was_gap")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "day",
+        "was_gap",
+        F.last("rev", ignorenulls=True).over(w).cast("double").alias("rev_filled"),
+    )
