@@ -101,6 +101,19 @@ def main():
     recs.write.format("noop").mode("overwrite").save()
     cdc_sec = time.time() - t0
 
+    # Compound-PK CDC slice: partition/row classification + three-branch
+    # read-after-event (full-PK lookup / static projection / tombstone).
+    from cdc_apache_cassandra_spark.sources.compound_event_source import (
+        compound_events,
+    )
+
+    n_compound = compound_events(spark, sf_dir).count()
+    t0 = time.time()
+    QUERIES["cdc_compound_read_after_event"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    compound_sec = time.time() - t0
+
     payload = {
         "metric": "total_wall_seconds_all_queries",
         "value": total,
@@ -110,6 +123,9 @@ def main():
         "cdc_events": n_events,
         "cdc_pipeline_sec": round(cdc_sec, 3),
         "cdc_events_per_sec": round(n_events / cdc_sec, 1),
+        "cdc_compound_events": n_compound,
+        "cdc_compound_pipeline_sec": round(compound_sec, 3),
+        "cdc_compound_events_per_sec": round(n_compound / compound_sec, 1),
         "reps": reps,
         "loop_wall_seconds": loop_wall,
     }
