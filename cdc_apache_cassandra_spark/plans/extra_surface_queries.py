@@ -624,3 +624,151 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_gap",
         F.last("rev", ignorenulls=True).over(w).cast("double").alias("rev_filled"),
     )
+
+
+# --- time-series gap fill: linear interpolation ------------------------------
+
+_LERP_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders WHERE o_custkey % 100 = 0
+  GROUP BY CAST(o_orderdate AS DATE)
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+joined AS (
+  SELECT s.day, d.rev FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+anchored AS (
+  SELECT day, rev,
+         LAST_VALUE(rev IGNORE NULLS) OVER wa AS prev_rev,
+         LAST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wa AS prev_day,
+         FIRST_VALUE(rev IGNORE NULLS) OVER wb AS next_rev,
+         FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wb AS next_day
+  FROM joined
+  WINDOW wa AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT day, (rev IS NULL) AS was_gap,
+       CAST(ROUND(CASE
+         WHEN rev IS NOT NULL THEN CAST(rev AS DOUBLE)
+         WHEN prev_rev IS NULL THEN CAST(next_rev AS DOUBLE)
+         WHEN next_rev IS NULL THEN CAST(prev_rev AS DOUBLE)
+         ELSE CAST(prev_rev AS DOUBLE)
+              + (CAST(next_rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+                * CAST(datediff('day', prev_day, day) AS DOUBLE)
+                / CAST(datediff('day', prev_day, next_day) AS DOUBLE)
+       END, 6) AS DOUBLE) AS rev_interp
+FROM anchored
+"""
+
+
+@register("events_linear_interpolation", sql=_LERP_SQL)
+def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps — the smooth complement to LOCF:
+    both-direction anchor carry (last non-null backward, first non-null
+    forward, with their days), then one lerp formula written in identical
+    operation order in both engines. Two ordered windows over the tiny
+    day spine share one sort."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    joined = spine.join(daily, "day", "left")
+    wa = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    day_if_val = F.when(F.col("rev").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(wa).alias("prev_rev"),
+        F.last(day_if_val, ignorenulls=True).over(wa).alias("prev_day"),
+        F.first("rev", ignorenulls=True).over(wb).alias("next_rev"),
+        F.first(day_if_val, ignorenulls=True).over(wb).alias("next_day"),
+    )
+    prev_d = F.col("prev_rev").cast("double")
+    next_d = F.col("next_rev").cast("double")
+    lerp = prev_d + (next_d - prev_d) * (
+        F.datediff(F.col("day"), F.col("prev_day")).cast("double")
+        / F.datediff(F.col("next_day"), F.col("prev_day")).cast("double")
+    )
+    return anchored.select(
+        "day",
+        F.col("rev").isNull().alias("was_gap"),
+        F.round(
+            F.when(F.col("rev").isNotNull(), F.col("rev").cast("double"))
+            .when(F.col("prev_rev").isNull(), next_d)
+            .when(F.col("next_rev").isNull(), prev_d)
+            .otherwise(lerp),
+            6,
+        ).cast("double").alias("rev_interp"),
+    )
+
+
+# --- winsorized mean (robust to outliers, decimal-exact sum) -----------------
+
+_WINSOR_SQL = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p5,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, c.p5, c.p95,
+         CAST(LEAST(GREATEST(e.value, c.p5), c.p95) AS DECIMAL(18,6)) AS w
+  FROM events e JOIN cuts c ON c.event_type = e.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(p5, 4) AS DOUBLE) AS p5_r,
+       CAST(ROUND(p95, 4) AS DOUBLE) AS p95_r,
+       CAST(ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+         AS winsorized_mean_r
+FROM clamped GROUP BY event_type, p5, p95
+"""
+
+
+@register("stats_winsorized_mean", sql=_WINSOR_SQL)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp to [p5, p95] (exact
+    interpolated percentiles), then average — robust to the heavy tail
+    that wrecks a plain mean. Clamped doubles are cast to DECIMAL before
+    summing (order-free exact sum), one double division at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p5"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "p5",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    return clamped.groupBy("event_type", "p5", "p95").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("p5"), 4).alias("p5_r0"),
+        F.round(F.first("p95"), 4).alias("p95_r0"),
+        F.round(F.sum("w").cast("double") / F.count("*"), 6).alias(
+            "winsorized_mean_r"
+        ),
+    ).select(
+        "event_type",
+        "n",
+        F.col("p5_r0").alias("p5_r"),
+        F.col("p95_r0").alias("p95_r"),
+        "winsorized_mean_r",
+    )
