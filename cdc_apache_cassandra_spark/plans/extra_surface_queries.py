@@ -772,3 +772,106 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p95_r0").alias("p95_r"),
         "winsorized_mean_r",
     )
+
+
+# --- boilerplate-template detection by shared prefix ------------------------
+
+_PREFIX_N = 8
+_TEMPLATE_MIN = 3
+
+_PREFIX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+pfx AS (
+  SELECT doc_id,
+         md5(array_to_string(tokens[1:{_PREFIX_N}], ' ')) AS prefix_hash
+  FROM toks WHERE len(tokens) >= {_PREFIX_N}
+),
+grp AS (
+  SELECT prefix_hash, COUNT(*) AS n_docs, MIN(doc_id) AS exemplar_doc
+  FROM pfx GROUP BY prefix_hash
+)
+SELECT prefix_hash, n_docs, exemplar_doc,
+       (n_docs >= {_TEMPLATE_MIN}) AS is_template
+FROM grp
+"""
+
+
+@register("llm_prefix_template_groups", sql=_PREFIX_SQL)
+def prefix_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared {n}-token prefix — docs
+    generated from one form letter share their opening; a prefix-hash
+    group count finds them in one aggregate (no pair join at all, unlike
+    similarity dedup). Groups of >= {m} are flagged as templates; the
+    exemplar (min doc_id) seeds a human review queue."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("tokens")
+    ).filter(F.size("tokens") >= _PREFIX_N)
+    pfx = toks.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("tokens", 1, _PREFIX_N), " ")).alias(
+            "prefix_hash"
+        ),
+    )
+    return (
+        pfx.groupBy("prefix_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("exemplar_doc"))
+        .select(
+            "prefix_hash",
+            "n_docs",
+            "exemplar_doc",
+            (F.col("n_docs") >= _TEMPLATE_MIN).alias("is_template"),
+        )
+    )
+
+
+# --- ratio-to-report window --------------------------------------------------
+
+_RATIO_SQL = """
+WITH base AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+  FROM supplier
+),
+tot AS (
+  SELECT s_suppkey, s_nationkey, bal,
+         SUM(bal) OVER (PARTITION BY s_nationkey) AS nation_bal
+  FROM base
+)
+SELECT s_suppkey, s_nationkey,
+       CAST(bal AS DOUBLE) AS acctbal,
+       CAST(nation_bal AS DOUBLE) AS nation_total,
+       CAST(ROUND(CAST(bal AS DOUBLE) / CAST(nation_bal AS DOUBLE), 6)
+            AS DOUBLE) AS nation_share_r
+FROM tot
+"""
+
+
+@register("window_ratio_to_report", sql=_RATIO_SQL)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its nation's total
+    balance — unbounded partition SUM as a window (no self-join), the
+    share a double ratio of two exact decimals. One shuffle on the
+    partition key."""
+    s = load_table(spark, sf_dir, "supplier")
+    base = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    w = Window.partitionBy("s_nationkey")
+    return base.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.sum("bal").over(w).cast("double").alias("nation_total"),
+        F.round(
+            F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 6
+        ).alias("nation_share_r"),
+    )
