@@ -87,7 +87,6 @@ def main():
     from cdc_apache_cassandra_spark.sources.registry import load_table
 
     n_events = mutation_events(spark, sf_dir).count()
-    t0 = time.time()
     snap = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "pk"
     )
@@ -98,8 +97,20 @@ def main():
         ),
         ["pk"], list(VALUE_COLS),
     )
-    recs.write.format("noop").mode("overwrite").save()
-    cdc_sec = time.time() - t0
+
+    def best_of(action, n=max(2, reps)):
+        # same policy as per-query timing: the warm rep measures the
+        # pipeline, not end-of-session JVM/GC state
+        times = []
+        for _ in range(n):
+            t0 = time.time()
+            action()
+            times.append(time.time() - t0)
+        return min(times)
+
+    cdc_sec = best_of(
+        lambda: recs.write.format("noop").mode("overwrite").save()
+    )
 
     # Compound-PK CDC slice: partition/row classification + three-branch
     # read-after-event (full-PK lookup / static projection / tombstone).
@@ -108,11 +119,13 @@ def main():
     )
 
     n_compound = compound_events(spark, sf_dir).count()
-    t0 = time.time()
-    QUERIES["cdc_compound_read_after_event"].fn(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    compound_sec = time.time() - t0
+    compound_sec = best_of(
+        lambda: QUERIES["cdc_compound_read_after_event"]
+        .fn(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     payload = {
         "metric": "total_wall_seconds_all_queries",
