@@ -875,3 +875,87 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 6
         ).alias("nation_share_r"),
     )
+
+
+# --- GROUPING() level markers on ROLLUP -------------------------------------
+
+_GROUPING_ID_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+         AS level_id,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_grouping_id_levels", sql=_GROUPING_ID_SQL)
+def grouping_id_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on a ROLLUP — the only way to tell a real NULL
+    group key from a subtotal row (the rollup queries elsewhere rely on
+    non-null keys; this exposes the general mechanism). level_id is the
+    standard bit-packed grouping id, derived identically in both
+    dialects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g_flag = F.grouping("l_returnflag").cast("int")
+    g_status = F.grouping("l_linestatus").cast("int")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        g_flag.alias("g_flag"),
+        g_status.alias("g_status"),
+        (g_flag * 2 + g_status).cast("int").alias("level_id"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- commitlog segment audit (O1 ordering invariants) -----------------------
+
+_SEGMENT_AUDIT_SQL_TEMPLATE = """
+WITH {cte},
+per_seg AS (
+  SELECT segment,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT position) AS n_positions,
+         MIN(position) AS min_pos, MAX(position) AS max_pos,
+         MIN(writetime) AS min_wt, MAX(writetime) AS max_wt
+  FROM events_stream GROUP BY segment
+)
+SELECT segment, n_events, n_positions, min_pos, max_pos, min_wt, max_wt,
+       (max_pos >= min_pos AND n_positions <= n_events) AS positions_sane
+FROM per_seg
+"""
+
+
+def _segment_audit_sql() -> str:
+    from cdc_apache_cassandra_spark.sources.event_source import events_cte
+
+    return _SEGMENT_AUDIT_SQL_TEMPLATE.format(cte=events_cte())
+
+
+@register("cdc_segment_audit", sql=_segment_audit_sql())
+def segment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment audit of the commitlog invariants the reader relies on
+    (O1: segments replay in ascending order; positions are byte offsets,
+    unique per mutation within a segment): event/position counts and
+    position/writetime ranges per segment — the report a backfill or
+    recovery run checks before trusting offsets
+    (CommitLogReaderService.java:74-89, SegmentOffsetFileWriter.java)."""
+    from cdc_apache_cassandra_spark.sources.event_source import mutation_events
+
+    ev = mutation_events(spark, sf_dir)
+    per_seg = ev.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("position").alias("n_positions"),
+        F.min("position").alias("min_pos"),
+        F.max("position").alias("max_pos"),
+        F.min("writetime").alias("min_wt"),
+        F.max("writetime").alias("max_wt"),
+    )
+    return per_seg.select(
+        "*",
+        (
+            (F.col("max_pos") >= F.col("min_pos"))
+            & (F.col("n_positions") <= F.col("n_events"))
+        ).alias("positions_sane"),
+    )
