@@ -959,3 +959,24 @@ def segment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_positions") <= F.col("n_events"))
         ).alias("positions_sane"),
     )
+
+
+# --- INTERSECT ALL (bag semantics) ------------------------------------------
+
+_INTERSECT_ALL_SQL = """
+SELECT p_size FROM (SELECT p_size FROM part WHERE p_type = 'PROMO')
+INTERSECT ALL
+SELECT p_size FROM (SELECT p_size FROM part WHERE p_type = 'ECONOMY')
+"""
+
+
+@register("setop_intersect_all_sizes", sql=_INTERSECT_ALL_SQL)
+def intersect_all_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag (multiplicity-preserving) intersection, the
+    set-op the distinct variants can't express: a size occurring 3x in
+    PROMO and 2x in ECONOMY appears exactly min(3,2)=2 times. Spark
+    plans it as a count-min aggregate, one shuffle per side."""
+    p = load_table(spark, sf_dir, "part")
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_size")
+    econ = p.filter(F.col("p_type") == "ECONOMY").select("p_size")
+    return promo.intersectAll(econ)
