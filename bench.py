@@ -66,8 +66,10 @@ def main():
             spark.catalog.clearCache()
             continue
         per_query[name] = round(min(times), 3)
-    # headline value = sum of per-query best times (NOT loop wall, which
-    # scales with reps); loop wall reported separately.
+    # headline value = sum of per-query best-of-N times (NOT loop wall,
+    # which scales with reps); loop wall reported separately. The metric
+    # key names this semantics explicitly (renamed in round 2 — r1 called
+    # it total_wall_seconds_all_queries while already summing best-of-N).
     total = round(sum(per_query.values()), 3)
     loop_wall = round(time.time() - t_all, 3)
 
@@ -98,7 +100,7 @@ def main():
         ["pk"], list(VALUE_COLS),
     )
 
-    def best_of(action, n=max(2, reps)):
+    def best_of(action, n=reps):
         # same policy as per-query timing: the warm rep measures the
         # pipeline, not end-of-session JVM/GC state
         times = []
@@ -128,7 +130,7 @@ def main():
     )
 
     payload = {
-        "metric": "total_wall_seconds_all_queries",
+        "metric": "sum_best_of_n_seconds",
         "value": total,
         "unit": "sec",
         "queries": per_query,

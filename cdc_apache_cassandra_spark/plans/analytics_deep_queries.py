@@ -299,13 +299,13 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _PIVOT_SQL = f"""
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+SELECT date_trunc('day', ts) AS day,
        {", ".join(
-           f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
            for t in _EVENT_TYPES
        )}
 FROM events
-GROUP BY CAST(date_trunc('day', ts) AS DATE)
+GROUP BY date_trunc('day', ts)
 """
 
 
@@ -319,7 +319,7 @@ def pivot_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a FIXED small column set the CASE-sum form is the 100 TB plan;
     `.pivot` earns its keep only when the value list is open-ended."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
     return ev.select(day, "event_type").groupBy("day").agg(
         *[
             F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
@@ -711,8 +711,8 @@ _CUSUM_THRESH = 50.0
 
 _CUSUM_SQL = """
 WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
-  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY date_trunc('day', ts)
 ),
 m AS (
   SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM daily
@@ -749,7 +749,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the naive Σ(n−mu) form)."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.select(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
         .groupBy("day")
         .agg(F.count("*").alias("n"))
     )
@@ -901,7 +901,8 @@ converted AS (
 arms AS (
   SELECT a.treated,
          COUNT(*) AS n_users,
-         SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conv
   FROM assign a LEFT JOIN converted c ON c.user_id = a.user_id
   GROUP BY a.treated
 ),
@@ -1038,7 +1039,8 @@ def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOW_SQL = """
 WITH d AS (
   SELECT dayofweek(ts) AS dow, COUNT(*) AS n,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch
   FROM events GROUP BY dayofweek(ts)
 ),
 t AS (SELECT SUM(n) AS total FROM d)
@@ -1082,9 +1084,9 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOM_SQL = """
 WITH monthly AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  SELECT date_trunc('month', o_orderdate) AS month,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
-  FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
 ),
 seq AS (
   SELECT month, revenue,
@@ -1108,7 +1110,7 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     monthly = (
         o.select(
-            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
             F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
         )
         .groupBy("month")

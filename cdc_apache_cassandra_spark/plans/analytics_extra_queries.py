@@ -350,7 +350,8 @@ df AS (SELECT gram, COUNT(*) AS n_docs FROM posting GROUP BY gram),
 per_doc AS (
   SELECT p.doc_id,
          COUNT(*) AS n_grams,
-         SUM(CASE WHEN df.n_docs <= {_NOVEL_DF_MAX} THEN 1 ELSE 0 END) AS n_rare
+         CAST(SUM(CASE WHEN df.n_docs <= {_NOVEL_DF_MAX} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
   FROM posting p JOIN df ON df.gram = p.gram
   GROUP BY p.doc_id
 )
@@ -546,11 +547,11 @@ def events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _FO_SQL = """
 WITH od AS (
-  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n_orders
   FROM orders GROUP BY 1
 ),
 ed AS (
-  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS n_events
   FROM events GROUP BY 1
 )
 SELECT COALESCE(od.d, ed.d) AS d,
@@ -570,10 +571,10 @@ def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
     streams at scale; COALESCE closes the null sides."""
     o = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
-    od = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+    od = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
         F.count("*").alias("n_orders")
     )
-    ed = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+    ed = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.count("*").alias("n_events")
     )
     j = od.join(ed, "d", "full_outer")

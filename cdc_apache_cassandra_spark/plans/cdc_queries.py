@@ -327,3 +327,54 @@ def cdc_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("writetime") < F.col("max_seen"))
         ).alias("is_late"),
     )
+
+
+# --- §7.4: incremental MERGE materialization through the bucket store -------
+
+_MAT_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest, {_VALUE_LIST}
+  FROM events_stream
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+)
+SELECT pk, op, writetime, {_VALUE_LIST}
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
+@register("cdc_materialized_state", sql=_MAT_SQL)
+def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE-into materialization (streaming/materialize.py):
+    the deduped mutation stream is committed through the manifest-pointer
+    bucket store in THREE segment-interleaved batches — each commit
+    rewrites only the hash buckets that batch touches (the Delta
+    ``whenMatchedDelete`` analogue: tombstone winners hide keys from the
+    active view but stay in state to block stale resurrections). Oracle =
+    direct LWW winners minus tombstones: the store must converge to the
+    same table no matter how mutations are batched, which is exactly the
+    downstream-sink contract the reference delegates (SURVEY §7.4;
+    CassandraSource.java:554 null-value tombstones)."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        active_view,
+        merge_into,
+        read_state,
+    )
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="cdc_mat_state_")
+    # segment-interleaved batches: writetimes arrive OUT of order across
+    # commits, so convergence genuinely exercises LWW-under-merge
+    for i in range(3):
+        merge_into(
+            spark, path, ev.filter(F.pmod(F.col("segment"), F.lit(3)) == i), ["pk"]
+        )
+    state = read_state(spark, path)
+    return active_view(state).select("pk", "op", "writetime", *VALUE_COLS)

@@ -233,9 +233,10 @@ staged AS (
   FROM stages
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN did_signup THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN clicked_after THEN 1 ELSE 0 END) AS n_click_after_signup,
-       SUM(CASE WHEN purchased_after THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN did_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN clicked_after THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_after_signup,
+       CAST(SUM(CASE WHEN purchased_after THEN 1 ELSE 0 END) AS BIGINT)
          AS n_purchase_after_click,
        CAST(SUM(CASE WHEN purchased_after THEN 1 ELSE 0 END) AS DOUBLE)
          / SUM(CASE WHEN did_signup THEN 1 ELSE 0 END) AS conversion_rate
@@ -338,7 +339,8 @@ ranked AS (
   FROM streaks
 )
 SELECT user_id, n_active_days, n_streaks,
-       streak_len AS longest_len, start_day AS longest_start
+       streak_len AS longest_len,
+       CAST(start_day AS TIMESTAMP) AS longest_start
 FROM ranked WHERE rk = 1
 """
 
@@ -385,6 +387,8 @@ def streak_profile(days: DataFrame) -> DataFrame:
             "n_active_days",
             "n_streaks",
             F.col("streak_len").alias("longest_len"),
-            F.col("start_day").alias("longest_start"),
+            # timestamp grain on both sides: DateType surfaces to pandas as
+            # date-only objects while the oracle's DATE prints midnight
+            F.col("start_day").cast("timestamp").alias("longest_start"),
         )
     )

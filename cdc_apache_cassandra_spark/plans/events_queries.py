@@ -86,10 +86,10 @@ WITH seq AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (
+         CAST(SUM(new_session) OVER (
            PARTITION BY user_id ORDER BY ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM seq
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

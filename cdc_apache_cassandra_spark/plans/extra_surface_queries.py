@@ -171,13 +171,13 @@ WITH items AS (
 SELECT l_orderkey,
        len(parts) AS n_items,
        len(list_distinct(parts)) AS n_distinct,
-       parts[1:3] AS first3,
+       CAST(to_json(parts[1:3]) AS VARCHAR) AS first3,
        parts[1] AS head_part,
        parts[len(parts)] AS last_part,
        list_min(parts) AS min_part,
        list_max(parts) AS max_part,
        list_contains(parts, 10) AS has_anchor,
-       list_reverse(parts) AS parts_desc
+       CAST(to_json(list_reverse(parts)) AS VARCHAR) AS parts_desc
 FROM items
 """
 
@@ -196,13 +196,13 @@ def array_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.size("parts").alias("n_items"),
         F.size(F.array_distinct("parts")).alias("n_distinct"),
-        F.slice("parts", 1, 3).alias("first3"),
+        F.to_json(F.slice("parts", 1, 3)).alias("first3"),
         F.element_at("parts", 1).alias("head_part"),
         F.element_at("parts", -1).alias("last_part"),
         F.array_min("parts").alias("min_part"),
         F.array_max("parts").alias("max_part"),
         F.array_contains("parts", F.lit(10)).alias("has_anchor"),
-        F.reverse("parts").alias("parts_desc"),
+        F.to_json(F.reverse("parts")).alias("parts_desc"),
     )
 
 
@@ -339,15 +339,15 @@ daily AS (
   SELECT day, COUNT(*) AS dau FROM du GROUP BY day
 ),
 monthly AS (
-  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+  SELECT date_trunc('month', day) AS month,
          COUNT(DISTINCT user_id) AS mau
-  FROM du GROUP BY CAST(date_trunc('month', day) AS DATE)
+  FROM du GROUP BY date_trunc('month', day)
 ),
 dsum AS (
-  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+  SELECT date_trunc('month', day) AS month,
          CAST(SUM(dau) AS BIGINT) AS dau_sum,
          COUNT(*) AS n_days
-  FROM daily GROUP BY CAST(date_trunc('month', day) AS DATE)
+  FROM daily GROUP BY date_trunc('month', day)
 )
 SELECT m.month, m.mau, d.dau_sum, d.n_days,
        CAST(ROUND(CAST(d.dau_sum AS DOUBLE) /
@@ -367,7 +367,7 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     du = du.persist()
     daily = du.groupBy("day").agg(F.count("*").alias("dau"))
-    month = F.date_trunc("month", F.col("day")).cast("date").alias("month")
+    month = F.date_trunc("month", F.col("day")).alias("month")
     monthly = du.groupBy(month).agg(F.countDistinct("user_id").alias("mau"))
     dsum = daily.groupBy(month).agg(
         F.sum("dau").cast("bigint").alias("dau_sum"),
@@ -444,8 +444,8 @@ _TRAIL_N = 10
 
 _TRAIL_SQL = f"""
 SELECT event_id, user_id, ts, event_type,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w
-         AS purchases_last{_TRAIL_N},
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w
+         AS BIGINT) AS purchases_last{_TRAIL_N},
        COUNT(*) OVER w AS window_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -620,7 +620,7 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return joined.select(
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         "was_gap",
         F.last("rev", ignorenulls=True).over(w).cast("double").alias("rev_filled"),
     )
@@ -703,7 +703,7 @@ def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.datediff(F.col("next_day"), F.col("prev_day")).cast("double")
     )
     return anchored.select(
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         F.col("rev").isNull().alias("was_gap"),
         F.round(
             F.when(F.col("rev").isNotNull(), F.col("rev").cast("double"))

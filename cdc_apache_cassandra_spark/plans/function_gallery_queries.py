@@ -74,7 +74,7 @@ SELECT o_orderkey,
        day(o_orderdate) AS d,
        isodow(CAST(o_orderdate AS DATE)) AS iso_dow,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
        CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_30d,
        datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_92,
        CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS is_month_end
@@ -91,15 +91,15 @@ def datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        od.alias("od"),
+        od.cast("timestamp").alias("od"),
         F.year("o_orderdate").alias("y"),
         F.quarter("o_orderdate").alias("q"),
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         (F.weekday(od) + 1).alias("iso_dow"),
-        F.last_day(od).alias("month_end"),
-        F.date_trunc("month", od).cast("date").alias("month_start"),
-        F.date_add(od, 30).alias("due_30d"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.date_add(od, 30).cast("timestamp").alias("due_30d"),
         F.datediff(od, F.lit("1992-01-01").cast("date")).alias("days_since_92"),
         (od == F.last_day(od)).alias("is_month_end"),
     )
@@ -109,7 +109,7 @@ def datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MATH_SQL = """
 SELECT l_orderkey, l_linenumber,
-       abs(CAST(l_discount AS DECIMAL(18,2)) - 0.05) AS disc_dev,
+       CAST(abs(CAST(l_discount AS DECIMAL(18,2)) - 0.05) AS DOUBLE) AS disc_dev,
        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
@@ -134,9 +134,9 @@ def math_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(dec("l_discount") - F.lit(0.05).cast("decimal(18,2)")).alias(
-            "disc_dev"
-        ),
+        F.abs(dec("l_discount") - F.lit(0.05).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("disc_dev"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.round(dec("l_extendedprice"), 1).cast("double").alias("price_r1"),

@@ -214,9 +214,9 @@ hs AS (
 ),
 sig AS (
   SELECT doc_id,
-         list_sum(list_transform(range(0, 32), b -> CASE WHEN
+         CAST(list_sum(list_transform(range(0, 32), b -> CASE WHEN
              list_sum(list_transform(hashes, h -> 2*((h >> b) & 1) - 1)) > 0
-             THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS simhash
+             THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
   FROM hs
 )
 SELECT doc_id, simhash,

@@ -127,9 +127,10 @@ packed AS (
   FROM toks
 )
 SELECT doc_id, source, n_tokens,
-       (cum_tokens - n_tokens) // {_PACK_CAP} AS pack_id,
-       cum_tokens - n_tokens
-         - ((cum_tokens - n_tokens) // {_PACK_CAP}) * {_PACK_CAP} AS pack_offset
+       CAST((cum_tokens - n_tokens) // {_PACK_CAP} AS BIGINT) AS pack_id,
+       CAST(cum_tokens - n_tokens
+         - ((cum_tokens - n_tokens) // {_PACK_CAP}) * {_PACK_CAP} AS BIGINT)
+         AS pack_offset
 FROM packed
 """
 

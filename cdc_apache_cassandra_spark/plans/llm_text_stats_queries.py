@@ -114,7 +114,8 @@ ranked AS (
   FROM tc
 ),
 agg AS (
-  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct FROM tc
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct FROM tc
   GROUP BY doc_id
 )
 SELECT a.doc_id, a.n_tokens, a.n_distinct, r.token AS top_token,
@@ -405,9 +406,9 @@ df AS (
 ),
 per_doc AS (
   SELECT tf.doc_id,
-         SUM(tf.tf) AS n_tokens,
-         SUM(CASE WHEN df.df <= {_RARE_DF_MAX} THEN tf.tf ELSE 0 END)
-           AS n_rare
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN df.df <= {_RARE_DF_MAX} THEN tf.tf ELSE 0 END)
+           AS BIGINT) AS n_rare
   FROM tf JOIN df USING (token)
   GROUP BY tf.doc_id
 )
@@ -499,7 +500,7 @@ SELECT lang,
        CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS DOUBLE)
          AS p90_chars,
        MAX(n_chars) AS max_chars,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 """
@@ -706,10 +707,10 @@ pred AS (
   FROM feats
 ),
 cm AS (
-  SELECT SUM(CASE WHEN is_en AND pred_en THEN 1 ELSE 0 END) AS tp,
-         SUM(CASE WHEN NOT is_en AND pred_en THEN 1 ELSE 0 END) AS fp,
-         SUM(CASE WHEN is_en AND NOT pred_en THEN 1 ELSE 0 END) AS fn,
-         SUM(CASE WHEN NOT is_en AND NOT pred_en THEN 1 ELSE 0 END) AS tn
+  SELECT CAST(SUM(CASE WHEN is_en AND pred_en THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT is_en AND pred_en THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN is_en AND NOT pred_en THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT is_en AND NOT pred_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
   FROM pred
 )
 SELECT tp, fp, fn, tn,
@@ -781,10 +782,12 @@ per_doc AS (
   GROUP BY t.doc_id
 )
 SELECT doc_id,
-       SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       SUM(new_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
 FROM per_doc
 """
 

@@ -186,8 +186,8 @@ tf AS (
   SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
 ),
 agg AS (
-  SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
-         SUM(tf * tf) AS s2
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+         CAST(SUM(tf * tf) AS BIGINT) AS s2
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, n_distinct,

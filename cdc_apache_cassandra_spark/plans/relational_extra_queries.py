@@ -165,11 +165,14 @@ def q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECTION_SQL = """
 SELECT o_custkey,
-       list_sort(list(epoch_ms(o_orderdate))) AS order_ts_ms,
-       list(CAST(o_orderkey AS VARCHAR)
-            ORDER BY CAST(o_orderkey AS VARCHAR)) AS map_keys_sorted,
-       list(o_orderstatus
-            ORDER BY CAST(o_orderkey AS VARCHAR)) AS map_values_by_key,
+       CAST(to_json(list_sort(list(epoch_ms(o_orderdate)))) AS VARCHAR)
+         AS order_ts_ms,
+       CAST(to_json(list(CAST(o_orderkey AS VARCHAR)
+            ORDER BY CAST(o_orderkey AS VARCHAR))) AS VARCHAR)
+         AS map_keys_sorted,
+       CAST(to_json(list(o_orderstatus
+            ORDER BY CAST(o_orderkey AS VARCHAR))) AS VARCHAR)
+         AS map_values_by_key,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -184,7 +187,10 @@ def cql_collection_marshalling(spark: SparkSession, sf_dir: str) -> DataFrame:
     order timestamps and the order->status map flattened to key-sorted
     parallel arrays (engines surface MAP values incompatibly to Python,
     so the gate compares the entry lists; note the LEXICOGRAPHIC order —
-    the stringified keys ARE the sort key, which is the F10 semantics)."""
+    the stringified keys ARE the sort key, which is the F10 semantics).
+    The arrays are rendered as JSON strings on BOTH sides so the driver's
+    pandas-lexsort canonicalizer can hash the rows (raw numpy array cells
+    are unhashable — observed as the round-1 `err` on this entry)."""
     o = load_table(spark, sf_dir, "orders")
     ts_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     entries = F.array_sort(
@@ -196,9 +202,9 @@ def cql_collection_marshalling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list(ts_ms)).alias("order_ts_ms"),
-        F.transform(entries, lambda x: x["k"]).alias("map_keys_sorted"),
-        F.transform(entries, lambda x: x["v"]).alias("map_values_by_key"),
+        F.to_json(F.sort_array(F.collect_list(ts_ms))).alias("order_ts_ms"),
+        F.to_json(F.transform(entries, lambda x: x["k"])).alias("map_keys_sorted"),
+        F.to_json(F.transform(entries, lambda x: x["v"])).alias("map_values_by_key"),
         F.count("*").alias("n_orders"),
     )
 
@@ -454,9 +460,11 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARRAY_AGG_SQL = """
 SELECT l_orderkey,
        COUNT(*) AS n_items,
-       list(l_linenumber ORDER BY l_linenumber, l_quantity) AS linenumbers,
-       list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber, l_quantity)
-         AS quantities
+       CAST(to_json(list(l_linenumber ORDER BY l_linenumber, l_quantity))
+         AS VARCHAR) AS linenumbers,
+       CAST(to_json(list(CAST(l_quantity AS DOUBLE)
+                         ORDER BY l_linenumber, l_quantity))
+         AS VARCHAR) AS quantities
 FROM lineitem
 GROUP BY l_orderkey
 HAVING COUNT(*) >= 5
@@ -488,8 +496,12 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "n_items",
-            F.transform("items", lambda x: x["l_linenumber"]).alias("linenumbers"),
-            F.transform("items", lambda x: x["l_quantity"]).alias("quantities"),
+            F.to_json(
+                F.transform("items", lambda x: x["l_linenumber"])
+            ).alias("linenumbers"),
+            F.to_json(
+                F.transform("items", lambda x: x["l_quantity"])
+            ).alias("quantities"),
         )
     )
 

@@ -108,13 +108,13 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_SQL = """
 WITH du AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
   FROM events
 ),
 days AS (SELECT DISTINCT day FROM du)
 SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
 FROM days d JOIN du u
-  ON u.day <= d.day AND u.day >= d.day - 6
+  ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
 GROUP BY d.day
 """
 
@@ -131,7 +131,7 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     du = (
         ev.select(
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
         )
         .distinct()
     )
@@ -399,8 +399,8 @@ WITH n AS (
 )
 SELECT COUNT(*) AS n_vecs,
        COUNT(DISTINCT dim) AS n_distinct_dims,
-       SUM(CASE WHEN abs(nrm - 1.0) > {_NORM_TOL} THEN 1 ELSE 0 END)
-         AS n_unnormalized,
+       CAST(SUM(CASE WHEN abs(nrm - 1.0) > {_NORM_TOL} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unnormalized,
        CAST(ROUND(MIN(nrm), 9) AS DOUBLE) AS min_norm_r,
        CAST(ROUND(MAX(nrm), 9) AS DOUBLE) AS max_norm_r
 FROM n

@@ -1,32 +1,100 @@
 """Materialize the CDC stream into a queryable table — the data-topic ->
 table leg the reference leaves to downstream sinks (ES/another C* via
-Pulsar sinks). Spark mapping: ``foreachBatch`` upsert with last-write-wins
-merge and tombstone deletion (SURVEY §7.4: 'null-value rows must survive
-every sink' — here a DELETE winner removes the key, the parquet analogue
-of Delta's ``whenMatchedDelete``).
+Pulsar sinks). Spark mapping: ``foreachBatch`` incremental merge with
+last-write-wins resolution and tombstone deletion (SURVEY §7.4:
+'null-value rows must survive every sink' — a DELETE winner hides the key
+from the read view, the parquet analogue of Delta's ``whenMatchedDelete``).
 
-Each micro-batch:
-  state' = LWW( state ∪ batch )   — tombstones RETAINED in state
+Storage layout — a miniature merge-on-write table format:
+
+    root/
+      _MANIFEST.json          # {"version": V, "n_buckets": N,
+                              #  "buckets": {"<b>": <ver_written>, ...}}
+      __ver=<ver>/__bucket=<b>/part-*.parquet
+
+State rows are hash-bucketed on the primary key. Each micro-batch rewrites
+ONLY the buckets its keys touch: read those buckets' current files, union
+the batch, LWW-merge, write the result under a fresh ``__ver=<ver>`` directory,
+then atomically swap the manifest pointer (``os.replace``). Untouched
+buckets keep their existing files — per-batch work is proportional to the
+touched-bucket data, never the whole table, and nothing round-trips
+through the driver (the only driver-side values are the touched bucket
+IDs, bounded by ``n_buckets`` integers).
+
+This mirrors how Delta/Iceberg commit MERGEs (rewrite affected files, swap
+a metadata pointer). On an object store the ``os.replace`` of the manifest
+becomes a conditional put; everything else is plain distributed parquet
+IO. At 100 TB, size ``n_buckets`` so a bucket is a few hundred MB (e.g.
+4096+); the default 16 suits test scale.
 
 Tombstones must stay in the state table (with their writetime): micro-
 batches replay files in arbitrary order, so an INSERT older than an
 already-applied DELETE can arrive LATER — dropping the tombstone on merge
 would let that stale insert resurrect the key. Queries read through
-:func:`active_view`, which hides tombstones (Delta's `whenMatchedDelete`
-has the same retention underneath via the transaction log). Compact
-tombstones out only once the source's disorder horizon (watermark) has
-passed them.
-
-The state table is partition-pruned parquet; swap the read/overwrite pair
-for a Delta/Iceberg MERGE on a cluster with a table format — the merge
-logic (operators/lww.py) is identical.
+:func:`active_view`, which hides tombstones. :func:`compact` drops
+tombstones older than the disorder horizon once it has passed.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.operators.lww import last_write_wins
+
+MANIFEST = "_MANIFEST.json"
+DEFAULT_BUCKETS = 16
+
+
+def _bucket_expr(pk_cols: list[str], n_buckets: int):
+    # xxhash64 over the key columns — same family as the engine's token
+    # routing (functions/hashing.py); stable across batches and sessions.
+    return F.pmod(F.xxhash64(*pk_cols), F.lit(n_buckets)).cast("int")
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic pointer swap — the commit point of a merge."""
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+
+
+def _bucket_paths(path: str, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+    live = manifest["buckets"]
+    keys = [str(b) for b in buckets] if buckets is not None else list(live)
+    return [
+        os.path.join(path, f"__ver={live[k]}", f"__bucket={k}")
+        for k in keys
+        if k in live
+    ]
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Current table state (tombstones included), resolved via the
+    manifest pointer. Partition pruning is structural: only live
+    ``v=/b=`` directories are listed at all."""
+    manifest = _read_manifest(path)
+    if manifest is None or not manifest["buckets"]:
+        return None
+    paths = _bucket_paths(path, manifest)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*paths)
+        .drop("__ver", "__bucket")
+    )
 
 
 def merge_batch_lww(
@@ -43,25 +111,110 @@ def active_view(state: DataFrame) -> DataFrame:
     return state.filter("op <> 'DELETE'")
 
 
-def foreach_batch_upsert(path: str, pk_cols: list[str]):
-    """foreachBatch hook: read current state (if any), merge, overwrite.
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    pk_cols: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """One incremental MERGE commit: rewrite only the buckets the batch
+    touches, then swap the manifest. Retry-safe: a crashed attempt leaves
+    an unreferenced ``v=`` directory that the next attempt overwrites and
+    :func:`_prune` removes."""
+    manifest = _read_manifest(path) or {
+        "version": 0,
+        "n_buckets": n_buckets,
+        "buckets": {},
+    }
+    n_buckets = manifest["n_buckets"]
+    batch = batch.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
 
-    The read-modify-overwrite is atomic per micro-batch because
-    foreachBatch serializes batches; retried batches are idempotent (the
-    merge is deterministic and LWW absorbs replays — at-least-once safe).
-    """
+    # Metadata-sized driver exchange: WHICH buckets changed (≤ n_buckets ints).
+    touched = sorted(
+        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        return
+
+    old_paths = _bucket_paths(path, manifest, touched)
+    if old_paths:
+        old = (
+            spark.read.option("basePath", path)
+            .parquet(*old_paths)
+            .drop("__ver")
+        )
+        merged = last_write_wins(old.unionByName(batch), pk_cols=pk_cols)
+    else:
+        merged = last_write_wins(batch, pk_cols=pk_cols)
+
+    version = manifest["version"] + 1
+    out_dir = os.path.join(path, f"__ver={version}")
+    # Distributed write of ONLY the touched buckets; mode=overwrite clears
+    # leftovers of a failed prior attempt at this version.
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+
+    manifest["version"] = version
+    for b in touched:
+        manifest["buckets"][str(b)] = version
+    _write_manifest(path, manifest)
+    _prune(path, manifest)
+
+
+def _prune(path: str, manifest: dict) -> None:
+    """Delete version directories no longer referenced by any bucket."""
+    live = {manifest["buckets"][k] for k in manifest["buckets"]}
+    for name in os.listdir(path):
+        if name.startswith("__ver=") and int(name[6:]) not in live:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    pk_cols: list[str],
+    tombstone_horizon: int | None = None,
+) -> None:
+    """Full rewrite at one version: re-LWW every bucket and drop DELETE
+    rows whose writetime precedes the disorder horizon (safe once the
+    watermark has passed them — no staler INSERT can still arrive)."""
+    manifest = _read_manifest(path)
+    state = read_state(spark, path)
+    if manifest is None or state is None:
+        return
+    state = last_write_wins(state, pk_cols=pk_cols)
+    if tombstone_horizon is not None:
+        state = state.filter(
+            (F.col("op") != "DELETE") | (F.col("writetime") >= tombstone_horizon)
+        )
+    n_buckets = manifest["n_buckets"]
+    state = state.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
+    version = manifest["version"] + 1
+    state.write.mode("overwrite").partitionBy("__bucket").parquet(
+        os.path.join(path, f"__ver={version}")
+    )
+    buckets = {
+        str(r["__bucket"]): version
+        for r in state.select("__bucket").distinct().collect()
+    }
+    _write_manifest(
+        path, {"version": version, "n_buckets": n_buckets, "buckets": buckets}
+    )
+    _prune(path, {"version": version, "n_buckets": n_buckets, "buckets": buckets})
+
+
+def foreach_batch_upsert(
+    path: str, pk_cols: list[str], n_buckets: int = DEFAULT_BUCKETS
+):
+    """foreachBatch hook: incremental bucket MERGE per micro-batch.
+
+    Atomic per micro-batch because foreachBatch serializes batches and the
+    manifest swap is the single commit point; retried batches are
+    idempotent (the merge is deterministic and LWW absorbs replays —
+    at-least-once safe)."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        try:
-            state = spark.read.parquet(path)
-        except Exception:
-            state = None
-        out = merge_batch_lww(state, batch, pk_cols)
-        # materialize BEFORE overwrite: the new state depends on the files
-        # being replaced
-        rows = out.collect()
-        spark.createDataFrame(rows, out.schema).write.mode("overwrite").parquet(path)
+        merge_into(batch.sparkSession, path, batch, pk_cols, n_buckets)
 
     return apply
 
@@ -71,10 +224,14 @@ def materialize_stream(
     path: str,
     checkpoint: str,
     pk_cols: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
 ):
     """Wire a mutation-event stream into the materialized table."""
+    os.makedirs(path, exist_ok=True)
     return (
-        events.writeStream.foreachBatch(foreach_batch_upsert(path, pk_cols))
+        events.writeStream.foreachBatch(
+            foreach_batch_upsert(path, pk_cols, n_buckets)
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .start()

@@ -1,5 +1,15 @@
-"""foreachBatch materialization: CDC stream -> queryable table with LWW
-upsert + tombstone deletion (SURVEY §7.4 'tombstones downstream')."""
+"""foreachBatch materialization: CDC stream -> queryable table with
+incremental bucket-MERGE LWW upsert + tombstone deletion (SURVEY §7.4
+'tombstones downstream'; Delta ``whenMatchedDelete`` analogue).
+
+The store is the manifest-pointer merge-on-write layout in
+streaming/materialize.py: per micro-batch only the touched hash buckets
+are rewritten and the commit point is an atomic manifest swap — no
+driver-side row collection anywhere in the foreachBatch path.
+"""
+
+import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -7,23 +17,26 @@ from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
 from cdc_apache_cassandra_spark.operators.lww import last_write_wins
 from cdc_apache_cassandra_spark.sources.event_source import mutation_events
 from cdc_apache_cassandra_spark.streaming.materialize import (
+    MANIFEST,
     active_view,
+    compact,
     materialize_stream,
     merge_batch_lww,
+    merge_into,
+    read_state,
 )
 
-
-def expected_table(spark, sf_dir):
-    state = last_write_wins(dedup_mutations(mutation_events(spark, sf_dir)))
-    return state.filter("op <> 'DELETE'")
+SCHEMA = (
+    "op string, pk long, writetime long, v string, w string, "
+    "segment long, position long"
+)
 
 
 def test_merge_batch_lww_semantics(spark):
     rows1 = [("INSERT", 1, 10, "a", "x", 0, 0), ("INSERT", 2, 10, "b", "x", 0, 0)]
     rows2 = [("UPDATE", 1, 20, "a2", "x", 0, 1), ("DELETE", 2, 30, None, None, 0, 2)]
-    schema = "op string, pk long, writetime long, v string, w string, segment long, position long"
-    b1 = spark.createDataFrame(rows1, schema)
-    b2 = spark.createDataFrame(rows2, schema)
+    b1 = spark.createDataFrame(rows1, SCHEMA)
+    b2 = spark.createDataFrame(rows2, SCHEMA)
     s1 = merge_batch_lww(None, b1, ["pk"])
     assert s1.count() == 2
     s2 = merge_batch_lww(s1, b2, ["pk"])
@@ -34,14 +47,70 @@ def test_merge_batch_lww_semantics(spark):
     assert s2.filter("pk = 2 AND op = 'DELETE'").count() == 1
 
 
-def test_tombstone_blocks_stale_insert_in_later_batch(spark):
-    """Out-of-order replay: the DELETE (wt=30) lands in batch 1; the stale
-    INSERT (wt=10) only arrives in batch 2. Retained tombstone wins."""
-    schema = "op string, pk long, writetime long, v string, w string, segment long, position long"
-    b1 = spark.createDataFrame([("DELETE", 2, 30, None, None, 0, 0)], schema)
-    b2 = spark.createDataFrame([("INSERT", 2, 10, "stale", "x", 0, 0)], schema)
-    s = merge_batch_lww(merge_batch_lww(None, b1, ["pk"]), b2, ["pk"])
-    assert active_view(s).count() == 0
+def test_tombstone_blocks_stale_insert_in_later_batch(spark, tmp_path):
+    """Out-of-order replay THROUGH THE STORE: the DELETE (wt=30) commits
+    in batch 1; the stale INSERT (wt=10) only arrives in batch 2. The
+    retained tombstone wins the LWW merge."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    b1 = spark.createDataFrame([("DELETE", 2, 30, None, None, 0, 0)], SCHEMA)
+    b2 = spark.createDataFrame([("INSERT", 2, 10, "stale", "x", 0, 0)], SCHEMA)
+    merge_into(spark, path, b1, ["pk"])
+    merge_into(spark, path, b2, ["pk"])
+    state = read_state(spark, path)
+    assert active_view(state).count() == 0
+    assert state.filter("op = 'DELETE' AND writetime = 30").count() == 1
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The merge-on-write contract: a batch touching one key rewrites only
+    that key's bucket; every other bucket's files stay at their old
+    version (the 100-TB property — per-batch IO ∝ touched data)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    base = spark.createDataFrame(
+        [("INSERT", i, 10, f"v{i}", "x", 0, i) for i in range(64)], SCHEMA
+    )
+    merge_into(spark, path, base, ["pk"], n_buckets=8)
+    m1 = json.load(open(os.path.join(path, MANIFEST)))
+    assert m1["version"] == 1 and len(m1["buckets"]) == 8
+
+    one = spark.createDataFrame([("UPDATE", 3, 20, "new", "x", 0, 99)], SCHEMA)
+    merge_into(spark, path, one, ["pk"])
+    m2 = json.load(open(os.path.join(path, MANIFEST)))
+    assert m2["version"] == 2
+    moved = [b for b, v in m2["buckets"].items() if v == 2]
+    assert len(moved) == 1  # exactly the touched bucket advanced
+    stayed = [b for b, v in m2["buckets"].items() if v == 1]
+    assert len(stayed) == 7
+
+    state = read_state(spark, path)
+    assert state.count() == 64
+    assert state.filter("pk = 3").collect()[0].v == "new"
+
+
+def test_compact_drops_old_tombstones(spark, tmp_path):
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    rows = [
+        ("INSERT", 1, 10, "a", "x", 0, 0),
+        ("DELETE", 2, 15, None, None, 0, 1),  # old: before horizon
+        ("DELETE", 3, 40, None, None, 0, 2),  # recent: kept
+    ]
+    merge_into(spark, path, spark.createDataFrame(rows, SCHEMA), ["pk"])
+    compact(spark, path, ["pk"], tombstone_horizon=20)
+    state = read_state(spark, path)
+    assert state.filter("op = 'DELETE'").count() == 1
+    assert state.filter("pk = 3").count() == 1
+    assert state.filter("pk = 1").count() == 1
+    # single live version after compaction
+    m = json.load(open(os.path.join(path, MANIFEST)))
+    assert len({v for v in m["buckets"].values()}) == 1
+
+
+def expected_table(spark, sf_dir):
+    state = last_write_wins(dedup_mutations(mutation_events(spark, sf_dir)))
+    return state.filter("op <> 'DELETE'")
 
 
 def test_materialized_stream_equals_batch_state(spark, sf_dir, tmp_path):
@@ -57,7 +126,7 @@ def test_materialized_stream_equals_batch_state(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    got = active_view(spark.read.parquet(table)).select(
+    got = active_view(read_state(spark, table)).select(
         "pk", "op", "writetime", "c_acctbal"
     )
     want = expected_table(spark, sf_dir).select("pk", "op", "writetime", "c_acctbal")

@@ -300,6 +300,11 @@ def test_streak_profile_matches_python_reference(spark, users):
             n_days,
             n_runs,
             longest,
-            epoch + datetime.timedelta(days=longest_start),
+            # streak_profile emits longest_start at timestamp grain (the
+            # oracle-gate canonical form for day columns)
+            datetime.datetime.combine(
+                epoch + datetime.timedelta(days=longest_start),
+                datetime.time(),
+            ),
         )
     assert got == want
