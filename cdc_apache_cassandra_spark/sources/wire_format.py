@@ -5,33 +5,50 @@ writetime / segpos / token (AbstractPulsarMutationSender.java:190-193,
 surfaces exactly (key binary, value binary, headers); this module encodes
 our mutation events into that shape and back.
 
-Serialization: JSON bytes (UTF-8, explicit nulls) — byte-stable across
-engines and test-inspectable. The container has no spark-avro jar loaded;
-:func:`wire_codec` reports which codec is active so a cluster WITH
-spark-avro swaps `to_json`/`from_json` for `to_avro`/`from_avro` behind
-the same two functions (encoding choice is config, not architecture —
-reference key.converter/value.converter).
+Two codecs behind one seam (reference key.converter/value.converter —
+encoding choice is config, not architecture):
+
+- ``avro`` (default, like the reference's NativeAvroConverter): Avro
+  binary records via functions/avro_codec.py — a dependency-free
+  implementation of the Avro 1.11 binary spec with the reference's CQL
+  logical types (CqlLogicalTypes.java:29-62). Runs in Arrow-batched
+  pandas UDFs: bytes cross the Python boundary once per record batch.
+  On a cluster with spark-avro, the same seam swaps in the JVM
+  ``to_avro``/``from_avro`` (detected by :func:`wire_codec`).
+- ``json``: UTF-8 JSON bytes with explicit nulls — JVM-side
+  (``to_json``/``from_json``), byte-stable, test-inspectable
+  (reference NativeJsonConverter).
 
 Tombstone rule: DELETE ⇒ value bytes NULL (CassandraSource.java:554).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cdc_apache_cassandra_spark.functions.avro_codec import (
+    avro_schema_for,
+    decode_record,
+    encode_record,
+)
 from cdc_apache_cassandra_spark.functions.hashing import token_expr
+
+DEFAULT_CODEC = "avro"
 
 
 def wire_codec() -> str:
-    """'avro' when the spark-avro data source is loadable, else 'json'."""
+    """'avro-jvm' when the spark-avro data source is loadable, else
+    'avro' (the built-in Arrow-batched codec). JSON stays available as an
+    explicit choice."""
     try:
         from pyspark.sql.avro.functions import to_avro  # noqa: F401
 
-        return "avro"
+        return "avro-jvm"
     except Exception:
-        return "json"
+        return "avro"
 
 
 def _json_bytes(cols: list[str]) -> Column:
@@ -40,20 +57,62 @@ def _json_bytes(cols: list[str]) -> Column:
     )
 
 
+def _null_safe(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.astype(object).where(pdf.notna(), None)
+
+
+def _avro_bytes(df: DataFrame, cols: list[str]) -> Column:
+    """Arrow-batched Avro encode of a struct of columns."""
+    node = avro_schema_for(
+        T.StructType([df.schema[c] for c in cols])
+    )
+
+    @F.pandas_udf("binary")
+    def enc(pdf: pd.DataFrame) -> pd.Series:
+        rows = _null_safe(pdf).to_dict("records")
+        return pd.Series([encode_record(node, r) for r in rows])
+
+    return enc(F.struct(*cols))
+
+
+def _avro_struct(col: Column, schema: T.StructType) -> Column:
+    """Arrow-batched Avro decode back to typed columns."""
+    node = avro_schema_for(schema)
+
+    @F.pandas_udf(schema)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        out = [
+            {f.name: None for f in schema.fields}
+            if blob is None
+            else decode_record(node, bytes(blob))
+            for blob in s
+        ]
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return dec(col)
+
+
 def to_wire_records(
     events: DataFrame,
     key_cols: list[str],
     value_cols: list[str],
     op_col: str = "op",
+    codec: str = DEFAULT_CODEC,
 ) -> DataFrame:
     """mutation events -> (key BINARY, value BINARY|null, writetime,
     segpos, token) — the exact column set a kafka-format writeStream
     needs, with the reference's three message properties."""
+    if codec == "json":
+        key_bytes = _json_bytes(key_cols)
+        value_bytes = _json_bytes(value_cols)
+    else:
+        key_bytes = _avro_bytes(events, key_cols)
+        value_bytes = _avro_bytes(events, value_cols)
     value = F.when(
         F.col(op_col) == "DELETE", F.lit(None).cast("binary")
-    ).otherwise(_json_bytes(value_cols))
+    ).otherwise(value_bytes)
     return events.select(
-        _json_bytes(key_cols).alias("key"),
+        key_bytes.alias("key"),
         value.alias("value"),
         F.col("writetime"),
         F.concat_ws(":", F.col("segment"), F.col("position")).alias("segpos"),
@@ -62,13 +121,20 @@ def to_wire_records(
 
 
 def from_wire_records(
-    wire: DataFrame, key_schema: T.StructType, value_schema: T.StructType
+    wire: DataFrame,
+    key_schema: T.StructType,
+    value_schema: T.StructType,
+    codec: str = DEFAULT_CODEC,
 ) -> DataFrame:
     """(key, value, props) -> typed columns; null value bytes => tombstone
     with null value columns. The inverse of to_wire_records (F12: decode
     the key record back to typed values to bind the lookup)."""
-    key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
-    value = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)
+    if codec == "json":
+        key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
+        value = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)
+    else:
+        key = _avro_struct(F.col("key"), key_schema)
+        value = _avro_struct(F.col("value"), value_schema)
     out = wire.select(
         key.alias("_k"),
         value.alias("_v"),

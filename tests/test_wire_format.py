@@ -1,12 +1,24 @@
 """Wire-format round trip: events -> (key/value bytes + properties) ->
 typed columns, with tombstones and the writetime/segpos/token properties
-(reference SEPARATED KeyValue encoding + message props)."""
+(reference SEPARATED KeyValue encoding + message props). Parameterized
+over BOTH codecs (json + the built-in Avro binary codec), plus golden
+byte pins for the §1.2 CQL logical-type encodings
+(CqlLogicalTypes.java:29-62)."""
 
+import datetime
 import json
+from decimal import Decimal
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cdc_apache_cassandra_spark.functions.avro_codec import (
+    avro_schema_for,
+    decode_record,
+    encode_record,
+    varint_bytes,
+)
 from cdc_apache_cassandra_spark.sources.event_source import mutation_events
 from cdc_apache_cassandra_spark.sources.wire_format import (
     from_wire_records,
@@ -25,19 +37,22 @@ VALUE_SCHEMA = T.StructType(
 )
 VALUE_COLS = [f.name for f in VALUE_SCHEMA.fields]
 
+CODECS = ["json", "avro"]
+
 
 def test_codec_reported(spark):
-    assert wire_codec() in ("json", "avro")
+    assert wire_codec() in ("avro", "avro-jvm")
 
 
-def test_round_trip_preserves_rows_and_tombstones(spark, sf_dir):
+@pytest.mark.parametrize("codec", CODECS)
+def test_round_trip_preserves_rows_and_tombstones(spark, sf_dir, codec):
     ev = mutation_events(spark, sf_dir)
-    wire = to_wire_records(ev, ["pk"], VALUE_COLS)
+    wire = to_wire_records(ev, ["pk"], VALUE_COLS, codec=codec)
     # tombstones: DELETE events carry null value bytes
     n_del = ev.filter("op = 'DELETE'").count()
     assert wire.filter(F.col("value").isNull()).count() == n_del
 
-    back = from_wire_records(wire, KEY_SCHEMA, VALUE_SCHEMA)
+    back = from_wire_records(wire, KEY_SCHEMA, VALUE_SCHEMA, codec=codec)
     assert back.count() == ev.count()
     # non-tombstones decode to the original values
     orig = ev.filter("op <> 'DELETE'").select(
@@ -51,10 +66,10 @@ def test_round_trip_preserves_rows_and_tombstones(spark, sf_dir):
 
 
 def test_key_bytes_are_canonical_json(spark, sf_dir):
-    """The key encoding is stable and parseable — the dedup/partitioning
-    key downstream systems see."""
+    """The JSON codec's key encoding is stable and parseable — the
+    dedup/partitioning key downstream systems see."""
     ev = mutation_events(spark, sf_dir).limit(5)
-    wire = to_wire_records(ev, ["pk"], VALUE_COLS)
+    wire = to_wire_records(ev, ["pk"], VALUE_COLS, codec="json")
     for r in wire.collect():
         k = json.loads(bytes(r["key"]).decode())
         assert set(k) == {"pk"}
@@ -62,7 +77,8 @@ def test_key_bytes_are_canonical_json(spark, sf_dir):
         assert r["token"] is not None
 
 
-def test_wire_records_flow_through_pipeline(spark, sf_dir):
+@pytest.mark.parametrize("codec", CODECS)
+def test_wire_records_flow_through_pipeline(spark, sf_dir, codec):
     """Decoded wire records drive the same dedup+LWW pipeline: encoding is
     a boundary concern, not an operator change."""
     from cdc_apache_cassandra_spark.operators.lww import last_write_wins
@@ -71,11 +87,16 @@ def test_wire_records_flow_through_pipeline(spark, sf_dir):
     # op must survive the trip for LWW tombstone logic: carry it in value?
     # No — the reference derives deletion from the NULL value. Reconstruct:
     back = from_wire_records(
-        to_wire_records(ev, ["pk"], VALUE_COLS), KEY_SCHEMA, VALUE_SCHEMA
+        to_wire_records(ev, ["pk"], VALUE_COLS, codec=codec),
+        KEY_SCHEMA,
+        VALUE_SCHEMA,
+        codec=codec,
     ).withColumn(
         "op", F.when(F.col("is_tombstone"), "DELETE").otherwise("UPSERT")
     )
-    state = last_write_wins(back.dropDuplicates(["pk", "writetime", "segment", "position"]))
+    state = last_write_wins(
+        back.dropDuplicates(["pk", "writetime", "segment", "position"])
+    )
     want = last_write_wins(
         mutation_events(spark, sf_dir).drop("node_id").dropDuplicates(
             ["pk", "digest"]
@@ -86,3 +107,107 @@ def test_wire_records_flow_through_pipeline(spark, sf_dir):
     got_tombs = {r.pk for r in state.filter("is_tombstone").collect()}
     want_tombs = {r.pk for r in want.filter("op = 'DELETE'").collect()}
     assert got_tombs == want_tombs
+
+
+# --- golden byte pins: Avro binary spec + CQL logical types ------------------
+
+
+def _enc_field(dt, value):
+    """Encode a one-field record and strip the union index prefix."""
+    schema = T.StructType([T.StructField("x", dt)])
+    return encode_record(avro_schema_for(schema), {"x": value})
+
+
+def test_avro_binary_zigzag_golden():
+    """Avro spec pins: long 1 -> 0x02, -1 -> 0x01, 64 -> 0x80 0x01.
+    One-field records carry the union index 0x02 (branch 1 = non-null)
+    first."""
+    long_t = T.LongType()
+    assert _enc_field(long_t, 1) == bytes([0x02, 0x02])
+    assert _enc_field(long_t, -1) == bytes([0x02, 0x01])
+    assert _enc_field(long_t, 64) == bytes([0x02, 0x80, 0x01])
+    assert _enc_field(long_t, None) == bytes([0x00])  # null branch
+
+
+def test_avro_string_golden():
+    assert _enc_field(T.StringType(), "ab") == bytes([0x02, 0x04, 0x61, 0x62])
+
+
+def test_timestamp_millis_golden():
+    """§1.2 F1: timestamp encodes as epoch MILLIS long
+    (CqlLogicalTypes.java:30, NativeAvroConverter.java:118-120)."""
+    ts = datetime.datetime(1970, 1, 1, 0, 0, 1)  # 1000 ms
+    out = bytearray()
+    node = avro_schema_for(T.StructType([T.StructField("x", T.TimestampType())]))
+    from cdc_apache_cassandra_spark.functions.avro_codec import encode_value
+
+    encode_value(out, node, {"x": ts})
+    # union idx 0x02 then zigzag(1000) = 2000 = 0xD0 0x0F
+    assert bytes(out) == bytes([0x02, 0xD0, 0x0F])
+    back = decode_record(node, bytes(out))
+    assert back["x"] == ts
+
+
+def test_date_epoch_days_golden():
+    """§1.2 F2: date encodes as epoch-DAYS int (CqlLogicalTypes.java:29;
+    PulsarMutationSender.java:141-146)."""
+    d = datetime.date(1970, 1, 11)  # day 10 -> zigzag 20 = 0x14
+    assert _enc_field(T.DateType(), d) == bytes([0x02, 0x14])
+    node = avro_schema_for(T.StructType([T.StructField("x", T.DateType())]))
+    assert decode_record(node, bytes([0x02, 0x14]))["x"] == d
+
+
+def test_cql_varint_twos_complement_golden():
+    """cql_varint payload bytes: two's-complement big-endian minimal form
+    (CqlLogicalTypes.java:109-131)."""
+    assert varint_bytes(0) == b"\x00"
+    assert varint_bytes(127) == b"\x7f"
+    assert varint_bytes(128) == b"\x00\x80"  # needs the sign byte
+    assert varint_bytes(-1) == b"\xff"
+    assert varint_bytes(-129) == b"\xff\x7f"
+    assert int.from_bytes(varint_bytes(123456789), "big", signed=True) == 123456789
+
+
+def test_cql_decimal_record_golden():
+    """cql_decimal = record{bigint: bytes, scale: int}
+    (CqlLogicalTypes.java:133-160): 123.45 -> unscaled 12345, scale 2."""
+    dt = T.DecimalType(10, 2)
+    node = avro_schema_for(T.StructType([T.StructField("x", dt)]))
+    blob = encode_record(node, {"x": Decimal("123.45")})
+    # union 0x02 | bytes len 4 (2 bytes) | 0x30 0x39 (12345) | scale zigzag 4
+    assert blob == bytes([0x02, 0x04, 0x30, 0x39, 0x04])
+    assert decode_record(node, blob)["x"] == Decimal("123.45")
+
+
+def test_cql_duration_record_golden():
+    """cql_duration = record{months,days,nanoseconds}
+    (CqlLogicalTypes.java:50-62; NativeAvroConverter.java:412-436)."""
+    dur_t = T.StructType(
+        [
+            T.StructField("months", T.IntegerType()),
+            T.StructField("days", T.IntegerType()),
+            T.StructField("nanoseconds", T.LongType()),
+        ]
+    )
+    node = avro_schema_for(T.StructType([T.StructField("x", dur_t)]))
+    blob = encode_record(node, {"x": {"months": 1, "days": 2, "nanoseconds": 3}})
+    assert blob == bytes([0x02, 0x02, 0x04, 0x06])
+    assert decode_record(node, blob)["x"] == {
+        "months": 1,
+        "days": 2,
+        "nanoseconds": 3,
+    }
+
+
+def test_collections_round_trip():
+    """F11: arrays/maps (block-coded) with nullable elements; F10 map
+    keys are strings."""
+    schema = T.StructType(
+        [
+            T.StructField("arr", T.ArrayType(T.LongType())),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+        ]
+    )
+    node = avro_schema_for(schema)
+    row = {"arr": [1, None, 3], "m": {"a": 1.5, "b": None}}
+    assert decode_record(node, encode_record(node, row)) == row
