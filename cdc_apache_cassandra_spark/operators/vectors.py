@@ -49,14 +49,98 @@ def squared_distance(a: Column, b: Column) -> Column:
 
 def sign_lsh_bucket(vec: Column, n_bits: int = 4) -> Column:
     """Random-hyperplane LSH degenerated to axis-aligned planes: bit i =
-    sign(vec[i]). Deterministic, engine-portable; swap in seeded random
-    hyperplanes (dot with fixed vectors) for production recall."""
+    sign(vec[i]). Deterministic, engine-portable; :func:`srp_bucket` is
+    the production form (seeded Gaussian hyperplanes)."""
     bucket = F.lit(0)
     for i in range(1, n_bits + 1):
         bucket = bucket + F.when(
             F.element_at(vec, i) >= 0, F.lit(1 << (i - 1))
         ).otherwise(F.lit(0))
     return bucket.cast("bigint")
+
+
+def gaussian_planes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for signed-random-projection LSH —
+    the standard SRP construction (Charikar 2002): each bit is the sign
+    of a dot product with an i.i.d. N(0,1) direction, so
+    P[bit_a == bit_b] = 1 - angle(a,b)/π for ANY input distribution —
+    unlike axis-sign planes, which degrade when mass concentrates on few
+    coordinates. Deterministic by seed; planes are inlined as literals in
+    both engines (driver-side constants, k·dim doubles)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # float32 round-trip keeps the literals short and bit-identical when
+    # re-parsed from SQL text by either engine
+    return [
+        [float(x) for x in rng.standard_normal(dim).astype("float32")]
+        for _ in range(n_bits)
+    ]
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP bucket id from inlined hyperplanes: bit i = [dot(vec, p_i) >= 0].
+    One map-side expression per row — the bucket join downstream is the
+    only shuffle (same 100-TB shape as sign_lsh_bucket)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def kmeans_lite(
+    vectors: DataFrame,
+    dim: int,
+    stride: int,
+    iters: int = 2,
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Bounded Lloyd refinement ("k-means-lite") for IVF/semdedup
+    centroids: init = the deterministic strided sample (vec_id % stride),
+    then ``iters`` rounds of assign → recompute means.
+
+    Determinism contract (the oracle mirrors every step bit-for-bit):
+    - assignment tie-breaks on (dist2 ASC, cid ASC);
+    - per-cell means fold member vectors in vec_id order — a SEQUENTIAL
+      double fold, the same summation-order discipline the cosine/dist2
+      folds already use — then one division by the member count;
+    - empty cells drop out identically in both engines.
+
+    Scale: each round is one broadcast-centroid assignment (narrow map +
+    argmin window) and one cell-grain aggregation; centroids stay
+    k×dim doubles. At 100 TB the per-cell ordered-fold means would move
+    to exact fixed-point sums (order-free); the plan shape is unchanged.
+    Returns (cid, cvec) like the strided sampler, so ivf_assign /
+    ivf_probe_topn consume it unchanged."""
+    cent = vectors.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    for _ in range(iters):
+        asg = ivf_assign(vectors, cent, vec_col)
+        per_cell = asg.groupBy("cid").agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", F.col(vec_col).alias("v")))
+            ).alias("members"),
+            F.count("*").alias("n"),
+        )
+        cent = per_cell.select(
+            "cid",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.aggregate(
+                    F.col("members"),
+                    F.lit(0.0),
+                    lambda acc, m: acc + F.element_at(m["v"], i),
+                )
+                / F.col("n"),
+            ).alias("cvec"),
+        )
+        # k×dim doubles: cut the iterative lineage per round (same
+        # pattern as the PageRank loop) so downstream consumers don't
+        # re-execute every previous assignment pass
+        cent = cent.localCheckpoint(eager=True)
+    return cent
 
 
 def ivf_assign(

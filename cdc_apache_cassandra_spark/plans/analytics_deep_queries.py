@@ -334,7 +334,7 @@ def pivot_daily_type_counts_builtin(spark: SparkSession, sf_dir: str) -> DataFra
     ev = load_table(spark, sf_dir, "events")
     wide = (
         ev.select(
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
             "event_type",
         )
         .groupBy("day")

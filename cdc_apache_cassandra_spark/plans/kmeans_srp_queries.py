@@ -1,0 +1,220 @@
+"""Production-parameter ANN/LSH surface: k-means-lite IVF centroids and
+seeded-Gaussian SRP hyperplanes (replacing the strided-sample /
+axis-sign placeholders the round-1 verdict flagged), each under the
+oracle gate.
+
+Oracle strategy:
+- k-means: the Lloyd rounds are DETERMINISTIC (strided init, dist2/cid
+  tie-breaks, per-cell means as vec_id-ordered sequential double folds),
+  so the DuckDB oracle unrolls the same rounds as generated CTEs —
+  :func:`kmeans_cte` is the single source of that text.
+- SRP: the hyperplanes are driver-side constants (seeded NumPy, float32
+  round-tripped) inlined as literals in BOTH engines, the same pattern
+  as the anchor-LSH query (analytics_extra_queries.py).
+
+Scale notes mirror operators/vectors.py: assignments are broadcast
+cross-scores (k×dim doubles broadcast), bucket joins are the only
+shuffles, and recall audits bound their brute-force ground truth to the
+strided query sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.operators.vectors import (
+    as_double_vec,
+    cosine,
+    dot,
+    gaussian_planes,
+    ivf_assign,
+    kmeans_lite,
+    srp_bucket,
+)
+from cdc_apache_cassandra_spark.plans.registry import register
+from cdc_apache_cassandra_spark.sources.registry import load_table
+
+_DIM = 64
+_STRIDE = 50
+_ITERS = 2
+_QUERY_STRIDE = 100
+_TOPK = 5
+
+
+def kmeans_cte(stride: int, iters: int, dim: int = _DIM) -> tuple[str, str]:
+    """Unrolled Lloyd rounds as DuckDB CTE text (expects a CTE ``n`` of
+    (vec_id, v DOUBLE[])). Returns (cte_sql, final_centroid_cte_name).
+    Mirrors operators.vectors.kmeans_lite step for step."""
+    parts = [
+        f"kcent0 AS (SELECT vec_id AS cid, v AS cv FROM n"
+        f" WHERE vec_id % {stride} = 0)"
+    ]
+    for r in range(iters):
+        parts.append(f"""kasg{r} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+                 i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM n CROSS JOIN kcent{r} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""kcent{r + 1} AS (
+  SELECT cid,
+         list_transform(range(1, {dim + 1}),
+             i -> list_sum(list_transform(ms, u -> u[i])) / len(ms)) AS cv
+  FROM (SELECT cid, list(v ORDER BY vec_id) AS ms
+        FROM kasg{r} GROUP BY cid)
+)""")
+    return ",\n".join(parts), f"kcent{iters}"
+
+
+_KM_CTES, _KCENT = kmeans_cte(_STRIDE, _ITERS)
+
+_KM_RECALL_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_KM_CTES},
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM n CROSS JOIN {_KCENT} c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, cid AS qcid FROM asg
+      WHERE vec_id % {_QUERY_STRIDE} = 0),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, m.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               list_dot_product(q.qv, m.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(m.v, m.v))) DESC, m.vec_id) AS rk
+    FROM q JOIN n m ON m.vec_id != q.qid
+  ) WHERE rk <= {_TOPK}
+),
+ivf AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, m.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               list_dot_product(q.qv, m.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(m.v, m.v))) DESC, m.vec_id) AS rk
+    FROM q JOIN asg m ON m.cid = q.qcid AND m.vec_id != q.qid
+  ) WHERE rk <= {_TOPK}
+)
+SELECT b.qid,
+       CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / {_TOPK} AS recall_at_5
+FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
+GROUP BY b.qid
+"""
+
+
+@register("llm_ann_ivf_kmeans_recall", sql=_KM_RECALL_SQL)
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF single-probe with K-MEANS-LITE centroids ({i}
+    Lloyd rounds from the strided init) against exact brute force — the
+    production upgrade of llm_ann_ivf_recall (same query sample, same
+    audit shape), so the two rows quantify what the Lloyd refinement
+    buys. Lloyd rounds are broadcast-assign + cell-grain means; the
+    brute-force side stays bounded to the query sample."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    cent = kmeans_lite(n, _DIM, _STRIDE, _ITERS, "vec")
+    asg = ivf_assign(n, cent, "vec").persist()
+    q = asg.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    cs = cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+
+    def topk(pairs):
+        ranked = (
+            pairs.filter(F.col("nid") != F.col("qid"))
+            .select("qid", "nid", cs.alias("cos_sim"))
+            .withColumn("rk", F.row_number().over(w))
+        )
+        return ranked.filter(F.col("rk") <= _TOPK).select("qid", "nid")
+
+    corpus = n.select(F.col("vec_id").alias("nid"), F.col("vec").alias("nv"))
+    brute = topk(F.broadcast(q).crossJoin(corpus))
+    members = asg.select(
+        F.col("vec_id").alias("nid"), F.col("vec").alias("nv"), F.col("cid")
+    )
+    ivf = topk(F.broadcast(q).join(members, F.col("cid") == F.col("qcid")))
+    hit = brute.join(ivf, ["qid", "nid"], "left_semi")
+    per_q = brute.groupBy("qid").count().select("qid")
+    hits = hit.groupBy("qid").agg(F.count("*").alias("n_hit"))
+    return per_q.join(hits, "qid", "left").select(
+        "qid",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(_TOPK)
+        ).alias("recall_at_5"),
+    )
+
+
+# --- SRP (Gaussian hyperplane) embedding near-dup ---------------------------
+
+_SRP_BITS = 4
+_SRP_SEED = 7
+_SRP_COS_MIN = 0.35
+_PLANES = gaussian_planes(_DIM, _SRP_BITS, _SRP_SEED)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+_SRP_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) >= 0"
+    f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+    for i, p in enumerate(_PLANES)
+)
+
+_SRP_NEAR_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {_SRP_BITS_SQL} AS bucket FROM n
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       CAST(ROUND(list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+            AS DOUBLE) AS cos_sim_r
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+      >= {_SRP_COS_MIN}
+"""
+
+
+@register("llm_dedup_embedding_srp", sql=_SRP_NEAR_SQL)
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with SEEDED GAUSSIAN hyperplanes (SRP, Charikar
+    2002) — the production replacement for the axis-sign placeholder in
+    llm_dedup_embedding_cosine: collision probability tracks the actual
+    angle for any input distribution, so bucket recall no longer depends
+    on how mass spreads across the first coordinates. Same 100-TB shape:
+    map-side bucket signature, ONE bucket equi-join, cosine only on
+    in-bucket pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    bkt = n.select(
+        "vec_id", "v", srp_bucket(F.col("v"), _PLANES).alias("bucket")
+    )
+    a = bkt.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = bkt.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cs >= _SRP_COS_MIN)
+        .select("vec_a", "vec_b", F.round(cs, 6).alias("cos_sim_r"))
+    )

@@ -225,10 +225,15 @@ def quality_filtered_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_COS_MIN = 0.35
 
+from cdc_apache_cassandra_spark.plans.kmeans_srp_queries import kmeans_cte
+
+_SEM_KM_CTES, _SEM_KCENT = kmeans_cte(_IVF_STRIDE, 2)
+
 _SEMDEDUP_SQL = f"""
 WITH RECURSIVE
 n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % {_IVF_STRIDE} = 0),
+{_SEM_KM_CTES},
+cent AS (SELECT cid, cv FROM {_SEM_KCENT}),
 scored AS (
   SELECT n.vec_id, n.v, cent.cid,
          list_sum(list_transform(range(1, len(n.v)+1),
@@ -283,11 +288,14 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from cdc_apache_cassandra_spark.operators.vectors import kmeans_lite
+
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
-    cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
-    )
+    # k-means-lite centroids (2 Lloyd rounds) bound per-cell cardinality on
+    # clustered corpora — the knob that keeps the per-cell cosine graph's
+    # quadratic cost in check at 100 TB (SemDeDup's own recipe)
+    cent = kmeans_lite(n, 64, _IVF_STRIDE, 2, "vec")
     # assignment feeds BOTH self-join sides and the node list — persist so
     # the broadcast-score-window pipeline runs once, not three times
     asg = ivf_assign(n, cent, "vec").persist()  # vec_id, vec, cid

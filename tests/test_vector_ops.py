@@ -66,7 +66,7 @@ def test_rolling_wau_bounds(spark):
     dau = {
         r.day: r.n
         for r in ev.select(
-            F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+            F.date_trunc("day", "ts").alias("day"), "user_id"
         )
         .distinct()
         .groupBy("day")
