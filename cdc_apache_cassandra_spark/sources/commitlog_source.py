@@ -130,13 +130,27 @@ class _SegmentPartition(InputPartition):
 def _read_segment(file: str, schema: T.StructType):
     """Arrow-vectorized segment replay: RecordBatches cross the boundary
     whole (no per-row Python tuples). The parquet file is cast to the
-    source's arrow schema so field order/width always match the plan."""
+    source's arrow schema so field order/width always match the plan.
+
+    BACKWARD-compatible read (CassandraSource.java:666-698 rebuild-on-DDL
+    semantics): a segment written before an ALTER TABLE ADD lacks the new
+    column — those fields surface as nulls, exactly like the reference
+    re-reading an old row under the evolved schema."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
-    table = pq.read_table(file, columns=[f.name for f in schema.fields])
-    table = table.cast(arrow_schema)
+    pf = pq.ParquetFile(file)
+    present = set(pf.schema_arrow.names)
+    wanted = [f.name for f in schema.fields]
+    table = pq.read_table(file, columns=[c for c in wanted if c in present])
+    for field in arrow_schema:
+        if field.name not in present:
+            table = table.append_column(
+                field.name, pa.nulls(table.num_rows, type=field.type)
+            )
+    table = table.select(wanted).cast(arrow_schema)
     yield from table.to_batches()
 
 

@@ -202,3 +202,76 @@ def test_second_table_stream_through_same_source(spark, tmp_path_factory):
     assert Counter(map(tuple, got.select(*cols).collect())) == Counter(
         map(tuple, ev.select(*cols).collect())
     )
+
+
+def test_descriptor_ddl_evolution_old_segments_read_as_null(
+    spark, tmp_path_factory
+):
+    """ALTER TABLE ADD through the descriptor source: segments written
+    BEFORE the DDL lack the new column and must surface it as NULL under
+    the evolved descriptor — the reference's rebuild-on-DDL semantics
+    (CassandraSource.java:666-698), with checkpointed resume consuming
+    only the post-DDL segment."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("ddl_evolve")
+    d = str(base / "segments")
+    ck = str(base / "ckpt")
+    out_dir = str(base / "out")
+    ev, _ = _compound_with_envelope(spark)
+    write_segments(ev.filter(F.col("segment") < 2), d, n_segments=2)
+    register(spark)
+
+    evolved = ORDERS_DESCRIPTOR + [
+        {"name": "v_comment", "cql_type": "text", "kind": "regular"}
+    ]
+
+    def run_once():
+        q = (
+            spark.readStream.format("cdc_commitlog")
+            .option("path", d)
+            .option("tableDescriptor", json.dumps(evolved))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n_old = spark.read.parquet(out_dir).count()
+    assert n_old == ev.filter(F.col("segment") < 2).count()
+    # every pre-DDL row carries a NULL for the post-DDL column
+    assert (
+        spark.read.parquet(out_dir).filter(F.col("v_comment").isNull()).count()
+        == n_old
+    )
+
+    # post-DDL segment WITH the new column lands after the watermark
+    from cdc_apache_cassandra_spark.sources.commitlog_source import (
+        schema_from_descriptor,
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema2 = schema_from_descriptor(evolved)
+    new_rows = (
+        ev.filter(F.col("segment") >= 2)
+        .withColumn("v_comment", F.concat(F.lit("c"), F.col("pk_p")))
+        .select(*[F.col(f.name).cast(f.dataType) for f in schema2.fields])
+    )
+    pdf = new_rows.toPandas()
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+        to_arrow_schema(schema2)
+    )
+    pq.write_table(tbl, os.path.join(d, "segment-00090.parquet"))
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    # exactly the post-DDL rows carry values
+    assert got.filter(F.col("v_comment").isNotNull()).count() == new_rows.count()
