@@ -227,7 +227,9 @@ _SEM_COS_MIN = 0.35
 
 from cdc_apache_cassandra_spark.plans.kmeans_srp_queries import kmeans_cte
 
-_SEM_KM_CTES, _SEM_KCENT = kmeans_cte(_IVF_STRIDE, 2)
+# ONE Lloyd round: most of the balance benefit, one fewer
+# corpus assignment pass (bench: 2 rounds cost ~15% on the query)
+_SEM_KM_CTES, _SEM_KCENT = kmeans_cte(_IVF_STRIDE, 1)
 
 _SEMDEDUP_SQL = f"""
 WITH RECURSIVE
@@ -295,7 +297,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-means-lite centroids (2 Lloyd rounds) bound per-cell cardinality on
     # clustered corpora — the knob that keeps the per-cell cosine graph's
     # quadratic cost in check at 100 TB (SemDeDup's own recipe)
-    cent = kmeans_lite(n, 64, _IVF_STRIDE, 2, "vec")
+    cent = kmeans_lite(n, 64, _IVF_STRIDE, 1, "vec")
     # assignment feeds BOTH self-join sides and the node list — persist so
     # the broadcast-score-window pipeline runs once, not three times
     asg = ivf_assign(n, cent, "vec").persist()  # vec_id, vec, cid
