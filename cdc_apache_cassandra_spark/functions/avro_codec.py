@@ -117,6 +117,11 @@ def _node(dt: T.DataType) -> Any:
     if isinstance(dt, T.DateType):
         return "date"  # int epoch-days (CqlLogicalTypes.java:29)
     if isinstance(dt, T.DecimalType):
+        if dt.scale == 0 and dt.precision == 38:
+            # §1.2: varint surfaces as DecimalType(38,0) and encodes as
+            # cql_varint BYTES (two's complement big-endian), not a
+            # decimal record (CqlLogicalTypes.java:34-36,109-131)
+            return "cql_varint"
         # cql_decimal record{bigint bytes, scale int}
         return "cql_decimal"
     if isinstance(dt, T.ArrayType):
@@ -178,6 +183,8 @@ def encode_value(out: bytearray, node: Any, v: Any) -> None:
         if isinstance(v, datetime.date):
             v = (v - datetime.date(1970, 1, 1)).days
         write_long(out, int(v))
+    elif node == "cql_varint":
+        write_bytes(out, varint_bytes(int(v)))
     elif node == "cql_decimal":
         d = Decimal(v)
         sign, digits, exp = d.as_tuple()
@@ -244,6 +251,9 @@ def decode_value(buf: bytes, pos: int, node: Any) -> tuple[Any, int]:
 
         days, pos = read_long(buf, pos)
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=days), pos
+    if node == "cql_varint":
+        raw, pos = read_bytes(buf, pos)
+        return Decimal(int.from_bytes(raw, "big", signed=True)), pos
     if node == "cql_decimal":
         raw, pos = read_bytes(buf, pos)
         scale, pos = read_long(buf, pos)

@@ -211,3 +211,94 @@ def test_collections_round_trip():
     node = avro_schema_for(schema)
     row = {"arr": [1, None, 3], "m": {"a": 1.5, "b": None}}
     assert decode_record(node, encode_record(node, row)) == row
+
+
+def test_cql_varint_bytes_encoding_golden():
+    """varint (DecimalType(38,0)) encodes as cql_varint BYTES, not a
+    decimal record (CqlLogicalTypes.java:34-36): 300 -> 0x01 0x2C."""
+    dt = T.DecimalType(38, 0)
+    node = avro_schema_for(T.StructType([T.StructField("x", dt)]))
+    blob = encode_record(node, {"x": Decimal(300)})
+    # union 0x02 | bytes len 2 | 0x01 0x2C
+    assert blob == bytes([0x02, 0x04, 0x01, 0x2C])
+    assert decode_record(node, blob)["x"] == Decimal(300)
+
+
+def test_descriptor_full_type_matrix():
+    """Every §1.2 CQL type through schema_from_descriptor maps to the
+    Spark type the SURVEY table specifies (the testSchema all-types
+    scenario, PulsarCassandraSourceTests.java:609-761, at schema level)."""
+    from cdc_apache_cassandra_spark.sources.commitlog_source import (
+        schema_from_descriptor,
+    )
+
+    descriptor = [
+        {"name": "k_text", "cql_type": "text", "kind": "partition_key"},
+        {"name": "k_int", "cql_type": "int", "kind": "clustering"},
+        {"name": "v_ascii", "cql_type": "ascii"},
+        {"name": "v_bool", "cql_type": "boolean"},
+        {"name": "v_blob", "cql_type": "blob"},
+        {"name": "v_tiny", "cql_type": "tinyint"},
+        {"name": "v_small", "cql_type": "smallint"},
+        {"name": "v_big", "cql_type": "bigint"},
+        {"name": "v_float", "cql_type": "float"},
+        {"name": "v_double", "cql_type": "double"},
+        {"name": "v_ts", "cql_type": "timestamp"},
+        {"name": "v_date", "cql_type": "date"},
+        {"name": "v_time", "cql_type": "time"},
+        {"name": "v_uuid", "cql_type": "uuid"},
+        {"name": "v_inet", "cql_type": "inet"},
+        {"name": "v_varint", "cql_type": "varint"},
+        {"name": "v_dec", "cql_type": "decimal"},
+        {"name": "v_dur", "cql_type": "duration"},
+        {"name": "v_list", "cql_type": "list<int>"},
+        {"name": "v_set", "cql_type": "set<text>"},
+        {"name": "v_map", "cql_type": "map<int,double>"},
+        {"name": "v_tuple", "cql_type": "tuple<int,text>"},
+        {"name": "v_vector", "cql_type": "vector<float, 64>"},
+    ]
+    schema = schema_from_descriptor(descriptor)
+    by = {f.name: f.dataType for f in schema.fields}
+    assert by["k_text"] == T.StringType()
+    assert by["k_int"] == T.IntegerType()
+    assert by["v_ascii"] == T.StringType()
+    assert by["v_bool"] == T.BooleanType()
+    assert by["v_blob"] == T.BinaryType()
+    assert by["v_tiny"] == T.ByteType()  # native; widened only at Avro edge
+    assert by["v_small"] == T.ShortType()
+    assert by["v_big"] == T.LongType()
+    assert by["v_float"] == T.FloatType()
+    assert by["v_double"] == T.DoubleType()
+    assert by["v_ts"] == T.TimestampType()
+    assert by["v_date"] == T.DateType()
+    assert by["v_time"] == T.LongType()  # µs-of-day, no TimeType in Spark
+    assert by["v_uuid"] == T.StringType()
+    assert by["v_inet"] == T.StringType()
+    assert by["v_varint"] == T.DecimalType(38, 0)
+    assert by["v_dec"] == T.DecimalType(38, 18)
+    assert by["v_dur"].typeName() == "struct"  # months/days/nanoseconds
+    assert by["v_list"] == T.ArrayType(T.IntegerType())
+    assert by["v_set"] == T.ArrayType(T.StringType())
+    # F10: map keys stringified regardless of declared key type
+    assert by["v_map"] == T.MapType(T.StringType(), T.DoubleType())
+    assert by["v_tuple"].fieldNames() == ["index_0", "index_1"]
+    assert by["v_vector"] == T.ArrayType(T.FloatType())
+    # partition key non-null, clustering nullable
+    nn = {f.name: f.nullable for f in schema.fields}
+    assert not nn["k_text"] and nn["k_int"]
+
+
+def test_descriptor_rejects_pk_collection():
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.functions.cql_types import (
+        UnsupportedCqlType,
+    )
+    from cdc_apache_cassandra_spark.sources.commitlog_source import (
+        schema_from_descriptor,
+    )
+
+    with _pytest.raises(UnsupportedCqlType):
+        schema_from_descriptor(
+            [{"name": "k", "cql_type": "list<int>", "kind": "partition_key"}]
+        )
