@@ -134,3 +134,41 @@ def test_materialized_stream_equals_batch_state(spark, sf_dir, tmp_path):
     assert got.exceptAll(want).count() == 0
     # tombstoned keys (pk%7==0 newest is DELETE) must be absent from the view
     assert got.filter(F.col("pk") % 7 == 0).count() == 0
+
+
+def test_end_to_end_commitlog_source_to_bucket_store(spark, sf_dir, tmp_path):
+    """Full engine path: cdc_commitlog custom source (Arrow segment
+    replay) -> streaming dedup -> incremental bucket MERGE -> active
+    view == the batch-computed converged state. The complete §3.2
+    pipeline over the engine's own storage, no generic file source."""
+    from cdc_apache_cassandra_spark.operators.dedup import (
+        dedup_mutations_stream,
+    )
+    from cdc_apache_cassandra_spark.sources.commitlog_source import (
+        register,
+        write_segments,
+    )
+    from cdc_apache_cassandra_spark.streaming.pipeline import with_event_time
+
+    seg_dir = str(tmp_path / "segments")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    write_segments(mutation_events(spark, sf_dir), seg_dir, n_segments=4)
+    register(spark)
+
+    stream = (
+        spark.readStream.format("cdc_commitlog").option("path", seg_dir).load()
+    )
+    deduped = dedup_mutations_stream(with_event_time(stream)).drop("event_time")
+    q = materialize_stream(deduped, table, ckpt, ["pk"])
+    q.processAllAvailable()
+    q.stop()
+
+    got = active_view(read_state(spark, table)).select(
+        "pk", "op", "writetime", "c_acctbal"
+    )
+    want = expected_table(spark, sf_dir).select(
+        "pk", "op", "writetime", "c_acctbal"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
