@@ -120,6 +120,95 @@ def to_wire_records(
     )
 
 
+#: MutationValue schema — the EVENTS-topic value payload
+#: (commons/.../MutationValue.java:28-43): {md5Digest, nodeId,
+#: columns[] nullable}. The row itself is NOT on the events topic; the
+#: connector re-reads it from the table (read-after-event).
+MUTATION_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("md5Digest", T.StringType(), False),
+        T.StructField("nodeId", T.StringType(), True),
+        T.StructField("columns", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def to_event_topic_records(
+    events: DataFrame,
+    key_cols: list[str],
+    codec: str = DEFAULT_CODEC,
+    digest_col: str = "digest",
+    node_col: str = "node_id",
+) -> DataFrame:
+    """EVENTS-topic encoding (§1.1): key = Avro PK record, value =
+    MutationValue{md5Digest, nodeId, columns=null} — the compact
+    PK+digest event the agent publishes
+    (AbstractPulsarMutationSender.java:190-193,243-270), as opposed to
+    :func:`to_wire_records`, which is the DATA-topic full-row shape."""
+    mv = events.select(
+        *key_cols,
+        "op",
+        "writetime",
+        "segment",
+        "position",
+        F.col(digest_col).alias("md5Digest"),
+        F.col(node_col).cast("string").alias("nodeId"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("columns"),
+    )
+    if codec == "json":
+        key_bytes = _json_bytes(key_cols)
+        value_bytes = F.encode(
+            F.to_json(
+                F.struct("md5Digest", "nodeId", "columns"),
+                {"ignoreNullFields": "false"},
+            ),
+            "UTF-8",
+        )
+    else:
+        key_bytes = _avro_bytes(mv, key_cols)
+        value_bytes = _avro_bytes(mv, ["md5Digest", "nodeId", "columns"])
+    return mv.select(
+        key_bytes.alias("key"),
+        value_bytes.alias("value"),
+        F.col("writetime"),
+        F.concat_ws(":", F.col("segment"), F.col("position")).alias("segpos"),
+        token_expr(key_cols[0]).alias("token"),
+    )
+
+
+def from_event_topic_records(
+    wire: DataFrame, key_schema: T.StructType, codec: str = DEFAULT_CODEC
+) -> DataFrame:
+    """Inverse of :func:`to_event_topic_records`: typed PK columns +
+    (digest, node_id) from the MutationValue — what the connector needs
+    to dedup and bind the read-after-event lookup (F12)."""
+    if codec == "json":
+        key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
+        value = F.from_json(
+            F.decode(F.col("value"), "UTF-8"), MUTATION_VALUE_SCHEMA
+        )
+    else:
+        key = _avro_struct(F.col("key"), key_schema)
+        value = _avro_struct(F.col("value"), MUTATION_VALUE_SCHEMA)
+    out = wire.select(
+        key.alias("_k"),
+        value.alias("_v"),
+        "writetime",
+        F.split(F.col("segpos"), ":")[0].cast("bigint").alias("segment"),
+        F.split(F.col("segpos"), ":")[1].cast("bigint").alias("position"),
+        "token",
+    )
+    return out.select(
+        *[F.col(f"_k.{f.name}").alias(f.name) for f in key_schema.fields],
+        F.col("_v.md5Digest").alias("digest"),
+        F.col("_v.nodeId").alias("node_id"),
+        "writetime",
+        "segment",
+        "position",
+        "token",
+    )
+
+
 def from_wire_records(
     wire: DataFrame,
     key_schema: T.StructType,

@@ -302,3 +302,29 @@ def test_descriptor_rejects_pk_collection():
         schema_from_descriptor(
             [{"name": "k", "cql_type": "list<int>", "kind": "partition_key"}]
         )
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_event_topic_mutation_value_round_trip(spark, sf_dir, codec):
+    """EVENTS-topic shape (§1.1): value = MutationValue{md5Digest,
+    nodeId, columns} — the PK+digest event, NOT the row. Decoded events
+    must drive the dedup exactly like the in-process stream."""
+    from cdc_apache_cassandra_spark.sources.wire_format import (
+        from_event_topic_records,
+        to_event_topic_records,
+    )
+
+    ev = mutation_events(spark, sf_dir)
+    wire = to_event_topic_records(ev, ["pk"], codec=codec)
+    assert wire.filter(F.col("value").isNull()).count() == 0  # deletes too
+    back = from_event_topic_records(wire, KEY_SCHEMA, codec=codec)
+    assert back.count() == ev.count()
+    orig = ev.select("pk", "digest", F.col("node_id").cast("string"),
+                     "writetime", "segment", "position")
+    dec = back.select("pk", "digest", "node_id",
+                      "writetime", "segment", "position")
+    assert dec.exceptAll(orig).count() == 0
+    assert orig.exceptAll(dec).count() == 0
+    # replica fan-in preserved: same (pk, digest) appears once per node
+    per = back.groupBy("pk", "digest").count()
+    assert per.filter(F.col("count") != 2).count() == 0
