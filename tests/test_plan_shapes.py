@@ -200,3 +200,20 @@ def test_mode_query_map_side_combines(spark, sf_dir):
     p = plan_str(q("agg_mode_priority_by_status", spark, sf_dir))
     assert count_op(p, "HashAggregate") >= 2
     assert count_op(p, "Exchange") <= 3  # count + window partitioning
+
+
+def test_srp_bucket_stays_jvm_side(spark, sf_dir):
+    """Gaussian-plane SRP signatures are Catalyst higher-order folds over
+    inlined literals — NO Python eval node may appear in the hot path."""
+    p = plan_str(q("llm_dedup_embedding_srp", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the bucket equi-join is the only join
+    assert count_op(p, "SortMergeJoin") + count_op(p, "BroadcastHashJoin") >= 1
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd assignment must broadcast the (k x dim) centroid side —
+    a shuffled cross-score would be the 100 TB mistake."""
+    p = plan_str(q("llm_ann_ivf_kmeans_recall", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
