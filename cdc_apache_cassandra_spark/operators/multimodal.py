@@ -8,10 +8,13 @@ Catalyst-side (JVM, codegen), while per-payload decode runs in
 ``mapInPandas`` so the heavy bytes cross the JVM->Python boundary exactly
 once per Arrow batch, already column-pruned.
 
-The real decoders (image/audio/video libs) are NOT in this container —
-:func:`decode_payload_real` raises ``NotImplementedError`` by design; the
-Spark-side plumbing (schema, batching, partitioning) is real and tested
-with :func:`decode_payload_stub`, a deterministic fake decoder.
+:func:`decode_payload_real` genuinely decodes the self-describing
+UNCOMPRESSED containers (24-bpp BMP, RIFF 16-bit PCM WAV) with stdlib
+struct parsing — no codec libraries needed. Compressed codecs
+(JPEG/PNG/MP3/MP4) require libs absent from this container and raise
+``NotImplementedError`` at the format dispatch; plug PIL/ffmpeg there
+and ``decode_frames()`` is unchanged. :func:`decode_payload_stub` stays
+as the deterministic fixture for plumbing tests.
 
 Scale design (100 TB of media):
 - payloads never participate in joins/shuffles; metadata columns do.
@@ -66,11 +69,111 @@ def payload_meta(payload: Column) -> list[Column]:
     ]
 
 
-def decode_payload_real(payload: bytes) -> list[dict]:
-    """Real decoder hook (PIL/ffmpeg/soundfile) — libs absent here."""
+def _decode_bmp(doc_id: int, b: bytes) -> list[dict]:
+    """Uncompressed 24-bpp BMP (BITMAPINFOHEADER): pure struct parse —
+    one frame, true geometry, mean over the RGB bytes (row padding
+    excluded)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression}: only uncompressed "
+            "24-bpp is decoded natively; plug PIL for the rest"
+        )
+    height = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    total = 0
+    n = 0
+    for r in range(height):
+        row = b[pixel_off + r * stride : pixel_off + r * stride + row_bytes]
+        total += sum(row)
+        n += len(row)
+    return [
+        {
+            "doc_id": doc_id,
+            "frame_id": 0,
+            "width": width,
+            "height": height,
+            "mean_intensity": (total / n) if n else 0.0,
+        }
+    ]
+
+
+_WAV_FRAME_SAMPLES = 1024
+
+
+def _decode_wav(doc_id: int, b: bytes) -> list[dict]:
+    """RIFF/WAVE 16-bit PCM: chunk walk with the stdlib only. Frame =
+    {fs} samples; FRAME_SCHEMA reuse: width = samples in the frame,
+    height = sample rate, mean_intensity = mean |amplitude| (normalized
+    to [0,1])."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits}: only 16-bit PCM is "
+            "decoded natively; plug soundfile/ffmpeg for the rest"
+        )
+    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) & ~1])
+    frames = []
+    step = _WAV_FRAME_SAMPLES * channels
+    for f_id, start in enumerate(range(0, len(samples), step)):
+        window = samples[start : start + step]
+        mean_abs = sum(abs(s) for s in window) / (len(window) * 32768.0)
+        frames.append(
+            {
+                "doc_id": doc_id,
+                "frame_id": f_id,
+                "width": len(window) // channels,
+                "height": sample_rate,
+                "mean_intensity": mean_abs,
+            }
+        )
+    return frames
+
+
+def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
+    """Real decode for self-describing UNCOMPRESSED containers — pure
+    stdlib struct parsing, no codec libraries:
+
+    - BMP (24-bpp uncompressed) -> one frame with true geometry + pixel
+      mean;
+    - WAV (RIFF 16-bit PCM) -> fixed-sample frames with normalized mean
+      amplitude.
+
+    Compressed formats (JPEG/PNG/MP3/MP4...) require codec libs absent
+    from this container and raise ``NotImplementedError`` — plug
+    PIL/ffmpeg there and keep decode_frames() unchanged."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(doc_id, payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(doc_id, payload)
     raise NotImplementedError(
-        "image/audio decoders are not available in this environment; "
-        "plug PIL/ffmpeg here and keep decode_frames() unchanged"
+        "payload is not an uncompressed BMP/WAV; compressed codecs "
+        "(JPEG/PNG/MP3/MP4) need PIL/ffmpeg — absent in this environment"
     )
 
 

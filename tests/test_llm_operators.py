@@ -268,3 +268,100 @@ def test_resize_frames_scales_geometry(spark):
     for r in rows:
         assert r.width == 32 and r.height == 32
         assert r.scale_x > 0 and r.scale_y > 0
+
+
+# --- real uncompressed-container decoders (BMP / WAV, stdlib-only) ----------
+
+
+def _make_bmp(width: int, height: int) -> bytes:
+    """Minimal uncompressed 24-bpp BMP with a deterministic gradient."""
+    import struct
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    pixels = bytearray()
+    for r in range(height):
+        row = bytearray()
+        for c in range(width):
+            v = (r * width + c) % 251
+            row += bytes([v, (v * 2) % 251, (v * 3) % 251])
+        row += b"\x00" * (stride - len(row))
+        pixels += row
+    header_size = 14 + 40
+    size = header_size + len(pixels)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, header_size)
+        + struct.pack("<iiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+        + bytes(pixels)
+    )
+
+
+def _make_wav(n_samples: int, rate: int = 8000) -> bytes:
+    """Minimal RIFF 16-bit mono PCM with a deterministic sawtooth."""
+    import struct
+
+    samples = [((i * 37) % 2001) - 1000 for i in range(n_samples)]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_bmp_decode_through_spark(spark):
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(5, 3))), (2, bytearray(_make_bmp(8, 2)))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_frames(df, decoder=decode_payload_real).collect()
+    }
+    assert rows[1].width == 5 and rows[1].height == 3
+    assert rows[2].width == 8 and rows[2].height == 2
+    # exact mean over the gradient (padding excluded)
+    b = _make_bmp(5, 3)
+    want = decode_payload_real(1, b)[0]["mean_intensity"]
+    assert abs(rows[1].mean_intensity - want) < 1e-12
+    assert 0 < rows[1].mean_intensity < 255
+
+
+def test_real_wav_decode_frames_and_amplitude(spark):
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        _WAV_FRAME_SAMPLES,
+        decode_payload_real,
+    )
+
+    n = _WAV_FRAME_SAMPLES * 2 + 100  # 3 frames, last partial
+    df = spark.createDataFrame(
+        [(7, bytearray(_make_wav(n)))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        decode_frames(df, decoder=decode_payload_real).collect(),
+        key=lambda r: r.frame_id,
+    )
+    assert [r.frame_id for r in rows] == [0, 1, 2]
+    assert rows[0].width == _WAV_FRAME_SAMPLES and rows[2].width == 100
+    assert rows[0].height == 8000  # sample rate in the geometry slot
+    assert all(0.0 < r.mean_intensity < 1.0 for r in rows)
+
+
+def test_compressed_formats_still_gated(spark):
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_payload_real(1, b"\xff\xd8\xff\xe0JFIF-like")  # JPEG magic
