@@ -12,9 +12,11 @@ Scale design (100 TB):
   corpus: one pass, no N×N shuffle.
 - sign-LSH buckets / IVF cells turn near-dup and ANN into equi-joins on
   bucket keys — the only shuffles, uniform by construction.
-- IVF centroids here are a deterministic row sample (vec_id % stride); a
-  production run would plug k-means centroids into the same assignment
-  operator unchanged.
+- IVF centroids: strided sample for the baseline queries, and
+  :func:`kmeans_lite` (bounded Lloyd, oracle-exact) for the production
+  path — both feed the same assignment operators.
+- SRP hyperplanes: :func:`gaussian_planes` (seeded N(0,1)) inlined as
+  literals; the axis-sign variant stays as the documented baseline.
 """
 
 from __future__ import annotations
