@@ -378,3 +378,37 @@ def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     state = read_state(spark, path)
     return active_view(state).select("pk", "op", "writetime", *VALUE_COLS)
+
+
+# --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
+
+_WIRE_RT_SQL = f"""
+WITH {_CTE}
+SELECT DISTINCT pk, digest, CAST(node_id AS VARCHAR) AS node_id,
+       writetime, segment, position
+FROM events_stream
+"""
+
+
+@register("cdc_wire_avro_roundtrip", sql=_WIRE_RT_SQL)
+def cdc_wire_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-topic wire encoding under the oracle gate: every
+    mutation event encoded to KeyValue⟨Avro PK record, Avro
+    MutationValue⟩ (functions/avro_codec.py — the reference's binary
+    format, AbstractPulsarMutationSender.java:190-193) and decoded back
+    must reproduce the event identity bit-for-bit. Arrow-batched codec
+    at the boundary; the distinct collapses the replica duplicates so
+    the oracle is a plain projection of the stream."""
+    from cdc_apache_cassandra_spark.sources.wire_format import (
+        from_event_topic_records,
+        to_event_topic_records,
+    )
+    from pyspark.sql import types as T
+
+    ev = mutation_events(spark, sf_dir)
+    wire = to_event_topic_records(ev, ["pk"], codec="avro")
+    key_schema = T.StructType([T.StructField("pk", T.LongType())])
+    back = from_event_topic_records(wire, key_schema, codec="avro")
+    return back.select(
+        "pk", "digest", "node_id", "writetime", "segment", "position"
+    ).distinct()

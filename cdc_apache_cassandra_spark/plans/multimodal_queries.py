@@ -99,3 +99,62 @@ def multimodal_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).alias("n_chars"),
         F.md5(F.encode(chunk, "UTF-8")).alias("checksum"),
     )
+
+
+@register("multimodal_bmp_decode", sql=None)  # rows-only: binary container
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode under the gate (rows-only): synthesize a
+    deterministic uncompressed 24-bpp BMP per document (geometry from
+    doc_id, gradient pixels) inside mapInPandas, then decode it with the
+    native struct parser (operators/multimodal.py::decode_payload_real)
+    — true header geometry and exact pixel means, no codec libraries.
+    Both stages are Arrow-batched; payload bytes never shuffle."""
+    import struct
+
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    def make_bmp(doc_id: int) -> bytes:
+        width = 4 + doc_id % 5
+        height = 2 + doc_id % 3
+        row_bytes = width * 3
+        stride = (row_bytes + 3) & ~3
+        pixels = bytearray()
+        for r in range(height):
+            row = bytearray(
+                ((doc_id + r * width + c) * k) % 251
+                for c in range(width)
+                for k in (1, 2, 3)
+            )
+            row += b"\x00" * (stride - len(row))
+            pixels += row
+        header_size = 54
+        return (
+            b"BM"
+            + struct.pack("<IHHI", header_size + len(pixels), 0, 0, header_size)
+            + struct.pack(
+                "<iiiHHIIiiII", 40, width, height, 1, 24, 0,
+                len(pixels), 2835, 2835, 0, 0,
+            )
+            + bytes(pixels)
+        )
+
+    def synth_and_decode(batches):
+        from cdc_apache_cassandra_spark.operators.multimodal import (
+            FRAME_SCHEMA,
+        )
+
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rows.extend(decode_payload_real(int(doc_id), make_bmp(int(doc_id))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    from cdc_apache_cassandra_spark.operators.multimodal import FRAME_SCHEMA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
