@@ -54,3 +54,109 @@ def scd2_intervals(
         out.withColumn("is_current", F.col("valid_to").isNull())
         .withColumn("is_deleted", F.col("op") == "DELETE")
     )
+
+
+PARTITION_DELETE_PTYPE = "PARTITION_KEY_ROW_DELETION"
+
+
+def compound_reduce(
+    events: DataFrame,
+    part_col: str = "pk_p",
+    cluster_col: str = "pk_c",
+    static_col: str = "s_mktsegment",
+) -> DataFrame:
+    """Reduce a compound-PK mutation set to its retained state — the
+    merge step of partition-tombstone-aware materialization:
+
+    - latest ROW event per (partition, clustering) key — DELETE winners
+      retained (row tombstones);
+    - latest PARTITION-RANGE tombstone per partition (dominates older
+      rows at READ time, kept so later batches can't resurrect);
+    - latest STATIC event per partition (statics converge independently,
+      ConverterAndQuery.getProjectionClause / SURVEY P7).
+
+    Idempotent and merge-associative (argmax per group), so ANY batching
+    of the same events reduces to the same state — the property
+    merge_into needs. Ties beyond writetime break on (op, cluster key)
+    for cross-engine determinism."""
+    w_row = Window.partitionBy(part_col, cluster_col).orderBy(
+        F.col("writetime").desc(), F.col("op").desc()
+    )
+    rows = (
+        events.filter(F.col(cluster_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_row))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_part = Window.partitionBy(part_col).orderBy(
+        F.col("writetime").desc(), F.col("op").desc()
+    )
+    pdel = (
+        events.filter(F.col("ptype") == PARTITION_DELETE_PTYPE)
+        .withColumn("_rn", F.row_number().over(w_part))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    statics = (
+        events.filter(F.col(static_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_part))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return rows.unionByName(pdel).unionByName(statics).distinct()
+
+
+def compound_active_view(
+    state: DataFrame,
+    part_col: str = "pk_p",
+    cluster_col: str = "pk_c",
+    static_col: str = "s_mktsegment",
+) -> DataFrame:
+    """Queryable table over a compound_reduce state: a row is live iff
+    its latest event isn't a DELETE and is newer than its partition's
+    range tombstone; the static column attaches when IT outlives the
+    tombstone (same dominance rules as the cdc_compound_lww_state
+    oracle)."""
+    pdel = (
+        state.filter(F.col("ptype") == PARTITION_DELETE_PTYPE)
+        .groupBy(part_col)
+        .agg(F.max("writetime").alias("_wt_pd"))
+    )
+    w_part = Window.partitionBy(part_col).orderBy(F.col("writetime").desc())
+    statics = (
+        state.filter(F.col(static_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_part))
+        .filter(F.col("_rn") == 1)
+        .select(
+            part_col,
+            F.col(static_col).alias("_static"),
+            F.col("writetime").alias("_wt_s"),
+        )
+    )
+    # the statics branch of compound_reduce may retain an OLDER row event
+    # (it was the partition's static-latest) — re-rank per key so only the
+    # true row winner reaches the dominance filter
+    w_row = Window.partitionBy(part_col, cluster_col).orderBy(
+        F.col("writetime").desc(), F.col("op").desc()
+    )
+    rows = (
+        state.filter(F.col(cluster_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_row))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    alive = (
+        rows.join(pdel, part_col, "left")
+        .join(statics, part_col, "left")
+        .filter(
+            (F.col("op") != "DELETE")
+            & (F.col("writetime") > F.coalesce(F.col("_wt_pd"), F.lit(-1)))
+        )
+    )
+    return alive.withColumn(
+        static_col,
+        F.when(
+            F.col("_wt_s") > F.coalesce(F.col("_wt_pd"), F.lit(-1)),
+            F.col("_static"),
+        ),
+    ).drop("_wt_pd", "_wt_s", "_static")

@@ -462,3 +462,56 @@ def cdc_compound_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_totalprice",
         "v_orderstatus",
     )
+
+
+# --- §7.4 at compound granularity: partition-tombstone-aware MERGE store ----
+
+
+@register("cdc_compound_materialized_state", sql=_COMPOUND_LWW_SQL)
+def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE materialization of the COMPOUND-PK table with
+    partition-RANGE tombstones: the store buckets on the PARTITION key
+    (pk_p), so a partition delete is co-located with every row it
+    dominates, and the merge reducer (operators/lww.py::compound_reduce)
+    retains per-row LWW winners + the latest partition tombstone + the
+    latest static event — idempotent and merge-associative, so the
+    3-way segment-interleaved batching below must converge to exactly
+    the direct converged state (the cdc_compound_lww_state oracle).
+    This is the Delta `whenMatchedDelete` analogue extended to range
+    tombstones, the §7.4 hard-part the single-PK store can't express."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.operators.lww import (
+        compound_active_view,
+        compound_reduce,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        merge_into,
+        read_state,
+    )
+
+    ev = (
+        compound_events(spark, sf_dir)
+        .dropDuplicates(["digest"])
+        .drop("node_id", "digest")
+    )
+    path = tempfile.mkdtemp(prefix="cdc_compound_mat_")
+    for i in range(2):
+        merge_into(
+            spark,
+            path,
+            ev.filter(F.pmod(F.coalesce(F.col("pk_c"), F.col("pk_p")), F.lit(2)) == i),
+            pk_cols=["pk_p", "pk_c"],
+            bucket_cols=["pk_p"],
+            reducer=compound_reduce,
+        )
+    state = read_state(spark, path)
+    alive = compound_active_view(state)
+    return alive.select(
+        F.col("pk_p").alias("custkey"),
+        F.col("pk_c").alias("orderkey"),
+        F.col("s_mktsegment").alias("mktsegment"),
+        F.col("v_totalprice").alias("totalprice"),
+        F.col("v_orderstatus").alias("orderstatus"),
+        "writetime",
+    )

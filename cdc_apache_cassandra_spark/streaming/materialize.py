@@ -117,18 +117,31 @@ def merge_into(
     batch: DataFrame,
     pk_cols: list[str],
     n_buckets: int = DEFAULT_BUCKETS,
+    bucket_cols: list[str] | None = None,
+    reducer=None,
 ) -> None:
     """One incremental MERGE commit: rewrite only the buckets the batch
     touches, then swap the manifest. Retry-safe: a crashed attempt leaves
     an unreferenced ``v=`` directory that the next attempt overwrites and
-    :func:`_prune` removes."""
+    :func:`_prune` removes.
+
+    ``bucket_cols`` (default: ``pk_cols``) chooses the co-location key —
+    compound tables bucket on the PARTITION key so a partition-range
+    tombstone lands in the same bucket as every row it dominates.
+    ``reducer`` (default: full-PK :func:`last_write_wins`) reduces
+    ``old ∪ batch`` to the retained state; it must be idempotent and
+    merge-associative (reduce(reduce(a) ∪ b) == reduce(a ∪ b)) — the
+    property that makes batching order irrelevant."""
     manifest = _read_manifest(path) or {
         "version": 0,
         "n_buckets": n_buckets,
         "buckets": {},
     }
     n_buckets = manifest["n_buckets"]
-    batch = batch.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
+    bucket_cols = bucket_cols or pk_cols
+    if reducer is None:
+        reducer = lambda df: last_write_wins(df, pk_cols=pk_cols)  # noqa: E731
+    batch = batch.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
 
     # Metadata-sized driver exchange: WHICH buckets changed (≤ n_buckets ints).
     touched = sorted(
@@ -144,9 +157,10 @@ def merge_into(
             .parquet(*old_paths)
             .drop("__ver")
         )
-        merged = last_write_wins(old.unionByName(batch), pk_cols=pk_cols)
+        merged = reducer(old.unionByName(batch))
     else:
-        merged = last_write_wins(batch, pk_cols=pk_cols)
+        merged = reducer(batch)
+    merged = merged.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
 
     version = manifest["version"] + 1
     out_dir = os.path.join(path, f"__ver={version}")
@@ -204,17 +218,29 @@ def compact(
 
 
 def foreach_batch_upsert(
-    path: str, pk_cols: list[str], n_buckets: int = DEFAULT_BUCKETS
+    path: str,
+    pk_cols: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    bucket_cols: list[str] | None = None,
+    reducer=None,
 ):
     """foreachBatch hook: incremental bucket MERGE per micro-batch.
 
     Atomic per micro-batch because foreachBatch serializes batches and the
     manifest swap is the single commit point; retried batches are
-    idempotent (the merge is deterministic and LWW absorbs replays —
-    at-least-once safe)."""
+    idempotent (the merge is deterministic and the reducer absorbs
+    replays — at-least-once safe)."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        merge_into(batch.sparkSession, path, batch, pk_cols, n_buckets)
+        merge_into(
+            batch.sparkSession,
+            path,
+            batch,
+            pk_cols,
+            n_buckets,
+            bucket_cols=bucket_cols,
+            reducer=reducer,
+        )
 
     return apply
 
@@ -225,12 +251,17 @@ def materialize_stream(
     checkpoint: str,
     pk_cols: list[str],
     n_buckets: int = DEFAULT_BUCKETS,
+    bucket_cols: list[str] | None = None,
+    reducer=None,
 ):
-    """Wire a mutation-event stream into the materialized table."""
+    """Wire a mutation-event stream into the materialized table.
+    Compound tables pass ``bucket_cols=[partition_key]`` and
+    ``reducer=operators.lww.compound_reduce`` for partition-range
+    tombstone semantics."""
     os.makedirs(path, exist_ok=True)
     return (
         events.writeStream.foreachBatch(
-            foreach_batch_upsert(path, pk_cols, n_buckets)
+            foreach_batch_upsert(path, pk_cols, n_buckets, bucket_cols, reducer)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -172,3 +172,65 @@ def test_end_to_end_commitlog_source_to_bucket_store(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_compound_stream_with_partition_tombstones(spark, sf_dir, tmp_path):
+    """Compound-PK store: bucket on the PARTITION key, reducer retains
+    partition-range tombstones; streamed micro-batches converge to the
+    direct compound converged state (partition deletes dominate older
+    rows; statics converge independently)."""
+    from cdc_apache_cassandra_spark.operators.lww import (
+        compound_active_view,
+        compound_reduce,
+    )
+    from cdc_apache_cassandra_spark.plans.cdc_deep_queries import (
+        _compound_converged,
+    )
+    from cdc_apache_cassandra_spark.sources.compound_event_source import (
+        compound_events,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ev = (
+        compound_events(spark, sf_dir)
+        .dropDuplicates(["digest"])
+        .drop("node_id", "digest")
+    )
+    ev.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = materialize_stream(
+        stream,
+        table,
+        ckpt,
+        pk_cols=["pk_p", "pk_c"],
+        bucket_cols=["pk_p"],
+        reducer=compound_reduce,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = compound_active_view(read_state(spark, table)).select(
+        F.col("pk_p"), F.col("pk_c"), "s_mktsegment",
+        "v_totalprice", "v_orderstatus", "writetime",
+    )
+    want = _compound_converged(
+        compound_events(spark, sf_dir)
+    ).select(
+        F.col("custkey").alias("pk_p"),
+        F.col("orderkey").alias("pk_c"),
+        F.col("mktsegment").alias("s_mktsegment"),
+        F.col("totalprice").alias("v_totalprice"),
+        F.col("orderstatus").alias("v_orderstatus"),
+        "writetime",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # partition-deleted partitions (pk_p%13==0, no newer rows) are gone
+    assert got.filter((F.col("pk_p") % 13 == 0) & (F.col("writetime") <
+        F.lit(1_600_000_000_000_000))).count() == 0
