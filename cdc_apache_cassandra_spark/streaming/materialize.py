@@ -165,7 +165,11 @@ def merge_into(
     version = manifest["version"] + 1
     out_dir = os.path.join(path, f"__ver={version}")
     # Distributed write of ONLY the touched buckets; mode=overwrite clears
-    # leftovers of a failed prior attempt at this version.
+    # leftovers of a failed prior attempt at this version. Repartition by
+    # bucket first: one task per touched bucket ⇒ one file per bucket dir
+    # (without it, every shuffle partition writes a sliver into every
+    # bucket — the small-files anti-pattern at any scale).
+    merged = merged.repartition(len(touched), F.col("__bucket"))
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
 
     manifest["version"] = version
@@ -204,6 +208,7 @@ def compact(
     n_buckets = manifest["n_buckets"]
     state = state.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
     version = manifest["version"] + 1
+    state = state.repartition(n_buckets, F.col("__bucket"))
     state.write.mode("overwrite").partitionBy("__bucket").parquet(
         os.path.join(path, f"__ver={version}")
     )
