@@ -27,3 +27,4 @@ from cdc_apache_cassandra_spark.plans import profile_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import function_gallery_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import extra_surface_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import kmeans_srp_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import llm_substring_queries  # noqa: E402,F401
