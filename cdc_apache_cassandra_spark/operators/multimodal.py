@@ -106,6 +106,97 @@ def _decode_bmp(doc_id: int, b: bytes) -> list[dict]:
     ]
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(doc_id: int, b: bytes) -> list[dict]:
+    """Real PNG decode with the stdlib only: chunk walk -> IHDR geometry,
+    IDAT concat -> ``zlib.decompress`` (PNG's compression IS zlib/DEFLATE,
+    RFC 1950/1951 — no codec library needed) -> per-scanline unfiltering
+    (filter types 0-4 incl. Paeth). Supported: 8-bit depth, color types
+    0 (gray), 2 (RGB), 6 (RGBA), non-interlaced. mean_intensity averages
+    the color channels (alpha excluded)."""
+    import struct
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        size, ctype = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit gray/RGB/RGBA "
+            "non-interlaced is decoded natively; plug PIL for the rest"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    prev = bytearray(stride)
+    total = 0
+    n = 0
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _png_paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        if color_type == 6:
+            total += sum(v for i, v in enumerate(line) if i % 4 != 3)
+            n += width * 3
+        else:
+            total += sum(line)
+            n += stride
+        prev = line
+    return [
+        {
+            "doc_id": doc_id,
+            "frame_id": 0,
+            "width": width,
+            "height": height,
+            "mean_intensity": (total / n) if n else 0.0,
+        }
+    ]
+
+
 _WAV_FRAME_SAMPLES = 1024
 
 
@@ -162,18 +253,23 @@ def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
     - BMP (24-bpp uncompressed) -> one frame with true geometry + pixel
       mean;
     - WAV (RIFF 16-bit PCM) -> fixed-sample frames with normalized mean
-      amplitude.
+      amplitude;
+    - PNG (8-bit gray/RGB/RGBA, non-interlaced) -> one frame: zlib
+      inflate + full scanline unfiltering (Sub/Up/Average/Paeth) — a
+      REAL compressed-codec decode, since PNG's DEFLATE is stdlib zlib.
 
-    Compressed formats (JPEG/PNG/MP3/MP4...) require codec libs absent
+    Other compressed formats (JPEG/MP3/MP4...) require codec libs absent
     from this container and raise ``NotImplementedError`` — plug
     PIL/ffmpeg there and keep decode_frames() unchanged."""
     if payload[:2] == b"BM":
         return _decode_bmp(doc_id, payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(doc_id, payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(doc_id, payload)
     raise NotImplementedError(
-        "payload is not an uncompressed BMP/WAV; compressed codecs "
-        "(JPEG/PNG/MP3/MP4) need PIL/ffmpeg — absent in this environment"
+        "payload is not a BMP/WAV/PNG; other compressed codecs "
+        "(JPEG/MP3/MP4) need PIL/ffmpeg — absent in this environment"
     )
 
 

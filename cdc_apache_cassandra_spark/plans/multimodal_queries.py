@@ -1,6 +1,10 @@
 """Multimodal-column queries: binary payload metadata (Catalyst-side, with
-a DuckDB oracle) and the mapInPandas decode stage (rows-only check — the
-frame explosion is not SQL-expressible without the same Python decoder).
+a DuckDB oracle) and the mapInPandas decode stages. The real container
+decodes (BMP/PNG/WAV) are HASH-CHECKED: their synthetic payloads follow a
+closed-form pixel/sample grammar the DuckDB oracle recomputes without
+touching bytes, so the full byte path (pack -> parse -> inflate ->
+unfilter -> walk) is verified value-exact. Only the stub-decoder frame
+explosion (multimodal_decode_frames) stays rows-only.
 """
 
 from __future__ import annotations
@@ -101,14 +105,47 @@ def multimodal_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_bmp_decode", sql=None)  # rows-only: binary container
+# Closed-form oracle: the synthetic pixel grammar is pure modular
+# arithmetic over (doc_id, row, col, channel), so the decoded geometry +
+# pixel mean are SQL-expressible — the Python byte path (header pack ->
+# struct parse -> padded-row walk) is verified HASH-EXACT against pixels
+# the oracle derives without ever touching bytes. Integer SUM is exact;
+# the single double division matches Python's int/int division.
+_BMP_SQL = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(2 + doc_id % 3 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT g.doc_id, g.width, g.height,
+         SUM(((g.doc_id + r.r * g.width + c.c) * k.k) % 251) AS total,
+         COUNT(*) AS n
+  FROM geo g,
+       (SELECT unnest(range(0, 8)) AS r) r,
+       (SELECT unnest(range(0, 16)) AS c) c,
+       (SELECT unnest(range(1, 4)) AS k) k
+  WHERE r.r < g.height AND c.c < g.width
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS frame_id, width, height,
+       CAST(total AS DOUBLE) / n AS mean_intensity
+FROM px
+"""
+
+
+@register("multimodal_bmp_decode", sql=_BMP_SQL)
 def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container decode under the gate (rows-only): synthesize a
+    """REAL container decode under the gate (hash-checked): synthesize a
     deterministic uncompressed 24-bpp BMP per document (geometry from
     doc_id, gradient pixels) inside mapInPandas, then decode it with the
     native struct parser (operators/multimodal.py::decode_payload_real)
     — true header geometry and exact pixel means, no codec libraries.
-    Both stages are Arrow-batched; payload bytes never shuffle."""
+    The DuckDB oracle recomputes the pixel grammar in closed form, so
+    header packing, stride padding, and the byte walk are all verified
+    value-exact. Both stages are Arrow-batched; payload bytes never
+    shuffle."""
     import struct
 
     import pandas as pd
@@ -155,6 +192,219 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     from cdc_apache_cassandra_spark.operators.multimodal import FRAME_SCHEMA
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
+
+
+# --- PNG: real compressed-codec decode (zlib inflate + unfiltering) ---------
+
+_PNG_SQL = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 6 AS INTEGER) AS width,
+         CAST(2 + doc_id % 4 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT g.doc_id, g.width, g.height,
+         SUM(((g.doc_id + r.r * g.width + c.c) * k.k) % 251) AS total,
+         COUNT(*) AS n
+  FROM geo g,
+       (SELECT unnest(range(0, 8)) AS r) r,
+       (SELECT unnest(range(0, 16)) AS c) c,
+       (SELECT unnest(range(1, 4)) AS k) k
+  WHERE r.r < g.height AND c.c < g.width
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS frame_id, width, height,
+       CAST(total AS DOUBLE) / n AS mean_intensity
+FROM px
+"""
+
+
+def _make_png(doc_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG: the same modular pixel grammar as the
+    BMP fixture, DEFLATE-compressed, with the scanline filter type cycling
+    r % 5 (None/Sub/Up/Average/Paeth) so every unfilter branch of the
+    decoder is exercised on every image taller than 4 rows."""
+    import struct
+    import zlib
+
+    from cdc_apache_cassandra_spark.operators.multimodal import _png_paeth
+
+    width = 3 + doc_id % 6
+    height = 2 + doc_id % 4
+    ch = 3
+    stride = width * ch
+
+    def raw_row(r: int) -> bytes:
+        return bytes(
+            ((doc_id + r * width + c) * k) % 251
+            for c in range(width)
+            for k in (1, 2, 3)
+        )
+
+    prev = bytes(stride)
+    lines = bytearray()
+    for r in range(height):
+        cur = raw_row(r)
+        ft = r % 5
+        if ft == 0:
+            out = cur
+        elif ft == 1:  # Sub
+            out = bytes(
+                (cur[i] - (cur[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            out = bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            out = bytes(
+                (cur[i] - (((cur[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out = bytes(
+                (
+                    cur[i]
+                    - _png_paeth(
+                        cur[i - ch] if i >= ch else 0,
+                        prev[i],
+                        prev[i - ch] if i >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        lines += bytes([ft]) + out
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@register("multimodal_png_decode", sql=_PNG_SQL)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode under the gate (hash-checked): a
+    deterministic RGB PNG per document (filter type cycling per row) is
+    DEFLATE-decoded by the native stdlib-zlib PNG parser
+    (operators/multimodal.py::_decode_png) — chunk walk, inflate, and
+    all five unfilter branches verified value-exact against a closed-form
+    pixel oracle that never touches bytes. PNG is the one mainstream
+    compressed image codec whose decompressor ships in the stdlib, which
+    is what makes this a true codec decode rather than a fixture."""
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        decode_payload_real,
+    )
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rows.extend(
+                    decode_payload_real(int(doc_id), _make_png(int(doc_id)))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
+
+
+# --- WAV: PCM frame sampling under the gate ---------------------------------
+
+_WAV_SQL = """
+WITH geo AS (
+  SELECT doc_id,
+         1200 + (doc_id % 7) * 256 AS n_samples,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+  FROM documents
+),
+samp AS (
+  SELECT g.doc_id, g.rate,
+         CAST(i.i // 1024 AS INTEGER) AS frame_id,
+         ((g.doc_id * 31 + i.i * 7) % 65536) - 32768 AS s
+  FROM geo g, (SELECT unnest(range(0, 4096)) AS i) i
+  WHERE i.i < g.n_samples
+)
+SELECT doc_id, frame_id,
+       CAST(COUNT(*) AS INTEGER) AS width,
+       MIN(rate) AS height,
+       CAST(SUM(ABS(s)) AS DOUBLE) / (COUNT(*) * 32768.0) AS mean_intensity
+FROM samp
+GROUP BY doc_id, frame_id
+"""
+
+
+def _make_wav(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: sample[i] = ((doc_id*31 + i*7)
+    % 65536) - 32768, n_samples and sample rate derived from doc_id."""
+    import struct
+
+    n_samples = 1200 + (doc_id % 7) * 256
+    rate = 8000 + (doc_id % 3) * 4000
+    data = struct.pack(
+        f"<{n_samples}h",
+        *(((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n_samples)),
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@register("multimodal_wav_frames", sql=_WAV_SQL)
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode under the gate (hash-checked): a
+    deterministic 16-bit PCM WAV per document is chunk-walked and
+    frame-sampled (1024-sample windows, normalized mean |amplitude|) by
+    the native RIFF parser (operators/multimodal.py::_decode_wav),
+    verified value-exact against a closed-form sample oracle. This is the
+    audio leg of the multimodal surface: fixed-window frame sampling is
+    the shape a feature-extraction stage (e.g. fbank windows) needs."""
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        decode_payload_real,
+    )
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rows.extend(
+                    decode_payload_real(int(doc_id), _make_wav(int(doc_id)))
+                )
+            yield pd.DataFrame(rows, columns=cols)
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)

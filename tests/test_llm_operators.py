@@ -365,3 +365,122 @@ def test_compressed_formats_still_gated(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_payload_real(1, b"\xff\xd8\xff\xe0JFIF-like")  # JPEG magic
+
+
+def _encode_png(width: int, height: int, color_type: int, rows: list[bytes]) -> bytes:
+    """Minimal PNG encoder (filter 0 on every scanline) for decoder tests."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    lines = b"".join(b"\x00" + r for r in rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types_match_grammar():
+    """The fixture generator cycles filter types 0-4 per row; decoding must
+    recover the exact modular pixel grammar (closed-form mean)."""
+    from cdc_apache_cassandra_spark.plans.multimodal_queries import _make_png
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    for doc_id in range(24):  # covers all width/height mods and >4-row images
+        width = 3 + doc_id % 6
+        height = 2 + doc_id % 4
+        total = sum(
+            ((doc_id + r * width + c) * k) % 251
+            for r in range(height)
+            for c in range(width)
+            for k in (1, 2, 3)
+        )
+        frame = decode_payload_real(doc_id, _make_png(doc_id))[0]
+        assert frame["width"] == width and frame["height"] == height
+        assert frame["mean_intensity"] == total / (width * height * 3)
+
+
+def test_png_decode_gray_and_rgba():
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    gray = _encode_png(3, 2, 0, [bytes([10, 20, 30]), bytes([40, 50, 60])])
+    f = decode_payload_real(1, gray)[0]
+    assert f["width"] == 3 and f["height"] == 2
+    assert f["mean_intensity"] == (10 + 20 + 30 + 40 + 50 + 60) / 6
+
+    # RGBA: alpha bytes (255) must be excluded from the mean
+    rgba_row = bytes([100, 110, 120, 255, 10, 20, 30, 255])
+    f = decode_payload_real(2, _encode_png(2, 1, 6, [rgba_row]))[0]
+    assert f["mean_intensity"] == (100 + 110 + 120 + 10 + 20 + 30) / 6
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_payload_real(1, png16)
+
+    # Adam7 interlace
+    ihdr_i = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 1)
+    png_i = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_i)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_payload_real(1, png_i)
+
+
+def test_png_decode_through_spark(spark):
+    from cdc_apache_cassandra_spark.plans.multimodal_queries import _make_png
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+    )
+
+    df = spark.createDataFrame(
+        [(3, bytearray(_make_png(3))), (4, bytearray(_make_png(4)))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_frames(df, decoder=decode_payload_real).collect()
+    }
+    assert rows[3].width == 3 + 3 % 6 and rows[4].height == 2 + 4 % 4
