@@ -340,3 +340,142 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bits"),
         )
     )
+
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_KEEP_PCT = 20  # select top 20% by importance
+
+_DSIR_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+corpus AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cc FROM tok GROUP BY w
+),
+target AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY w
+),
+norms AS (
+  SELECT (SELECT CAST(SUM(cc) AS BIGINT) FROM corpus) AS nc,
+         (SELECT CAST(COALESCE(SUM(ct), 0) + 1 AS BIGINT) FROM target) AS nt
+),
+bits AS (
+  SELECT c.w,
+         (length(bin(COALESCE(t.ct, 0) + 1)) - length(bin(c.cc + 1))) AS dw
+  FROM corpus c LEFT JOIN target t USING (w)
+),
+scored AS (
+  SELECT tok.doc_id, MIN(tok.lang) AS lang,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(b.dw) AS BIGINT)
+           + COUNT(*) * (length(bin(MIN(n.nc))) - length(bin(MIN(n.nt))))
+           AS logratio_bits
+  FROM tok JOIN bits b ON tok.w = b.w CROSS JOIN norms n
+  GROUP BY tok.doc_id
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY logratio_bits DESC, doc_id) AS rk,
+         COUNT(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, logratio_bits,
+       CAST(logratio_bits AS DOUBLE) / n_tokens AS mean_bits_per_token,
+       rk <= n_docs * {_DSIR_KEEP_PCT} // 100 AS selected
+FROM ranked
+"""
+
+
+@register("llm_dsir_importance_sample", sql=_DSIR_SQL)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the unigram log-likelihood ratio between a TARGET distribution (the
+    '{lang}' slice stands in for the high-quality target corpus) and the
+    raw-corpus distribution, then keep the top {pct}%.
+
+    log p_t(w) - log p_c(w) is computed in EXACT integer log2 via
+    binary-string length with add-one smoothing (unseen-in-target words
+    get bitlen(1)=1), so both engines agree bit-for-bit — same device as
+    llm_unigram_surprisal. Deterministic resample: rank by (score desc,
+    doc_id), keep floor(N * {pct}%) docs — hash-free and reproducible.
+
+    Scale shape: two vocab aggregations (shuffle on token), vocab-sized
+    broadcast of the bits table onto the token stream, per-doc rollup on
+    doc_id; the selection rank runs over the doc-level aggregate (TopK
+    partial + tiny final sort at 100 TB, not a corpus sort).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", F.explode(toks).alias("w"))
+    )
+    corpus = tok.groupBy("w").agg(F.count("*").alias("cc"))
+    target = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count("*").alias("ct"))
+    )
+    norms = corpus.agg(F.sum("cc").alias("nc")).crossJoin(
+        target.agg((F.coalesce(F.sum("ct"), F.lit(0)) + 1).alias("nt"))
+    )
+    bits = (
+        corpus.join(target, "w", "left")
+        .select(
+            "w",
+            (
+                F.length(F.bin(F.coalesce(F.col("ct"), F.lit(0)) + 1))
+                - F.length(F.bin(F.col("cc") + 1))
+            ).alias("dw"),
+        )
+    )
+    const_bits = F.length(F.bin(F.col("nc"))) - F.length(F.bin(F.col("nt")))
+    scored = (
+        tok.join(F.broadcast(bits), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.sum("dw").alias("sum_dw"),
+        )
+        .crossJoin(F.broadcast(norms))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("sum_dw") + F.col("n_tokens") * const_bits).alias(
+                "logratio_bits"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("logratio_bits"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_docs"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "logratio_bits",
+        (
+            F.col("logratio_bits").cast("double") / F.col("n_tokens")
+        ).alias("mean_bits_per_token"),
+        (
+            F.col("rk") <= F.floor(F.col("n_docs") * _DSIR_KEEP_PCT / 100)
+        ).alias("selected"),
+    )
+
+
+dsir_importance_sample.__doc__ = (
+    dsir_importance_sample.__doc__
+    .replace("{lang}", _DSIR_TARGET_LANG)
+    .replace("{pct}", str(_DSIR_KEEP_PCT))
+)

@@ -141,3 +141,42 @@ def test_surprisal_broadcasts_vocab(spark):
 def test_boilerplate_broadcasts_topk(spark):
     p = plan_str(q("llm_boilerplate_coverage", spark))
     assert "BroadcastExchange" in p
+
+
+def test_dsir_matches_pure_python(spark):
+    """DSIR importance scores + deterministic top-20% selection == an
+    independent Python oracle (add-one-smoothed integer-log2 ratio)."""
+    from cdc_apache_cassandra_spark.plans.llm_substring_queries import (
+        _DSIR_KEEP_PCT,
+        _DSIR_TARGET_LANG,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    corpus: collections.Counter = collections.Counter()
+    target: collections.Counter = collections.Counter()
+    toks_by_doc: dict[int, tuple[str, list[str]]] = {}
+    for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+        if not text.strip():
+            continue
+        toks = re.split(r"\s+", text.strip())
+        toks_by_doc[int(doc_id)] = (lang, toks)
+        corpus.update(toks)
+        if lang == _DSIR_TARGET_LANG:
+            target.update(toks)
+    nc = sum(corpus.values())
+    nt = sum(target.values()) + 1
+    const = nc.bit_length() - nt.bit_length()
+    expected_scores = {}
+    for doc_id, (lang, toks) in toks_by_doc.items():
+        s = sum(
+            (target.get(w, 0) + 1).bit_length() - (corpus[w] + 1).bit_length()
+            for w in toks
+        ) + len(toks) * const
+        expected_scores[doc_id] = s
+    order = sorted(expected_scores, key=lambda d: (-expected_scores[d], d))
+    keep = set(order[: len(order) * _DSIR_KEEP_PCT // 100])
+
+    rows = q("llm_dsir_importance_sample", spark).collect()
+    got_scores = {r.doc_id: r.logratio_bits for r in rows}
+    assert got_scores == expected_scores
+    assert {r.doc_id for r in rows if r.selected} == keep
