@@ -613,3 +613,102 @@ def stats_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         F.round(err, 4).alias("rel_err_r"),
     )
+
+
+# --- portable HLL: identical sketch in both engines, hash-checked -----------
+
+# E = alpha_64 * m^2 / sum(2^-M[j]); with S = sum(2^(55-M[j])) kept in
+# exact BIGINT (max 64 * 2^55 = 2^61), E = alpha * m^2 * 2^55 / S. The
+# float literals below are multiplied in the same order by both engines
+# (IEEE ops are deterministic), so the estimate is bit-identical.
+_HLL_EST = "(0.709e0 * 4096.0e0 * 36028797018963968.0e0)"
+
+_HLL_PORTABLE_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+rho AS (
+  SELECT event_type, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m FROM rho GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_filled,
+         CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_filled
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, e.exact_users, a.n_filled,
+       CAST(a.s_filled + (64 - a.n_filled) * (1::BIGINT << 55) AS BIGINT)
+         AS harmonic_scaled,
+       CAST(ROUND({_HLL_EST} /
+            CAST(a.s_filled + (64 - a.n_filled) * (1::BIGINT << 55)
+                 AS DOUBLE), 6) AS DOUBLE) AS hll_estimate_r
+FROM agg a JOIN ex e ON a.event_type = e.event_type
+"""
+
+
+@register("stats_hll_portable_sketch", sql=_HLL_PORTABLE_SQL)
+def stats_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch PORTABLE HyperLogLog (m=64 registers, 60-bit md5
+    hash) with fully deterministic cross-engine semantics — unlike
+    `stats_approx_distinct_users` (whose built-in HLL++ sketch is
+    engine-specific and rows-only), every intermediate here is exact:
+    register index = h % 64, rank = integer leading-zero count via
+    binary-string length, and the harmonic sum is kept in BIGINT as
+    sum(2^(55-M[j])) (max 2^61, exact), so the final estimate is one
+    deterministic double division. This is the 'novel sketch as a
+    composition of built-ins' pattern: two narrow integer group-bys
+    (events -> 64 registers/group -> 1 row/group), mergeable by MAX, no
+    distinct-expand — the 100-TB COUNT(DISTINCT) shape with a sketch
+    the oracle can verify bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    )
+    rho_df = ev.select("event_type", h).select(
+        "event_type",
+        F.expr("h % 64").alias("bucket"),
+        F.expr(
+            "CASE WHEN h div 64 = 0 THEN 55"
+            " ELSE 55 - length(bin(h div 64)) END"
+        ).alias("rho"),
+    )
+    regs = rho_df.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_filled"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")
+        ).alias("s_filled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    s_total = "CAST(s_filled + (64 - n_filled) * shiftleft(CAST(1 AS BIGINT), 55) AS BIGINT)"
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_filled",
+            F.expr(s_total).alias("harmonic_scaled"),
+            F.expr(
+                f"CAST(ROUND({_HLL_EST} / CAST({s_total} AS DOUBLE), 6)"
+                " AS DOUBLE)"
+            ).alias("hll_estimate_r"),
+        )
+    )

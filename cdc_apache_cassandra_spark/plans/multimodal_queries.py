@@ -42,11 +42,38 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *payload_meta(F.col("payload")))
 
 
-@register("multimodal_decode_frames", sql=None)  # rows-only: Python decoder
+# Closed-form oracle for the STUB decoder: the payload is the UTF-8
+# encoding of pure-ASCII text (verified: octet_length == length at every
+# SF), so byte windows are char windows and byte values are ascii codes —
+# the frame means are SQL-expressible without running Python.
+_DECODE_SQL = """
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+frames AS (
+  SELECT doc_id, n, f.f AS frame_id,
+         substr(text, f.f * 16 + 1, 16) AS win
+  FROM docs, (SELECT unnest(range(0, 3)) AS f) f
+  WHERE f.f <= n % 3
+)
+SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+       CAST(64 + n % 960 AS INTEGER) AS width,
+       CAST(64 + (n * 7) % 536 AS INTEGER) AS height,
+       CASE WHEN length(win) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(range(1, length(win) + 1),
+                      i -> ascii(win[i]))) AS DOUBLE) / length(win)
+       END AS mean_intensity
+FROM frames
+"""
+
+
+@register("multimodal_decode_frames", sql=_DECODE_SQL)
 def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode: one row per sampled frame, schema
     pinned by FRAME_SCHEMA. Uses the deterministic stub decoder (real
-    image/audio libs absent by design — see operators/multimodal.py)."""
+    image/audio libs absent by design — see operators/multimodal.py);
+    the oracle recomputes the byte-window means in closed form over the
+    ASCII payload, so even the stub plumbing is hash-checked."""
     d = attach_payload(load_table(spark, sf_dir, "documents"))
     return decode_frames(d)
 
