@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.operators.text_dedup import tokens_expr, word_shingles
 from cdc_apache_cassandra_spark.operators.vectors import as_double_vec, cosine, dot
+from cdc_apache_cassandra_spark.functions.hashing import (
+    hll_estimate_sql,
+    hll_finalize,
+    hll_registers,
+)
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
 
@@ -621,7 +626,10 @@ def stats_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact BIGINT (max 64 * 2^55 = 2^61), E = alpha * m^2 * 2^55 / S. The
 # float literals below are multiplied in the same order by both engines
 # (IEEE ops are deterministic), so the estimate is bit-identical.
-_HLL_EST = "(0.709e0 * 4096.0e0 * 36028797018963968.0e0)"
+_HLL_EST_EXPR = hll_estimate_sql(
+    "(a.s_filled + (64 - a.n_filled) * (1::BIGINT << 55))",
+    n_filled="a.n_filled",
+)
 
 _HLL_PORTABLE_SQL = f"""
 WITH h AS (
@@ -651,9 +659,7 @@ ex AS (
 SELECT a.event_type, e.exact_users, a.n_filled,
        CAST(a.s_filled + (64 - a.n_filled) * (1::BIGINT << 55) AS BIGINT)
          AS harmonic_scaled,
-       CAST(ROUND({_HLL_EST} /
-            CAST(a.s_filled + (64 - a.n_filled) * (1::BIGINT << 55)
-                 AS DOUBLE), 6) AS DOUBLE) AS hll_estimate_r
+       {_HLL_EST_EXPR} AS hll_estimate_r
 FROM agg a JOIN ex e ON a.event_type = e.event_type
 """
 
@@ -673,42 +679,18 @@ def stats_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-expand — the 100-TB COUNT(DISTINCT) shape with a sketch
     the oracle can verify bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-        )
-        .cast("long")
-        .alias("h")
-    )
-    rho_df = ev.select("event_type", h).select(
-        "event_type",
-        F.expr("h % 64").alias("bucket"),
-        F.expr(
-            "CASE WHEN h div 64 = 0 THEN 55"
-            " ELSE 55 - length(bin(h div 64)) END"
-        ).alias("rho"),
-    )
-    regs = rho_df.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
-    agg = regs.groupBy("event_type").agg(
-        F.count("*").alias("n_filled"),
-        F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")
-        ).alias("s_filled"),
-    )
+    regs = hll_registers(ev, ["event_type"], "user_id")
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    s_total = "CAST(s_filled + (64 - n_filled) * shiftleft(CAST(1 AS BIGINT), 55) AS BIGINT)"
     return (
-        agg.join(exact, "event_type")
+        hll_finalize(regs, ["event_type"])
+        .join(exact, "event_type")
         .select(
             "event_type",
             "exact_users",
             "n_filled",
-            F.expr(s_total).alias("harmonic_scaled"),
-            F.expr(
-                f"CAST(ROUND({_HLL_EST} / CAST({s_total} AS DOUBLE), 6)"
-                " AS DOUBLE)"
-            ).alias("hll_estimate_r"),
+            "harmonic_scaled",
+            "hll_estimate_r",
         )
     )

@@ -166,3 +166,124 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _PACK_CAP).alias("pack_id"),
         (start - F.floor(start / _PACK_CAP) * _PACK_CAP).alias("pack_offset"),
     )
+
+
+# --- end-to-end pipeline composition ----------------------------------------
+
+_E2E_CAP = 256  # pack budget (tokens)
+_E2E_TRAIN_PCT = 95
+
+_E2E_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS content_hash,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+quality AS (
+  SELECT * FROM base
+  WHERE n_tokens >= 5 AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
+    FROM quality
+  ) WHERE doc_id = keeper
+),
+split AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 100 < {_E2E_TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM dedup
+),
+packed AS (
+  SELECT doc_id, split, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM split
+)
+SELECT split,
+       CAST(start // {_E2E_CAP} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY split, start // {_E2E_CAP}
+"""
+
+
+@register("llm_pipeline_end_to_end", sql=_E2E_SQL)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed DAG — quality
+    filter (llm_quality_score gate) -> exact dedup (keeper = min doc_id
+    per content hash) -> deterministic {train}%/. hash split -> budgeted
+    {cap}-token packing — reported as per-pack manifests. This is the
+    composition test: every stage is the same operator that passes the
+    gate standalone, chained without materialization barriers, so
+    Catalyst fuses the filter+hash projection into one scan, and the
+    only shuffles are the dedup window (content_hash), the split-ordered
+    packing window, and the final pack rollup. At 100 TB each stage
+    stays narrow-column (hashes + counts; text read once, never
+    shuffled)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    quality = base.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12.0)
+    )
+    dedup = (
+        quality.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("content_hash"))
+        )
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = dedup.select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < _E2E_TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    packed = split.select("doc_id", "split", "n_tokens", start)
+    return (
+        packed.groupBy(
+            "split",
+            F.floor(F.col("start") / _E2E_CAP).cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+pipeline_end_to_end.__doc__ = (
+    pipeline_end_to_end.__doc__
+    .replace("{train}", str(_E2E_TRAIN_PCT))
+    .replace("{cap}", str(_E2E_CAP))
+)
