@@ -634,3 +634,83 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(tp, fp, fn, recall)], "tp long, fp long, fn long, recall_r double"
     )
+
+
+# --- MinHash calibration: signature estimate vs exact Jaccard ---------------
+
+_CALIB_SQL = rf"""
+WITH {_MINHASH_CTES}
+SELECT v.doc_a, v.doc_b,
+       CAST(len(list_filter(range(1, {_MINHASH_K} + 1),
+                i -> sa.minhash[i] = sb.minhash[i])) AS BIGINT) AS n_sig_match,
+       CAST(ROUND(CAST(len(list_filter(range(1, {_MINHASH_K} + 1),
+                i -> sa.minhash[i] = sb.minhash[i])) AS DOUBLE)
+            / {_MINHASH_K}.0e0, 6) AS DOUBLE) AS jaccard_est_r,
+       CAST(ROUND(CAST(v.n_inter AS DOUBLE)
+            / (v.n_a + v.n_b - v.n_inter), 6) AS DOUBLE) AS jaccard_true_r,
+       CAST(ROUND(ABS(CAST(len(list_filter(range(1, {_MINHASH_K} + 1),
+                i -> sa.minhash[i] = sb.minhash[i])) AS DOUBLE)
+            / {_MINHASH_K}.0e0
+            - CAST(v.n_inter AS DOUBLE) / (v.n_a + v.n_b - v.n_inter)), 6)
+            AS DOUBLE) AS abs_err_r
+FROM verified v
+JOIN sig sa ON sa.doc_id = v.doc_a
+JOIN sig sb ON sb.doc_id = v.doc_b
+"""
+
+
+@register("llm_minhash_calibration", sql=_CALIB_SQL)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION audit: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matching positions / k) next
+    to the exact verified Jaccard and their absolute error — the
+    quantity that justifies (k, bands, rows) choices before a 100-TB
+    run. Estimates are exact multiples of 1/k and the error is one
+    deterministic double subtraction, so the audit itself is
+    hash-checked. Cost: candidate-bounded (signatures are k integers;
+    the two signature joins touch |candidates| rows)."""
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        minhash_signature,
+        shingle_hash32,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+    )
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
+    ).persist()
+    sig = sh.select(
+        "doc_id",
+        minhash_signature(
+            shingle_hash32(F.col("shingles")), _MINHASH_K
+        ).alias("minhash"),
+    )
+    cand = minhash_lsh_candidates(
+        sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("minhash").alias("sig_a"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("minhash").alias("sig_b"))
+    n_match = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ).cast("long")
+    est = n_match.cast("double") / float(_MINHASH_K)
+    joined = (
+        cand.join(sa, "doc_a").join(sb, "doc_b").join(ga, "doc_a").join(gb, "doc_b")
+    )
+    true_j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        n_match.alias("n_sig_match"),
+        F.round(est, 6).alias("jaccard_est_r"),
+        F.round(true_j, 6).alias("jaccard_true_r"),
+        F.round(F.abs(est - true_j), 6).alias("abs_err_r"),
+    )

@@ -479,3 +479,132 @@ dsir_importance_sample.__doc__ = (
     .replace("{lang}", _DSIR_TARGET_LANG)
     .replace("{pct}", str(_DSIR_KEEP_PCT))
 )
+
+
+_DC_K = 4  # decontamination gram width
+_DC_MOD = 100  # every MOD-th doc is the stand-in benchmark set
+
+_DC_SPAN_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND len(string_split_regex(trim(text), '\s+')) >= {_DC_K}
+),
+sh AS (
+  SELECT doc_id, len(tokens) AS n_tokens, p.p AS pos,
+         md5(array_to_string(list_slice(tokens, p.p + 1, p.p + {_DC_K}), ' '))
+           AS gram
+  FROM docs, (SELECT unnest(range(0, 4096)) AS p) p
+  WHERE p.p <= len(tokens) - {_DC_K}
+),
+bench AS (
+  SELECT DISTINCT gram FROM sh WHERE doc_id % {_DC_MOD} = 0
+),
+hit AS (
+  SELECT s.doc_id, s.n_tokens, s.pos
+  FROM sh s JOIN bench b USING (gram)
+  WHERE s.doc_id % {_DC_MOD} <> 0
+),
+marked AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {_DC_K} THEN 1 ELSE 0 END AS brk
+  FROM hit
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, n_tokens, span_id,
+         MIN(pos) AS s, MAX(pos) + {_DC_K} - 1 AS e
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_tokens,
+       COUNT(*) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS contam_tokens,
+       CAST(CAST(SUM(e - s + 1) AS BIGINT) AS DOUBLE) / n_tokens
+         AS contam_ratio
+FROM spans
+GROUP BY doc_id, n_tokens
+"""
+
+
+@register("llm_decontamination_spans", sql=_DC_SPAN_SQL)
+def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination: where llm_decontamination
+    flags whole documents sharing any {K}-gram with the eval set, this
+    reports the contaminated token SPANS (contiguous runs of shared
+    {K}-grams, merged gaps-and-islands) so a pipeline can excise the
+    overlap instead of dropping the document — the span-surgery variant
+    used when contamination is incidental (quoted benchmark questions
+    inside otherwise-good pages).
+
+    Scale shape: the benchmark gram set is eval-corpus-sized ->
+    broadcast onto the positional gram stream (one explode, text never
+    shuffles past md5); islands merge is one doc-keyed window. Same
+    machinery as llm_substring_span_dedup, different reference set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", toks.alias("tokens"))
+        .filter(F.size("tokens") >= _DC_K)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) - {_DC_K}),"
+                f" p -> md5(array_join(slice(tokens, p + 1, {_DC_K}), ' ')))"
+            )
+        ).alias("pos", "gram"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DC_MOD == 0).select("gram").distinct()
+    )
+    hit = (
+        sh.filter(F.col("doc_id") % _DC_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = hit.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") - F.lag("pos").over(w_doc) > _DC_K),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("span_id", F.sum("brk").over(w_doc))
+    spans = islands.groupBy("doc_id", "n_tokens", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _DC_K - 1).alias("e")
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(span_len).alias("contam_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "contam_tokens",
+            (
+                F.col("contam_tokens").cast("double") / F.col("n_tokens")
+            ).alias("contam_ratio"),
+        )
+    )
+
+
+decontamination_spans.__doc__ = decontamination_spans.__doc__.replace(
+    "{K}", str(_DC_K)
+)
