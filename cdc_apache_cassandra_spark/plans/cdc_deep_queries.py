@@ -496,11 +496,15 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
         read_state,
     )
 
+    # Persisted: each commit evaluates its batch twice (touched-bucket
+    # scan + merged write) — the cache stands in for the already-
+    # materialized micro-batch a real stream hands foreachBatch.
     ev = (
         compound_events(spark, sf_dir)
         .filter(F.col("pk_p") % 3 == 0)
         .dropDuplicates(["digest"])
         .drop("node_id", "digest")
+        .persist()
     )
     path = tempfile.mkdtemp(prefix="cdc_compound_mat_")
     for i in range(2):
@@ -512,6 +516,7 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
             bucket_cols=["pk_p"],
             reducer=compound_reduce,
         )
+    ev.unpersist()
     state = read_state(spark, path)
     alive = compound_active_view(state)
     return alive.select(

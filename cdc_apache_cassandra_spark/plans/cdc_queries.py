@@ -368,7 +368,12 @@ def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
 
-    ev = dedup_mutations(mutation_events(spark, sf_dir))
+    # Persist the deduped feed: each merge commit evaluates its batch
+    # twice (touched-bucket scan + merged write), so 3 commits would
+    # otherwise replay the event pipeline 6 times. In a real stream the
+    # micro-batch is already materialized by the engine; the cache stands
+    # in for that.
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).persist()
     path = tempfile.mkdtemp(prefix="cdc_mat_state_")
     # segment-interleaved batches: writetimes arrive OUT of order across
     # commits, so convergence genuinely exercises LWW-under-merge
@@ -376,6 +381,7 @@ def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into(
             spark, path, ev.filter(F.pmod(F.col("segment"), F.lit(3)) == i), ["pk"]
         )
+    ev.unpersist()
     state = read_state(spark, path)
     return active_view(state).select("pk", "op", "writetime", *VALUE_COLS)
 
