@@ -185,3 +185,46 @@ def digest_cache_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_digests") > 3).alias("overflows_default_cache"),
         )
     )
+
+
+# --- bitwise functions ------------------------------------------------------
+
+_BITWISE_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+       CAST(~o_orderkey AS BIGINT) AS complement,
+       CAST(o_orderkey << 3 AS BIGINT) AS shifted_up,
+       CAST(o_orderkey >> 2 AS BIGINT) AS shifted_down,
+       CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS popcount,
+       CAST((o_orderkey >> 4) & 15 AS BIGINT) AS nibble1,
+       CAST(o_orderkey & (o_orderkey - 1) AS BIGINT) AS clear_lowest,
+       CAST(o_orderkey & -o_orderkey AS BIGINT) AS lowest_bit
+FROM orders
+WHERE o_orderkey % 37 = 0
+"""
+
+
+@register("fn_bitwise_gallery", sql=_BITWISE_SQL)
+def bitwise_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten bitwise built-ins in one projection (and/or/xor/not, shifts,
+    popcount, plus the nibble-extract and lowest-set-bit idioms used by
+    bitmap indexes and the portable-HLL register math). Two's-complement
+    BIGINT semantics agree between engines exactly; pure narrow map, one
+    codegen span."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.expr("CAST(o_orderkey & 255 AS BIGINT)").alias("low_byte"),
+        F.expr("CAST(o_orderkey | 4096 AS BIGINT)").alias("with_flag"),
+        F.expr("CAST(o_orderkey ^ o_custkey AS BIGINT)").alias("key_xor"),
+        F.expr("CAST(~o_orderkey AS BIGINT)").alias("complement"),
+        F.expr("CAST(shiftleft(o_orderkey, 3) AS BIGINT)").alias("shifted_up"),
+        F.expr("CAST(shiftright(o_orderkey, 2) AS BIGINT)").alias("shifted_down"),
+        F.bit_count(k.cast("long")).cast("long").alias("popcount"),
+        F.expr("CAST(shiftright(o_orderkey, 4) & 15 AS BIGINT)").alias("nibble1"),
+        F.expr("CAST(o_orderkey & (o_orderkey - 1) AS BIGINT)").alias("clear_lowest"),
+        F.expr("CAST(o_orderkey & -o_orderkey AS BIGINT)").alias("lowest_bit"),
+    )

@@ -217,3 +217,26 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     p = plan_str(q("llm_ann_ivf_kmeans_recall", spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_no_cartesian_product_in_any_registered_plan(spark):
+    """Global scale lint: no registered query may compile to a
+    CartesianProductExec — every deliberate cross join in the surface is
+    a 1-row/broadcastable side (BroadcastNestedLoopJoin), never an
+    unbounded pair blow-up. Also forbids BatchEvalPython (row-at-a-time
+    Python UDFs): Python may appear only Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas)."""
+    from cdc_apache_cassandra_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in QUERIES.items():
+        p = plan_str(q.fn(spark, sf))
+        hits = [
+            op
+            for op in ("CartesianProduct", "BatchEvalPython")
+            if op in p
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
