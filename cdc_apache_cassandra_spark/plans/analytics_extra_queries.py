@@ -694,3 +694,78 @@ def stats_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate_r",
         )
     )
+
+
+# --- skew toolkit under the gate: salted two-phase aggregation --------------
+
+_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_salted_hot_key_sum", sql=_SALTED_SQL)
+def agg_salted_hot_key_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit under the correctness gate: lineitem quantity
+    summed per l_returnflag — a 3-key aggregation where EVERY key is hot
+    (each reducer would receive ~n/3 of a 100-TB fact table) — via the
+    explicit two-phase salted aggregation (operators/skew.py): partial
+    decimal sums per (key, salt) spread the hot keys over n_salts
+    reducers, then a 3-row final combine. Decimal partials are exact and
+    order-free, so the salted plan is value-identical to the direct
+    GROUP BY the oracle runs — the property that makes the rewrite safe
+    to apply mechanically wherever AQE flags a hot aggregation key."""
+    from cdc_apache_cassandra_spark.operators.skew import salted_agg_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _dec("l_quantity").alias("qty"), F.lit(1).alias("one")
+    )
+    sums = salted_agg_sum(li, ["l_returnflag"], "qty")
+    counts = salted_agg_sum(li, ["l_returnflag"], "one")
+    return (
+        sums.join(counts, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_one").cast("long").alias("n_rows"),
+        )
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("join_salted_hot_customer", sql=_SALTED_JOIN_SQL)
+def join_salted_hot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large-large join under the gate: orders x customer joined
+    through operators/skew.py::salted_join (the skewed fact side salted
+    by a deterministic row hash; the other side replicated once per
+    salt), then rolled up per nation. Semantics are provably identical
+    to the plain equi-join — each fact row meets each matching customer
+    exactly once, on its own salt — and the oracle runs the plain join,
+    so the gate checks exactly that. The rewrite is the manual escape
+    hatch for hot keys AQE's skew split cannot break (e.g. a single
+    mega-customer in a large-large shuffle join)."""
+    from cdc_apache_cassandra_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), _dec("o_totalprice").alias("price")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(o, c, ["c_custkey"])
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )

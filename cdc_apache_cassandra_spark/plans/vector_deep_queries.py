@@ -845,3 +845,80 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5")
         )
     )
+
+
+# --- IVF + PQ composite (the FAISS IVFPQ shape), all-integer ----------------
+
+_IVFPQ_SQL = f"""
+{_PQ_CODES_CTES},
+coarse AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY total_d2, cid) AS rn
+    FROM (
+      SELECT vec_id, cid, CAST(SUM(d2) AS BIGINT) AS total_d2
+      FROM cdist GROUP BY vec_id, cid
+    )
+  ) WHERE rn = 1
+),
+qdist AS (
+  SELECT vec_id AS qid, cid, sub, d2 FROM cdist
+  WHERE vec_id % {_PQ_QSTRIDE} = 0
+),
+score AS (
+  SELECT q.qid, a.vec_id AS nid, CAST(SUM(q.d2) AS BIGINT) AS adc
+  FROM amin a
+  JOIN coarse cn ON cn.vec_id = a.vec_id
+  JOIN coarse cq ON cq.cell = cn.cell
+  JOIN qdist q ON q.cid = a.cid AND q.sub = a.sub AND q.qid = cq.vec_id
+  WHERE q.qid != a.vec_id
+  GROUP BY q.qid, a.vec_id
+),
+ranked AS (
+  SELECT qid, nid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+  FROM score
+)
+SELECT r.qid, r.nid, r.rk, r.adc, cq.cell
+FROM ranked r JOIN coarse cq ON cq.vec_id = r.qid
+WHERE r.rk <= {_PQ_TOPK}
+"""
+
+
+@register("llm_ann_ivfpq_topk", sql=_IVFPQ_SQL)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the FAISS-style IVFPQ index as one plan: a
+    COARSE quantizer (each vector's nearest codebook donor by total
+    code-space distance, reusing the already-persisted cdist table)
+    partitions the corpus into cells; each query then ADC-ranks ONLY its
+    own cell's members. Every distance in both layers is an integer sum
+    of squared int8-code deltas, so the composite stays bit-exact under
+    the oracle. At 100 TB this is the memory-AND-compute shape: the
+    coarse cell bounds candidates per query (vs PQ's full-corpus ADC
+    sweep), and the scanned artifact per candidate is 8 bytes of codes.
+    nprobe=1; more probes = relax the cell equality to a top-n cell
+    join, same plan."""
+    parts = _pq_build(spark, sf_dir)
+    cdist, amin, qdist = parts["cdist"], parts["amin"], parts["qdist"]
+    coarse = (
+        cdist.groupBy("vec_id", "cid")
+        .agg(F.sum("d2").cast("bigint").alias("t"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("t", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cell"))
+    )
+    qcell = coarse.select(F.col("vec_id").alias("qid"), F.col("cell").alias("qcell"))
+    score = (
+        amin.join(coarse, "vec_id")
+        .join(F.broadcast(qdist.join(qcell, "qid")), ["cid", "sub"])
+        .filter((F.col("qcell") == F.col("cell")) & (F.col("qid") != F.col("vec_id")))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("d2").cast("bigint").alias("adc"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy("adc", "nid")
+    return (
+        score.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .join(F.broadcast(qcell), "qid")
+        .select("qid", "nid", "rk", "adc", F.col("qcell").alias("cell"))
+    )
