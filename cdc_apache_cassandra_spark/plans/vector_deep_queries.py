@@ -922,3 +922,101 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qcell), "qid")
         .select("qid", "nid", "rk", "adc", F.col("qcell").alias("cell"))
     )
+
+
+_IVFPQ_RECALL_SQL = f"""
+{_PQ_CODES_CTES},
+coarse AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY total_d2, cid) AS rn
+    FROM (
+      SELECT vec_id, cid, CAST(SUM(d2) AS BIGINT) AS total_d2
+      FROM cdist GROUP BY vec_id, cid
+    )
+  ) WHERE rn = 1
+),
+qdist AS (
+  SELECT vec_id AS qid, cid, sub, d2 FROM cdist
+  WHERE vec_id % {_PQ_QSTRIDE} = 0
+),
+score AS (
+  SELECT q.qid, a.vec_id AS nid, CAST(SUM(q.d2) AS BIGINT) AS adc
+  FROM amin a
+  JOIN coarse cn ON cn.vec_id = a.vec_id
+  JOIN coarse cq ON cq.cell = cn.cell
+  JOIN qdist q ON q.cid = a.cid AND q.sub = a.sub AND q.qid = cq.vec_id
+  WHERE q.qid != a.vec_id
+  GROUP BY q.qid, a.vec_id
+),
+ivfpq5 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+    FROM score
+  ) WHERE rk <= {_PQ_TOPK}
+),
+exactd AS (
+  SELECT qc.vec_id AS qid, c.vec_id AS nid,
+         CAST(SUM((qc.code - c.code) * (qc.code - c.code)) AS BIGINT) AS d2
+  FROM codes qc JOIN codes c ON qc.pos = c.pos
+  WHERE qc.vec_id % {_PQ_QSTRIDE} = 0 AND c.vec_id != qc.vec_id
+  GROUP BY qc.vec_id, c.vec_id
+),
+exact5 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+    FROM exactd
+  ) WHERE rk <= {_PQ_TOPK}
+)
+SELECT e.qid,
+       CAST(SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / {_PQ_TOPK} AS recall_at_5
+FROM exact5 e LEFT JOIN ivfpq5 p ON p.qid = e.qid AND p.nid = e.nid
+GROUP BY e.qid
+"""
+
+
+@register("llm_ann_ivfpq_recall", sql=_IVFPQ_RECALL_SQL)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF+PQ composite against the exact code-space
+    top-5 — measured against the SAME ground truth as llm_ann_pq_recall,
+    so the per-query delta isolates the effect of the nprobe=1 cell
+    restriction on top of PQ compression. Note the delta is NOT
+    sign-definite: the restriction usually loses neighbors that fall in
+    other cells, but it can also evict ADC false positives and RAISE
+    recall@5 (observed on this corpus) — which is why the audit reports
+    per-query numbers instead of assuming monotone loss. Integer-exact
+    both sides."""
+    parts = _pq_build(spark, sf_dir)
+    codes = parts["codes"]
+    ivfpq5 = ann_ivfpq_topk(spark, sf_dir).select(
+        "qid", "nid", F.lit(1).alias("hit")
+    )
+    qc = codes.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("code").alias("qcode")
+    )
+    delta = F.col("qcode") - F.col("code")
+    exactd = (
+        codes.join(F.broadcast(qc), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum(delta * delta).cast("bigint").alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    exact5 = (
+        exactd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
+    )
+    return (
+        exact5.join(ivfpq5, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(_PQ_TOPK)
+            ).alias("recall_at_5")
+        )
+    )

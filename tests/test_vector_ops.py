@@ -91,3 +91,54 @@ def test_approx_percentile_within_envelope(spark):
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_ivfpq_adc_scores_consistent_with_pq(spark):
+    """Where the IVFPQ and plain-PQ top-5 report the same (qid, nid)
+    pair, the ADC score must be identical — the cell restriction changes
+    WHICH candidates are ranked, never how a pair is scored. (Recall is
+    deliberately NOT asserted monotone either way: restricting to the
+    query's cell can remove false positives and so RAISE recall@5, which
+    the synthetic corpus actually exhibits.)"""
+    from cdc_apache_cassandra_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    pq = {
+        (r.qid, r.nid): r.adc
+        for r in QUERIES["llm_ann_pq_adc"].fn(spark, sf).collect()
+    }
+    ivfpq_rows = QUERIES["llm_ann_ivfpq_topk"].fn(spark, sf).collect()
+    assert ivfpq_rows
+    shared = 0
+    for r in ivfpq_rows:
+        if (r.qid, r.nid) in pq:
+            assert pq[(r.qid, r.nid)] == r.adc, (r.qid, r.nid)
+            shared += 1
+    assert shared > 0  # the rankings genuinely overlap
+
+
+def test_ivfpq_neighbors_share_query_cell(spark):
+    """Every reported IVFPQ neighbor must sit in its query's coarse cell
+    (the invariant the composite exists to enforce)."""
+    from cdc_apache_cassandra_spark.plans import QUERIES
+    from cdc_apache_cassandra_spark.plans.vector_deep_queries import _pq_build
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["llm_ann_ivfpq_topk"].fn(spark, sf).collect()
+    assert rows
+    cdist = _pq_build(spark, sf)["cdist"]
+    coarse = {
+        r.vec_id: r.cell
+        for r in (
+            cdist.groupBy("vec_id", "cid")
+            .agg(F.sum("d2").cast("bigint").alias("t"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("t", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cell"))
+        ).collect()
+    }
+    for r in rows:
+        assert coarse[r.qid] == r.cell
+        assert coarse[r.nid] == r.cell
