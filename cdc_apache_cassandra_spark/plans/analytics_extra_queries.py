@@ -769,3 +769,130 @@ def join_salted_hot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("revenue"),
         )
     )
+
+
+# --- Gini concentration of per-user event activity --------------------------
+
+_GINI_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, user_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM counts
+)
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n_users,
+       CAST(MIN(total) AS BIGINT) AS n_events,
+       CAST(ROUND(
+         CAST(2 * SUM(i * c) AS DOUBLE) / (MIN(n) * MIN(total))
+         - CAST(MIN(n) + 1 AS DOUBLE) / MIN(n), 6) AS DOUBLE) AS gini_r
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("stats_gini_user_activity", sql=_GINI_SQL)
+def stats_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts per event type — the
+    inequality/concentration signal a pipeline watches for traffic
+    dominated by few actors (bot detection, cache sizing, skew
+    forecasting). Exact-rank formulation: G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over counts sorted ascending with a total (c, user_id)
+    tie-break, so the integer sum sum(i*x_i) is identical in both
+    engines and the only float work is two divisions. One shuffle to
+    count, one per-type window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type")
+    ranked = counts.select(
+        "event_type",
+        "c",
+        F.row_number().over(w.orderBy("c", "user_id")).alias("i"),
+        F.count("*").over(w).alias("n"),
+        F.sum("c").over(w).cast("long").alias("total"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_users"),
+            F.min("total").cast("long").alias("n_events"),
+            F.round(
+                (2 * F.sum(F.col("i") * F.col("c"))).cast("double")
+                / (F.min("n") * F.min("total"))
+                - (F.min("n") + 1).cast("double") / F.min("n"),
+                6,
+            ).alias("gini_r"),
+        )
+    )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) as PRECOMPUTED literals (same no-runtime-transcendental
+# device as the HLL linear-counting table) — both engines parse the
+# identical constant.
+_BENFORD_CASE = (
+    "CASE WHEN d = 1 THEN 0.3010299956639812e0"
+    " WHEN d = 2 THEN 0.17609125905568124e0"
+    " WHEN d = 3 THEN 0.12493873660829992e0"
+    " WHEN d = 4 THEN 0.09691001300805642e0"
+    " WHEN d = 5 THEN 0.07918124604762482e0"
+    " WHEN d = 6 THEN 0.06694678963061322e0"
+    " WHEN d = 7 THEN 0.05799194697768673e0"
+    " WHEN d = 8 THEN 0.05115252244738129e0"
+    " WHEN d = 9 THEN 0.04575749056067514e0 END"
+)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS d
+  FROM orders WHERE CAST(FLOOR(o_totalprice) AS BIGINT) >= 1
+),
+hist AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
+SELECT h.d AS first_digit, h.n AS n_values,
+       CAST(h.n AS DOUBLE) / t.total AS observed_freq,
+       CAST({_BENFORD_CASE} AS DOUBLE) AS benford_freq,
+       CAST(ROUND(ABS(CAST(h.n AS DOUBLE) / t.total
+            - ({_BENFORD_CASE})), 6) AS DOUBLE) AS abs_dev_r
+FROM hist h, tot t
+"""
+
+
+@register("stats_benford_first_digit", sql=_BENFORD_SQL)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data screen for financial facts. Digit extraction is
+    string-exact (first char of the integer part), expected frequencies
+    log10(1+1/d) are precomputed literals (no runtime transcendentals —
+    the repo-wide cross-engine rule), and the deviation is a single
+    double subtraction per digit. One narrow map + a 9-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    # explicit FLOOR: DuckDB's double->BIGINT cast rounds to nearest
+    # while Spark's truncates — floor first so both engines agree.
+    d_col = F.substring(
+        F.floor("o_totalprice").cast("string"), 1, 1
+    ).cast("bigint")
+    digits = o.filter(F.floor("o_totalprice") >= 1).select(d_col.alias("d"))
+    hist = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = hist.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.expr(f"CAST({_BENFORD_CASE} AS DOUBLE)")
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").alias("n_values"),
+            obs.alias("observed_freq"),
+            benford.alias("benford_freq"),
+            F.round(F.abs(obs - F.expr(f"({_BENFORD_CASE})")), 6).alias("abs_dev_r"),
+        )
+    )
