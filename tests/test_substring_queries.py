@@ -180,3 +180,52 @@ def test_dsir_matches_pure_python(spark):
     got_scores = {r.doc_id: r.logratio_bits for r in rows}
     assert got_scores == expected_scores
     assert {r.doc_id for r in rows if r.selected} == keep
+
+
+def test_bpe_matches_pure_python(spark):
+    """The learned merge rules, counts, and token trajectory == an
+    independent Python BPE trainer (greedy left-to-right merges)."""
+    from cdc_apache_cassandra_spark.plans.llm_bpe_queries import _ROUNDS
+
+    freq: collections.Counter = collections.Counter()
+    for _, toks in _docs():
+        freq.update(toks)
+    state = {w: [c for c in w] for w in freq}
+
+    def corpus_tokens():
+        return sum(freq[w] * len(s) for w, s in state.items())
+
+    expected = []
+    for rnd in range(1, _ROUNDS + 1):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        before = corpus_tokens()
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+        expected.append((rnd, l, r, cnt, before, corpus_tokens()))
+
+    got = sorted(
+        (
+            r.round,
+            r.left_sym,
+            r.right_sym,
+            r.pair_count,
+            r.corpus_tokens_before,
+            r.corpus_tokens_after,
+        )
+        for r in QUERIES["llm_bpe_train_merges"].fn(spark, SF).collect()
+    )
+    assert got == expected
