@@ -254,3 +254,79 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 bpe_train_merges.__doc__ = bpe_train_merges.__doc__.replace(
     "{R}", str(_ROUNDS)
 )
+
+
+_BPE_APPLY_SQL = rf"""
+WITH wordfreq AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY w
+),
+state0 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS syms
+  FROM wordfreq
+),
+{bpe_cte(_ROUNDS)},
+doc_tokens AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(SUM(len(s.syms)) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS fertility
+FROM doc_tokens d JOIN state{_ROUNDS} s ON s.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+@register("llm_bpe_apply_fertility", sql=_BPE_APPLY_SQL)
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the {R}-rule trained tokenizer: per document, words, BPE
+    tokens under the learned segmentation, and FERTILITY (tokens/word) —
+    the number a tokenizer evaluation watches per language/domain slice.
+    Train-then-apply in one plan: the segmentation map is
+    vocabulary-sized and broadcast onto the document token stream, so
+    application costs one narrow join regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    wf = tok.groupBy("word").agg(F.count("*").alias("freq"))
+    state = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    for _ in range(_ROUNDS):
+        _, state = _bpe_round(state)
+        state = state.localCheckpoint(eager=False)
+    seg = state.select("word", F.size("syms").alias("n_syms"))
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
+            ).alias("fertility"),
+        )
+    )
+
+
+bpe_apply_fertility.__doc__ = bpe_apply_fertility.__doc__.replace(
+    "{R}", str(_ROUNDS)
+)
