@@ -308,3 +308,66 @@ def test_streak_profile_matches_python_reference(spark, users):
             ),
         )
     assert got == want
+
+
+# --- BPE greedy re-segmentation: run-parity == reference greedy -------------
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=8),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@given(words=_bpe_words)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_round_matches_reference_greedy(spark, words):
+    """One _bpe_round over arbitrary a/b words (the alphabet that
+    maximizes self-overlapping pairs like 'aaaa', where the run-parity
+    trick earns its keep) == a reference Python greedy merge."""
+    import collections
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cdc_apache_cassandra_spark.plans.llm_bpe_queries import _bpe_round
+
+    freq = {w: i + 1 for i, w in enumerate(sorted(words))}
+    state = spark.createDataFrame(
+        [(w, f, [c for c in w]) for w, f in freq.items()],
+        "word string, freq long, syms array<string>",
+    )
+    best_df, next_df = _bpe_round(state)
+    best_rows = best_df.collect()
+
+    # reference: pick best pair, then greedy left-to-right merge
+    pairs: collections.Counter = collections.Counter()
+    for w, f in freq.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f
+    if not pairs:
+        assert best_rows == []
+        return
+    (l, r), cnt = min(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    assert (best_rows[0].l, best_rows[0].rt, best_rows[0].cnt) == (l, r, cnt)
+
+    expected = {}
+    for w in freq:
+        syms = [c for c in w]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        expected[w] = out
+    got = {row.word: list(row.syms) for row in next_df.collect()}
+    assert got == expected
