@@ -100,7 +100,12 @@ def hll_bucket_rho(value: Column) -> tuple[Column, Column]:
         "long"
     )
     bucket = h % HLL_M
-    w = ((h - bucket) / HLL_M).cast("long")
+    # integer shift, NOT `(h - bucket) / HLL_M`: Spark evaluates `/` as
+    # DOUBLE division, and for h >= 2^59 the 54-bit quotient rounds —
+    # at bit-length boundaries rho then diverges from the oracle's exact
+    # `h // 64` (e.g. h=(2^54-1)*64+7: double gives w=2^54 -> rho=0,
+    # exact gives w=2^54-1 -> rho=1)
+    w = F.shiftright(h, 6)
     rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
     return bucket, rho
 

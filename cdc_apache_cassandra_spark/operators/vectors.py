@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: fixed-point scale for order-free exact component sums (kmeans means):
+#: floor(x * 2^46) is exact in doubles for |x| < 2^7, and 2^46 leaves
+#: 38-digit decimal headroom for ~1e9-member cells
+FIXED_POINT_SCALE = 2**46
+
 
 def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -104,45 +109,67 @@ def kmeans_lite(
 
     Determinism contract (the oracle mirrors every step bit-for-bit):
     - assignment tie-breaks on (dist2 ASC, cid ASC);
-    - per-cell means fold member vectors in vec_id order — a SEQUENTIAL
-      double fold, the same summation-order discipline the cosine/dist2
-      folds already use — then one division by the member count;
+    - per-cell means are ORDER-FREE exact fixed-point sums: each
+      component is floor-scaled to an integer (x -> floor(x * 2^46),
+      exact in doubles for |x| < 2^7 since scaling by a power of two
+      only shifts the exponent), summed as DECIMAL(38,0) (DuckDB:
+      HUGEINT) — integer addition commutes, so ANY partitioning /
+      combine order yields the identical sum — then converted to the
+      mean by one double division sequence (s -> double, / n, / 2^46)
+      both engines execute identically;
     - empty cells drop out identically in both engines.
 
     Scale: each round is one broadcast-centroid assignment (narrow map +
-    argmin window) and one cell-grain aggregation; centroids stay
-    k×dim doubles. At 100 TB the per-cell ordered-fold means would move
-    to exact fixed-point sums (order-free); the plan shape is unchanged.
-    Returns (cid, cvec) like the strided sampler, so ivf_assign /
-    ivf_probe_topn consume it unchanged."""
+    argmin window) and one (cid, component) aggregation with map-side
+    partial sums — per-cell state is k×dim integers, NEVER a membership
+    array (the round-2 collect_list fold made a hot cell a single
+    multi-GB row; fixed per the round-2 verdict). Returns (cid, cvec)
+    like the strided sampler, so ivf_assign / ivf_probe_topn consume it
+    unchanged."""
     cent = vectors.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col(vec_col).alias("cvec")
     )
     for _ in range(iters):
         asg = ivf_assign(vectors, cent, vec_col)
-        per_cell = asg.groupBy("cid").agg(
-            F.array_sort(
-                F.collect_list(F.struct("vec_id", F.col(vec_col).alias("v")))
-            ).alias("members"),
-            F.count("*").alias("n"),
-        )
-        cent = per_cell.select(
-            "cid",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda i: F.aggregate(
-                    F.col("members"),
-                    F.lit(0.0),
-                    lambda acc, m: acc + F.element_at(m["v"], i),
-                )
-                / F.col("n"),
-            ).alias("cvec"),
-        )
+        cent = cell_means(asg, vec_col)
         # k×dim doubles: cut the iterative lineage per round (same
         # pattern as the PageRank loop) so downstream consumers don't
         # re-execute every previous assignment pass
         cent = cent.localCheckpoint(eager=True)
     return cent
+
+
+def cell_means(asg: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Per-cell component means via order-free exact fixed-point sums
+    (the kmeans Lloyd update). Each component is floor-scaled to an
+    integer and summed as DECIMAL(38,0) — commutative, so any combine
+    order yields the identical sum; one shared double-division sequence
+    derives the mean. Per-cell state is dim integers, never a
+    membership array. Returns (cid, cvec)."""
+    comp = asg.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+    sums = comp.groupBy("cid", "pos").agg(
+        F.sum(
+            F.floor(F.col("x") * F.lit(float(FIXED_POINT_SCALE))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    mean = (
+        F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.lit(float(FIXED_POINT_SCALE))
+    return (
+        sums.select("cid", "pos", mean.alias("m"))
+        .groupBy("cid")
+        .agg(
+            # dim-bounded regroup (struct sorts by leading `pos`) —
+            # collect_list here holds `dim` scalars, not members
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t["m"],
+            ).alias("cvec")
+        )
+    )
 
 
 def ivf_assign(

@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.operators.ranking import (
+    attach_global_order,
+    ntile_from_rank,
+)
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
 
@@ -481,11 +485,13 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency/frequency/monetary per user with
     NTILE(5) scores (total-order tie-breaks on user_id — without them the
     quintile edges are nondeterministic). Monetary uses the exact-decimal
-    sum. The heavy aggregate collapses events to one row per user; the
-    three global NTILEs then run on the small user-grain relation (at
-    100 TB: range-partition by the order key or swap to percent_rank over
-    pre-computed distribution bounds — same scores, no single-partition
-    sort)."""
+    sum.
+
+    Scale shape: user cardinality grows with the data, so each of the
+    three NTILEs is computed as a two-pass range-partitioned global rank
+    (operators/ranking.py) + the shared NTILE bucket formula over
+    (rank, total) — three range shuffles over the user-grain aggregate,
+    zero single-partition sorts."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase")
     anchor = ev.agg(F.max("ts").alias("max_ts"))
@@ -498,17 +504,23 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_s",
         F.col("max_ts").cast("long") - F.col("last_purchase").cast("long"),
     )
-    w_r = Window.orderBy("recency_s", "user_id")
-    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
-    w_m = Window.orderBy(F.col("monetary").desc(), "user_id")
+    for rank_name, order in (
+        ("_rk_r", [F.col("recency_s").asc(), F.col("user_id").asc()]),
+        ("_rk_f", [F.col("frequency").desc(), F.col("user_id").asc()]),
+        ("_rk_m", [F.col("monetary").desc(), F.col("user_id").asc()]),
+    ):
+        scored = attach_global_order(
+            scored, order, rank_col=rank_name,
+            total_col="_n" if rank_name == "_rk_r" else f"_n{rank_name}",
+        )
     out = scored.select(
         "user_id",
         "frequency",
         "monetary",
         "recency_s",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        ntile_from_rank(F.col("_rk_r"), F.col("_n"), 5).alias("r_score"),
+        ntile_from_rank(F.col("_rk_f"), F.col("_n"), 5).alias("f_score"),
+        ntile_from_rank(F.col("_rk_m"), F.col("_n"), 5).alias("m_score"),
     )
     return out.withColumn(
         "is_champion", (F.col("r_score") == 1) & (F.col("f_score") <= 2)
@@ -807,27 +819,30 @@ WHERE cum_share <= {_PARETO_SHARE}
 def pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: the top customers that together cover 80% of
     revenue — descending running share over the customer-grain aggregate
-    (exact decimal sums inside the window; ONE double division against
-    the exact total per row, so the share is order-independent of the
-    aggregate's parallelism). Revenue ties broken by custkey for a total
-    order."""
+    (exact decimal sums; ONE double division against the exact total per
+    row, so the share is order-independent of the aggregate's
+    parallelism). Revenue ties broken by custkey for a total order.
+
+    Scale shape: customer cardinality grows with the data, so the global
+    rank + running sum use the two-pass range-partitioned operator
+    (operators/ranking.py) — no ``Window.orderBy`` single-partition sort
+    over the customer grain; the only single-partition fold left is the
+    one-row grand-total aggregate."""
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
     )
     tot = cust.agg(F.sum("revenue").alias("total"))
-    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
-    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = cust.crossJoin(F.broadcast(tot)).select(
-        "o_custkey",
-        "revenue",
-        F.row_number().over(w).alias("rk"),
-        (
-            F.sum("revenue").over(wsum).cast("double")
-            / F.col("total").cast("double")
-        ).alias("cum_share"),
+    ranked = attach_global_order(
+        cust,
+        [F.col("revenue").desc(), F.col("o_custkey").asc()],
+        rank_col="rk",
+        running_sums={"cum_rev": "revenue"},
     )
-    return ranked.filter(F.col("cum_share") <= _PARETO_SHARE).select(
+    shared = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.col("cum_rev").cast("double") / F.col("total").cast("double")
+    )
+    return shared.filter(F.col("cum_share") <= _PARETO_SHARE).select(
         "o_custkey",
         F.col("revenue").cast("double").alias("revenue_d"),
         "rk",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
 
@@ -496,16 +497,17 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic (every k-th) sample in doc_id order — the third sampling
     mode beside hash-stratified and fixed-k: deterministic, evenly spaced
     through the corpus (good for eyeball QA sweeps), trivially repeatable.
-    The global row_number is the deliberate cost (single ordered pass);
-    for 100 TB use the hash-stratified sampler instead — documented
-    trade, which is why all three modes exist."""
+    The global row_number runs as the two-pass range-partitioned rank
+    (operators/ranking.py) — every task numbers only its own range
+    slice, so the ordered pass scales with the cluster instead of
+    serializing the corpus through one partition."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return (
-        docs.select("doc_id", "lang", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") % _SYS_K == 1)
+    numbered = attach_global_order(
+        docs.select("doc_id", "lang", "n_chars"),
+        [F.col("doc_id").asc()],
+        rank_col="rn",
     )
+    return numbered.filter(F.col("rn") % _SYS_K == 1)
 
 
 # --- per-table topic routing (S4: events-<ks>.<table>) ----------------------

@@ -5,9 +5,11 @@ oracle gate.
 
 Oracle strategy:
 - k-means: the Lloyd rounds are DETERMINISTIC (strided init, dist2/cid
-  tie-breaks, per-cell means as vec_id-ordered sequential double folds),
-  so the DuckDB oracle unrolls the same rounds as generated CTEs —
-  :func:`kmeans_cte` is the single source of that text.
+  tie-breaks, per-cell means as ORDER-FREE exact fixed-point component
+  sums — floor(x * 2^46) integers summed as DECIMAL/HUGEINT, one shared
+  double-division sequence at the end), so the DuckDB oracle unrolls the
+  same rounds as generated CTEs — :func:`kmeans_cte` is the single
+  source of that text.
 - SRP: the hyperplanes are driver-side constants (seeded NumPy, float32
   round-tripped) inlined as literals in BOTH engines, the same pattern
   as the anchor-LSH query (analytics_extra_queries.py).
@@ -24,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.operators.vectors import (
+    FIXED_POINT_SCALE,
     as_double_vec,
     cosine,
     dot,
@@ -62,11 +65,14 @@ def kmeans_cte(stride: int, iters: int, dim: int = _DIM) -> tuple[str, str]:
   ) WHERE rn = 1
 )""")
         parts.append(f"""kcent{r + 1} AS (
-  SELECT cid,
-         list_transform(range(1, {dim + 1}),
-             i -> list_sum(list_transform(ms, u -> u[i])) / len(ms)) AS cv
-  FROM (SELECT cid, list(v ORDER BY vec_id) AS ms
-        FROM kasg{r} GROUP BY cid)
+  SELECT cid, list(m ORDER BY i) AS cv FROM (
+    SELECT cid, i.i AS i,
+           CAST(SUM(CAST(FLOOR(v[i.i] * {FIXED_POINT_SCALE}) AS HUGEINT))
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / {float(FIXED_POINT_SCALE)!r} AS m
+    FROM kasg{r}, (SELECT unnest(range(1, {dim + 1})) AS i) i
+    GROUP BY cid, i.i
+  ) GROUP BY cid
 )""")
     return ",\n".join(parts), f"kcent{iters}"
 

@@ -42,14 +42,24 @@ _ROUNDS = 3
 def bpe_cte(rounds: int) -> str:
     """Unrolled BPE rounds as DuckDB CTE text. Expects a CTE ``state0``
     of (word, freq, syms LIST<VARCHAR>); defines pairs{r}/best{r}/
-    state{r} for r in 1..rounds plus a ``report`` CTE."""
-    parts = []
+    state{r} for r in 1..rounds plus a ``report`` CTE.
+
+    The position enumerations derive their bound from the ACTUAL max
+    symbol count (``maxlen`` CTE) rather than a fixed literal — a fixed
+    cap would silently drop pairs for words longer than the cap (URLs,
+    hashes, compounds) while the Spark twin enumerates unbounded
+    ``sequence(1, size(syms))``, making the gate fail spuriously. Symbol
+    counts only shrink across merge rounds, so the state0 max bounds
+    every round."""
+    parts = [
+        "maxlen AS (SELECT CAST(MAX(len(syms)) AS BIGINT) AS ml FROM state0)"
+    ]
     for r in range(1, rounds + 1):
         prev = f"state{r - 1}"
         parts.append(f"""pairs{r} AS (
   SELECT syms[i.i] AS l, syms[i.i + 1] AS rt,
          CAST(SUM(freq) AS BIGINT) AS cnt
-  FROM {prev}, (SELECT unnest(range(1, 64)) AS i) i
+  FROM {prev}, (SELECT unnest(range(1, (SELECT ml FROM maxlen))) AS i) i
   WHERE i.i < len(syms)
   GROUP BY 1, 2
 ),
@@ -59,7 +69,7 @@ best{r} AS (
 m{r} AS (
   SELECT s.word, i.i AS i
   FROM {prev} s
-  CROSS JOIN (SELECT unnest(range(1, 64)) AS i) i
+  CROSS JOIN (SELECT unnest(range(1, (SELECT ml FROM maxlen))) AS i) i
   CROSS JOIN best{r} b
   WHERE i.i < len(s.syms)
     AND s.syms[i.i] = b.l AND s.syms[i.i + 1] = b.rt
@@ -82,7 +92,7 @@ reb{r} AS (
          CASE WHEN sc.i IS NOT NULL THEN s.syms[i.i] || s.syms[i.i + 1]
               ELSE s.syms[i.i] END AS sym2
   FROM {prev} s
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  CROSS JOIN (SELECT unnest(range(1, (SELECT ml FROM maxlen) + 1)) AS i) i
   LEFT JOIN sel{r} sc ON sc.word = s.word AND sc.i = i.i
   LEFT JOIN sel{r} sp ON sp.word = s.word AND sp.i = i.i - 1
   WHERE i.i <= len(s.syms) AND sp.i IS NULL

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
 
@@ -51,7 +52,7 @@ sh AS (
   SELECT doc_id, len(tokens) AS n_tokens, p.p AS pos,
          md5(array_to_string(list_slice(tokens, p.p + 1, p.p + {_K}), ' '))
            AS gram
-  FROM docs, (SELECT unnest(range(0, 4096)) AS p) p
+  FROM docs, (SELECT unnest(range(0, (SELECT MAX(len(tokens)) FROM docs))) AS p) p
   WHERE p.p <= len(tokens) - {_K}
 ),
 dup AS (
@@ -172,7 +173,7 @@ sh AS (
   SELECT doc_id, len(tokens) - {_NB} + 1 AS n_grams,
          md5(array_to_string(list_slice(tokens, p.p + 1, p.p + {_NB}), ' '))
            AS gram
-  FROM docs, (SELECT unnest(range(0, 4096)) AS p) p
+  FROM docs, (SELECT unnest(range(0, (SELECT MAX(len(tokens)) FROM docs))) AS p) p
   WHERE p.p <= len(tokens) - {_NB}
 ),
 df AS (
@@ -451,14 +452,13 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window
-
-    ranked = scored.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.desc("logratio_bits"), F.asc("doc_id")))
-        .alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n_docs"),
+    # doc cardinality grows with the corpus: two-pass range-partitioned
+    # global rank (operators/ranking.py), not a single-partition sort
+    ranked = attach_global_order(
+        scored,
+        [F.desc("logratio_bits"), F.asc("doc_id")],
+        rank_col="rk",
+        total_col="n_docs",
     )
     return ranked.select(
         "doc_id",
@@ -495,7 +495,7 @@ sh AS (
   SELECT doc_id, len(tokens) AS n_tokens, p.p AS pos,
          md5(array_to_string(list_slice(tokens, p.p + 1, p.p + {_DC_K}), ' '))
            AS gram
-  FROM docs, (SELECT unnest(range(0, 4096)) AS p) p
+  FROM docs, (SELECT unnest(range(0, (SELECT MAX(len(tokens)) FROM docs))) AS p) p
   WHERE p.p <= len(tokens) - {_DC_K}
 ),
 bench AS (

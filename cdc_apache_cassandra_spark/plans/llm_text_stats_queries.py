@@ -17,6 +17,7 @@ from cdc_apache_cassandra_spark.operators.text_dedup import (
     tokens_expr,
     word_shingles,
 )
+from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
 
@@ -800,7 +801,10 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     its MIN(doc_id) first occurrence — one aggregate — so the curve is
     two INTEGER running sums over the doc-grain relation, never a
     cumulative set union. The curve's flattening is the diminishing-
-    returns signal corpus collectors act on."""
+    returns signal corpus collectors act on. The running sums use the
+    two-pass range-partitioned operator (operators/ranking.py) — integer
+    addition is order-free, so partition-local sums + broadcast offsets
+    are bit-identical to the single-partition window at any scale."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
@@ -827,12 +831,13 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("new_tokens"), F.lit(0)).alias("new_tokens"),
         )
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return per_doc.select(
-        "doc_id",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
-        F.sum("new_tokens").over(w).alias("cum_vocab"),
+    cum = attach_global_order(
+        per_doc,
+        [F.col("doc_id").asc()],
+        rank_col="_rn",
+        running_sums={"cum_tokens": "n_tokens", "cum_vocab": "new_tokens"},
     )
+    return cum.select("doc_id", "cum_tokens", "cum_vocab")
 
 
 # --- Zipf rank-frequency profile --------------------------------------------

@@ -42,6 +42,14 @@ def register(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
+            # ~30 queries persist() an intra-query intermediate (posting
+            # lists, signature tables, iterative frontiers). A query fn
+            # has no post-action hook to unpersist, so evict here: each
+            # build drops the PREVIOUS query's cache, bounding cache
+            # growth across a whole 204-query sweep to one query's worth.
+            # (Re-materialization on a rebuild is correct — persist is a
+            # performance hint, never a semantic dependency.)
+            spark.catalog.clearCache()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = f"query_{name}"

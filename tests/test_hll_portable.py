@@ -45,6 +45,43 @@ def test_registers_match_pure_python(spark):
     assert got == expected
 
 
+def test_rho_exact_at_bitlength_boundary(spark):
+    """Regression: the register update must compute w = h >> 6 with
+    INTEGER arithmetic. The old `(h - bucket) / HLL_M` ran as DOUBLE
+    division, and for h >= 2^59 the 54-bit quotient rounds — at
+    bit-length boundaries rho flips (h = (2^54-1)*64 + 7: exact w =
+    2^54-1 -> rho 1; rounded w = 2^54 -> rho 0)."""
+    from cdc_apache_cassandra_spark.functions.hashing import hll_bucket_rho
+
+    boundary = (2**54 - 1) * 64 + 7
+    df = spark.range(1).select(F.lit(boundary).alias("h"))
+    # drive the bucket/rho arithmetic directly on a pinned h (bypass md5)
+    h = F.col("h")
+    bucket = h % 64
+    w = F.shiftright(h, 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    row = df.select(bucket.alias("b"), rho.alias("r")).collect()[0]
+    assert row.b == 7
+    assert row.r == 1  # double division would give 0
+    # and the production expression agrees with pure python on real values
+    vals = spark.createDataFrame(
+        [(str(i),) for i in range(200)], ["v"]
+    )
+    b_col, r_col = hll_bucket_rho(F.col("v"))
+    got = {
+        (r.b, r.r)
+        for r in vals.select(b_col.alias("b"), r_col.alias("r")).collect()
+    }
+    import hashlib
+
+    want = set()
+    for i in range(200):
+        hh = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        ww = hh // 64
+        want.add((hh % 64, 55 if ww == 0 else 55 - ww.bit_length()))
+    assert got == want
+
+
 def test_estimate_within_hll_error_bound(spark):
     """m=64 => standard error ~1.04/sqrt(64) = 13%; allow 3 sigma."""
     rows = QUERIES["stats_hll_portable_sketch"].fn(spark, SF).collect()

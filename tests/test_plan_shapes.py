@@ -219,6 +219,96 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_kmeans_means_are_fixed_point_not_membership_arrays(spark, sf_dir):
+    """Round-3 fix: per-cell means must be order-free fixed-point
+    component sums, never a collect_list of member VECTORS (a hot cell
+    would become one multi-GB row). The Lloyd loop localCheckpoints per
+    round, so inspect the means step's own plan (cell_means), which is
+    exactly what each round compiles."""
+    from pyspark.sql import functions as F
+
+    from cdc_apache_cassandra_spark.operators.vectors import (
+        as_double_vec,
+        cell_means,
+        ivf_assign,
+    )
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    cent0 = n.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    p = plan_str(cell_means(ivf_assign(n, cent0, "vec"), "vec"))
+    assert "collect_list(struct(vec_id" not in p
+    assert "FLOOR" in p  # the fixed-point quantizer
+    # two aggregation levels: (cid,pos) partial sums then dim-bounded
+    # regroup — both map-side combinable
+    assert count_op(p, "Generate") >= 1  # posexplode, not array fold
+
+
+#: Queries allowed to keep an `Exchange SinglePartition` whose child is
+#: NOT a grouping-key-free partial aggregate (scalar folds are auto-
+#: allowed — they emit <=1 row per input task). Every entry must state
+#: the cardinality bound that keeps the gathered side small at 100 TB.
+#: Unlisted global gathers fail the lint below.
+_SINGLE_PARTITION_ALLOWLIST = {
+    # global window over the per-DAY aggregate: cardinality = distinct
+    # days (time-bounded — years of data is still only thousands of rows)
+    "events_cusum_changepoint": "per-day grain, time-bounded",
+    "window_running_drawdown": "per-day grain, time-bounded",
+    # global lag() over the per-MONTH aggregate: dozens of rows
+    "orders_monthly_growth": "per-month grain, time-bounded",
+}
+
+
+def test_single_partition_exchanges_are_folds_or_allowlisted(spark):
+    """Global scale lint (round-3 fix: the round-2 version could not see
+    SinglePartition at all — it lives on the Arguments line of formatted
+    explain, not the operator header). Every `Exchange SinglePartition`
+    in every registered plan must be either a scalar FOLD (child is an
+    aggregate with no grouping keys — <=1 row per input task, bounded by
+    partition count) or belong to a query on the explicit allowlist
+    above with a cardinality-bound justification. Unbounded-key global
+    windows (the canonical 100x killer) fail here."""
+    from tools.plan_report import single_partition_kinds
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in QUERIES.items():
+        kinds = single_partition_kinds(plan_str(q.fn(spark, sf), mode="simple"))
+        n_global = kinds.count("global")
+        if n_global and name not in _SINGLE_PARTITION_ALLOWLIST:
+            offenders[name] = n_global
+    assert not offenders, (
+        f"unlisted global SinglePartition exchanges: {offenders} — "
+        "either de-globalize (operators/ranking.attach_global_order) or "
+        "allowlist with a cardinality bound"
+    )
+
+
+def test_deglobalized_queries_have_no_global_gather(spark):
+    """The six queries de-globalized in round 3 must stay free of global
+    gathers WITHOUT allowlisting — their only SinglePartition exchanges
+    are scalar folds."""
+    from tools.plan_report import single_partition_kinds
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "orders_pareto_8020",
+        "events_rfm_segmentation",
+        "llm_dsir_importance_sample",
+        "llm_systematic_sample",
+        "llm_unigram_surprisal",
+        "llm_vocab_growth",
+    ):
+        kinds = single_partition_kinds(
+            plan_str(QUERIES[name].fn(spark, sf), mode="simple")
+        )
+        assert kinds.count("global") == 0, (name, kinds)
+        assert name not in _SINGLE_PARTITION_ALLOWLIST
+
+
 def test_no_cartesian_product_in_any_registered_plan(spark):
     """Global scale lint: no registered query may compile to a
     CartesianProductExec — every deliberate cross join in the surface is
