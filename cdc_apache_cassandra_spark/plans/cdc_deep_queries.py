@@ -371,6 +371,65 @@ def cdc_token_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T3 with HASH FIDELITY: the real Cassandra murmur3 token ----------------
+
+_M3_ROUTING_SQL = f"""
+WITH {{events_cte}},
+keyed AS (
+  SELECT DISTINCT pk FROM events_stream
+),
+tokens AS (
+  SELECT * FROM ({{token_sql}})
+)
+SELECT m3_token_route16 % 32 AS route,
+       COUNT(*) AS n_keys, MIN(m3_token) AS min_token,
+       MAX(m3_token) AS max_token
+FROM tokens GROUP BY 1
+"""
+
+
+def _m3_routing_sql() -> str:
+    from cdc_apache_cassandra_spark.functions.murmur3 import token_sql as m3_sql
+
+    return _M3_ROUTING_SQL.format(
+        events_cte=events_cte(),
+        token_sql=m3_sql(
+            "SELECT CAST(pk AS BIGINT) AS pk FROM keyed", "pk", 8
+        ),
+    )
+
+
+@register("cdc_token_routing_murmur3", sql=_m3_routing_sql())
+def cdc_token_routing_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 with HASH FIDELITY: the exact Cassandra Murmur3Partitioner
+    token (hash3_x64_128 upper half with the Java sign-extended-tail
+    quirk, Long.MIN normalized to MAX) and the exact router
+    ``((token >>> 48) + 32768) % n`` (Murmur3MessageRouter.java:25-28,
+    CommitLogReadHandlerImpl.java:322-323) — a user inter-operating with
+    real Cassandra token ranges gets the placement Cassandra computes,
+    unlike the oracle-portable Knuth stand-in (cdc_token_routing).
+
+    Both engines run the SAME 16-bit-limb integer program
+    (functions/murmur3.py::token_steps): pure Catalyst expressions on
+    the Spark side (whole-stage codegen, no Python, ANSI-safe — every
+    intermediate < 2^63), the dialect twin on DuckDB — so the token is
+    oracle-checked end-to-end, not just golden-pinned."""
+    from cdc_apache_cassandra_spark.functions.murmur3 import (
+        attach_token_columns,
+    )
+
+    ev = mutation_events(spark, sf_dir)
+    keyed = ev.select(F.col("pk").cast("bigint").alias("pk")).distinct()
+    tk = attach_token_columns(keyed, "pk", 8)
+    return tk.groupBy(
+        (F.col("m3_token_route16") % 32).alias("route")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.min("m3_token").alias("min_token"),
+        F.max("m3_token").alias("max_token"),
+    )
+
+
 # --- W2/A6: writetime propagation + replication-latency metric -------------
 
 _LATENCY_SQL = f"""
