@@ -22,10 +22,15 @@ through the driver (the only driver-side values are the touched bucket
 IDs, bounded by ``n_buckets`` integers).
 
 This mirrors how Delta/Iceberg commit MERGEs (rewrite affected files, swap
-a metadata pointer). On an object store the ``os.replace`` of the manifest
-becomes a conditional put; everything else is plain distributed parquet
-IO. At 100 TB, size ``n_buckets`` so a bucket is a few hundred MB (e.g.
-4096+); the default 16 suits test scale.
+a metadata pointer). The commit point is pluggable (:class:`ManifestStore`):
+the local implementation is a compare-and-swap under an O_EXCL lock file
+(version re-checked inside the critical section — a concurrent or replayed
+commit raises :class:`CommitConflict` instead of silently clobbering);
+an object-store implementation maps the same interface onto S3
+conditional writes (``If-Match``/``If-None-Match`` PUT) or GCS generation
+preconditions — everything else is plain distributed parquet IO. At
+100 TB, size ``n_buckets`` so a bucket is a few hundred MB (e.g. 4096+);
+the default 16 suits test scale.
 
 Tombstones must stay in the state table (with their writetime): micro-
 batches replay files in arbitrary order, so an INSERT older than an
@@ -56,20 +61,82 @@ def _bucket_expr(pk_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*pk_cols), F.lit(n_buckets)).cast("int")
 
 
+class CommitConflict(RuntimeError):
+    """The manifest moved between load and commit — another writer (or a
+    replayed attempt of an already-committed batch) got there first. The
+    caller must reload and re-merge; blindly retrying the same commit
+    would publish a merge computed against stale state."""
+
+
+class ManifestStore:
+    """Commit-pointer storage with compare-and-swap semantics — the seam
+    where the table format meets the storage system.
+
+    ``load(path)``   -> (manifest | None, tag): current manifest plus an
+                        opaque precondition tag.
+    ``commit(path, manifest, expect_tag)``: publish atomically IFF the
+                        stored tag still equals ``expect_tag``, else
+                        raise :class:`CommitConflict`.
+
+    Implementations: :class:`LocalManifestStore` (POSIX: O_EXCL lock +
+    re-check + ``os.replace``). An S3 store implements ``commit`` as a
+    conditional PUT (``If-Match: etag`` / ``If-None-Match: *`` for the
+    first version); GCS uses ``ifGenerationMatch``. The merge logic
+    never assumes more than this interface."""
+
+    def load(self, path: str) -> tuple[dict | None, object]:
+        raise NotImplementedError
+
+    def commit(self, path: str, manifest: dict, expect_tag: object) -> None:
+        raise NotImplementedError
+
+
+class LocalManifestStore(ManifestStore):
+    """Filesystem CAS: the version number is the precondition tag; the
+    critical section (re-read, compare, replace) runs under an O_EXCL
+    lock file, so two local writers cannot interleave."""
+
+    def load(self, path: str) -> tuple[dict | None, object]:
+        try:
+            with open(os.path.join(path, MANIFEST)) as f:
+                m = json.load(f)
+            return m, m["version"]
+        except FileNotFoundError:
+            return None, None
+
+    def commit(self, path: str, manifest: dict, expect_tag: object) -> None:
+        lock = os.path.join(path, MANIFEST + ".lock")
+        fd = None
+        for _ in range(1000):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:  # another writer inside its critical section
+                import time
+
+                time.sleep(0.01)
+        if fd is None:
+            raise CommitConflict(f"lock {lock} held too long")
+        try:
+            current, tag = self.load(path)
+            if tag != expect_tag:
+                raise CommitConflict(
+                    f"manifest moved: expected version {expect_tag}, found {tag}"
+                )
+            tmp = os.path.join(path, MANIFEST + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(path, MANIFEST))
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+
+_DEFAULT_STORE = LocalManifestStore()
+
+
 def _read_manifest(path: str) -> dict | None:
-    try:
-        with open(os.path.join(path, MANIFEST)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
-
-
-def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic pointer swap — the commit point of a merge."""
-    tmp = os.path.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    return _DEFAULT_STORE.load(path)[0]
 
 
 def _bucket_paths(path: str, manifest: dict, buckets: list[int] | None = None) -> list[str]:
@@ -119,11 +186,14 @@ def merge_into(
     n_buckets: int = DEFAULT_BUCKETS,
     bucket_cols: list[str] | None = None,
     reducer=None,
+    store: ManifestStore = _DEFAULT_STORE,
 ) -> None:
     """One incremental MERGE commit: rewrite only the buckets the batch
-    touches, then swap the manifest. Retry-safe: a crashed attempt leaves
-    an unreferenced ``v=`` directory that the next attempt overwrites and
-    :func:`_prune` removes.
+    touches, then CAS-swap the manifest (:class:`ManifestStore`).
+    Retry-safe: a crashed attempt leaves an unreferenced ``v=`` directory
+    that the next attempt overwrites and :func:`_prune` removes; an
+    attempt racing a completed commit fails the precondition with
+    :class:`CommitConflict` rather than publishing a stale merge.
 
     ``bucket_cols`` (default: ``pk_cols``) chooses the co-location key —
     compound tables bucket on the PARTITION key so a partition-range
@@ -132,7 +202,8 @@ def merge_into(
     ``old ∪ batch`` to the retained state; it must be idempotent and
     merge-associative (reduce(reduce(a) ∪ b) == reduce(a ∪ b)) — the
     property that makes batching order irrelevant."""
-    manifest = _read_manifest(path) or {
+    manifest, tag = store.load(path)
+    manifest = manifest or {
         "version": 0,
         "n_buckets": n_buckets,
         "buckets": {},
@@ -175,7 +246,7 @@ def merge_into(
     manifest["version"] = version
     for b in touched:
         manifest["buckets"][str(b)] = version
-    _write_manifest(path, manifest)
+    store.commit(path, manifest, tag)
     _prune(path, manifest)
 
 
@@ -192,11 +263,12 @@ def compact(
     path: str,
     pk_cols: list[str],
     tombstone_horizon: int | None = None,
+    store: ManifestStore = _DEFAULT_STORE,
 ) -> None:
     """Full rewrite at one version: re-LWW every bucket and drop DELETE
     rows whose writetime precedes the disorder horizon (safe once the
     watermark has passed them — no staler INSERT can still arrive)."""
-    manifest = _read_manifest(path)
+    manifest, tag = store.load(path)
     state = read_state(spark, path)
     if manifest is None or state is None:
         return
@@ -216,10 +288,9 @@ def compact(
         str(r["__bucket"]): version
         for r in state.select("__bucket").distinct().collect()
     }
-    _write_manifest(
-        path, {"version": version, "n_buckets": n_buckets, "buckets": buckets}
-    )
-    _prune(path, {"version": version, "n_buckets": n_buckets, "buckets": buckets})
+    new_manifest = {"version": version, "n_buckets": n_buckets, "buckets": buckets}
+    store.commit(path, new_manifest, tag)
+    _prune(path, new_manifest)
 
 
 def foreach_batch_upsert(
