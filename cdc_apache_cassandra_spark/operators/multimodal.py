@@ -8,12 +8,13 @@ Catalyst-side (JVM, codegen), while per-payload decode runs in
 ``mapInPandas`` so the heavy bytes cross the JVM->Python boundary exactly
 once per Arrow batch, already column-pruned.
 
-:func:`decode_payload_real` genuinely decodes the self-describing
-UNCOMPRESSED containers (24-bpp BMP, RIFF 16-bit PCM WAV) with stdlib
-struct parsing — no codec libraries needed. Compressed codecs
-(JPEG/PNG/MP3/MP4) require libs absent from this container and raise
-``NotImplementedError`` at the format dispatch; plug PIL/ffmpeg there
-and ``decode_frames()`` is unchanged. :func:`decode_payload_stub` stays
+:func:`decode_payload_real` genuinely decodes BMP (24-bpp), WAV (16-bit
+PCM), PNG (stdlib zlib inflate + all five unfilter branches) and
+baseline JPEG (native numpy Huffman + IDCT codec, operators/jpeg.py) —
+no codec libraries needed. Remaining compressed codecs (MP3/MP4)
+require ffmpeg, absent from this container, and raise
+``NotImplementedError`` at the format dispatch; plug ffmpeg there and
+``decode_frames()`` is unchanged. :func:`decode_payload_stub` stays
 as the deterministic fixture for plumbing tests.
 
 Scale design (100 TB of media):
@@ -197,6 +198,28 @@ def _decode_png(doc_id: int, b: bytes) -> list[dict]:
     ]
 
 
+def _decode_jpeg(doc_id: int, b: bytes) -> list[dict]:
+    """Baseline JPEG via the native numpy codec (operators/jpeg.py):
+    full marker parse, Huffman entropy decode, dequant + IDCT, YCbCr
+    conversion for 3-component scans. mean_intensity = exact integer
+    pixel sum over all channels, one double division."""
+    from cdc_apache_cassandra_spark.operators.jpeg import decode_baseline
+
+    arr = decode_baseline(b)
+    h, w = arr.shape[:2]
+    total = int(arr.astype("int64").sum())
+    n = arr.size
+    return [
+        {
+            "doc_id": doc_id,
+            "frame_id": 0,
+            "width": w,
+            "height": h,
+            "mean_intensity": total / n,
+        }
+    ]
+
+
 _WAV_FRAME_SAMPLES = 1024
 
 
@@ -256,20 +279,25 @@ def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
       amplitude;
     - PNG (8-bit gray/RGB/RGBA, non-interlaced) -> one frame: zlib
       inflate + full scanline unfiltering (Sub/Up/Average/Paeth) — a
-      REAL compressed-codec decode, since PNG's DEFLATE is stdlib zlib.
+      REAL compressed-codec decode, since PNG's DEFLATE is stdlib zlib;
+    - baseline JPEG (SOF0, 8-bit, gray or 4:4:4 color) -> one frame via
+      the native numpy codec (operators/jpeg.py): marker parse, Huffman
+      entropy decode, dequant + IDCT, YCbCr->RGB, restart markers.
 
-    Other compressed formats (JPEG/MP3/MP4...) require codec libs absent
-    from this container and raise ``NotImplementedError`` — plug
-    PIL/ffmpeg there and keep decode_frames() unchanged."""
+    Other compressed formats (MP3/MP4, progressive/subsampled JPEG...)
+    raise ``NotImplementedError`` — plug ffmpeg/PIL there and keep
+    decode_frames() unchanged."""
     if payload[:2] == b"BM":
         return _decode_bmp(doc_id, payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(doc_id, payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(doc_id, payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(doc_id, payload)
     raise NotImplementedError(
-        "payload is not a BMP/WAV/PNG; other compressed codecs "
-        "(JPEG/MP3/MP4) need PIL/ffmpeg — absent in this environment"
+        "payload is not a BMP/WAV/PNG/JPEG; other compressed codecs "
+        "(MP3/MP4) need ffmpeg — absent in this environment"
     )
 
 
