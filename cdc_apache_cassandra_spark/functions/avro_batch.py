@@ -1,0 +1,341 @@
+"""Vectorized (Arrow/numpy) batch codec for the Avro wire format.
+
+The reference encodes every mutation through JVM Avro
+(NativeAvroConverter, AbstractPulsarMutationSender.java:190-193); our
+container has no spark-avro jar, so the active default is the
+pure-Python Avro 1.11 codec in :mod:`avro_codec`. Round-2 review flagged
+its per-record ``dict`` encode loop as the largest remaining Python cost
+on the wire path ("every event crosses this codec twice").
+
+This module removes that loop for the hot-path field types. It compiles
+an Avro schema node (the nested-tuple model of :mod:`avro_codec`) into
+
+- a **batch encoder**: ``pyarrow.RecordBatch -> list[bytes|None]``, one
+  Avro-binary record per row, built from per-FIELD fragment builders.
+  Fixed-width fields (long/int/double/float/bool/timestamp/date) are
+  encoded with numpy: zigzag + varint byte planes are computed for the
+  whole column at once ((n, 11) uint8 matrix + per-row length), so the
+  only per-row Python work is one flat-buffer slice and one
+  ``b"".join`` across fields. Strings/bytes take a tight per-value loop
+  (length varint + payload); rare types (cql_decimal/varint/duration,
+  arrays, maps, nested records) fall back to
+  :func:`avro_codec.encode_value` per value.
+- a **batch decoder**: ``list[bytes|None] -> dict[str, list]`` with a
+  pre-compiled, non-recursive step list per field (no per-row
+  isinstance dispatch), returning plain Python columns that callers
+  wrap into exact-typed ``pyarrow`` arrays.
+
+Byte identity with :func:`avro_codec.encode_record` is pinned by
+``tests/test_wire_format.py`` (golden matrix + property tests); the
+pandas-UDF path remains available as ``codec='avro-pandas'`` and the
+round-trip tests assert both paths produce identical wire bytes.
+
+Working on Arrow arrays (``mapInArrow``) rather than pandas also fixes a
+latent lossiness: Arrow->pandas turns a nullable int64 column into
+float64, silently rounding values above 2**53 before they reach the
+encoder. Arrow arrays keep exact int64 all the way down.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+from cdc_apache_cassandra_spark.functions.avro_codec import (
+    decode_value,
+    encode_value,
+    read_bytes,
+    read_long,
+)
+
+_NULL = b"\x00"  # union index 0 == null (zigzag(0))
+_PRESENT = 2  # union index 1 (zigzag(1) == 2)
+
+
+def _varint_frags(vals: np.ndarray, nulls: np.ndarray | None) -> list:
+    """Per-row union-prefixed zigzag varints for an int64 column.
+
+    ``vals``: int64 numpy array (null slots hold 0). Returns a list of
+    ``bytes`` fragments ``b"\\x02" + varint`` with ``b"\\x00"`` at null
+    positions. The varint byte planes for the whole column are computed
+    vectorized; per-row work is a single flat-buffer slice.
+    """
+    n = len(vals)
+    zz = (vals.view(np.uint64) << np.uint64(1)) ^ (vals >> np.int64(63)).view(
+        np.uint64
+    )
+    mat = np.zeros((n, 11), dtype=np.uint8)
+    mat[:, 0] = _PRESENT  # union prefix folded into the same buffer
+    lens = np.full(n, 2, dtype=np.int64)  # prefix + >=1 varint byte
+    rem = zz.copy()
+    for i in range(1, 11):
+        mat[:, i] |= (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem >>= np.uint64(7)
+        more = rem != 0
+        if not more.any():
+            break
+        mat[more, i] |= 0x80
+        lens[more] = i + 2
+    buf = mat.tobytes()
+    out = [buf[i * 11 : i * 11 + l] for i, l in enumerate(lens.tolist())]
+    if nulls is not None and nulls.any():
+        for i in np.flatnonzero(nulls).tolist():
+            out[i] = _NULL
+    return out
+
+
+def _fixed_frags(raw: np.ndarray, width: int, nulls: np.ndarray | None) -> list:
+    """Union prefix + little-endian fixed-width payload (double/float)."""
+    n = len(raw) // width
+    mat = np.empty((n, width + 1), dtype=np.uint8)
+    mat[:, 0] = _PRESENT
+    mat[:, 1:] = raw.reshape(n, width)
+    buf = mat.tobytes()
+    w1 = width + 1
+    out = [buf[i * w1 : (i + 1) * w1] for i in range(n)]
+    if nulls is not None and nulls.any():
+        for i in np.flatnonzero(nulls).tolist():
+            out[i] = _NULL
+    return out
+
+
+def _int_col(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
+    """(int64 values with nulls as 0, null mask) for any integer-ish array."""
+    if arr.null_count:
+        nulls = np.asarray(arr.is_null())
+        vals = np.asarray(arr.fill_null(0), dtype=np.int64)
+        return vals, nulls
+    return np.asarray(arr, dtype=np.int64), None
+
+
+def _varint_of_len(n: int) -> bytes:
+    """Non-negative zigzag varint (string/bytes length prefix)."""
+    n <<= 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+_LEN_CACHE = [_varint_of_len(i) for i in range(4096)]
+
+
+def _len_varint(n: int) -> bytes:
+    return _LEN_CACHE[n] if n < 4096 else _varint_of_len(n)
+
+
+def _field_encoder(node: Any) -> Callable[[pa.Array], list]:
+    """Compile one ``("null", sub)`` union field into a fragment builder."""
+    if not (isinstance(node, tuple) and node[0] == "null"):
+        # non-nullable field (not produced by avro_schema_for, but keep
+        # the seam total): per-value fallback without union prefix
+        def enc_plain(arr: pa.Array) -> list:
+            out = []
+            for v in arr.to_pylist():
+                ba = bytearray()
+                encode_value(ba, node, v)
+                out.append(bytes(ba))
+            return out
+
+        return enc_plain
+
+    sub = node[1]
+
+    if sub in ("long", "int"):
+
+        def enc_int(arr: pa.Array) -> list:
+            vals, nulls = _int_col(arr)
+            return _varint_frags(vals, nulls)
+
+        return enc_int
+
+    if sub == "timestamp-millis":
+
+        def enc_ts(arr: pa.Array) -> list:
+            # Arrow timestamps are integral since-epoch; normalize to ms
+            t = arr.type
+            unit = getattr(t, "unit", "us")
+            div = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
+            mul = 1000 if unit == "s" else 1
+            ints = arr.cast(pa.int64())
+            vals, nulls = _int_col(ints)
+            if div > 1:
+                vals = vals // div
+            if mul > 1:
+                vals = vals * mul
+            return _varint_frags(vals, nulls)
+
+        return enc_ts
+
+    if sub == "date":
+
+        def enc_date(arr: pa.Array) -> list:
+            vals, nulls = _int_col(arr.cast(pa.int32()))
+            return _varint_frags(vals, nulls)
+
+        return enc_date
+
+    if sub == "double":
+
+        def enc_double(arr: pa.Array) -> list:
+            nulls = np.asarray(arr.is_null()) if arr.null_count else None
+            vals = np.asarray(
+                arr.fill_null(0.0) if arr.null_count else arr, dtype="<f8"
+            )
+            return _fixed_frags(vals.view(np.uint8), 8, nulls)
+
+        return enc_double
+
+    if sub == "float":
+
+        def enc_float(arr: pa.Array) -> list:
+            nulls = np.asarray(arr.is_null()) if arr.null_count else None
+            vals = np.asarray(
+                arr.fill_null(0.0) if arr.null_count else arr, dtype="<f4"
+            )
+            return _fixed_frags(vals.view(np.uint8), 4, nulls)
+
+        return enc_float
+
+    if sub == "boolean":
+        lut = {None: _NULL, True: b"\x02\x01", False: b"\x02\x00"}
+
+        def enc_bool(arr: pa.Array) -> list:
+            return [lut[v] for v in arr.to_pylist()]
+
+        return enc_bool
+
+    if sub == "string":
+
+        def enc_str(arr: pa.Array) -> list:
+            out = []
+            ap = out.append
+            for s in arr.to_pylist():
+                if s is None:
+                    ap(_NULL)
+                else:
+                    b = s.encode("utf-8")
+                    ap(b"\x02" + _len_varint(len(b)) + b)
+            return out
+
+        return enc_str
+
+    if sub == "bytes":
+
+        def enc_bytes(arr: pa.Array) -> list:
+            out = []
+            ap = out.append
+            for b in arr.to_pylist():
+                if b is None:
+                    ap(_NULL)
+                else:
+                    ap(b"\x02" + _len_varint(len(b)) + b)
+            return out
+
+        return enc_bytes
+
+    # rare wire types (cql_varint/cql_decimal/cql_duration, collections,
+    # nested records): exact per-value fallback through avro_codec
+    def enc_fallback(arr: pa.Array) -> list:
+        out = []
+        for v in arr.to_pylist():
+            if v is None:
+                out.append(_NULL)
+            else:
+                ba = bytearray()
+                encode_value(ba, node, v)
+                out.append(bytes(ba))
+        return out
+
+    return enc_fallback
+
+
+def make_batch_encoder(
+    node: tuple,
+) -> Callable[[pa.RecordBatch], list]:
+    """Compile a ``("record", fields)`` node into a RecordBatch encoder
+    returning one Avro-binary blob per row (column order = field order;
+    the batch must carry columns named like the record fields)."""
+    assert node[0] == "record", node
+    field_encoders = [(name, _field_encoder(sub)) for name, sub in node[1]]
+
+    def encode_batch(batch: pa.RecordBatch) -> list:
+        frag_cols = [
+            enc(batch.column(name)) for name, enc in field_encoders
+        ]
+        if len(frag_cols) == 1:
+            return frag_cols[0]
+        join = b"".join
+        return [join(parts) for parts in zip(*frag_cols)]
+
+    return encode_batch
+
+
+# ---------------------------------------------------------------------------
+# compiled decoder
+
+
+def _field_decoder(node: Any) -> Callable[[bytes, int], tuple[Any, int]]:
+    """Compile one field node into a direct (buf, pos) -> (value, pos)
+    parser — no per-row schema dispatch for the union + primitive case."""
+    if isinstance(node, tuple) and node[0] == "null":
+        sub = node[1]
+        if sub in ("long", "int"):
+
+            def dec_int(buf: bytes, pos: int):
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    return None, pos
+                return read_long(buf, pos)
+
+            return dec_int
+
+        if sub == "string":
+
+            def dec_str(buf: bytes, pos: int):
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    return None, pos
+                b, pos = read_bytes(buf, pos)
+                return b.decode("utf-8"), pos
+
+            return dec_str
+
+    # everything else: exact recursive fallback
+    def dec_fallback(buf: bytes, pos: int):
+        return decode_value(buf, pos, node)
+
+    return dec_fallback
+
+
+def make_batch_decoder(
+    node: tuple,
+) -> Callable[[list], dict[str, list]]:
+    """Compile a record node into ``list[bytes|None] -> {field: column}``;
+    null blobs (tombstones) decode to all-null rows."""
+    assert node[0] == "record", node
+    names = [name for name, _ in node[1]]
+    decoders = [_field_decoder(sub) for _, sub in node[1]]
+
+    def decode_batch(blobs: list) -> dict[str, list]:
+        cols: list[list] = [[] for _ in names]
+        for blob in blobs:
+            if blob is None:
+                for c in cols:
+                    c.append(None)
+                continue
+            buf = bytes(blob)
+            pos = 0
+            for c, dec in zip(cols, decoders):
+                v, pos = dec(buf, pos)
+                c.append(v)
+        return dict(zip(names, cols))
+
+    return decode_batch

@@ -5,16 +5,24 @@ writetime / segpos / token (AbstractPulsarMutationSender.java:190-193,
 surfaces exactly (key binary, value binary, headers); this module encodes
 our mutation events into that shape and back.
 
-Two codecs behind one seam (reference key.converter/value.converter —
+Three codecs behind one seam (reference key.converter/value.converter —
 encoding choice is config, not architecture):
 
 - ``avro`` (default, like the reference's NativeAvroConverter): Avro
   binary records via functions/avro_codec.py — a dependency-free
   implementation of the Avro 1.11 binary spec with the reference's CQL
-  logical types (CqlLogicalTypes.java:29-62). Runs in Arrow-batched
-  pandas UDFs: bytes cross the Python boundary once per record batch.
-  On a cluster with spark-avro, the same seam swaps in the JVM
-  ``to_avro``/``from_avro`` (detected by :func:`wire_codec`).
+  logical types (CqlLogicalTypes.java:29-62). Runs through
+  ``mapInArrow`` with the vectorized batch codec
+  (functions/avro_batch.py): varints for whole int64 columns are
+  computed as numpy byte planes, rows are assembled with one
+  ``b"".join`` — no per-record dict materialization, and nullable
+  int64 columns stay exact (the pandas bridge would round them through
+  float64 above 2**53). On a cluster with spark-avro, the same seam
+  swaps in the JVM ``to_avro``/``from_avro`` (detected by
+  :func:`wire_codec`).
+- ``avro-pandas``: the original Arrow-batched pandas-UDF form of the
+  same codec, kept as an independently-implemented cross-check — the
+  round-trip tests assert both paths emit identical wire bytes.
 - ``json``: UTF-8 JSON bytes with explicit nulls — JVM-side
   (``to_json``/``from_json``), byte-stable, test-inspectable
   (reference NativeJsonConverter).
@@ -24,11 +32,18 @@ Tombstone rule: DELETE ⇒ value bytes NULL (CassandraSource.java:554).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cdc_apache_cassandra_spark.functions.avro_batch import (
+    make_batch_decoder,
+    make_batch_encoder,
+)
 from cdc_apache_cassandra_spark.functions.avro_codec import (
     avro_schema_for,
     decode_record,
@@ -92,6 +107,141 @@ def _avro_struct(col: Column, schema: T.StructType) -> Column:
     return dec(col)
 
 
+def _ordered_unique(*col_lists: list[str]) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for cols in col_lists:
+        for c in cols:
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+    return out
+
+
+def _pa_type(dt: T.DataType) -> pa.DataType:
+    """Spark type -> arrow type for mapInArrow output columns."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dt)
+
+
+def _encode_arrow(
+    events: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    op_col: str | None,
+) -> DataFrame:
+    """Vectorized wire encode: one mapInArrow pass computes key/value
+    Avro blobs per RecordBatch; writetime/segpos/token are built
+    JVM-side and pass through untouched."""
+    key_node = avro_schema_for(
+        T.StructType([events.schema[c] for c in key_cols])
+    )
+    val_node = avro_schema_for(
+        T.StructType([events.schema[c] for c in value_cols])
+    )
+    data_cols = _ordered_unique(
+        key_cols, value_cols, [op_col] if op_col else []
+    )
+    pre = events.select(
+        *data_cols,
+        F.col("writetime"),
+        F.concat_ws(":", F.col("segment"), F.col("position")).alias("segpos"),
+        token_expr(key_cols[0]).alias("token"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField(
+                "writetime", pre.schema["writetime"].dataType
+            ),
+            T.StructField("segpos", T.StringType()),
+            T.StructField("token", pre.schema["token"].dataType),
+        ]
+    )
+    enc_key = make_batch_encoder(key_node)
+    enc_val = make_batch_encoder(val_node)
+
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            keys = enc_key(b)
+            vals = enc_val(b)
+            if op_col is not None:
+                ops = b.column(op_col).to_pylist()
+                vals = [
+                    None if o == "DELETE" else v for o, v in zip(ops, vals)
+                ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, pa.binary()),
+                    pa.array(vals, pa.binary()),
+                    b.column("writetime"),
+                    b.column("segpos"),
+                    b.column("token"),
+                ],
+                names=["key", "value", "writetime", "segpos", "token"],
+            )
+
+    return pre.mapInArrow(encode, out_schema)
+
+
+def _decode_arrow(
+    wire: DataFrame,
+    key_schema: T.StructType,
+    value_schema: T.StructType,
+) -> DataFrame:
+    """Vectorized wire decode: one mapInArrow pass parses key/value
+    blobs back into exact-typed columns + (is_tombstone, writetime,
+    segment, position, token)."""
+    pre = wire.select(
+        "key",
+        "value",
+        F.col("value").isNull().alias("is_tombstone"),
+        "writetime",
+        F.split(F.col("segpos"), ":")[0].cast("bigint").alias("segment"),
+        F.split(F.col("segpos"), ":")[1].cast("bigint").alias("position"),
+        "token",
+    )
+    key_node = avro_schema_for(key_schema)
+    val_node = avro_schema_for(value_schema)
+    dec_key = make_batch_decoder(key_node)
+    dec_val = make_batch_decoder(val_node)
+    meta_fields = [
+        T.StructField("is_tombstone", T.BooleanType(), False),
+        T.StructField("writetime", pre.schema["writetime"].dataType),
+        T.StructField("segment", T.LongType()),
+        T.StructField("position", T.LongType()),
+        T.StructField("token", pre.schema["token"].dataType),
+    ]
+    out_schema = T.StructType(
+        list(key_schema.fields) + list(value_schema.fields) + meta_fields
+    )
+    typed = [(f.name, _pa_type(f.dataType)) for f in out_schema.fields[
+        : len(key_schema.fields) + len(value_schema.fields)
+    ]]
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            kcols = dec_key(b.column("key").to_pylist())
+            vcols = dec_val(b.column("value").to_pylist())
+            merged = {**kcols, **vcols}
+            arrays = [
+                pa.array(merged[name], type=t) for name, t in typed
+            ] + [
+                b.column("is_tombstone"),
+                b.column("writetime"),
+                b.column("segment"),
+                b.column("position"),
+                b.column("token"),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_schema.fields]
+            )
+
+    return pre.mapInArrow(decode, out_schema)
+
+
 def to_wire_records(
     events: DataFrame,
     key_cols: list[str],
@@ -102,6 +252,8 @@ def to_wire_records(
     """mutation events -> (key BINARY, value BINARY|null, writetime,
     segpos, token) — the exact column set a kafka-format writeStream
     needs, with the reference's three message properties."""
+    if codec == "avro":
+        return _encode_arrow(events, key_cols, value_cols, op_col)
     if codec == "json":
         key_bytes = _json_bytes(key_cols)
         value_bytes = _json_bytes(value_cols)
@@ -155,6 +307,10 @@ def to_event_topic_records(
         F.col(node_col).cast("string").alias("nodeId"),
         F.lit(None).cast(T.ArrayType(T.StringType())).alias("columns"),
     )
+    if codec == "avro":
+        return _encode_arrow(
+            mv, key_cols, ["md5Digest", "nodeId", "columns"], op_col=None
+        )
     if codec == "json":
         key_bytes = _json_bytes(key_cols)
         value_bytes = F.encode(
@@ -182,6 +338,17 @@ def from_event_topic_records(
     """Inverse of :func:`to_event_topic_records`: typed PK columns +
     (digest, node_id) from the MutationValue — what the connector needs
     to dedup and bind the read-after-event lookup (F12)."""
+    if codec == "avro":
+        dec = _decode_arrow(wire, key_schema, MUTATION_VALUE_SCHEMA)
+        return dec.select(
+            *[f.name for f in key_schema.fields],
+            F.col("md5Digest").alias("digest"),
+            F.col("nodeId").alias("node_id"),
+            "writetime",
+            "segment",
+            "position",
+            "token",
+        )
     if codec == "json":
         key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
         value = F.from_json(
@@ -218,6 +385,8 @@ def from_wire_records(
     """(key, value, props) -> typed columns; null value bytes => tombstone
     with null value columns. The inverse of to_wire_records (F12: decode
     the key record back to typed values to bind the lookup)."""
+    if codec == "avro":
+        return _decode_arrow(wire, key_schema, value_schema)
     if codec == "json":
         key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
         value = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)

@@ -363,8 +363,14 @@ def test_compressed_formats_still_gated(spark):
         decode_payload_real,
     )
 
+    # JPEG is natively decoded now (operators/jpeg.py): a truncated blob
+    # with JPEG magic reaches the real marker parser and fails there,
+    # not at the format gate.
+    with _pytest.raises(ValueError, match="no SOS scan"):
+        decode_payload_real(1, b"\xff\xd8\xff\xe0JFIF-like")
+    # MP3/MP4 remain gated behind the declared plug-point.
     with _pytest.raises(NotImplementedError):
-        decode_payload_real(1, b"\xff\xd8\xff\xe0JFIF-like")  # JPEG magic
+        decode_payload_real(1, b"\x00\x00\x00\x18ftypmp42")  # MP4 magic
 
 
 def _encode_png(width: int, height: int, color_type: int, rows: list[bytes]) -> bytes:
