@@ -38,6 +38,7 @@ encoder. Arrow arrays keep exact int64 all the way down.
 
 from __future__ import annotations
 
+import struct as _struct
 from typing import Any, Callable
 
 import numpy as np
@@ -307,6 +308,46 @@ def _field_decoder(node: Any) -> Callable[[bytes, int], tuple[Any, int]]:
                 return b.decode("utf-8"), pos
 
             return dec_str
+
+        if sub == "bytes":
+
+            def dec_bytes(buf: bytes, pos: int):
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    return None, pos
+                return read_bytes(buf, pos)
+
+            return dec_bytes
+
+        if sub == "double":
+
+            def dec_double(buf: bytes, pos: int):
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    return None, pos
+                return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+
+            return dec_double
+
+        if sub == "float":
+
+            def dec_float(buf: bytes, pos: int):
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    return None, pos
+                return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+
+            return dec_float
+
+        if sub == "boolean":
+
+            def dec_bool(buf: bytes, pos: int):
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    return None, pos
+                return buf[pos] == 1, pos + 1
+
+            return dec_bool
 
     # everything else: exact recursive fallback
     def dec_fallback(buf: bytes, pos: int):

@@ -138,6 +138,51 @@ def _node(dt: T.DataType) -> Any:
     raise TypeError(f"no Avro mapping for Spark type {dt}")
 
 
+class JvmIncompatibleSchema(TypeError):
+    """Raised when a wire schema uses CQL logical types
+    (cql_varint/cql_decimal/cql_duration) that spark-avro's serializer
+    cannot emit byte-compatibly — those need the reference's custom
+    NativeAvroConverter conversions (CqlLogicalTypes.java:109-160), so
+    the pure-Python codec stays authoritative for them."""
+
+
+def avro_json_schema(node: Any, name: str = "record0") -> Any:
+    """Codec schema node -> Avro JSON schema (as plain dicts/lists; dump
+    with ``json.dumps``). This is the writer schema handed to spark-avro's
+    ``to_avro``/``from_avro`` on clusters that carry the jar — the JVM
+    serializer given this schema emits the same Avro binary bytes as
+    :func:`encode_record` (union order, zigzag varints, logical-type
+    encodings are all fixed by the Avro spec)."""
+    if isinstance(node, str):
+        if node == "timestamp-millis":
+            return {"type": "long", "logicalType": "timestamp-millis"}
+        if node == "date":
+            return {"type": "int", "logicalType": "date"}
+        if node in ("cql_varint", "cql_decimal", "cql_duration"):
+            raise JvmIncompatibleSchema(node)
+        return node  # primitive
+    if node[0] == "null":
+        return ["null", avro_json_schema(node[1], name)]
+    if node[0] == "record":
+        return {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": fname,
+                    "type": avro_json_schema(sub, f"{name}_{fname}"),
+                    "default": None,
+                }
+                for fname, sub in node[1]
+            ],
+        }
+    if node[0] == "array":
+        return {"type": "array", "items": avro_json_schema(node[1], name)}
+    if node[0] == "map":
+        return {"type": "map", "values": avro_json_schema(node[1], name)}
+    raise TypeError(f"unhandled avro node {node!r}")
+
+
 # ---------------------------------------------------------------------------
 # value codec
 

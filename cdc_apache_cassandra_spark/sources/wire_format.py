@@ -55,12 +55,22 @@ DEFAULT_CODEC = "avro"
 
 
 def wire_codec() -> str:
-    """'avro-jvm' when the spark-avro data source is loadable, else
-    'avro' (the built-in Arrow-batched codec). JSON stays available as an
+    """'avro-jvm' when the spark-avro EXPRESSIONS are actually on the JVM
+    classpath, else 'avro' (the built-in vectorized codec). The Python
+    wrapper ``pyspark.sql.avro.functions`` always imports — the real
+    discriminator is the jar's ``CatalystDataToAvro`` expression class,
+    probed through the active session's JVM. JSON stays available as an
     explicit choice."""
     try:
+        from pyspark.sql import SparkSession
         from pyspark.sql.avro.functions import to_avro  # noqa: F401
 
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return "avro"
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.CatalystDataToAvro"
+        )
         return "avro-jvm"
     except Exception:
         return "avro"
@@ -105,6 +115,39 @@ def _avro_struct(col: Column, schema: T.StructType) -> Column:
         return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return dec(col)
+
+
+def _jvm_avro_bytes(df: DataFrame, cols: list[str]) -> Column:
+    """JVM-side Avro encode via spark-avro's ``to_avro`` with an explicit
+    writer schema derived from the same schema model the Python codec
+    uses — Avro binary is fully determined by (writer schema, values),
+    so the two paths emit identical bytes. Raises
+    :class:`~...avro_codec.JvmIncompatibleSchema` for CQL logical types
+    (cql_varint/cql_decimal/cql_duration), which only the Python codec
+    can encode in the reference's custom layout."""
+    import json as _json
+
+    from pyspark.sql.avro.functions import to_avro
+
+    from cdc_apache_cassandra_spark.functions.avro_codec import (
+        avro_json_schema,
+    )
+
+    node = avro_schema_for(T.StructType([df.schema[c] for c in cols]))
+    return to_avro(F.struct(*cols), _json.dumps(avro_json_schema(node)))
+
+
+def _jvm_avro_struct(col: Column, schema: T.StructType) -> Column:
+    import json as _json
+
+    from pyspark.sql.avro.functions import from_avro
+
+    from cdc_apache_cassandra_spark.functions.avro_codec import (
+        avro_json_schema,
+    )
+
+    node = avro_schema_for(schema)
+    return from_avro(col, _json.dumps(avro_json_schema(node)))
 
 
 def _ordered_unique(*col_lists: list[str]) -> list[str]:
@@ -254,7 +297,10 @@ def to_wire_records(
     needs, with the reference's three message properties."""
     if codec == "avro":
         return _encode_arrow(events, key_cols, value_cols, op_col)
-    if codec == "json":
+    if codec == "avro-jvm":
+        key_bytes = _jvm_avro_bytes(events, key_cols)
+        value_bytes = _jvm_avro_bytes(events, value_cols)
+    elif codec == "json":
         key_bytes = _json_bytes(key_cols)
         value_bytes = _json_bytes(value_cols)
     else:
@@ -311,6 +357,18 @@ def to_event_topic_records(
         return _encode_arrow(
             mv, key_cols, ["md5Digest", "nodeId", "columns"], op_col=None
         )
+    if codec == "avro-jvm":
+        key_bytes = _jvm_avro_bytes(mv, key_cols)
+        value_bytes = _jvm_avro_bytes(mv, ["md5Digest", "nodeId", "columns"])
+        return mv.select(
+            key_bytes.alias("key"),
+            value_bytes.alias("value"),
+            F.col("writetime"),
+            F.concat_ws(":", F.col("segment"), F.col("position")).alias(
+                "segpos"
+            ),
+            token_expr(key_cols[0]).alias("token"),
+        )
     if codec == "json":
         key_bytes = _json_bytes(key_cols)
         value_bytes = F.encode(
@@ -349,7 +407,10 @@ def from_event_topic_records(
             "position",
             "token",
         )
-    if codec == "json":
+    if codec == "avro-jvm":
+        key = _jvm_avro_struct(F.col("key"), key_schema)
+        value = _jvm_avro_struct(F.col("value"), MUTATION_VALUE_SCHEMA)
+    elif codec == "json":
         key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
         value = F.from_json(
             F.decode(F.col("value"), "UTF-8"), MUTATION_VALUE_SCHEMA
@@ -387,7 +448,10 @@ def from_wire_records(
     the key record back to typed values to bind the lookup)."""
     if codec == "avro":
         return _decode_arrow(wire, key_schema, value_schema)
-    if codec == "json":
+    if codec == "avro-jvm":
+        key = _jvm_avro_struct(F.col("key"), key_schema)
+        value = _jvm_avro_struct(F.col("value"), value_schema)
+    elif codec == "json":
         key = F.from_json(F.decode(F.col("key"), "UTF-8"), key_schema)
         value = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)
     else:

@@ -228,3 +228,69 @@ def test_mutation_cache_transform_with_state(spark, sf_dir, event_dir):
         .count()
         == 0
     )
+
+
+def test_mutation_cache_processor_logic_with_fake_handle(spark, event_dir):
+    """Drive MutationCacheProcessor (the transformWithStateInPandas
+    StatefulProcessor) through a faked handle/ValueState so its actual
+    init/handleInputRows/close code EXECUTES here, even though the
+    engine-side transformWithState run stays protobuf-gated in this
+    container. Replays the per-key groups across two micro-batches and
+    checks the surviving multiset equals the batch twin's."""
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.streaming.state import (
+        MutationCacheProcessor,
+        mutation_cache_dedup_batch,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.ttls = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttls[name] = ttlDurationMs
+            return self.states.setdefault(name, FakeValueState())
+
+    events = spark.read.parquet(event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    pdf_all = events.toPandas()
+    got_parts = []
+    for pk, group in pdf_all.groupby("pk"):
+        proc = MutationCacheProcessor(ttl_ms=123456)
+        handle = FakeHandle()
+        proc.init(handle)
+        assert handle.ttls == {"seen": 123456}  # native-TTL plumb-through
+        g = group.sort_values(["segment", "position"], kind="mergesort")
+        # two micro-batches per key: state must carry across them
+        half = len(g) // 2
+        for chunk in (g.iloc[:half], g.iloc[half:]):
+            if len(chunk) == 0:
+                continue
+            got_parts.extend(
+                proc.handleInputRows((pk,), iter([chunk]), None)
+            )
+        proc.close()
+    got = pd.concat(got_parts, ignore_index=True)
+    want = mutation_cache_dedup_batch(events).toPandas()
+    key = ["pk", "digest", "writetime", "segment", "position"]
+    assert (
+        got[key].sort_values(key).reset_index(drop=True).equals(
+            want[key].sort_values(key).reset_index(drop=True)
+        )
+    )

