@@ -29,3 +29,4 @@ from cdc_apache_cassandra_spark.plans import extra_surface_queries  # noqa: E402
 from cdc_apache_cassandra_spark.plans import kmeans_srp_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_substring_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_bpe_queries  # noqa: E402,F401
+from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
