@@ -129,6 +129,33 @@ def main():
         .save()
     )
 
+    # Wire-codec slice: Avro encode -> decode roundtrip through the
+    # vectorized mapInArrow batch codec (the active default; every event
+    # crosses this boundary twice between agent and connector). noop
+    # write forces full evaluation — mapInArrow stages can't be pruned.
+    from pyspark.sql import types as TY
+    from cdc_apache_cassandra_spark.sources.wire_format import (
+        from_wire_records,
+        to_wire_records,
+    )
+
+    key_schema = TY.StructType([TY.StructField("pk", TY.LongType())])
+    value_schema = TY.StructType(
+        [snap.schema[c] for c in VALUE_COLS]
+    )
+    wire_rt = from_wire_records(
+        to_wire_records(
+            mutation_events(spark, sf_dir), ["pk"], list(VALUE_COLS),
+            codec="avro",
+        ),
+        key_schema,
+        value_schema,
+        codec="avro",
+    )
+    wire_sec = best_of(
+        lambda: wire_rt.write.format("noop").mode("overwrite").save()
+    )
+
     # Bucket-store scale proof (round-3 verdict item): drive the
     # merge-on-write table through micro-batch commits at n_buckets=256
     # and report bytes-rewritten-per-commit vs table size. Batches are
@@ -225,6 +252,8 @@ def main():
         "cdc_compound_events": n_compound,
         "cdc_compound_pipeline_sec": round(compound_sec, 3),
         "cdc_compound_events_per_sec": round(n_compound / compound_sec, 1),
+        "wire_avro_roundtrip_sec": round(wire_sec, 3),
+        "wire_avro_events_per_sec": round(n_events / wire_sec, 1),
         "bucket_store": bucket_store,
         "reps": reps,
         "loop_wall_seconds": loop_wall,

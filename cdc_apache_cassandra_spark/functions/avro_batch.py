@@ -356,6 +356,199 @@ def _field_decoder(node: Any) -> Callable[[bytes, int], tuple[Any, int]]:
     return dec_fallback
 
 
+# ---------------------------------------------------------------------------
+# fully vectorized decoder: numpy varint scans + ragged gathers straight into
+# arrow buffers — zero per-row Python for flat primitive records
+
+_VEC_TYPES = frozenset(
+    [
+        "long",
+        "int",
+        "string",
+        "bytes",
+        "double",
+        "float",
+        "boolean",
+        "timestamp-millis",
+        "date",
+    ]
+)
+
+
+def vector_decodable(node: tuple) -> bool:
+    """True when every field is ``("null", primitive)`` with a primitive
+    the vectorized decoder handles (no collections/records/CQL logicals)."""
+    return node[0] == "record" and all(
+        isinstance(sub, tuple)
+        and sub[0] == "null"
+        and isinstance(sub[1], str)
+        and sub[1] in _VEC_TYPES
+        for _, sub in node[1]
+    )
+
+
+def _vec_varint(data: np.ndarray, pos: np.ndarray, active: np.ndarray):
+    """Decode one varint per row at ``pos`` (only where ``active``).
+    Returns (zigzag-decoded int64 values, advanced positions). ``data``
+    must be padded with >=10 trailing zero bytes so inactive/short rows
+    can gather safely."""
+    m = data[pos[:, None] + np.arange(10, dtype=np.int64)[None, :]]
+    ends = (m & 0x80) == 0
+    end = ends.argmax(axis=1).astype(np.int64)  # first stop byte
+    keep = np.arange(10, dtype=np.int64)[None, :] <= end[:, None]
+    planes = (m & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * np.arange(10, dtype=np.uint64)[None, :]
+    )
+    zz = np.where(keep, planes, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+    vals = ((zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))).view(
+        np.int64
+    )
+    npos = np.where(active, pos + end + 1, pos)
+    return np.where(active, vals, 0), npos
+
+
+def _ragged_gather(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Concatenate data[starts[i] : starts[i]+lens[i]] for all i."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    ends = np.cumsum(lens)
+    out_idx = (
+        np.repeat(starts - np.concatenate(([0], ends[:-1])), lens)
+        + np.arange(total, dtype=np.int64)
+    )
+    return data[out_idx]
+
+
+def _bitmap(mask: np.ndarray) -> pa.Buffer:
+    return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+
+
+def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
+    """Compile a flat primitive record into a whole-column decoder:
+    ``pa.BinaryArray -> {field: pa.Array}`` with NO per-row Python.
+    Varints decode as (n, 10) byte-plane gathers; string/bytes payloads
+    are ragged-gathered into a single buffer and wrapped as arrow
+    arrays via ``from_buffers``. Byte-layout semantics are pinned
+    identical to :func:`avro_codec.decode_record` by the property tests.
+    """
+    assert vector_decodable(node), node
+    fields = [(name, sub[1]) for name, sub in node[1]]
+
+    def decode_column(arr: pa.Array) -> dict:
+        n = len(arr)
+        if arr.offset != 0:
+            # sliced arrays: normalize once (rare — mapInArrow batches
+            # arrive at offset 0)
+            arr = pa.concat_arrays([arr])  # pragma: no cover
+        bufs = arr.buffers()
+        data = np.concatenate(
+            [
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, np.uint8),
+                np.zeros(16, np.uint8),  # varint-gather pad
+            ]
+        )
+        offsets = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)[
+            : n + 1
+        ]
+        row_valid = (
+            np.ones(n, dtype=bool)
+            if arr.null_count == 0
+            else np.asarray(arr.is_valid())
+        )
+        pos = offsets[:-1].copy()
+        out: dict[str, pa.Array] = {}
+        for name, prim in fields:
+            # union index: zigzag(0|1) is always a single byte (0x00/0x02)
+            ub = data[pos]
+            present = row_valid & (ub != 0)
+            pos = np.where(row_valid, pos + 1, pos)
+            nulls = ~present
+            if prim in ("long", "int", "timestamp-millis", "date"):
+                vals, pos = _vec_varint(data, pos, present)
+                if prim == "timestamp-millis":
+                    out[name] = pa.Array.from_buffers(
+                        pa.timestamp("us"),
+                        n,
+                        [
+                            _bitmap(present),
+                            pa.py_buffer((vals * 1000).tobytes()),
+                        ],
+                    )
+                elif prim == "date":
+                    out[name] = pa.Array.from_buffers(
+                        pa.date32(),
+                        n,
+                        [
+                            _bitmap(present),
+                            pa.py_buffer(
+                                vals.astype(np.int32).tobytes()
+                            ),
+                        ],
+                    )
+                elif prim == "int":
+                    out[name] = pa.Array.from_buffers(
+                        pa.int32(),
+                        n,
+                        [
+                            _bitmap(present),
+                            pa.py_buffer(vals.astype(np.int32).tobytes()),
+                        ],
+                    )
+                else:
+                    out[name] = pa.Array.from_buffers(
+                        pa.int64(),
+                        n,
+                        [_bitmap(present), pa.py_buffer(vals.tobytes())],
+                    )
+            elif prim in ("double", "float"):
+                width = 8 if prim == "double" else 4
+                m = data[
+                    pos[:, None] + np.arange(width, dtype=np.int64)[None, :]
+                ]
+                raw = np.where(present[:, None], m, 0).astype(np.uint8)
+                vals = raw.reshape(n * width).view(
+                    "<f8" if prim == "double" else "<f4"
+                )
+                out[name] = pa.Array.from_buffers(
+                    pa.float64() if prim == "double" else pa.float32(),
+                    n,
+                    [_bitmap(present), pa.py_buffer(vals.tobytes())],
+                )
+                pos = np.where(present, pos + width, pos)
+            elif prim == "boolean":
+                b = np.where(present, data[pos], 0) == 1
+                out[name] = pa.Array.from_buffers(
+                    pa.bool_(), n, [_bitmap(present), _bitmap(b)]
+                )
+                pos = np.where(present, pos + 1, pos)
+            else:  # string / bytes: length varint + ragged payload gather
+                slen, pos = _vec_varint(data, pos, present)
+                slen = np.where(present, slen, 0)
+                payload = _ragged_gather(data, pos, slen)
+                off_out = np.concatenate(
+                    ([0], np.cumsum(slen))
+                ).astype(np.int32)
+                atype = pa.string() if prim == "string" else pa.binary()
+                out[name] = pa.Array.from_buffers(
+                    atype,
+                    n,
+                    [
+                        _bitmap(present),
+                        pa.py_buffer(off_out.tobytes()),
+                        pa.py_buffer(payload.tobytes()),
+                    ],
+                )
+                pos = np.where(present, pos + slen, pos)
+        return out
+
+    return decode_column
+
+
 def make_batch_decoder(
     node: tuple,
 ) -> Callable[[list], dict[str, list]]:

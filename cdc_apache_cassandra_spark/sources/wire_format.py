@@ -43,6 +43,8 @@ from pyspark.sql import types as T
 from cdc_apache_cassandra_spark.functions.avro_batch import (
     make_batch_decoder,
     make_batch_encoder,
+    make_vector_decoder,
+    vector_decodable,
 )
 from cdc_apache_cassandra_spark.functions.avro_codec import (
     avro_schema_for,
@@ -248,8 +250,21 @@ def _decode_arrow(
     )
     key_node = avro_schema_for(key_schema)
     val_node = avro_schema_for(value_schema)
-    dec_key = make_batch_decoder(key_node)
-    dec_val = make_batch_decoder(val_node)
+    # flat primitive records decode with zero per-row Python (numpy
+    # varint planes + ragged gathers into arrow buffers); anything with
+    # collections/CQL logicals takes the compiled per-row parser
+    dec_key = (
+        make_vector_decoder(key_node)
+        if vector_decodable(key_node)
+        else make_batch_decoder(key_node)
+    )
+    dec_val = (
+        make_vector_decoder(val_node)
+        if vector_decodable(val_node)
+        else make_batch_decoder(val_node)
+    )
+    key_is_vec = vector_decodable(key_node)
+    val_is_vec = vector_decodable(val_node)
     meta_fields = [
         T.StructField("is_tombstone", T.BooleanType(), False),
         T.StructField("writetime", pre.schema["writetime"].dataType),
@@ -265,12 +280,23 @@ def _decode_arrow(
     ]]
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def as_arrow(v, t: pa.DataType) -> pa.Array:
+            if isinstance(v, pa.Array):
+                return v if v.type == t else v.cast(t)
+            return pa.array(v, type=t)
+
         for b in batches:
-            kcols = dec_key(b.column("key").to_pylist())
-            vcols = dec_val(b.column("value").to_pylist())
+            kcols = dec_key(
+                b.column("key") if key_is_vec
+                else b.column("key").to_pylist()
+            )
+            vcols = dec_val(
+                b.column("value") if val_is_vec
+                else b.column("value").to_pylist()
+            )
             merged = {**kcols, **vcols}
             arrays = [
-                pa.array(merged[name], type=t) for name, t in typed
+                as_arrow(merged[name], t) for name, t in typed
             ] + [
                 b.column("is_tombstone"),
                 b.column("writetime"),

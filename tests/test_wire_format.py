@@ -390,6 +390,8 @@ def test_batch_codec_property_identity():
     from cdc_apache_cassandra_spark.functions.avro_batch import (
         make_batch_decoder,
         make_batch_encoder,
+        make_vector_decoder,
+        vector_decodable,
     )
 
     schema = T.StructType(
@@ -403,6 +405,8 @@ def test_batch_codec_property_identity():
     node = avro_schema_for(schema)
     enc = make_batch_encoder(node)
     dec = make_batch_decoder(node)
+    assert vector_decodable(node)
+    vdec = make_vector_decoder(node)
     pa_schema = pa.schema(
         [
             ("a", pa.int64()),
@@ -433,6 +437,11 @@ def test_batch_codec_property_identity():
         cols = dec(got)
         for i, r in enumerate(rows):
             assert {k: cols[k][i] for k in cols} == r
+        # vectorized decoder (numpy varint planes + arrow buffers) must
+        # agree with the per-row parser exactly, nulls included
+        vcols = vdec(pa.array(got, pa.binary()))
+        for i, r in enumerate(rows):
+            assert {k: vcols[k][i].as_py() for k in vcols} == r
 
     check()
 
