@@ -44,7 +44,9 @@ from cdc_apache_cassandra_spark.functions.avro_batch import (
     make_batch_decoder,
     make_batch_encoder,
     make_vector_decoder,
+    make_vector_encoder,
     vector_decodable,
+    vector_encodable,
 )
 from cdc_apache_cassandra_spark.functions.avro_codec import (
     avro_schema_for,
@@ -205,22 +207,46 @@ def _encode_arrow(
             T.StructField("token", pre.schema["token"].dataType),
         ]
     )
-    enc_key = make_batch_encoder(key_node)
-    enc_val = make_batch_encoder(val_node)
+    key_is_vec = vector_encodable(key_node)
+    val_is_vec = vector_encodable(val_node)
+    enc_key = (
+        make_vector_encoder(key_node)
+        if key_is_vec
+        else make_batch_encoder(key_node)
+    )
+    enc_val = (
+        make_vector_encoder(val_node)
+        if val_is_vec
+        else make_batch_encoder(val_node)
+    )
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.compute as pc
+
         for b in batches:
-            keys = enc_key(b)
-            vals = enc_val(b)
-            if op_col is not None:
-                ops = b.column(op_col).to_pylist()
-                vals = [
-                    None if o == "DELETE" else v for o, v in zip(ops, vals)
-                ]
+            tombs = (
+                np.asarray(pc.equal(b.column(op_col), "DELETE").fill_null(False))
+                if op_col is not None
+                else None
+            )
+            if key_is_vec:
+                keys = enc_key(b)
+            else:
+                keys = pa.array(enc_key(b), pa.binary())
+            if val_is_vec:
+                vals = enc_val(b, null_rows=tombs)
+            else:
+                raw = enc_val(b)
+                if tombs is not None:
+                    raw = [
+                        None if t else v for t, v in zip(tombs.tolist(), raw)
+                    ]
+                vals = pa.array(raw, pa.binary())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(keys, pa.binary()),
-                    pa.array(vals, pa.binary()),
+                    keys,
+                    vals,
                     b.column("writetime"),
                     b.column("segpos"),
                     b.column("token"),

@@ -391,6 +391,7 @@ def test_batch_codec_property_identity():
         make_batch_decoder,
         make_batch_encoder,
         make_vector_decoder,
+        make_vector_encoder,
         vector_decodable,
     )
 
@@ -407,6 +408,7 @@ def test_batch_codec_property_identity():
     dec = make_batch_decoder(node)
     assert vector_decodable(node)
     vdec = make_vector_decoder(node)
+    venc = make_vector_encoder(node)
     pa_schema = pa.schema(
         [
             ("a", pa.int64()),
@@ -434,6 +436,8 @@ def test_batch_codec_property_identity():
         got = enc(batch)
         exp = [encode_record(node, r) for r in rows]
         assert got == exp
+        # scatter-assembled vector encoder: same bytes, no per-row work
+        assert venc(batch).to_pylist() == exp
         cols = dec(got)
         for i, r in enumerate(rows):
             assert {k: cols[k][i] for k in cols} == r
