@@ -586,3 +586,78 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("v_orderstatus").alias("orderstatus"),
         "writetime",
     )
+
+
+# --- S8 parallel export: dsbulk-style token-range splits --------------------
+
+
+def _token_splits_sql() -> str:
+    from cdc_apache_cassandra_spark.functions.murmur3 import token_sql as m3
+    from cdc_apache_cassandra_spark.sources.backfill import (
+        split_id_sql,
+        token_range_splits,
+    )
+
+    n = 8
+    width = (1 << 64) // n  # 2^61 for n=8
+    return f"""
+WITH keys AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+tokens AS (SELECT * FROM ({m3("SELECT pk FROM keys", "pk", 8)})),
+assigned AS (
+  SELECT pk, m3_token, {split_id_sql("m3_token", n)} AS split_id FROM tokens
+),
+agg AS (
+  SELECT split_id, COUNT(*) AS n_keys,
+         MIN(m3_token) AS min_token, MAX(m3_token) AS max_token
+  FROM assigned GROUP BY split_id
+)
+SELECT split_id, n_keys, min_token, max_token,
+       (min_token >= (CAST(split_id AS BIGINT) - {n // 2}) * {width}
+        AND max_token <= (CAST(split_id AS BIGINT) - {n // 2}) * {width}
+                         + {width - 1}) AS in_range
+FROM agg
+"""
+
+
+@register("cdc_backfill_token_splits", sql=_token_splits_sql())
+def cdc_backfill_token_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 parallel export partitioning: assign every snapshot PK to one
+    of 8 contiguous Murmur3 token ranges — the dsbulk `WHERE token(pk)
+    IN (lo, hi]` slicing backfill-cli scans with
+    (TableExporter.buildExportQuery; PulsarImporter resumable slices).
+    ``in_range`` (per-split min/max inside the exact integer boundaries)
+    proves the shift assignment agrees with the ring ranges; counts sum
+    to the distinct key count (disjoint cover). Token is pure Catalyst;
+    the only shuffle is the 8-row aggregate. The range bounds are
+    ARITHMETIC functions of split_id ((id - n/2) * 2^61), not a joined
+    lookup table: any join against the plan carrying the ~400-node token
+    expression sends constraint inference into an expression-copy storm
+    (observed OOM on a 16 GB driver) — post-agg projections are safe."""
+    from cdc_apache_cassandra_spark.sources.backfill import (
+        backfill_token_splits,
+    )
+
+    n = 8
+    width = (1 << 64) // n
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("pk"))
+        .distinct()
+    )
+    assigned = backfill_token_splits(keys, "pk", n)
+    agg = assigned.groupBy("split_id").agg(
+        F.count("*").alias("n_keys"),
+        F.min("m3_token").alias("min_token"),
+        F.max("m3_token").alias("max_token"),
+    )
+    lo = (F.col("split_id").cast("bigint") - F.lit(n // 2)) * F.lit(width)
+    return agg.select(
+        "split_id",
+        "n_keys",
+        "min_token",
+        "max_token",
+        (
+            (F.col("min_token") >= lo)
+            & (F.col("max_token") <= lo + F.lit(width - 1))
+        ).alias("in_range"),
+    )

@@ -42,6 +42,68 @@ def export_pk_csv(snapshot: DataFrame, pk_col: str, path: str) -> None:
     snapshot.select(pk_col).write.mode("overwrite").option("header", True).csv(path)
 
 
+def token_range_splits(n_splits: int) -> list[tuple[int, int]]:
+    """Contiguous [lo, hi) ranges covering the full Murmur3Partitioner
+    ring [-2^63, 2^63), the way dsbulk/backfill-cli parallelize a table
+    export (each worker scans one token range; TableExporter builds
+    `WHERE token(pk) > ? AND token(pk) <= ?` slices). Boundaries are
+    exact integers — no float ring arithmetic."""
+    ring = 1 << 64
+    lo = -(1 << 63)
+    bounds = [lo + (i * ring) // n_splits for i in range(n_splits + 1)]
+    return [(bounds[i], bounds[i + 1]) for i in range(n_splits)]
+
+
+def _split_shift(n_splits: int) -> int:
+    k = n_splits.bit_length() - 1
+    if 1 << k != n_splits:
+        raise ValueError(
+            f"n_splits must be a power of two, got {n_splits}: the "
+            "assignment is then ONE arithmetic shift — a CASE chain over "
+            "boundaries would reference the (large) token expression "
+            "once per split and blow up plan optimization"
+        )
+    return 64 - k
+
+
+def split_id_expr(token_col: str, n_splits: int):
+    """Token -> range index, exactly: arithmetic shift keeps the sign
+    (ring lower half -> negative), ``+ n/2`` rebases to [0, n). A single
+    reference to the token column, so the (large) Catalyst token
+    expression is never duplicated."""
+    shift = _split_shift(n_splits)
+    return (
+        F.shiftright(F.col(token_col), shift) + F.lit(n_splits // 2)
+    ).cast("int")
+
+
+def split_id_sql(token_col: str, n_splits: int) -> str:
+    """DuckDB twin — ``>>`` on BIGINT is the same arithmetic shift."""
+    shift = _split_shift(n_splits)
+    return f"CAST(({token_col} >> {shift}) + {n_splits // 2} AS INT)"
+
+
+def backfill_token_splits(
+    snapshot: DataFrame, pk_col: str, n_splits: int = 8
+) -> DataFrame:
+    """Snapshot + (m3_token, split_id): the parallel-export partitioning.
+    Writing with ``partitionBy('split_id')`` gives one independent,
+    re-runnable export slice per token range — at 100 TB each slice is
+    scanned and written by its own tasks, and a failed slice re-exports
+    alone (the dsbulk resume property). Token is pure Catalyst
+    (functions/murmur3.py), so no Python in the scan."""
+    from cdc_apache_cassandra_spark.functions.murmur3 import (
+        attach_token_columns,
+    )
+
+    tk = attach_token_columns(
+        snapshot.withColumn("__pk_long", F.col(pk_col).cast("bigint")),
+        "__pk_long",
+        8,
+    ).drop("__pk_long", "m3_token_route16")
+    return tk.withColumn("split_id", split_id_expr("m3_token", n_splits))
+
+
 def backfill_from_csv(
     spark, csv_path: str, snapshot: DataFrame, pk_col: str, value_cols: list[str]
 ) -> DataFrame:

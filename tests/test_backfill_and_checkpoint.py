@@ -111,3 +111,45 @@ def test_file_sink_metadata_log_is_idempotent(spark, sf_dir, tmp_path):
         q.processAllAvailable()
         q.stop()
     assert spark.read.parquet(out).count() == n
+
+
+def test_token_range_splits_cover_ring_exactly():
+    """Contiguous, disjoint, exact cover of [-2^63, 2^63) for any
+    power-of-two split count; non-powers are rejected (the assignment
+    must stay a single arithmetic shift)."""
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.sources.backfill import (
+        split_id_sql,
+        token_range_splits,
+    )
+
+    for n in (2, 8, 64):
+        splits = token_range_splits(n)
+        assert splits[0][0] == -(1 << 63)
+        assert splits[-1][1] == 1 << 63
+        for (lo1, hi1), (lo2, _) in zip(splits, splits[1:]):
+            assert hi1 == lo2
+        widths = {hi - lo for lo, hi in splits}
+        assert widths == {(1 << 64) // n}
+    with _pytest.raises(ValueError):
+        split_id_sql("t", 6)
+
+
+def test_split_id_expr_matches_boundaries(spark):
+    """The shift assignment places boundary tokens exactly: each range's
+    lo and hi-1 land in that range, nothing leaks to neighbors."""
+    from cdc_apache_cassandra_spark.sources.backfill import (
+        split_id_expr,
+        token_range_splits,
+    )
+    from pyspark.sql import functions as F
+
+    n = 8
+    splits = token_range_splits(n)
+    probe = [(lo, i) for i, (lo, hi) in enumerate(splits)] + [
+        (hi - 1, i) for i, (lo, hi) in enumerate(splits)
+    ]
+    df = spark.createDataFrame(probe, "m3_token long, expect int")
+    got = df.withColumn("sid", split_id_expr("m3_token", n))
+    assert got.filter(F.col("sid") != F.col("expect")).count() == 0
