@@ -301,6 +301,145 @@ def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
     )
 
 
+# --- container PROBES: MP4 box walk / MP3 frame scan ------------------------
+# The pipeline-level multimodal ops on video/audio corpora are container
+# operations — sample-table extraction, frame segmentation, chunking —
+# not codec decode. These parse the real container structures natively;
+# only the inner codec payload (H.264 NALs, MP3 granules) stays behind
+# the declared ffmpeg plug-point in decode_payload_real.
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF (MP4) box walk: mvhd timing, first track's handler +
+    sample-description fourcc, and the stbl sample table (stsz sizes,
+    stco chunk offsets) resolved to absolute per-sample byte ranges —
+    exactly what a frame-sampling pipeline needs to slice ``mdat``
+    without decoding video. Single-chunk layouts (samples consecutive
+    from stco[0]) are resolved exactly; multi-chunk needs stsc and is
+    rejected explicitly."""
+    import struct
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size, box = struct.unpack_from(">I4s", payload, pos)
+            off = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                off = 16
+            if size < off or pos + size > hi:
+                raise ValueError(f"bad box size {size} at {pos}")
+            yield box, pos + off, pos + size
+            pos += size
+
+    def find(lo, hi, name):
+        for box, blo, bhi in walk(lo, hi):
+            if box == name:
+                return blo, bhi
+        raise ValueError(f"missing box {name.decode()}")
+
+    info: dict = {}
+    moov = find(0, len(payload), b"moov")
+    mvhd = find(*moov, b"mvhd")
+    ver = payload[mvhd[0]]
+    if ver == 0:
+        _, _, _, timescale, duration = struct.unpack_from(
+            ">IIIII", payload, mvhd[0]
+        )
+    else:  # version 1: 64-bit times
+        _, _, _, timescale, duration = struct.unpack_from(
+            ">IQQIQ", payload, mvhd[0]
+        )
+    info["timescale"] = timescale
+    info["duration_ticks"] = duration
+    trak = find(*moov, b"trak")
+    mdia = find(*trak, b"mdia")
+    hdlr = find(*mdia, b"hdlr")
+    info["handler"] = payload[hdlr[0] + 8 : hdlr[0] + 12].decode(
+        "ascii", "replace"
+    )
+    stbl = find(*find(*mdia, b"minf"), b"stbl")
+    stsd = find(*stbl, b"stsd")
+    info["codec"] = payload[stsd[0] + 12 : stsd[0] + 16].decode(
+        "ascii", "replace"
+    )
+    stsz = find(*stbl, b"stsz")
+    _, fixed, count = struct.unpack_from(">III", payload, stsz[0])
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(
+            struct.unpack_from(f">{count}I", payload, stsz[0] + 12)
+        )
+    )
+    stco = find(*stbl, b"stco")
+    _, n_chunks = struct.unpack_from(">II", payload, stco[0])
+    if n_chunks != 1:
+        raise NotImplementedError(
+            "multi-chunk MP4 needs the stsc chunk map; single-chunk "
+            "layouts cover the synthesized corpus"
+        )
+    (chunk0,) = struct.unpack_from(">I", payload, stco[0] + 8)
+    ranges = []
+    off = chunk0
+    for s in sizes:
+        ranges.append((off, s))
+        off += s
+    info["n_samples"] = count
+    info["sample_ranges"] = ranges
+    return info
+
+
+_MP3_BITRATES = [  # kbps, MPEG-1 Layer III, index 1..14
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]  # samplerate index 0..2
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """MPEG-1 Layer III frame scan: walk sync headers, decode
+    bitrate/samplerate indices, advance by the exact frame length
+    ``144 * bitrate / samplerate + padding`` — the segmentation an audio
+    corpus pipeline uses for chunking/duration without decoding PCM.
+    Returns frame count, per-scan constant header params, and exact PCM
+    sample count (1152 per MPEG-1 L3 frame)."""
+    pos = 0
+    n_frames = 0
+    bitrate_kbps = None
+    samplerate = None
+    frame_offsets = []
+    while pos + 4 <= len(payload):
+        h0, h1, h2, _ = payload[pos : pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at {pos}")
+        if (h1 & 0x18) != 0x18 or (h1 & 0x06) != 0x02:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III frames are scanned natively"
+            )
+        br_idx = (h2 >> 4) & 0x0F
+        sr_idx = (h2 >> 2) & 0x03
+        padding = (h2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"invalid bitrate/samplerate index at {pos}")
+        br = _MP3_BITRATES[br_idx] * 1000
+        sr = _MP3_RATES[sr_idx]
+        if bitrate_kbps is None:
+            bitrate_kbps, samplerate = br // 1000, sr
+        frame_len = 144 * br // sr + padding
+        frame_offsets.append((pos, frame_len))
+        pos += frame_len
+        n_frames += 1
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last MP3 frame")
+    return {
+        "n_frames": n_frames,
+        "bitrate_kbps": bitrate_kbps,
+        "samplerate": samplerate,
+        "n_pcm_samples": n_frames * 1152,
+        "frame_offsets": frame_offsets,
+    }
+
+
 def decode_payload_stub(doc_id: int, payload: bytes) -> list[dict]:
     """Deterministic fake decode: frame count = len%3+1; per-frame stats
     from simple byte arithmetic. Exercises the exact schema/batch shape

@@ -516,3 +516,218 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
+
+
+# --- MP4: native ISO-BMFF box walk + sample-range extraction ----------------
+# The frame-sampling op on a video corpus is a CONTAINER operation: walk
+# moov/trak/mdia/minf/stbl, resolve stsz+stco to absolute byte ranges,
+# slice mdat. The inner H.264 payload stays behind the ffmpeg plug-point;
+# everything the pipeline schedules on (codec fourcc, timing, per-sample
+# byte ranges) is parsed natively and verified value-exact here.
+
+_MP4_SQL = """
+WITH docs AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+samples AS (
+  SELECT doc_id, n, s.s AS sample_id,
+         20 + ((doc_id + 7 * s.s) % 40) AS sz
+  FROM docs, (SELECT unnest(range(0, 8)) AS s) s
+  WHERE s.s < n AND s.s % 2 = 0
+)
+SELECT doc_id,
+       CAST(sample_id AS INTEGER) AS sample_id,
+       CAST(sz AS BIGINT) AS n_bytes,
+       'avc1' AS codec,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(600 AS BIGINT) AS timescale,
+       CAST(n * (100 + doc_id % 50) AS BIGINT) AS duration_ticks,
+       CAST(list_sum(list_transform(range(0, sz),
+            j -> (doc_id + 13 * sample_id + 5 * j) % 251)) AS BIGINT)
+           AS byte_sum
+FROM samples
+"""
+
+
+def _make_mp4(doc_id: int) -> bytes:
+    """Deterministic single-track single-chunk MP4: geometry, sample
+    sizes, and sample bytes are all doc_id arithmetic (the closed-form
+    grammar the oracle recomputes)."""
+    import struct
+
+    def box(name: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(body), name) + body
+
+    n = 3 + doc_id % 5
+    sizes = [20 + ((doc_id + 7 * i) % 40) for i in range(n)]
+    delta = 100 + doc_id % 50
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, 600, n * delta) + b"\x00" * 80,
+    )
+    hdlr = box(b"hdlr", struct.pack(">II4s", 0, 0, b"vide") + b"\x00" * 13)
+    stsd = box(
+        b"stsd",
+        struct.pack(">II", 0, 1) + struct.pack(">I4s", 16, b"avc1") + b"\x00" * 8,
+    )
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n) + struct.pack(f">{n}I", *sizes),
+    )
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, delta))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # stco needs the absolute mdat payload offset: assemble moov with a
+    # placeholder, measure, then rebuild with the real offset
+    def moov_with(chunk_off: int) -> bytes:
+        stco = box(b"stco", struct.pack(">III", 0, 1, chunk_off))
+        stbl = box(b"stbl", stsd + stts + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        trak = box(b"trak", mdia)
+        return box(b"moov", mvhd + trak)
+
+    probe_len = len(ftyp) + len(moov_with(0)) + 8
+    moov = moov_with(probe_len)
+    payload = bytearray()
+    for i, sz in enumerate(sizes):
+        payload.extend(
+            (doc_id + 13 * i + 5 * j) % 251 for j in range(sz)
+        )
+    return ftyp + moov + box(b"mdat", bytes(payload))
+
+
+@register("multimodal_mp4_sample_ranges", sql=_MP4_SQL)
+def multimodal_mp4_sample_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over MP4 without a codec: synthesize a
+    deterministic single-track MP4 per doc, walk the box tree natively
+    (operators/multimodal.py::probe_mp4), take every 2nd sample's byte
+    range out of mdat, and report exact byte sums — the DuckDB oracle
+    recomputes the sample grammar in closed form, so box packing, stsz/
+    stco resolution, and the mdat slicing are all verified value-exact.
+    Arrow-batched; payload bytes never shuffle."""
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.multimodal import probe_mp4
+
+    out_schema = (
+        "doc_id long, sample_id int, n_bytes long, codec string, "
+        "n_samples long, timescale long, duration_ticks long, byte_sum long"
+    )
+
+    def synth_and_probe(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = _make_mp4(doc_id)
+                info = probe_mp4(blob)
+                for i, (off, sz) in enumerate(info["sample_ranges"]):
+                    if i % 2:
+                        continue
+                    chunk = blob[off : off + sz]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            sz,
+                            info["codec"],
+                            info["n_samples"],
+                            info["timescale"],
+                            info["duration_ticks"],
+                            sum(chunk),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_id", "n_bytes", "codec",
+                    "n_samples", "timescale", "duration_ticks", "byte_sum",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_probe, out_schema)
+
+
+# --- MP3: native frame-header scan (segmentation without PCM decode) --------
+
+_MP3_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         2 + doc_id % 6 AS n_frames,
+         CASE 1 + doc_id % 14
+           WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+           WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+           WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+           WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(44100 AS BIGINT) AS samplerate,
+       CAST(n_frames * 1152 AS BIGINT) AS n_pcm_samples,
+       CAST(n_frames * ((144 * kbps * 1000) // 44100) AS BIGINT)
+           AS total_bytes
+FROM docs
+"""
+
+
+def _make_mp3(doc_id: int) -> bytes:
+    """Deterministic MPEG-1 Layer III frame sequence (valid headers,
+    junk granule bytes — the codec payload stays behind the plug-point)."""
+    n_frames = 2 + doc_id % 6
+    br_idx = 1 + doc_id % 14
+    kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][
+        br_idx
+    ]
+    frame_len = 144 * (kbps * 1000) // 44100  # sr index 0, no padding
+    out = bytearray()
+    for i in range(n_frames):
+        out += bytes([0xFF, 0xFB, (br_idx << 4) | 0, 0x00])
+        out += bytes((doc_id + i + j) % 251 for j in range(frame_len - 4))
+    return bytes(out)
+
+
+@register("multimodal_mp3_frame_scan", sql=_MP3_SQL)
+def multimodal_mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over MP3 without PCM decode: synthesize a valid
+    MPEG-1 Layer III frame sequence per doc and scan it natively
+    (operators/multimodal.py::probe_mp3) — sync walk, bitrate/samplerate
+    tables, exact frame-length arithmetic. The oracle recomputes frame
+    count/length in closed form; a mis-stepped scan loses sync and
+    errors the row, so the walk itself is the check."""
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.multimodal import probe_mp3
+
+    out_schema = (
+        "doc_id long, n_frames long, bitrate_kbps long, samplerate long, "
+        "n_pcm_samples long, total_bytes long"
+    )
+
+    def synth_and_scan(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = _make_mp3(doc_id)
+                info = probe_mp3(blob)
+                rows.append(
+                    (
+                        doc_id,
+                        info["n_frames"],
+                        info["bitrate_kbps"],
+                        info["samplerate"],
+                        info["n_pcm_samples"],
+                        len(blob),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "bitrate_kbps", "samplerate",
+                    "n_pcm_samples", "total_bytes",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_scan, out_schema)

@@ -490,3 +490,45 @@ def test_png_decode_through_spark(spark):
         for r in decode_frames(df, decoder=decode_payload_real).collect()
     }
     assert rows[3].width == 3 + 3 % 6 and rows[4].height == 2 + 4 % 4
+
+
+def test_mp4_probe_walks_boxes_and_rejects_multichunk():
+    from cdc_apache_cassandra_spark.operators.multimodal import probe_mp4
+    from cdc_apache_cassandra_spark.plans.multimodal_queries import _make_mp4
+
+    info = probe_mp4(_make_mp4(42))
+    assert info["codec"] == "avc1" and info["handler"] == "vide"
+    assert info["n_samples"] == 3 + 42 % 5
+    assert info["timescale"] == 600
+    # ranges are contiguous and inside the blob
+    blob = _make_mp4(42)
+    offs = info["sample_ranges"]
+    for (o1, s1), (o2, _) in zip(offs, offs[1:]):
+        assert o1 + s1 == o2
+    assert offs[-1][0] + offs[-1][1] == len(blob)
+    # first sample bytes follow the grammar
+    o0, s0 = offs[0]
+    assert list(blob[o0 : o0 + 4]) == [(42 + 5 * j) % 251 for j in range(4)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing box"):
+        probe_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_mp3_probe_scans_frames_and_detects_desync():
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.operators.multimodal import probe_mp3
+    from cdc_apache_cassandra_spark.plans.multimodal_queries import _make_mp3
+
+    blob = _make_mp3(7)
+    info = probe_mp3(blob)
+    assert info["n_frames"] == 2 + 7 % 6
+    assert info["n_pcm_samples"] == info["n_frames"] * 1152
+    assert sum(l for _, l in info["frame_offsets"]) == len(blob)
+    # corrupt one frame length -> scan loses sync and says so
+    with _pytest.raises(ValueError, match="lost MP3 sync|trailing"):
+        probe_mp3(blob[:-1])
+    with _pytest.raises(ValueError, match="lost MP3 sync"):
+        probe_mp3(b"\x00\x00" + blob)
