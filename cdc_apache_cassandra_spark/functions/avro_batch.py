@@ -285,8 +285,14 @@ def make_batch_encoder(
 
 
 def vector_encodable(node: tuple) -> bool:
-    """Same support envelope as :func:`vector_decodable`."""
-    return vector_decodable(node)
+    """The vector encoder covers every ``("null", T)`` union field:
+    primitives fully vectorized; anything else (collections, CQL
+    logicals, nested records) becomes a per-value byte segment folded
+    into the same scatter assembly — so any schema produced by
+    :func:`avro_codec.avro_schema_for` takes this path."""
+    return node[0] == "record" and all(
+        isinstance(sub, tuple) and sub[0] == "null" for _, sub in node[1]
+    )
 
 
 def _varint_mat(
@@ -409,6 +415,36 @@ def make_vector_encoder(node: tuple) -> Callable:
                 segments.append(
                     (mat.ravel(), np.arange(n, dtype=np.int64) * 2, lens)
                 )
+            elif prim not in ("string", "bytes"):
+                # collections / CQL logicals / nested records: per-value
+                # fragments folded into the same scatter machinery; the
+                # all-null fast path (the events-topic MutationValue
+                # ``columns`` field on the wire) stays fully vectorized
+                if arr.null_count == n:
+                    seg = np.zeros(n, dtype=np.uint8)  # 0x00 per row
+                    segments.append(
+                        (
+                            seg,
+                            np.arange(n, dtype=np.int64),
+                            np.ones(n, dtype=np.int64),
+                        )
+                    )
+                else:
+                    fnode = ("null", prim)
+                    frags = []
+                    for v in arr.to_pylist():
+                        if v is None:
+                            frags.append(_NULL)
+                        else:
+                            ba = bytearray()
+                            encode_value(ba, fnode, v)
+                            frags.append(bytes(ba))
+                    data = np.frombuffer(b"".join(frags), dtype=np.uint8)
+                    lens = np.fromiter(
+                        (len(f) for f in frags), dtype=np.int64, count=n
+                    )
+                    ends = np.cumsum(lens)
+                    segments.append((data, ends - lens, lens))
             else:  # string / bytes
                 if arr.offset != 0:  # pragma: no cover — normalize slice
                     arr = pa.concat_arrays([arr])
@@ -567,14 +603,13 @@ _VEC_TYPES = frozenset(
 
 
 def vector_decodable(node: tuple) -> bool:
-    """True when every field is ``("null", primitive)`` with a primitive
-    the vectorized decoder handles (no collections/records/CQL logicals)."""
+    """True for every ``("null", T)``-union record (anything
+    :func:`avro_codec.avro_schema_for` emits): primitive fields decode
+    fully vectorized, other fields take a per-row parse INSIDE the same
+    position-tracked walk (null unions — e.g. the events-topic
+    MutationValue ``columns`` — cost one vectorized byte check)."""
     return node[0] == "record" and all(
-        isinstance(sub, tuple)
-        and sub[0] == "null"
-        and isinstance(sub[1], str)
-        and sub[1] in _VEC_TYPES
-        for _, sub in node[1]
+        isinstance(sub, tuple) and sub[0] == "null" for _, sub in node[1]
     )
 
 
@@ -717,7 +752,8 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
                     pa.bool_(), n, [_bitmap(present), _bitmap(b)]
                 )
                 pos = np.where(present, pos + 1, pos)
-            else:  # string / bytes: length varint + ragged payload gather
+            elif prim in ("string", "bytes"):
+                # length varint + ragged payload gather
                 slen, pos = _vec_varint(data, pos, present)
                 slen = np.where(present, slen, 0)
                 payload = _ragged_gather(data, pos, slen)
@@ -735,6 +771,16 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
                     ],
                 )
                 pos = np.where(present, pos + slen, pos)
+            else:
+                # collections / CQL logicals / nested records: union byte
+                # already consumed vectorized above; per-row parse only
+                # where the field is actually present
+                vals: list = [None] * n
+                if present.any():
+                    buf = data.tobytes()
+                    for i in np.flatnonzero(present).tolist():
+                        vals[i], pos[i] = decode_value(buf, int(pos[i]), prim)
+                out[name] = vals
         return out
 
     return decode_column
