@@ -620,6 +620,12 @@ def _vec_varint(data: np.ndarray, pos: np.ndarray, active: np.ndarray):
     can gather safely."""
     m = data[pos[:, None] + np.arange(10, dtype=np.int64)[None, :]]
     ends = (m & 0x80) == 0
+    overrun = active & ~ends.any(axis=1)
+    if overrun.any():
+        raise ValueError(
+            f"varint overrun (no stop byte in 10) at rows "
+            f"{np.flatnonzero(overrun)[:5].tolist()}"
+        )
     end = ends.argmax(axis=1).astype(np.int64)  # first stop byte
     keep = np.arange(10, dtype=np.int64)[None, :] <= end[:, None]
     planes = (m & 0x7F).astype(np.uint64) << (
@@ -691,6 +697,12 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
         for name, prim in fields:
             # union index: zigzag(0|1) is always a single byte (0x00/0x02)
             ub = data[pos]
+            bad_union = row_valid & (ub != 0) & (ub != _PRESENT)
+            if bad_union.any():
+                raise ValueError(
+                    f"invalid union byte for field {name!r} at rows "
+                    f"{np.flatnonzero(bad_union)[:5].tolist()}"
+                )
             present = row_valid & (ub != 0)
             pos = np.where(row_valid, pos + 1, pos)
             nulls = ~present
@@ -781,6 +793,14 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
                     for i in np.flatnonzero(present).tolist():
                         vals[i], pos[i] = decode_value(buf, int(pos[i]), prim)
                 out[name] = vals
+        # every valid blob must be consumed exactly: a position mismatch
+        # means a corrupt/truncated record that happened to parse
+        tail = row_valid & (pos != offsets[1:])
+        if tail.any():
+            raise ValueError(
+                f"record length mismatch at rows "
+                f"{np.flatnonzero(tail)[:5].tolist()}"
+            )
         return out
 
     return decode_column

@@ -261,10 +261,20 @@ def _decode_arrow(
     wire: DataFrame,
     key_schema: T.StructType,
     value_schema: T.StructType,
+    quarantine: bool = False,
 ) -> DataFrame:
     """Vectorized wire decode: one mapInArrow pass parses key/value
     blobs back into exact-typed columns + (is_tombstone, writetime,
-    segment, position, token)."""
+    segment, position, token).
+
+    ``quarantine=True`` adds a ``decode_error`` string column instead of
+    failing the batch (the reference's error-topic posture, S10): the
+    fast vectorized decode runs first; if a batch raises, it re-runs
+    per-row with per-blob try/except, nulling the bad row's columns and
+    recording the exception. Integrity beyond parseability rides on the
+    md5 digest the pipeline already carries — a corrupted blob that
+    still parses is caught by the digest mismatch upstream, same as the
+    reference."""
     pre = wire.select(
         "key",
         "value",
@@ -298,6 +308,10 @@ def _decode_arrow(
         T.StructField("position", T.LongType()),
         T.StructField("token", pre.schema["token"].dataType),
     ]
+    if quarantine:
+        meta_fields.append(
+            T.StructField("decode_error", T.StringType(), True)
+        )
     out_schema = T.StructType(
         list(key_schema.fields) + list(value_schema.fields) + meta_fields
     )
@@ -306,12 +320,27 @@ def _decode_arrow(
     ]]
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from cdc_apache_cassandra_spark.functions.avro_codec import (
+            decode_value,
+        )
+
+        def decode_record(node, blob):
+            # strict form: the record must consume the blob exactly
+            # (same check the vector decoder applies)
+            buf = bytes(blob)
+            value, end = decode_value(buf, 0, node)
+            if end != len(buf):
+                raise ValueError(
+                    f"record length mismatch ({end} != {len(buf)})"
+                )
+            return value
+
         def as_arrow(v, t: pa.DataType) -> pa.Array:
             if isinstance(v, pa.Array):
                 return v if v.type == t else v.cast(t)
             return pa.array(v, type=t)
 
-        for b in batches:
+        def decode_batch(b: pa.RecordBatch):
             kcols = dec_key(
                 b.column("key") if key_is_vec
                 else b.column("key").to_pylist()
@@ -320,7 +349,51 @@ def _decode_arrow(
                 b.column("value") if val_is_vec
                 else b.column("value").to_pylist()
             )
-            merged = {**kcols, **vcols}
+            return {**kcols, **vcols}, None
+
+        def decode_batch_quarantined(b: pa.RecordBatch):
+            """Per-row re-parse with per-blob try/except; bad rows null
+            out and carry the exception text."""
+            knames = [f.name for f in key_schema.fields]
+            vnames = [f.name for f in value_schema.fields]
+            cols: dict[str, list] = {c: [] for c in knames + vnames}
+            errs: list = []
+            keys = b.column("key").to_pylist()
+            vals = b.column("value").to_pylist()
+            for kb, vb in zip(keys, vals):
+                err = None
+                try:
+                    krec = decode_record(key_node, kb)
+                except Exception as ex:
+                    krec = {c: None for c in knames}
+                    err = f"key: {type(ex).__name__}: {ex}"
+                try:
+                    vrec = (
+                        {c: None for c in vnames}
+                        if vb is None
+                        else decode_record(val_node, vb)
+                    )
+                except Exception as ex:
+                    vrec = {c: None for c in vnames}
+                    err = (err + "; " if err else "") + (
+                        f"value: {type(ex).__name__}: {ex}"
+                    )
+                for c in knames:
+                    cols[c].append(krec.get(c))
+                for c in vnames:
+                    cols[c].append(vrec.get(c))
+                errs.append(err)
+            return cols, errs
+
+        for b in batches:
+            errs = None
+            if quarantine:
+                try:
+                    merged, errs = decode_batch(b)
+                except Exception:
+                    merged, errs = decode_batch_quarantined(b)
+            else:
+                merged, errs = decode_batch(b)
             arrays = [
                 as_arrow(merged[name], t) for name, t in typed
             ] + [
@@ -330,6 +403,13 @@ def _decode_arrow(
                 b.column("position"),
                 b.column("token"),
             ]
+            if quarantine:
+                arrays.append(
+                    pa.array(
+                        errs if errs is not None else [None] * b.num_rows,
+                        pa.string(),
+                    )
+                )
             yield pa.RecordBatch.from_arrays(
                 arrays, names=[f.name for f in out_schema.fields]
             )
@@ -494,12 +574,21 @@ def from_wire_records(
     key_schema: T.StructType,
     value_schema: T.StructType,
     codec: str = DEFAULT_CODEC,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(key, value, props) -> typed columns; null value bytes => tombstone
     with null value columns. The inverse of to_wire_records (F12: decode
-    the key record back to typed values to bind the lookup)."""
+    the key record back to typed values to bind the lookup).
+
+    ``on_error='quarantine'`` (avro codec only) adds a ``decode_error``
+    column instead of failing the job on malformed blobs — route
+    ``decode_error IS NOT NULL`` rows to the error sink (S10) and keep
+    the stream alive, the reference's archive/error-topic posture."""
     if codec == "avro":
-        return _decode_arrow(wire, key_schema, value_schema)
+        return _decode_arrow(
+            wire, key_schema, value_schema,
+            quarantine=(on_error == "quarantine"),
+        )
     if codec == "avro-jvm":
         key = _jvm_avro_struct(F.col("key"), key_schema)
         value = _jvm_avro_struct(F.col("value"), value_schema)

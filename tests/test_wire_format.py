@@ -513,3 +513,36 @@ def test_jvm_codec_byte_identity_when_available(spark, sf_dir):
     assert ka.keys() == kb.keys()
     for s in ka:
         assert ka[s][0] == kb[s][0], s
+
+
+def test_quarantine_decode_survives_corrupt_blobs(spark, sf_dir):
+    """on_error='quarantine': malformed wire bytes null their row and
+    carry decode_error instead of failing the batch (error-topic
+    posture, S10); intact rows decode exactly as in strict mode."""
+    ev = mutation_events(spark, sf_dir).limit(50)
+    wire = to_wire_records(ev, ["pk"], VALUE_COLS, codec="avro")
+    # corrupt the key blob on a deterministic subset of rows
+    broken = wire.withColumn(
+        "key",
+        F.when(
+            F.col("segpos").endswith("1"),
+            F.lit(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff"),
+        ).otherwise(F.col("key")),
+    )
+    out = from_wire_records(
+        broken, KEY_SCHEMA, VALUE_SCHEMA, codec="avro",
+        on_error="quarantine",
+    ).cache()
+    n_bad = broken.filter(F.col("segpos").endswith("1")).count()
+    bad = out.filter(F.col("decode_error").isNotNull())
+    assert bad.count() == n_bad and n_bad > 0
+    assert bad.filter(F.col("pk").isNotNull()).count() == 0
+    # intact rows: identical to strict decode (segpos ends with "1" iff
+    # position % 10 == 1 — position is segpos's last component)
+    good = out.filter(F.col("decode_error").isNull()).drop("decode_error")
+    strict = from_wire_records(
+        wire, KEY_SCHEMA, VALUE_SCHEMA, codec="avro"
+    ).filter(F.col("position") % 10 != 1)
+    assert good.count() == strict.count()
+    assert good.exceptAll(strict.select(*good.columns)).count() == 0
+    out.unpersist()
