@@ -202,11 +202,16 @@ def test_mutation_cache_transform_with_state(spark, sf_dir, event_dir):
     native TTL) dedups the replay to the same per-(pk,digest) multiset as
     the batch twin — all three cache operators agree.
 
-    Requires the `protobuf` package (the transformWithState driver worker
-    speaks protobuf to the JVM); skipped where it isn't installed — the
-    operator itself is the scale path on real clusters, which ship it.
-    """
-    pytest.importorskip("google.protobuf")
+    The transformWithState Python worker speaks protobuf to the JVM;
+    real clusters ship the wheel, and in this container the vendored
+    wire-format shim (streaming/protoshim.py, activated by conftest
+    BEFORE the JVM starts) stands in — so this test runs the ACTUAL
+    engine path, RocksDB state store and all, either way."""
+    from cdc_apache_cassandra_spark.streaming.protoshim import (
+        ensure_protobuf,
+    )
+
+    assert ensure_protobuf() in ("native", "shim")
     from cdc_apache_cassandra_spark.streaming.state import (
         mutation_cache_dedup_stream_tws,
     )
