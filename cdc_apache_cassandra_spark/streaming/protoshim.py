@@ -49,6 +49,25 @@ def ensure_protobuf() -> str:
         os.environ["PYTHONPATH"] = (
             _VENDOR + (os.pathsep + parts if parts else "")
         )
+    # An already-running session (e.g. the driver hands us its own)
+    # captured its env at JVM start; worker env vars for FUTURE python
+    # functions come from sc.environment, so patch that too. Crucial
+    # because spark-core's jar carries a `google/` resource directory
+    # that resolves as an empty namespace package on the worker — the
+    # vendor path must precede it.
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            env = spark.sparkContext.environment
+            cur = env.get("PYTHONPATH", "")
+            if _VENDOR not in cur.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    _VENDOR + (os.pathsep + cur if cur else "")
+                )
+    except Exception:
+        pass
     import google.protobuf  # noqa: F401
 
     return "shim"

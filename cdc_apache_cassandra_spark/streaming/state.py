@@ -208,6 +208,31 @@ class MutationCacheProcessor(StatefulProcessor):
         pass
 
 
+def warm_state_store_coordinator(spark) -> None:
+    """transformWithState in BATCH mode still loads executor state
+    stores through the driver's StateStoreCoordinator, which Spark only
+    materializes lazily for streaming queries — touch it through the
+    session's StreamingQueryManager so a batch TWS plan can run without
+    a prior streaming query (otherwise executors fail with
+    RpcEndpointNotFoundException: StateStoreCoordinator)."""
+    spark._jsparkSession.sessionState().streamingQueryManager().stateStoreCoordinator()
+
+
+def mutation_cache_dedup_batch_tws(
+    events: DataFrame,
+    max_digests: int = DEFAULT_MAX_DIGESTS,
+    pk_col: str = "pk",
+) -> DataFrame:
+    """BATCH run of the transformWithStateInPandas mutation cache — the
+    same StatefulProcessor the streaming path uses, executed by the real
+    engine (RocksDB store) over a bounded input. Lets the correctness
+    gate exercise the Spark-4 stateful operator itself, not a twin."""
+    warm_state_store_coordinator(events.sparkSession)
+    return mutation_cache_dedup_stream_tws(
+        events, max_digests=max_digests, ttl_ms=None, pk_col=pk_col
+    )
+
+
 def mutation_cache_dedup_stream_tws(
     events: DataFrame,
     max_digests: int = DEFAULT_MAX_DIGESTS,
