@@ -208,6 +208,44 @@ class MutationCacheProcessor(StatefulProcessor):
         pass
 
 
+def mutation_cache_dedup(
+    events: DataFrame,
+    max_digests: int = DEFAULT_MAX_DIGESTS,
+    ttl_ms: int | None = DEFAULT_TTL_MS,
+    pk_col: str = "pk",
+    engine: str = "auto",
+) -> DataFrame:
+    """Engine-selecting front door for the streaming mutation cache.
+
+    ``engine='auto'`` picks transformWithStateInPandas (RocksDB store,
+    native TTL — the right operator at scale: changelog checkpointing,
+    bounded executor memory, engine-evicted state) whenever its protobuf
+    worker dependency is satisfiable (real wheel or the vendored wire
+    shim), else falls back to ``applyInPandasWithState``. Both engines
+    share the `_dedup_rows` core, so results are identical — pinned by
+    tests/test_streaming.py. Force a specific engine with
+    ``'tws'`` / ``'pandas-state'``."""
+    if engine == "auto":
+        try:
+            from cdc_apache_cassandra_spark.streaming.protoshim import (
+                ensure_protobuf,
+            )
+
+            ensure_protobuf()
+            engine = "tws"
+        except ImportError:  # pragma: no cover — no wheel, no vendor
+            engine = "pandas-state"
+    if engine == "tws":
+        return mutation_cache_dedup_stream_tws(
+            events, max_digests=max_digests, ttl_ms=ttl_ms, pk_col=pk_col
+        )
+    if engine == "pandas-state":
+        return mutation_cache_dedup_stream(
+            events, max_digests=max_digests, ttl_ms=ttl_ms, pk_col=pk_col
+        )
+    raise ValueError(f"unknown engine {engine!r}")
+
+
 def warm_state_store_coordinator(spark) -> None:
     """transformWithState in BATCH mode still loads executor state
     stores through the driver's StateStoreCoordinator, which Spark only

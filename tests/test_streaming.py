@@ -299,3 +299,30 @@ def test_mutation_cache_processor_logic_with_fake_handle(spark, event_dir):
             want[key].sort_values(key).reset_index(drop=True)
         )
     )
+
+
+def test_engine_selector_prefers_tws_and_engines_agree(spark, event_dir):
+    """mutation_cache_dedup(engine='auto') selects transformWithState
+    when its protobuf dependency is satisfiable (always true here: real
+    wheel or vendored shim), and both engines converge the same replay
+    to the same multiset."""
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.streaming.state import (
+        mutation_cache_dedup,
+    )
+
+    stream = _read_stream(spark, event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    names = {}
+    for engine in ("auto", "pandas-state"):
+        name = f"sel_{engine.replace('-', '_')}_{_uuid.uuid4().hex[:8]}"
+        run_to_memory(
+            mutation_cache_dedup(stream, ttl_ms=None, engine=engine), name
+        )
+        names[engine] = name
+    a = spark.table(names["auto"])
+    b = spark.table(names["pandas-state"])
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
