@@ -312,6 +312,18 @@ def _decode_arrow(
         meta_fields.append(
             T.StructField("decode_error", T.StringType(), True)
         )
+        # quarantined rows null EVERY decoded column, including ones the
+        # caller declared non-nullable (e.g. MutationValue.md5Digest) —
+        # loosen nullability or the unsafe projection NPEs on them
+        key_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in key_schema.fields]
+        )
+        value_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True)
+                for f in value_schema.fields
+            ]
+        )
     out_schema = T.StructType(
         list(key_schema.fields) + list(value_schema.fields) + meta_fields
     )
@@ -523,13 +535,22 @@ def to_event_topic_records(
 
 
 def from_event_topic_records(
-    wire: DataFrame, key_schema: T.StructType, codec: str = DEFAULT_CODEC
+    wire: DataFrame,
+    key_schema: T.StructType,
+    codec: str = DEFAULT_CODEC,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Inverse of :func:`to_event_topic_records`: typed PK columns +
     (digest, node_id) from the MutationValue — what the connector needs
-    to dedup and bind the read-after-event lookup (F12)."""
+    to dedup and bind the read-after-event lookup (F12).
+    ``on_error='quarantine'`` (avro) appends ``decode_error`` instead of
+    failing the batch — same error-sink posture as
+    :func:`from_wire_records`."""
     if codec == "avro":
-        dec = _decode_arrow(wire, key_schema, MUTATION_VALUE_SCHEMA)
+        dec = _decode_arrow(
+            wire, key_schema, MUTATION_VALUE_SCHEMA,
+            quarantine=(on_error == "quarantine"),
+        )
         return dec.select(
             *[f.name for f in key_schema.fields],
             F.col("md5Digest").alias("digest"),
@@ -538,6 +559,7 @@ def from_event_topic_records(
             "segment",
             "position",
             "token",
+            *(["decode_error"] if on_error == "quarantine" else []),
         )
     if codec == "avro-jvm":
         key = _jvm_avro_struct(F.col("key"), key_schema)

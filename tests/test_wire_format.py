@@ -546,3 +546,30 @@ def test_quarantine_decode_survives_corrupt_blobs(spark, sf_dir):
     assert good.count() == strict.count()
     assert good.exceptAll(strict.select(*good.columns)).count() == 0
     out.unpersist()
+
+
+def test_event_topic_quarantine_decode(spark, sf_dir):
+    """Events-topic decode with on_error='quarantine': corrupt
+    MutationValue blobs null out and carry decode_error; intact rows
+    keep their digest for dedup."""
+    from cdc_apache_cassandra_spark.sources.wire_format import (
+        from_event_topic_records,
+        to_event_topic_records,
+    )
+
+    ev = mutation_events(spark, sf_dir).limit(40)
+    wire = to_event_topic_records(ev, ["pk"], codec="avro")
+    broken = wire.withColumn(
+        "value",
+        F.when(
+            F.col("segpos").endswith("3"), F.lit(b"\x02\xff\xff\xff\xff")
+        ).otherwise(F.col("value")),
+    )
+    out = from_event_topic_records(
+        broken, KEY_SCHEMA, codec="avro", on_error="quarantine"
+    )
+    n_bad = broken.filter(F.col("segpos").endswith("3")).count()
+    assert n_bad > 0
+    assert out.filter(F.col("decode_error").isNotNull()).count() == n_bad
+    good = out.filter(F.col("decode_error").isNull())
+    assert good.filter(F.col("digest").isNull()).count() == 0
