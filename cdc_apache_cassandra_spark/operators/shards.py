@@ -1,0 +1,92 @@
+"""WebDataset-style tar shard operations — native ustar parsing.
+
+Large multimodal training corpora ship as tar shards whose members pair
+up by basename (``0001.txt`` + ``0001.jpg`` = one sample; WebDataset
+convention). The pipeline-level operations are CONTAINER work: walk the
+512-byte ustar headers, resolve member byte ranges, group members into
+samples by key, slice payloads — no decompression or codec involved, so
+it all runs natively here and the per-member byte ranges feed the same
+decode plug-points as the MP4/MP3 probes.
+
+Parser scope: ustar/POSIX headers (name 100 bytes, octal size at offset
+124, typeflag at 156), data rounded up to 512-byte blocks, end marker =
+two zero blocks. GNU longname/longlink entries (typeflag 'L') are
+resolved; sparse files and pax extended headers are rejected explicitly.
+Cross-checked against the stdlib ``tarfile`` writer in tests (we parse
+what an independent implementation wrote).
+"""
+
+from __future__ import annotations
+
+BLOCK = 512
+
+
+def parse_tar_members(blob: bytes) -> list[dict]:
+    """Walk a tar archive's headers; return
+    ``[{name, offset, size, typeflag}]`` with absolute payload offsets.
+    Raises on malformed headers / truncation (a mis-stepped walk loses
+    header alignment, so the walk itself validates the shard)."""
+    out: list[dict] = []
+    pos = 0
+    pending_longname: str | None = None
+    while pos + BLOCK <= len(blob):
+        hdr = blob[pos : pos + BLOCK]
+        if hdr == b"\x00" * BLOCK:  # end-of-archive marker
+            break
+        # header checksum FIRST (bytes 148-156 treated as spaces): it
+        # gates every other field against corruption
+        try:
+            stored = int(hdr[148:156].split(b"\x00", 1)[0].strip() or b"0", 8)
+        except ValueError as exc:
+            raise ValueError(f"tar header checksum mismatch at {pos}") from exc
+        calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        size_field = hdr[124:136].split(b"\x00", 1)[0].strip()
+        try:
+            size = int(size_field or b"0", 8)
+        except ValueError as exc:
+            raise ValueError(f"bad size field at {pos}: {size_field!r}") from exc
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        data_off = pos + BLOCK
+        if typeflag == "L":  # GNU longname: payload is the real name
+            pending_longname = (
+                blob[data_off : data_off + size].split(b"\x00", 1)[0].decode()
+            )
+        elif typeflag in ("x", "g", "S"):
+            raise NotImplementedError(
+                f"tar typeflag {typeflag!r} (pax/sparse) not supported"
+            )
+        else:
+            if pending_longname is not None:
+                name = pending_longname
+                pending_longname = None
+            if typeflag in ("0", "\x00"):
+                out.append(
+                    {
+                        "name": name,
+                        "offset": data_off,
+                        "size": size,
+                        "typeflag": typeflag,
+                    }
+                )
+        pos = data_off + ((size + BLOCK - 1) // BLOCK) * BLOCK
+    else:
+        raise ValueError("tar truncated: no end-of-archive marker")
+    return out
+
+
+def webdataset_samples(members: list[dict]) -> dict[str, dict[str, dict]]:
+    """Group tar members into WebDataset samples: the key is the member
+    basename up to the FIRST dot, the modality is everything after it
+    (``0007.cls.txt`` -> key ``0007``, modality ``cls.txt``)."""
+    samples: dict[str, dict[str, dict]] = {}
+    for m in members:
+        base = m["name"].rsplit("/", 1)[-1]
+        if "." in base:
+            key, modality = base.split(".", 1)
+        else:
+            key, modality = base, ""
+        samples.setdefault(key, {})[modality] = m
+    return samples

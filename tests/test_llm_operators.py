@@ -532,3 +532,51 @@ def test_mp3_probe_scans_frames_and_detects_desync():
         probe_mp3(blob[:-1])
     with _pytest.raises(ValueError, match="lost MP3 sync"):
         probe_mp3(b"\x00\x00" + blob)
+
+
+def test_tar_parser_cross_checked_against_stdlib_writer():
+    """Native ustar walk vs the stdlib tarfile writer (independent
+    implementation): names, sizes, payload offsets, GNU longnames, and
+    the checksum/truncation error paths."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.operators.shards import (
+        parse_tar_members,
+        webdataset_samples,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        for key, ext, data in (
+            ("0001", "txt", b"alpha"),
+            ("0001", "img", bytes(range(7))),
+            ("0002", "cls.txt", b"3"),
+            ("d/" + "n" * 140, "bin", b"xy"),  # forces a GNU longname entry
+        ):
+            ti = tarfile.TarInfo(f"{key}.{ext}")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    blob = buf.getvalue()
+    members = parse_tar_members(blob)
+    by_name = {m["name"]: m for m in members}
+    assert blob[
+        by_name["0001.txt"]["offset"] : by_name["0001.txt"]["offset"] + 5
+    ] == b"alpha"
+    samples = webdataset_samples(members)
+    assert set(samples["0001"]) == {"txt", "img"}
+    assert set(samples["0002"]) == {"cls.txt"}  # modality = after FIRST dot
+    assert ("n" * 140) in samples  # longname resolved into the key
+    # checksum validation: flip a header byte
+    bad = bytearray(blob)
+    bad[0] ^= 0xFF
+    with _pytest.raises(ValueError, match="checksum"):
+        parse_tar_members(bytes(bad))
+    # truncation mid-payload: the walk runs off the end without ever
+    # seeing the end-of-archive marker (tarfile pads archives to 10 KiB
+    # records, so a small tail cut would still leave zero blocks)
+    last = max(m["offset"] for m in members)
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_tar_members(blob[: last + 1])
