@@ -77,6 +77,43 @@ def parse_tar_members(blob: bytes) -> list[dict]:
     return out
 
 
+def gzip_members(blob: bytes) -> list[bytes]:
+    """Decompress a MULTI-MEMBER gzip stream into its members' payloads
+    — the Common Crawl WET/WARC convention (one gzip member per record,
+    concatenated; readers must keep consuming after the first member,
+    which naive ``zlib.decompress`` does not). Pure stdlib zlib:
+    ``decompressobj(wbits=31)`` per member, member boundaries recovered
+    from ``unused_data``. Raises on trailing garbage or a truncated
+    member."""
+    import zlib
+
+    out: list[bytes] = []
+    rest = bytes(blob)
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError(
+                f"trailing non-gzip bytes after member {len(out)}"
+            )
+        d = zlib.decompressobj(wbits=31)
+        payload = d.decompress(rest)
+        if not d.eof:
+            raise ValueError(f"truncated gzip member {len(out)}")
+        out.append(payload)
+        rest = d.unused_data
+    return out
+
+
+def jsonl_records(payload: bytes) -> list[dict]:
+    """Parse a JSON-lines payload (one object per non-empty line)."""
+    import json
+
+    return [
+        json.loads(line)
+        for line in payload.decode("utf-8").splitlines()
+        if line.strip()
+    ]
+
+
 def webdataset_samples(members: list[dict]) -> dict[str, dict[str, dict]]:
     """Group tar members into WebDataset samples: the key is the member
     basename up to the FIRST dot, the modality is everything after it

@@ -829,3 +829,105 @@ def multimodal_webdataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(synth_and_walk, out_schema)
+
+
+# --- gzip JSONL shards: multi-member decompression (WET/WARC convention) ----
+
+_JSONLGZ_SQL = """
+WITH docs AS (SELECT doc_id, 2 + doc_id % 2 AS n_members FROM documents),
+recs AS (
+  SELECT doc_id, n_members, m.m AS member_id, r.r AS rec_id,
+         1 + (doc_id + m.m) % 3 AS recs_in_member
+  FROM docs,
+       (SELECT unnest(range(0, 4)) AS m) m,
+       (SELECT unnest(range(0, 3)) AS r) r
+  WHERE m.m < n_members AND r.r < 1 + (doc_id + m.m) % 3
+)
+SELECT doc_id,
+       CAST(member_id AS INTEGER) AS member_id,
+       CAST(rec_id AS INTEGER) AS rec_id,
+       'u' || CAST(doc_id * 100 + member_id * 10 + rec_id AS VARCHAR)
+           AS url,
+       CAST(length(repeat('t', 5 + (doc_id + member_id + rec_id) % 11))
+            AS BIGINT) AS text_len,
+       CAST(n_members AS BIGINT) AS n_members
+FROM recs
+"""
+
+
+@register("multimodal_jsonl_gz_shard", sql=_JSONLGZ_SQL)
+def multimodal_jsonl_gz_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text shard ingestion the WET/WARC way: one shard per
+    document made of CONCATENATED gzip members (one JSONL batch each —
+    naive gunzip stops after the first member and silently loses the
+    rest), decompressed member-by-member with stdlib zlib
+    (operators/shards.py::gzip_members) and parsed as JSON lines. The
+    oracle recomputes the planted record grammar in closed form, so
+    member segmentation, decompression, and line parsing are verified
+    value-exact. Map-side only — the right 100 TB shape: one task per
+    shard, records explode in place."""
+    import gzip
+    import io
+    import json
+
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.shards import (
+        gzip_members,
+        jsonl_records,
+    )
+
+    out_schema = (
+        "doc_id long, member_id int, rec_id int, url string, "
+        "text_len long, n_members long"
+    )
+
+    def make_shard(doc_id: int) -> bytes:
+        parts = []
+        n_members = 2 + doc_id % 2
+        for m in range(n_members):
+            lines = []
+            for r in range(1 + (doc_id + m) % 3):
+                lines.append(
+                    json.dumps(
+                        {
+                            "url": f"u{doc_id * 100 + m * 10 + r}",
+                            "text": "t" * (5 + (doc_id + m + r) % 11),
+                        },
+                        separators=(",", ":"),
+                    )
+                )
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(("\n".join(lines) + "\n").encode())
+            parts.append(buf.getvalue())
+        return b"".join(parts)
+
+    def synth_and_read(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                members = gzip_members(make_shard(doc_id))
+                for m, payload in enumerate(members):
+                    for r, rec in enumerate(jsonl_records(payload)):
+                        rows.append(
+                            (
+                                doc_id,
+                                m,
+                                r,
+                                rec["url"],
+                                len(rec["text"]),
+                                len(members),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "member_id", "rec_id", "url",
+                    "text_len", "n_members",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_read, out_schema)

@@ -580,3 +580,30 @@ def test_tar_parser_cross_checked_against_stdlib_writer():
     last = max(m["offset"] for m in members)
     with _pytest.raises(ValueError, match="truncated"):
         parse_tar_members(blob[: last + 1])
+
+
+def test_gzip_members_multi_member_and_errors():
+    """Multi-member gzip: members recovered individually (the WET/WARC
+    shape naive gunzip truncates); trailing garbage and truncation are
+    loud errors."""
+    import gzip
+    import io
+
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.operators.shards import gzip_members
+
+    def gz(data: bytes) -> bytes:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(data)
+        return buf.getvalue()
+
+    blob = gz(b"first") + gz(b"") + gz(b"third " * 100)
+    assert gzip_members(blob) == [b"first", b"", b"third " * 100]
+    # naive single-shot gunzip loses members 2..n — the reason this op exists
+    assert gzip.decompress(blob) != b"first"  # stdlib concatenates...
+    with _pytest.raises(ValueError, match="trailing non-gzip"):
+        gzip_members(blob + b"junk")
+    with _pytest.raises(ValueError, match="truncated"):
+        gzip_members(blob[:-5])
