@@ -114,6 +114,71 @@ def jsonl_records(payload: bytes) -> list[dict]:
     ]
 
 
+def parse_zip_members(blob: bytes) -> list[dict]:
+    """ZIP central-directory walk (the authoritative index — local
+    headers can lie about sizes under streaming writers): locate the
+    end-of-central-directory record, walk the central headers, and
+    resolve each member's compressed payload range past its local
+    header. Returns ``[{name, method, offset, csize, usize, crc32}]``.
+    Methods: 0 = stored, 8 = deflate (inflate with ``zlib`` wbits=-15);
+    others are rejected at extraction."""
+    import struct
+
+    eocd = blob.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError("no end-of-central-directory record")
+    n_this, n_total = struct.unpack_from("<HH", blob, eocd + 8)
+    cd_size, cd_off = struct.unpack_from("<II", blob, eocd + 12)
+    out: list[dict] = []
+    pos = cd_off
+    for _ in range(n_total):
+        if blob[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError(f"bad central header at {pos}")
+        method = struct.unpack_from("<H", blob, pos + 10)[0]
+        crc, csize, usize = struct.unpack_from("<III", blob, pos + 16)
+        nlen, elen, clen = struct.unpack_from("<HHH", blob, pos + 28)
+        (lho,) = struct.unpack_from("<I", blob, pos + 42)
+        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        # payload starts after the member's LOCAL header (its own
+        # name/extra lengths may differ from the central ones)
+        if blob[lho : lho + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad local header for {name!r} at {lho}")
+        lnlen, lelen = struct.unpack_from("<HH", blob, lho + 26)
+        data_off = lho + 30 + lnlen + lelen
+        out.append(
+            {
+                "name": name,
+                "method": method,
+                "offset": data_off,
+                "csize": csize,
+                "usize": usize,
+                "crc32": crc,
+            }
+        )
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+def read_zip_member(blob: bytes, member: dict) -> bytes:
+    """Extract + verify one member: stored or deflate, CRC-checked."""
+    import zlib
+
+    raw = blob[member["offset"] : member["offset"] + member["csize"]]
+    if member["method"] == 0:
+        data = raw
+    elif member["method"] == 8:
+        data = zlib.decompress(raw, wbits=-15)
+    else:
+        raise NotImplementedError(
+            f"zip compression method {member['method']} (only stored/deflate)"
+        )
+    if len(data) != member["usize"] or (
+        zlib.crc32(data) & 0xFFFFFFFF
+    ) != member["crc32"]:
+        raise ValueError(f"zip member {member['name']!r} failed CRC/size check")
+    return data
+
+
 def webdataset_samples(members: list[dict]) -> dict[str, dict[str, dict]]:
     """Group tar members into WebDataset samples: the key is the member
     basename up to the FIRST dot, the modality is everything after it

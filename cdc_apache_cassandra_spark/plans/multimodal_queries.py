@@ -931,3 +931,99 @@ def multimodal_jsonl_gz_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(synth_and_read, out_schema)
+
+
+# --- ZIP code-archive shards: central-directory walk + CRC extraction -------
+
+_ZIP_SQL = """
+WITH docs AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+files AS (
+  SELECT doc_id, n, f.f AS file_id,
+         20 + (doc_id * 7 + f.f * 13) % 60 AS body_len
+  FROM docs, (SELECT unnest(range(0, 5)) AS f) f
+  WHERE f.f < n
+)
+SELECT doc_id,
+       'src/f' || CAST(file_id AS VARCHAR) || '.py' AS path,
+       CAST(CASE WHEN file_id % 2 = 0 THEN 8 ELSE 0 END AS INTEGER)
+           AS method,
+       CAST(body_len * length('line' || CAST(doc_id AS VARCHAR) || ';')
+            AS BIGINT) AS usize,
+       md5(repeat('line' || CAST(doc_id AS VARCHAR) || ';',
+                  CAST(body_len AS INTEGER))) AS content_md5,
+       CAST(n AS BIGINT) AS n_files
+FROM files
+"""
+
+
+@register("multimodal_zip_code_shard", sql=_ZIP_SQL)
+def multimodal_zip_code_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-dataset archive ingestion: build a ZIP per document (stdlib
+    zipfile as the independent writer, alternating stored/deflate
+    members), walk the CENTRAL directory natively
+    (operators/shards.py::parse_zip_members — the authoritative index;
+    local headers can lie under streaming writers), extract each member
+    with CRC verification, and report md5 of the decompressed content.
+    The oracle recomputes the planted file grammar in closed form, so
+    directory offsets, inflate, and CRC checks are all value-exact."""
+    import hashlib
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from cdc_apache_cassandra_spark.operators.shards import (
+        parse_zip_members,
+        read_zip_member,
+    )
+
+    out_schema = (
+        "doc_id long, path string, method int, usize long, "
+        "content_md5 string, n_files long"
+    )
+
+    def make_zip(doc_id: int) -> bytes:
+        buf = io.BytesIO()
+        n = 2 + doc_id % 3
+        with zipfile.ZipFile(buf, "w") as zf:
+            for f in range(n):
+                body_len = 20 + (doc_id * 7 + f * 13) % 60
+                body = (f"line{doc_id};" * body_len).encode()
+                zf.writestr(
+                    f"src/f{f}.py",
+                    body,
+                    compress_type=(
+                        zipfile.ZIP_DEFLATED if f % 2 == 0 else zipfile.ZIP_STORED
+                    ),
+                )
+        return buf.getvalue()
+
+    def synth_and_extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = make_zip(doc_id)
+                members = parse_zip_members(blob)
+                for m in members:
+                    data = read_zip_member(blob, m)
+                    rows.append(
+                        (
+                            doc_id,
+                            m["name"],
+                            m["method"],
+                            m["usize"],
+                            hashlib.md5(data).hexdigest(),
+                            len(members),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "path", "method", "usize",
+                    "content_md5", "n_files",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth_and_extract, out_schema)

@@ -607,3 +607,36 @@ def test_gzip_members_multi_member_and_errors():
         gzip_members(blob + b"junk")
     with _pytest.raises(ValueError, match="truncated"):
         gzip_members(blob[:-5])
+
+
+def test_zip_parser_cross_checked_against_stdlib_writer():
+    """Native central-directory walk vs the stdlib zipfile writer:
+    stored + deflate members extract CRC-verified; corruption and a
+    missing EOCD record fail loudly."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.operators.shards import (
+        parse_zip_members,
+        read_zip_member,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", "hello stored", compress_type=zipfile.ZIP_STORED)
+        zf.writestr(
+            "dir/b.txt", "deflate me " * 50, compress_type=zipfile.ZIP_DEFLATED
+        )
+    blob = buf.getvalue()
+    by = {m["name"]: m for m in parse_zip_members(blob)}
+    assert read_zip_member(blob, by["a.txt"]) == b"hello stored"
+    assert read_zip_member(blob, by["dir/b.txt"]) == b"deflate me " * 50
+    assert (by["a.txt"]["method"], by["dir/b.txt"]["method"]) == (0, 8)
+    bad = bytearray(blob)
+    bad[by["a.txt"]["offset"]] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        read_zip_member(bytes(bad), parse_zip_members(bytes(bad))[0])
+    with _pytest.raises(ValueError, match="end-of-central-directory"):
+        parse_zip_members(b"not a zip at all")
