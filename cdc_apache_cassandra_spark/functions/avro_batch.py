@@ -351,6 +351,8 @@ def make_vector_encoder(node: tuple) -> Callable:
         batch: pa.RecordBatch, null_rows: np.ndarray | None = None
     ) -> pa.BinaryArray:
         n = batch.num_rows
+        if n == 0:
+            return pa.array([], pa.binary())
         # per field: list of (src_data, src_starts, lens)
         segments: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for name, prim in fields:
@@ -671,6 +673,11 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
 
     def decode_column(arr: pa.Array) -> dict:
         n = len(arr)
+        if n == 0:
+            # empty batches can carry a NULL offsets buffer — nothing to
+            # gather; plain empty lists convert via the caller's typed
+            # pa.array() path
+            return {name: [] for name, _ in fields}
         if arr.offset != 0:
             # sliced arrays: normalize once (rare — mapInArrow batches
             # arrive at offset 0)
