@@ -41,24 +41,57 @@ def read_after_event(
     ``snapshot`` must expose ``pk_cols`` + ``value_cols``.
     Output columns: pk_cols, op, ``is_tombstone``, and each value column
     (null when tombstone).
+
+    Row presence is detected by an explicit ``_snap_exists`` join marker,
+    NOT by null-ness of a value column: a snapshot row whose leading value
+    column is legitimately NULL is still a live row, matching the
+    reference where tombstone means the whole row is absent
+    (CassandraSource.java:554).
+
+    PK-only tables (``value_cols == []``): the reference special-cases
+    them by putting the PK columns IN the value
+    (CassandraSource.java:346-350, testOnlyPk). Here that surfaces as
+    output columns ``value_<pk>`` (null on tombstone); an event whose key
+    exists in the snapshot is NOT a tombstone.
     """
     snap = snapshot.select(
-        *pk_cols, *[F.col(c).alias(f"_snap_{c}") for c in value_cols]
+        *pk_cols,
+        F.lit(1).alias("_snap_exists"),
+        *[F.col(c).alias(f"_snap_{c}") for c in value_cols],
     )
     if broadcast_snapshot:
         snap = F.broadcast(snap)
 
     joined = events.join(snap, on=pk_cols, how="left")
-    found = F.col(f"_snap_{value_cols[0]}").isNotNull() if value_cols else F.lit(False)
+    found = F.col("_snap_exists").isNotNull()
     tombstone = (F.col(op_col) == "DELETE") | ~found
 
     out = joined.withColumn("is_tombstone", tombstone)
-    for c in value_cols:
-        out = out.withColumn(
-            c, F.when(F.col("is_tombstone"), F.lit(None)).otherwise(F.col(f"_snap_{c}"))
-        )
-    passthrough = [c for c in events.columns if c not in pk_cols and c != op_col]
-    return out.select(*pk_cols, op_col, *passthrough, "is_tombstone", *value_cols)
+    if value_cols:
+        out_value_cols = list(value_cols)
+        for c in value_cols:
+            out = out.withColumn(
+                c,
+                F.when(F.col("is_tombstone"), F.lit(None)).otherwise(
+                    F.col(f"_snap_{c}")
+                ),
+            )
+    else:
+        # PK-only table: value carries the PK columns themselves.
+        out_value_cols = [f"value_{c}" for c in pk_cols]
+        for c in pk_cols:
+            out = out.withColumn(
+                f"value_{c}",
+                F.when(F.col("is_tombstone"), F.lit(None)).otherwise(F.col(c)),
+            )
+    passthrough = [
+        c
+        for c in events.columns
+        if c not in pk_cols and c != op_col
+    ]
+    return out.select(
+        *pk_cols, op_col, *passthrough, "is_tombstone", *out_value_cols
+    )
 
 
 def read_after_event_compound(
@@ -97,15 +130,17 @@ def read_after_event_compound(
         "PARTITION_AND_CLUSTERING_KEY_ROW_DELETION",
     )
 
-    # branch 1: full-PK lookup
+    # branch 1: full-PK lookup — explicit presence marker so rows whose
+    # leading value column is NULL are not mistaken for missing rows
     row_snap = snapshot.select(
         *full_pk,
+        F.lit(1).alias("_s_exists"),
         *[F.col(c).alias(f"_s_{c}") for c in static_cols + regular_cols],
     )
     row_ev = events.filter(F.col(ptype_col).isin(*row_kinds)).join(
         row_snap, on=full_pk, how="left"
     )
-    row_found = F.col(f"_s_{(static_cols + regular_cols)[0]}").isNotNull()
+    row_found = F.col("_s_exists").isNotNull()
     row_tomb = (F.col(op_col) == "DELETE") | ~row_found
     row_out = row_ev.select(
         *partition_cols,

@@ -305,14 +305,21 @@ def cdc_compound_read_after_event(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- F-4: PK-only table (value carries the PK columns) ---------------------
 
 _PK_ONLY_SQL = """
-WITH ev AS (
-  SELECT n_nationkey AS pk, r.node_id,
-         md5(CAST(n_nationkey AS VARCHAR) || '|INSERT') AS digest
-  FROM nation
+WITH base AS (
+  SELECT n_nationkey AS pk, 'INSERT' AS op FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'DELETE' FROM nation WHERE n_nationkey % 5 = 0
+),
+ev AS (
+  SELECT pk, op, r.node_id,
+         md5(CAST(pk AS VARCHAR) || '|' || op) AS digest
+  FROM base
   CROSS JOIN (SELECT CAST(0 AS BIGINT) AS node_id UNION ALL SELECT 1) r
 ),
-deduped AS (SELECT DISTINCT pk, digest FROM ev)
-SELECT pk AS key_nationkey, pk AS value_nationkey, FALSE AS is_tombstone
+deduped AS (SELECT DISTINCT pk, op, digest FROM ev)
+SELECT pk AS key_nationkey, op,
+       (op = 'DELETE') AS is_tombstone,
+       CASE WHEN op = 'DELETE' THEN NULL ELSE pk END AS value_nationkey
 FROM deduped
 """
 
@@ -321,20 +328,87 @@ FROM deduped
 def cdc_pk_only_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK-only table: no regular columns, so the VALUE carries the PK
     columns too (CassandraSource.java:346-350 special case; FIXTURES F-4,
-    testOnlyPk). Replica duplicates suppressed by digest dedup."""
+    testOnlyPk). Routed THROUGH read_after_event with value_cols=[] so
+    the gate pins the operator's PK-only branch — an event whose key
+    exists is NOT a tombstone, a DELETE is. Replica duplicates suppressed
+    by digest dedup."""
+    from cdc_apache_cassandra_spark.operators.lookup import read_after_event
+
     n = load_table(spark, sf_dir, "nation")
-    replicas = spark.range(2).select(F.col("id").alias("node_id"))
-    ev = (
+    base = (
         n.select(F.col("n_nationkey").alias("pk"))
-        .crossJoin(F.broadcast(replicas))
-        .withColumn("digest", F.md5(F.concat_ws("|", F.col("pk"), F.lit("INSERT"))))
+        .withColumn("op", F.lit("INSERT"))
+        .unionByName(
+            n.filter(F.col("n_nationkey") % 5 == 0)
+            .select(F.col("n_nationkey").alias("pk"))
+            .withColumn("op", F.lit("DELETE"))
+        )
     )
-    deduped = ev.dropDuplicates(["digest"])
-    return deduped.select(
+    replicas = spark.range(2).select(F.col("id").alias("node_id"))
+    ev = base.crossJoin(F.broadcast(replicas)).withColumn(
+        "digest", F.md5(F.concat_ws("|", F.col("pk"), F.col("op")))
+    )
+    deduped = ev.dropDuplicates(["digest"]).select("pk", "op")
+    snapshot = n.select(F.col("n_nationkey").alias("pk"))
+    out = read_after_event(deduped, snapshot, ["pk"], [], broadcast_snapshot=True)
+    return out.select(
         F.col("pk").alias("key_nationkey"),
-        F.col("pk").alias("value_nationkey"),
-        F.lit(False).alias("is_tombstone"),
+        "op",
+        "is_tombstone",
+        F.col("value_pk").alias("value_nationkey"),
     )
+
+
+# --- J1 edge: live row whose LEADING value column is NULL -------------------
+# (pins VERDICT r3 finding #1: row presence must come from a join marker,
+# not from null-ness of the first value column)
+
+_NULL_LEAD_SQL = """
+WITH ev AS (
+  SELECT c_custkey AS pk,
+         CASE WHEN c_custkey % 10 = 0 THEN 'DELETE' ELSE 'INSERT' END AS op
+  FROM customer
+),
+snap AS (
+  SELECT c_custkey AS pk,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg_opt,
+         c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT e.pk, e.op,
+       (e.op = 'DELETE' OR s.pk IS NULL) AS is_tombstone,
+       CASE WHEN e.op = 'DELETE' OR s.pk IS NULL THEN NULL
+            ELSE s.seg_opt END AS seg_opt,
+       CASE WHEN e.op = 'DELETE' OR s.pk IS NULL THEN NULL
+            ELSE s.c_acctbal END AS c_acctbal
+FROM ev e LEFT JOIN snap s ON e.pk = s.pk
+"""
+
+
+@register("cdc_null_leading_snapshot", sql=_NULL_LEAD_SQL)
+def cdc_null_leading_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A snapshot row that EXISTS but whose first value column is NULL
+    must stay a live row (null column, is_tombstone=false) — tombstone
+    means the whole row is gone (CassandraSource.java:554), never "the
+    first column was null". Rows missing from the snapshot (pk % 7 = 0
+    here) and DELETE events are the only tombstones."""
+    from cdc_apache_cassandra_spark.operators.lookup import read_after_event
+
+    c = load_table(spark, sf_dir, "customer")
+    ev = c.select(
+        F.col("c_custkey").alias("pk"),
+        F.when(F.col("c_custkey") % 10 == 0, "DELETE")
+        .otherwise("INSERT")
+        .alias("op"),
+    )
+    snap = c.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("pk"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_opt"),
+        "c_acctbal",
+    )
+    return read_after_event(ev, snap, ["pk"], ["seg_opt", "c_acctbal"])
 
 
 # --- T3: token partitioning / routing --------------------------------------

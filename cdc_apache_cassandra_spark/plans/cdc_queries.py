@@ -224,6 +224,95 @@ def cdc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UDT evolution: ALTER TYPE ADD field mid-stream -------------------------
+# (onUserDefinedTypeUpdated scenario, CassandraSource.java:666-698: adding a
+# field to a UDT is BACKWARD-compatible in Avro; pre-DDL events carry null
+# for the new UDT field INSIDE the nested record)
+
+_UDT_EVOLVED_SQL = f"""
+WITH {_CTE},
+old_events AS (
+  SELECT pk, op, writetime, segment, position, digest,
+         CASE WHEN op = 'DELETE' THEN NULL
+              ELSE {{'seg': c_mktsegment, 'tier': CAST(NULL AS VARCHAR)}}
+         END AS profile
+  FROM events_stream WHERE pk % 2 = 0
+),
+new_events AS (
+  SELECT pk, op, writetime, segment, position, digest,
+         CASE WHEN op = 'DELETE' THEN NULL
+              ELSE {{'seg': c_mktsegment,
+                     'tier': CASE WHEN c_acctbal IS NULL THEN NULL
+                                  WHEN c_acctbal >= 5000 THEN 'gold'
+                                  ELSE 'std' END}}
+         END AS profile
+  FROM events_stream WHERE pk % 2 = 1
+),
+unioned AS (SELECT * FROM old_events UNION ALL SELECT * FROM new_events),
+deduped AS (SELECT DISTINCT * FROM unioned),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+)
+SELECT pk, op, (op = 'DELETE') AS is_tombstone, (pk % 2 = 0) AS pre_ddl,
+       to_json(profile) AS profile_json
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_udt_evolution_union", sql=_UDT_EVOLVED_SQL)
+def cdc_udt_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDT schema evolution mid-stream: pre-DDL events carry a nested
+    record (UDT) WITHOUT the new field; post-DDL events carry the widened
+    UDT. reconcile_schemas recurses into the StructType (additive
+    nullable field inside a nested record is BACKWARD-compatible, the
+    onUserDefinedTypeUpdated case) and align_to_schema back-fills the
+    missing nested field with typed nulls while preserving null UDTs —
+    all plan-time struct rewriting, no shuffle beyond the dedup. Rendered
+    to JSON for the oracle (struct canonicalization, see
+    cql_udt_tuple_projection)."""
+    from cdc_apache_cassandra_spark.streaming.schema_evolution import (
+        union_evolved,
+    )
+
+    base = mutation_events(spark, sf_dir).select(
+        "pk", "op", "writetime", "segment", "position", "digest", "node_id",
+        "c_mktsegment", "c_acctbal",
+    )
+    tier = (
+        F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .otherwise("std")
+    )
+    old = base.filter(F.col("pk") % 2 == 0).select(
+        "pk", "op", "writetime", "segment", "position", "digest", "node_id",
+        F.when(F.col("op") == "DELETE", F.lit(None))
+        .otherwise(F.struct(F.col("c_mktsegment").alias("seg")))
+        .alias("profile"),
+    )
+    new = base.filter(F.col("pk") % 2 == 1).select(
+        "pk", "op", "writetime", "segment", "position", "digest", "node_id",
+        F.when(F.col("op") == "DELETE", F.lit(None))
+        .otherwise(
+            F.struct(F.col("c_mktsegment").alias("seg"), tier.alias("tier"))
+        )
+        .alias("profile"),
+    )
+    unioned = union_evolved(old, new)
+    latest = last_write_wins(dedup_mutations(unioned))
+    return latest.select(
+        "pk",
+        "op",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        (F.col("pk") % 2 == 0).alias("pre_ddl"),
+        F.to_json(F.col("profile"), {"ignoreNullFields": "false"}).alias(
+            "profile_json"
+        ),
+    )
+
+
 # --- replica divergence audit ------------------------------------------------
 
 _DIVERGENCE_SQL = f"""

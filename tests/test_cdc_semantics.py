@@ -104,3 +104,41 @@ def test_backfill_loses_to_live(spark, sf_dir):
     # but backfill alone hydrates every key
     state_bf = last_write_wins(bf)
     assert state_bf.count() == snap.count()
+
+
+def test_null_leading_value_column_is_not_tombstone(spark):
+    """J1 edge (VERDICT r3 #1): a snapshot row whose FIRST value column is
+    legitimately NULL is a live row — presence comes from the join marker,
+    not value null-ness (CassandraSource.java:554)."""
+    ev = spark.createDataFrame(
+        [(1, "INSERT"), (2, "INSERT"), (3, "DELETE"), (4, "INSERT")],
+        "pk long, op string",
+    )
+    snap = spark.createDataFrame(
+        [(1, None, 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "pk long, name string, bal double",
+    )
+    out = read_after_event(ev, snap, ["pk"], ["name", "bal"])
+    rows = {r["pk"]: r for r in out.collect()}
+    # pk=1 exists with NULL leading column: live, name null, bal present
+    assert rows[1]["is_tombstone"] is False
+    assert rows[1]["name"] is None and rows[1]["bal"] == 10.0
+    # pk=3 DELETE: tombstone, values nulled
+    assert rows[3]["is_tombstone"] is True and rows[3]["bal"] is None
+    # pk=4 missing from snapshot: tombstone
+    assert rows[4]["is_tombstone"] is True
+
+
+def test_pk_only_table_value_carries_pk(spark):
+    """J1/S6 PK-only special case (CassandraSource.java:346-350): with no
+    regular columns the value carries the PK columns; existing keys are
+    NOT tombstones, DELETEs and missing keys are."""
+    ev = spark.createDataFrame(
+        [(1, "INSERT"), (2, "DELETE"), (9, "INSERT")], "pk long, op string"
+    )
+    snap = spark.createDataFrame([(1,), (2,)], "pk long")
+    out = read_after_event(ev, snap, ["pk"], [])
+    rows = {r["pk"]: r for r in out.collect()}
+    assert rows[1]["is_tombstone"] is False and rows[1]["value_pk"] == 1
+    assert rows[2]["is_tombstone"] is True and rows[2]["value_pk"] is None
+    assert rows[9]["is_tombstone"] is True and rows[9]["value_pk"] is None

@@ -158,3 +158,109 @@ def test_restart_on_ddl_with_same_checkpoint(spark, tmp_path):
         .filter(F.col("v2").isNull()).count() == 2
     assert merged.filter(F.col("pk").isin(3, 4))\
         .filter(F.col("v2").isNotNull()).count() == 2
+
+
+# --- recursive (UDT) evolution: onUserDefinedTypeUpdated -------------------
+
+UDT_OLD = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField(
+            "u",
+            T.StructType([T.StructField("s", T.StringType(), True)]),
+            True,
+        ),
+    ]
+)
+UDT_NEW = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField(
+            "u",
+            T.StructType(
+                [
+                    T.StructField("s", T.StringType(), True),
+                    T.StructField("t", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def test_reconcile_recurses_into_struct():
+    """ALTER TYPE ... ADD field: additive nullable field INSIDE a nested
+    StructType merges instead of raising (CassandraSource.java:666-698)."""
+    merged = reconcile_schemas(UDT_OLD, UDT_NEW)
+    u = merged["u"].dataType
+    assert [f.name for f in u.fields] == ["s", "t"]
+    assert u["t"].nullable
+
+
+def test_reconcile_recurses_into_array_and_map():
+    inner_old = T.StructType([T.StructField("x", T.LongType(), True)])
+    inner_new = T.StructType(
+        [T.StructField("x", T.LongType(), True), T.StructField("y", T.StringType(), True)]
+    )
+    old = T.StructType(
+        [
+            T.StructField("arr", T.ArrayType(inner_old), True),
+            T.StructField("m", T.MapType(T.StringType(), inner_old), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("arr", T.ArrayType(inner_new), True),
+            T.StructField("m", T.MapType(T.StringType(), inner_new), True),
+        ]
+    )
+    merged = reconcile_schemas(old, new)
+    assert [f.name for f in merged["arr"].dataType.elementType.fields] == ["x", "y"]
+    assert [f.name for f in merged["m"].dataType.valueType.fields] == ["x", "y"]
+
+
+def test_reconcile_rejects_nested_type_change():
+    bad = T.StructType(
+        [
+            T.StructField("pk", T.LongType(), False),
+            T.StructField(
+                "u",
+                T.StructType([T.StructField("s", T.DoubleType(), True)]),
+                True,
+            ),
+        ]
+    )
+    with pytest.raises(IncompatibleSchemaChange):
+        reconcile_schemas(UDT_OLD, bad)
+
+
+def test_reconcile_rejects_map_key_change():
+    old = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.LongType()), True)]
+    )
+    new = T.StructType(
+        [T.StructField("m", T.MapType(T.LongType(), T.LongType()), True)]
+    )
+    with pytest.raises(IncompatibleSchemaChange):
+        reconcile_schemas(old, new)
+
+
+def test_align_backfills_nested_field_and_preserves_null_udt(spark):
+    """Old rows align to the widened UDT with the new field null INSIDE
+    the record; a null UDT stays null (does not become a struct of
+    nulls)."""
+    df = spark.createDataFrame([(1, ("a",)), (2, None)], UDT_OLD)
+    out = align_to_schema(df, reconcile_schemas(UDT_OLD, UDT_NEW))
+    rows = {r.pk: r.u for r in out.collect()}
+    assert rows[1].s == "a" and rows[1].t is None
+    assert rows[2] is None
+
+
+def test_union_evolved_udt_add_field(spark):
+    pre = spark.createDataFrame([(1, ("a",))], UDT_OLD)
+    post = spark.createDataFrame([(2, ("b", 5))], UDT_NEW)
+    unified = union_evolved(pre, post)
+    rows = {r.pk: r.u for r in unified.collect()}
+    assert rows[1].s == "a" and rows[1].t is None
+    assert rows[2].s == "b" and rows[2].t == 5

@@ -326,3 +326,61 @@ def test_engine_selector_prefers_tws_and_engines_agree(spark, event_dir):
     b = spark.table(names["pandas-state"])
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ddl_restart_listener_one_logical_stream(spark, tmp_path):
+    """DdlRestartingStream: a mid-stream ALTER-ADD segment flows through
+    ONE logical stream — the listener detects the widened source schema,
+    stops at a micro-batch boundary, restarts from the SAME checkpoint
+    (no duplicate, no loss), and pre-DDL rows backfill the new column
+    with nulls."""
+    import pyspark.sql.functions as F
+
+    from cdc_apache_cassandra_spark.streaming.schema_evolution import (
+        DdlRestartingStream,
+        parquet_dir_schema,
+    )
+
+    src, out, ck = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pk long, v string"
+    ).coalesce(1).write.parquet(src)
+
+    def start_query(schema):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    s = DdlRestartingStream(
+        lambda: parquet_dir_schema(spark, src), start_query
+    )
+    try:
+        # cycle 1: old schema, no DDL observed
+        assert s.drain() is False and s.restarts == 0
+
+        # DDL: new segment adds a nullable column
+        spark.createDataFrame(
+            [(3, "c", "X")], "pk long, v string, v2 string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # cycle 2: listener observes the widened schema BEFORE consuming
+        assert s.drain() is True and s.restarts == 1
+        assert [f.name for f in s.schema.fields] == ["pk", "v", "v2"]
+        # cycle 3: nothing new, no restart
+        assert s.drain() is False and s.restarts == 1
+    finally:
+        s.stop()
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r.pk: r for r in merged.collect()}
+    assert len(rows) == 3 and merged.count() == 3  # no dup, no loss
+    assert rows[1].v2 is None and rows[2].v2 is None
+    assert rows[3].v2 == "X"
