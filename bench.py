@@ -16,6 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cdc_apache_cassandra_spark.plans import QUERIES
+from cdc_apache_cassandra_spark.caching import release_plan_caches
 from cdc_apache_cassandra_spark.session import get_spark
 
 
@@ -58,12 +59,12 @@ def main():
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.time() - t0)
                 # intra-query persists (signature/posting tables) are scoped
-                # to their query; drop them so later queries aren't measured
-                # under accumulated cache memory pressure
-                spark.catalog.clearCache()
+                # to their query; release them so later queries aren't
+                # measured under accumulated cache memory pressure
+                release_plan_caches()
         except Exception as exc:  # record and keep benching the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            spark.catalog.clearCache()
+            release_plan_caches()
             continue
         per_query[name] = round(min(times), 3)
     # headline value = sum of per-query best-of-N times (NOT loop wall,

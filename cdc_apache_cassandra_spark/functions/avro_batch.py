@@ -493,6 +493,12 @@ def make_vector_encoder(node: tuple) -> Callable:
                     np.repeat(starts, lens) + rel
                 ]
             cur += lens
+        if int(totals.sum()) >= 2**31:
+            raise ValueError(
+                f"encoded batch payload {int(totals.sum())} bytes overflows "
+                "the 32-bit Arrow binary offsets — reduce the Arrow batch "
+                "size (spark.sql.execution.arrow.maxRecordsPerBatch)"
+            )
         off_out = np.concatenate(([0], np.cumsum(totals))).astype(np.int32)
         bitmap = (
             None
@@ -776,6 +782,12 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
                 slen, pos = _vec_varint(data, pos, present)
                 slen = np.where(present, slen, 0)
                 payload = _ragged_gather(data, pos, slen)
+                if int(slen.sum()) >= 2**31:
+                    raise ValueError(
+                        f"decoded {prim} payload {int(slen.sum())} bytes "
+                        "overflows the 32-bit Arrow offsets — reduce the "
+                        "Arrow batch size"
+                    )
                 off_out = np.concatenate(
                     ([0], np.cumsum(slen))
                 ).astype(np.int32)

@@ -214,13 +214,20 @@ def encode_value(out: bytearray, node: Any, v: Any) -> None:
     elif node == "bytes":
         write_bytes(out, bytes(v))
     elif node == "timestamp-millis":
-        # datetime -> epoch millis (NativeAvroConverter.java:118-120)
+        # datetime -> epoch millis (NativeAvroConverter.java:118-120).
+        # Derive millis from INTEGER microseconds with floor division —
+        # matching JVM Instant.toEpochMilli and the vectorized codec
+        # (avro_batch.py vals // div): int(ts.timestamp()*1000) truncates
+        # toward zero, so a pre-epoch timestamp with sub-ms components
+        # (e.g. -0.5 ms) would encode as 0 instead of -1.
         import datetime
 
         if isinstance(v, datetime.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=datetime.timezone.utc)
-            v = int(v.timestamp() * 1000)
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            micros = (v - epoch) // datetime.timedelta(microseconds=1)
+            v = micros // 1000
         write_long(out, int(v))
     elif node == "date":
         import datetime
@@ -286,9 +293,9 @@ def decode_value(buf: bytes, pos: int, node: Any) -> tuple[Any, int]:
         import datetime
 
         ms, pos = read_long(buf, pos)
+        # exact integer arithmetic (no float seconds round-trip)
         return (
-            datetime.datetime.fromtimestamp(ms / 1000.0, datetime.timezone.utc)
-            .replace(tzinfo=None),
+            datetime.datetime(1970, 1, 1) + datetime.timedelta(milliseconds=ms),
             pos,
         )
     if node == "date":

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.caching import persist_scoped
+
 
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokens of trimmed text."""
@@ -191,7 +193,7 @@ def connected_components(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .persist()
+        .transform(persist_scoped)
     )
 
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))

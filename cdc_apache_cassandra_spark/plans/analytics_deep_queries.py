@@ -21,6 +21,7 @@ from cdc_apache_cassandra_spark.operators.ranking import (
 )
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 
 def _dec(c: str | Column) -> Column:
@@ -684,7 +685,7 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     count rational. HAVING prunes the pair tail before scoring."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    baskets.persist()  # feeds the self-join both sides + supports
+    baskets.transform(persist_scoped)  # feeds the self-join both sides + supports
     n_orders = baskets.select("l_orderkey").distinct().count()
     item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
     a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
@@ -892,7 +893,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _TRI_MIN_PAIR)
         .select("u", "v")
     )
-    edges.persist()  # three roles in the triangle join
+    edges.transform(persist_scoped)  # three roles in the triangle join
     e1 = edges.select(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
     e2 = edges.select(F.col("u").alias("part_b"), F.col("v").alias("part_c"))
     e3 = edges.select(F.col("u").alias("part_a"), F.col("v").alias("part_c"))

@@ -25,7 +25,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.operators.text_dedup import tokens_expr, word_shingles
-from cdc_apache_cassandra_spark.operators.vectors import as_double_vec, cosine, dot
+from cdc_apache_cassandra_spark.operators.vectors import (
+    as_double_vec,
+    cosine,
+    dot,
+    gaussian_planes,
+    srp_bucket,
+)
 from cdc_apache_cassandra_spark.functions.hashing import (
     hll_estimate_sql,
     hll_finalize,
@@ -33,6 +39,7 @@ from cdc_apache_cassandra_spark.functions.hashing import (
 )
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 
 def _dec(c: str | Column) -> Column:
@@ -187,7 +194,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).transform(persist_scoped)
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
     ranks = deg.withColumn("pr", F.lit(_PR_INIT).cast("bigint"))
     for _ in range(_PR_ITERS):
@@ -287,6 +294,233 @@ def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_srp_anchor_lsh.__doc__ = ann_srp_anchor_lsh.__doc__.format(a=_SRP_ANCHORS)
 
 
+# --- banded SRP-LSH ANN: b bands × r Gaussian bits (the scale path) --------
+
+_SRPB_BANDS = 8
+_SRPB_BITS = 6
+_SRPB_DIM = 64
+_SRPB_COS_MIN = 0.35
+_SRPB_EVAL_MAX = 400  # recall-audit ground truth bounded to this prefix
+_SRPB_PLANES = gaussian_planes(_SRPB_DIM, _SRPB_BANDS * _SRPB_BITS, seed=11)
+
+
+def _duck_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _duck_band_bucket(band: int) -> str:
+    terms = []
+    for i in range(_SRPB_BITS):
+        p = _SRPB_PLANES[band * _SRPB_BITS + i]
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _srpb_sig_cte(src: str = "n") -> str:
+    selects = [
+        f"SELECT vec_id, {j} AS band, {_duck_band_bucket(j)} AS bucket FROM {src}"
+        for j in range(_SRPB_BANDS)
+    ]
+    return "\n  UNION ALL ".join(selects)
+
+
+_DUCK_COS = (
+    "list_dot_product(na.v, nc.v) / "
+    "(sqrt(list_dot_product(na.v, na.v)) * sqrt(list_dot_product(nc.v, nc.v)))"
+)
+
+_SRPB_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  {_srpb_sig_cte()}
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, COUNT(*) AS n_bands
+  FROM sig a
+  JOIN sig c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b, d.n_bands,
+       CAST(ROUND({_DUCK_COS}, 6) AS DOUBLE) AS cos_sim_r
+FROM cand d
+JOIN n na ON na.vec_id = d.vec_a
+JOIN n nc ON nc.vec_id = d.vec_b
+WHERE {_DUCK_COS} >= {_SRPB_COS_MIN}
+"""
+
+
+def _srpb_signatures(n: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — one map-side explode, no shuffle."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                srp_bucket(
+                    F.col("v"),
+                    _SRPB_PLANES[j * _SRPB_BITS : (j + 1) * _SRPB_BITS],
+                ).alias("bucket"),
+            )
+            for j in range(_SRPB_BANDS)
+        ]
+    )
+    return n.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+@register("llm_ann_srp_banded", sql=_SRPB_SQL)
+def ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded signed-random-projection LSH — the 100 TB hardening of
+    llm_ann_srp_anchor_lsh (r3 verdict item 4): {b} bands x {r} seeded
+    Gaussian bits (Charikar 2002 SRP via operators/vectors.gaussian_planes);
+    a pair is a candidate when ANY band collides (OR-amplification lifts
+    recall; each band's 2^{r} buckets keep candidate mass bounded), then
+    candidates are verified by exact cosine.
+
+    Scale: signatures are one map-side projection (planes inlined as
+    literals = broadcast); the band/bucket equi-join is the only wide
+    stage. Expected per-band candidate pairs ~ N^2 * E[p^{r}] with
+    p = 1 - theta/pi; at scale choose r ~ log2(N / target_bucket_size)
+    so buckets stay O(target) rows and pair mass stays ~N * target —
+    linear, not quadratic (r and b are config, not structure). The
+    verify re-join fetches vectors by id: cost ~ candidates, not N^2."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    sig = _srpb_signatures(n)
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    c = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    na = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    nc = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cs = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(na, "vec_a")
+        .join(nc, "vec_b")
+        .filter(cs >= _SRPB_COS_MIN)
+        .select("vec_a", "vec_b", "n_bands", F.round(cs, 6).alias("cos_sim_r"))
+    )
+
+
+ann_srp_banded.__doc__ = ann_srp_banded.__doc__.format(
+    b=_SRPB_BANDS, r=_SRPB_BITS
+)
+
+_SRPB_RECALL_SQL = f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < {_SRPB_EVAL_MAX}
+),
+sig AS (
+  {_srpb_sig_cte()}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b, a.band
+  FROM sig a
+  JOIN sig c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+banded AS (SELECT DISTINCT vec_a, vec_b FROM cand),
+band0 AS (SELECT DISTINCT vec_a, vec_b FROM cand WHERE band = 0),
+truth AS (
+  SELECT na.vec_id AS vec_a, nc.vec_id AS vec_b,
+         ({_DUCK_COS} >= 0.6) AS near
+  FROM n na JOIN n nc ON na.vec_id < nc.vec_id
+  WHERE {_DUCK_COS} >= {_SRPB_COS_MIN}
+)
+SELECT
+  (SELECT COUNT(*) FROM truth) AS n_truth,
+  (SELECT COUNT(*) FROM truth t JOIN banded p
+     ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b) AS n_banded_hit,
+  (SELECT COUNT(*) FROM truth t JOIN band0 p
+     ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b) AS n_band0_hit,
+  CAST(ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN banded p
+     ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b) AS DOUBLE) /
+     NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS DOUBLE) AS recall_banded,
+  CAST(ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN band0 p
+     ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b) AS DOUBLE) /
+     NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS DOUBLE) AS recall_band0,
+  (SELECT COUNT(*) FROM truth WHERE near) AS n_truth_near,
+  CAST(ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN banded p
+     ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b WHERE t.near) AS DOUBLE) /
+     NULLIF((SELECT COUNT(*) FROM truth WHERE near), 0), 6) AS DOUBLE)
+    AS recall_banded_near
+"""
+
+
+@register("llm_ann_srp_banded_recall", sql=_SRPB_RECALL_SQL)
+def ann_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the banded SRP index: against brute-force ground
+    truth on a BOUNDED prefix (vec_id < {m} — the explicit-sample audit
+    pattern, never all-pairs on the full corpus), measure candidate
+    recall of the {b}-band OR (banded) vs a single band (band0 — the
+    single-table shape the r3 verdict flagged). Banded recall >= single
+    by construction (superset); this query pins the gain numerically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.filter(F.col("vec_id") < _SRPB_EVAL_MAX).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    sig = _srpb_signatures(n)
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    c = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "band")
+        .distinct()
+    )
+    banded = cand.select("vec_a", "vec_b").distinct()
+    band0 = cand.filter(F.col("band") == 0).select("vec_a", "vec_b").distinct()
+    na = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    nc = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cs = cosine(F.col("va"), F.col("vb"))
+    truth = (
+        na.join(nc, F.col("vec_a") < F.col("vec_b"))
+        .filter(cs >= _SRPB_COS_MIN)
+        .select("vec_a", "vec_b", (cs >= 0.6).alias("near"))
+    )
+    nt = truth.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.col("near").cast("long")).alias("n_truth_near"),
+    )
+    nb = truth.join(banded, ["vec_a", "vec_b"]).agg(
+        F.count("*").alias("n_banded_hit"),
+        F.sum(F.col("near").cast("long")).alias("n_banded_hit_near"),
+    )
+    n0 = truth.join(band0, ["vec_a", "vec_b"]).agg(
+        F.count("*").alias("n_band0_hit")
+    )
+    recall = lambda hit, tot: F.round(  # noqa: E731
+        hit.cast("double") / F.nullif(tot, F.lit(0)), 6
+    ).cast("double")
+    return (
+        nt.crossJoin(nb)
+        .crossJoin(n0)
+        .select(
+            "n_truth",
+            "n_banded_hit",
+            "n_band0_hit",
+            recall(F.col("n_banded_hit"), F.col("n_truth")).alias("recall_banded"),
+            recall(F.col("n_band0_hit"), F.col("n_truth")).alias("recall_band0"),
+            "n_truth_near",
+            recall(F.col("n_banded_hit_near"), F.col("n_truth_near")).alias(
+                "recall_banded_near"
+            ),
+        )
+    )
+
+
+ann_srp_banded_recall.__doc__ = ann_srp_banded_recall.__doc__.format(
+    m=_SRPB_EVAL_MAX, b=_SRPB_BANDS
+)
+
+
 # --- FIRST_VALUE / LAST_VALUE / NTH_VALUE over order history ----------------
 
 _FLN_SQL = """
@@ -383,7 +617,7 @@ def llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     posting = toks.select(
         "doc_id", F.explode(word_shingles(F.col("tokens"), 2)).alias("gram")
-    ).persist()
+    ).transform(persist_scoped)
     dfreq = posting.groupBy("gram").agg(F.count("*").alias("n_docs"))
     per_doc = (
         posting.join(dfreq, "gram")

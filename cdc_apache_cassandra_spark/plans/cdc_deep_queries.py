@@ -24,6 +24,7 @@ from cdc_apache_cassandra_spark.sources.compound_event_source import (
 )
 from cdc_apache_cassandra_spark.sources.event_source import events_cte, mutation_events
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 _CTE = compound_events_cte()
 _CTE_SKIPPED = compound_events_cte(include_skipped=True)
@@ -637,7 +638,7 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("pk_p") % 3 == 0)
         .dropDuplicates(["digest"])
         .drop("node_id", "digest")
-        .persist()
+        .transform(persist_scoped)
     )
     path = tempfile.mkdtemp(prefix="cdc_compound_mat_")
     for i in range(2):

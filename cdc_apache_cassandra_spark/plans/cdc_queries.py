@@ -19,6 +19,7 @@ from cdc_apache_cassandra_spark.sources.event_source import (
     mutation_events,
 )
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 _CTE = events_cte()
 _VALUE_LIST = ", ".join(VALUE_COLS)
@@ -462,7 +463,7 @@ def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise replay the event pipeline 6 times. In a real stream the
     # micro-batch is already materialized by the engine; the cache stands
     # in for that.
-    ev = dedup_mutations(mutation_events(spark, sf_dir)).persist()
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
     path = tempfile.mkdtemp(prefix="cdc_mat_state_")
     # segment-interleaved batches: writetimes arrive OUT of order across
     # commits, so convergence genuinely exercises LWW-under-merge

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 # --- bounded BFS: hop distance from seed parts over co-purchase edges -------
 
@@ -96,7 +97,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).transform(persist_scoped)
     hops = part.filter(F.col("p_size") == _BFS_SEED_SIZE).select(
         F.col("p_partkey").alias("node"), F.lit(0).alias("hop")
     )
@@ -110,7 +111,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hop").alias("hop"))
             # each iteration reads `hops` TWICE (union + join input): persist
             # or the subtree doubles per hop (2^h recomputation)
-            .persist()
+            .transform(persist_scoped)
         )
     return hops.select(F.col("node").alias("p_partkey"), "hop")
 
@@ -290,7 +291,7 @@ def null_safe_mutation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         compound_events(spark, sf_dir)
         .select("pk_p", "pk_c", "op", "writetime")
         .distinct()
-        .persist()
+        .transform(persist_scoped)
     )
     a = muts.select("pk_p", "pk_c", F.col("writetime").alias("wt_a"))
     b = muts.select(
@@ -366,7 +367,7 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; one double ratio in identical operation order both engines."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
-    du = du.persist()
+    du = du.transform(persist_scoped)
     daily = du.groupBy("day").agg(F.count("*").alias("dau"))
     month = F.date_trunc("month", F.col("day")).alias("month")
     monthly = du.groupBy(month).agg(F.countDistinct("user_id").alias("mau"))

@@ -34,6 +34,7 @@ from cdc_apache_cassandra_spark.operators.vectors import (
 )
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 # --- MinHash + LSH near-dup pipeline ---------------------------------------
 
@@ -121,7 +122,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact; here the cache is bounded by the distinct-shingle corpus.)
     sh = toks.select(
         "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
-    ).persist()
+    ).transform(persist_scoped)
     cand = minhash_lsh_candidates(
         sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND
     )
@@ -323,7 +324,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket",
         F.size("grams").alias("n"),
         F.explode("grams").alias("gram"),
-    ).persist()
+    ).transform(persist_scoped)
     a = g.select(
         F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "gram",
         F.col("n").alias("n_a"),
@@ -503,7 +504,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = toks.select(
         "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
-    ).persist()
+    ).transform(persist_scoped)
     cand = minhash_lsh_candidates(
         sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND
     )
@@ -586,7 +587,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = toks.select(
         "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
-    ).persist()
+    ).transform(persist_scoped)
     cand = minhash_lsh_candidates(
         sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND
     )
@@ -610,7 +611,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    lsh_pairs.persist()  # three confusion counts reuse it
+    lsh_pairs.transform(persist_scoped)  # three confusion counts reuse it
     sample = sh.filter(F.col("doc_id") < _EVAL_MAX_DOC)
     a = sample.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sample.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -626,7 +627,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b")
     )
-    truth.persist()
+    truth.transform(persist_scoped)
     tp = truth.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi").count()
     fp = lsh_pairs.join(truth, ["doc_a", "doc_b"], "left_anti").count()
     fn = truth.join(lsh_pairs, ["doc_a", "doc_b"], "left_anti").count()
@@ -682,7 +683,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = toks.select(
         "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
-    ).persist()
+    ).transform(persist_scoped)
     sig = sh.select(
         "doc_id",
         minhash_signature(

@@ -37,6 +37,7 @@ from cdc_apache_cassandra_spark.operators.vectors import (
 )
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 _DIM = 64
 _STRIDE = 50
@@ -133,7 +134,7 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     cent = kmeans_lite(n, _DIM, _STRIDE, _ITERS, "vec")
-    asg = ivf_assign(n, cent, "vec").persist()
+    asg = ivf_assign(n, cent, "vec").transform(persist_scoped)
     q = asg.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("vec").alias("qv"),

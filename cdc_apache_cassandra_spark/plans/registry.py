@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cdc_apache_cassandra_spark.caching import release_plan_caches
 from cdc_apache_cassandra_spark.session import tune
 
 
@@ -42,14 +43,15 @@ def register(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
-            # ~30 queries persist() an intra-query intermediate (posting
-            # lists, signature tables, iterative frontiers). A query fn
-            # has no post-action hook to unpersist, so evict here: each
-            # build drops the PREVIOUS query's cache, bounding cache
-            # growth across a whole 204-query sweep to one query's worth.
-            # (Re-materialization on a rebuild is correct — persist is a
-            # performance hint, never a semantic dependency.)
-            spark.catalog.clearCache()
+            # ~30 queries persist_scoped() an intra-query intermediate
+            # (posting lists, signature tables, iterative frontiers). A
+            # query fn has no post-action hook to unpersist, so evict
+            # here: each build releases the PREVIOUS query's tracked
+            # caches, bounding cache growth across a whole sweep to one
+            # query's worth — WITHOUT touching caches the caller created
+            # (the old blanket clearCache did). Callers that own the
+            # action can release sooner via caching.release_plan_caches.
+            release_plan_caches()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = f"query_{name}"

@@ -17,6 +17,7 @@ from cdc_apache_cassandra_spark.functions.conversions import (
 )
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 
 def _dec(c):
@@ -149,7 +150,7 @@ def q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
             ).alias("part_rev")
         )
-        .persist()
+        .transform(persist_scoped)
     )
     total = rev.agg(
         (F.sum("part_rev") * F.lit("0.0008").cast("decimal(6,4)")).alias("cutoff")
@@ -275,7 +276,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = n.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
-    asg = ivf_assign(n, cent, "vec").persist()
+    asg = ivf_assign(n, cent, "vec").transform(persist_scoped)
     q = asg.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
         F.col("cid").alias("qcid"),

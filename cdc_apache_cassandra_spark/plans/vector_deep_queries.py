@@ -226,6 +226,7 @@ def quality_filtered_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_COS_MIN = 0.35
 
 from cdc_apache_cassandra_spark.plans.kmeans_srp_queries import kmeans_cte
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 # ONE Lloyd round: most of the balance benefit, one fewer
 # corpus assignment pass (bench: 2 rounds cost ~15% on the query)
@@ -300,7 +301,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = kmeans_lite(n, 64, _IVF_STRIDE, 1, "vec")
     # assignment feeds BOTH self-join sides and the node list — persist so
     # the broadcast-score-window pipeline runs once, not three times
-    asg = ivf_assign(n, cent, "vec").persist()  # vec_id, vec, cid
+    asg = ivf_assign(n, cent, "vec").transform(persist_scoped)  # vec_id, vec, cid
     a = asg.select(
         F.col("vec_id").alias("va"), F.col("vec").alias("xa"), "cid"
     )
@@ -647,7 +648,7 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> dict:
             .otherwise(F.lit(0).cast("bigint"))
             .alias("code"),
         )
-        .persist()
+        .transform(persist_scoped)
     )
     cent = codes.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
         F.col("vec_id").alias("cid"),
@@ -662,7 +663,7 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> dict:
         codes.join(F.broadcast(cent.drop("csub")), "pos")
         .groupBy("vec_id", "cid", "sub")
         .agg(F.sum(delta2).cast("bigint").alias("d2"))
-        .persist()
+        .transform(persist_scoped)
     )
     # argmin as an aggregate (min of (d2, cid) struct = lexicographic, so
     # ties break on smallest cid exactly like the oracle's ROW_NUMBER) —

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.caching import persist_scoped
 
 REPLICAS = 2
 WRITETIME_BASE = 1_600_000_000_000_000
@@ -75,7 +76,7 @@ def compound_events(
             F.col("o_totalprice").alias("price"),
             F.col("o_orderstatus").alias("status"),
         )
-        .persist()
+        .transform(persist_scoped)
     )
     parts = (
         base.groupBy("pk_p")

@@ -330,3 +330,42 @@ def test_no_cartesian_product_in_any_registered_plan(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_no_untracked_persist_in_source():
+    """Cache-leak lint (r3 verdict item 6): library/plan code must never
+    call bare .persist()/.cache() — every intra-query cache routes
+    through caching.persist_scoped so entry points can release it after
+    the action. Explicit .unpersist() calls are allowed (early release)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "cdc_apache_cassandra_spark"
+    )
+    offenders = []
+    for f in root.rglob("*.py"):
+        if f.name == "caching.py":
+            continue
+        src = f.read_text()
+        if ".persist()" in src or ".cache()" in src:
+            offenders.append(str(f))
+    assert not offenders, offenders
+
+
+def test_scoped_caches_release_cleanly(spark):
+    """After a query's action completes, release_plan_caches() must leave
+    ZERO entries in Spark's CacheManager — no net-new persisted plans per
+    query (the pagerank/fuzzy-dedup leak class)."""
+    from cdc_apache_cassandra_spark import caching
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()  # isolate from other tests' caches
+    for name in (
+        "graph_pagerank_parts",
+        "llm_dedup_ngram_jaccard_adjacent",
+        "cdc_compound_key_records",
+    ):
+        QUERIES[name].fn(spark, sf).count()
+    assert caching.tracked_count() > 0
+    caching.release_plan_caches()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

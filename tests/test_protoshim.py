@@ -124,3 +124,24 @@ def test_shim_never_shadows_real_protobuf():
         assert "protoshim" not in (gp.__file__ or "")
     else:
         assert "protoshim" in gp.__file__
+
+
+def test_oneof_set_clears_siblings():
+    """ADVICE r3: setting a oneof member must CLEAR its siblings — a
+    reused StateRequest that first sets statefulProcessorCall and then
+    stateVariableRequest serializes ONLY the latter (protobuf oneof
+    semantics; otherwise the receiver's last-wins resolution follows
+    field-number order, not set order)."""
+    sm = _sm()
+    req = sm.StateRequest()
+    req.statefulProcessorCall.setHandleState.state = 1
+    assert req.HasField("statefulProcessorCall")
+    req.stateVariableRequest.valueStateCall.stateName = "s"
+    assert req.HasField("stateVariableRequest")
+    assert not req.HasField("statefulProcessorCall")
+    wire = req.SerializeToString()
+    # re-parse: only the last-set member survives
+    back = sm.StateRequest()
+    back.ParseFromString(wire)
+    assert back.HasField("stateVariableRequest")
+    assert not back.HasField("statefulProcessorCall")

@@ -573,3 +573,86 @@ def test_event_topic_quarantine_decode(spark, sf_dir):
     assert out.filter(F.col("decode_error").isNotNull()).count() == n_bad
     good = out.filter(F.col("decode_error").isNull())
     assert good.filter(F.col("digest").isNull()).count() == 0
+
+
+def test_batch_codec_timestamp_identity_including_pre_epoch():
+    """ADVICE r3 (medium): the scalar codec must floor timestamps to
+    millis from INTEGER microseconds, matching JVM Instant.toEpochMilli
+    and the vectorized path's `vals // div` — truncation toward zero
+    diverges on pre-epoch sub-ms values (-0.5 ms must encode as zigzag
+    -1, not 0). Property sweep pins all three encoders byte-identical
+    and the decoders agree on the ms-floored value."""
+    import datetime
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdc_apache_cassandra_spark.functions.avro_batch import (
+        make_batch_decoder,
+        make_batch_encoder,
+        make_vector_decoder,
+        make_vector_encoder,
+        vector_decodable,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("t", T.TimestampType()),
+        ]
+    )
+    node = avro_schema_for(schema)
+    enc = make_batch_encoder(node)
+    dec = make_batch_decoder(node)
+    assert vector_decodable(node)
+    venc = make_vector_encoder(node)
+    vdec = make_vector_decoder(node)
+    pa_schema = pa.schema([("a", pa.int64()), ("t", pa.timestamp("us"))])
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def ms_floor(dt):
+        micros = (dt - epoch) // datetime.timedelta(microseconds=1)
+        return epoch + datetime.timedelta(milliseconds=micros // 1000)
+
+    row = st.fixed_dictionaries(
+        {
+            "a": st.none() | st.integers(-(2**63), 2**63 - 1),
+            # pre-epoch through far future, arbitrary microseconds
+            "t": st.none()
+            | st.datetimes(
+                min_value=datetime.datetime(1901, 1, 1),
+                max_value=datetime.datetime(2200, 1, 1),
+            ),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=20))
+    def check(rows):
+        batch = pa.RecordBatch.from_pylist(rows, schema=pa_schema)
+        got = enc(batch)
+        exp = [encode_record(node, r) for r in rows]
+        assert got == exp
+        assert venc(batch).to_pylist() == exp
+        floored = [
+            {"a": r["a"], "t": None if r["t"] is None else ms_floor(r["t"])}
+            for r in rows
+        ]
+        cols = dec(got)
+        for i, r in enumerate(floored):
+            assert {k: cols[k][i] for k in cols} == r
+        vcols = vdec(pa.array(got, pa.binary()))
+        for i, r in enumerate(floored):
+            got_row = {k: vcols[k][i].as_py() for k in vcols}
+            assert got_row == r
+    check()
+
+    # the ADVICE's concrete counterexample: -0.5 ms -> zigzag(-1)
+    minus_half_ms = epoch - datetime.timedelta(microseconds=500)
+    by = encode_record(node, {"a": 1, "t": minus_half_ms})
+    batch = pa.RecordBatch.from_pylist(
+        [{"a": 1, "t": minus_half_ms}], schema=pa_schema
+    )
+    assert make_batch_encoder(node)(batch) == [by]

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from cdc_apache_cassandra_spark.caching import release_plan_caches
 from cdc_apache_cassandra_spark.plans import QUERIES
 from cdc_apache_cassandra_spark.session import get_spark
 from cdc_apache_cassandra_spark.sources.registry import TABLES
@@ -90,7 +91,7 @@ def main():
     for name in names:
         ok, msg = check(spark, con, name, sf_dir)
         print(f"{'PASS' if ok else 'FAIL'}  {name:45s} {msg}")
-        spark.catalog.clearCache()  # drop intra-query persists
+        release_plan_caches()  # drop intra-query scoped persists
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} pass")
