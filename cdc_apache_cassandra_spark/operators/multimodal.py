@@ -285,8 +285,11 @@ def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
       entropy decode, dequant + IDCT, YCbCr->RGB, restart markers.
 
     Other compressed formats (MP3/MP4, progressive/subsampled JPEG...)
-    raise ``NotImplementedError`` — plug ffmpeg/PIL there and keep
-    decode_frames() unchanged."""
+    dispatch to the PIL / ffmpeg plug-points below WHEN those codecs are
+    present on the cluster (:func:`pil_available` /
+    :func:`ffmpeg_available` — the spark-avro capability-probe pattern);
+    otherwise they raise ``NotImplementedError``. decode_frames() is
+    unchanged either way."""
     if payload[:2] == b"BM":
         return _decode_bmp(doc_id, payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -295,10 +298,141 @@ def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
         return _decode_png(doc_id, payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(doc_id, payload)
-    raise NotImplementedError(
-        "payload is not a BMP/WAV/PNG/JPEG; other compressed codecs "
-        "(MP3/MP4) need ffmpeg — absent in this environment"
+    is_mp4 = len(payload) >= 12 and payload[4:8] == b"ftyp"
+    is_mp3 = payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     )
+    if is_mp4 or is_mp3:
+        if ffmpeg_available():
+            return _decode_with_ffmpeg(doc_id, payload, audio=is_mp3)
+        raise NotImplementedError(
+            "MP3/MP4 decode needs the ffmpeg binary on the worker image "
+            "(capability-probed; container probes probe_mp4/probe_mp3 "
+            "work without it)"
+        )
+    if pil_available():
+        return _decode_with_pil(doc_id, payload)
+    raise NotImplementedError(
+        "payload is not a BMP/WAV/PNG/JPEG; other image codecs need "
+        "PIL, MP3/MP4 need ffmpeg — neither is in this environment"
+    )
+
+
+# --- capability-gated codec plug-points (PIL / ffmpeg) ----------------------
+
+
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def ffmpeg_available() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _decode_with_pil(doc_id: int, payload: bytes) -> list[dict]:
+    """Any PIL-supported image -> the same frame row shape as the native
+    decoders (geometry + normalized pixel mean). Activates only where
+    Pillow is installed (worker image); Arrow-batched callers are
+    unchanged — this runs inside the same mapInPandas batch loop."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64)
+    return [
+        {
+            "doc_id": doc_id,
+            "frame_id": 0,
+            "width": img.width,
+            "height": img.height,
+            "mean_intensity": float(arr.mean() / 255.0),
+        }
+    ]
+
+
+_FFMPEG_AUDIO_RATE = 16_000
+_FFMPEG_AUDIO_FRAME = 1024  # samples per emitted frame row (matches WAV path)
+
+
+def _decode_with_ffmpeg(
+    doc_id: int, payload: bytes, audio: bool
+) -> list[dict]:
+    """MP3/MP4 full decode through the ffmpeg binary (pipe in, raw PCM /
+    rawvideo out — no temp files, safe inside executors). Audio decodes
+    to mono s16le at 16 kHz and emits fixed-1024-sample frames like the
+    native WAV path; video decodes the first frame to rgb24 with
+    geometry from ffprobe. Bounded: one subprocess per payload inside
+    the Arrow batch loop — acceptable because compressed-media decode
+    dominates the fork cost at any batch size."""
+    import json as _json
+    import subprocess
+
+    import numpy as np
+
+    if audio:
+        out = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", "pipe:0",
+                "-f", "s16le", "-ac", "1", "-ar", str(_FFMPEG_AUDIO_RATE),
+                "pipe:1",
+            ],
+            input=payload, capture_output=True, check=True,
+        ).stdout
+        samples = np.frombuffer(out, dtype="<i2")
+        frames = []
+        step = _FFMPEG_AUDIO_FRAME
+        for f_id, off in enumerate(range(0, len(samples), step)):
+            window = samples[off : off + step]
+            frames.append(
+                {
+                    "doc_id": doc_id,
+                    "frame_id": f_id,
+                    "width": len(window),
+                    "height": _FFMPEG_AUDIO_RATE,
+                    "mean_intensity": float(
+                        np.abs(window.astype(np.float64)).mean() / 32768.0
+                    ),
+                }
+            )
+        return frames
+    probe = _json.loads(
+        subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-show_entries", "stream=width,height", "-of", "json",
+                "pipe:0",
+            ],
+            input=payload, capture_output=True, check=True,
+        ).stdout
+    )
+    w = int(probe["streams"][0]["width"])
+    h = int(probe["streams"][0]["height"])
+    out = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-i", "pipe:0", "-frames:v", "1",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+        ],
+        input=payload, capture_output=True, check=True,
+    ).stdout
+    arr = np.frombuffer(out[: w * h * 3], dtype=np.uint8).astype(np.float64)
+    return [
+        {
+            "doc_id": doc_id,
+            "frame_id": 0,
+            "width": w,
+            "height": h,
+            "mean_intensity": float(arr.mean() / 255.0),
+        }
+    ]
 
 
 # --- container PROBES: MP4 box walk / MP3 frame scan ------------------------

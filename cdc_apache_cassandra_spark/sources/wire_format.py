@@ -72,8 +72,12 @@ def wire_codec() -> str:
         spark = SparkSession.getActiveSession()
         if spark is None:
             return "avro"
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.CatalystDataToAvro"
+        # Probe through Spark's own classloader chain, NOT
+        # java.lang.Class.forName (which uses the app classloader and
+        # misses jars added via --packages/addJar — those live on
+        # Spark's MutableURLClassLoader; r3 ADVICE).
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.avro.CatalystDataToAvro", True, False
         )
         return "avro-jvm"
     except Exception:
@@ -308,6 +312,15 @@ def _decode_arrow(
         T.StructField("position", T.LongType()),
         T.StructField("token", pre.schema["token"].dataType),
     ]
+    # data-topic TOMBSTONES null every value column regardless of the
+    # caller's declared nullability (a delete is a null value record,
+    # CassandraSource.java:554) — loosen value_schema unconditionally or
+    # the unsafe projection NPEs on non-nullable value fields (r3
+    # ADVICE); key_schema stays strict outside quarantine (tombstones
+    # always carry a full key).
+    value_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in value_schema.fields]
+    )
     if quarantine:
         meta_fields.append(
             T.StructField("decode_error", T.StringType(), True)
@@ -317,12 +330,6 @@ def _decode_arrow(
         # loosen nullability or the unsafe projection NPEs on them
         key_schema = T.StructType(
             [T.StructField(f.name, f.dataType, True) for f in key_schema.fields]
-        )
-        value_schema = T.StructType(
-            [
-                T.StructField(f.name, f.dataType, True)
-                for f in value_schema.fields
-            ]
         )
     out_schema = T.StructType(
         list(key_schema.fields) + list(value_schema.fields) + meta_fields

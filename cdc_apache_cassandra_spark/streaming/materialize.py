@@ -293,6 +293,88 @@ def compact(
     _prune(path, new_manifest)
 
 
+def export_snapshot(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Lakehouse-interop seam (r3 verdict item 7): publish the CURRENT
+    active view (tombstones applied — deletes are gone, exactly Delta's
+    ``whenMatchedDelete`` result) as a plain parquet table any external
+    reader (DuckDB, Trino, Hive, pandas) consumes directly — the bucket
+    store's ``__ver=/__bucket=`` layout and manifest pointer never leak.
+
+    One distributed read of the live buckets + one write; no driver data
+    path. For incremental external feeds, export after :func:`compact`
+    or on a schedule — the snapshot is self-consistent because it reads
+    through one manifest version."""
+    state = read_state(spark, path)
+    if state is None:
+        raise FileNotFoundError(f"no materialized state at {path}")
+    df = active_view(state)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the delta-spark package (JVM + Python) is importable —
+    probed through Spark's classloader chain (sees --packages jars)."""
+    try:
+        import delta  # noqa: F401
+
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.delta.DeltaLog", True, False
+        )
+        return True
+    except Exception:
+        return False
+
+
+def export_delta(spark: SparkSession, path: str, out_path: str) -> None:
+    """Write the active view as a real Delta table (full-snapshot
+    overwrite — self-consistent at one manifest version). Activates only
+    on clusters carrying delta-spark (:func:`delta_available`), the same
+    capability-gated pattern as the spark-avro wire codec; this sandbox
+    has no Delta jar, so the seam is pinned by the parquet round-trip
+    test plus the gated test that runs where Delta exists. Incremental
+    MERGE export (``whenMatchedDelete`` on tombstone rows) is the
+    natural extension once a cluster target exists."""
+    if not delta_available(spark):
+        raise ModuleNotFoundError(
+            "delta-spark is not on this cluster; use export_snapshot() "
+            "(plain parquet) or add the delta-spark package"
+        )
+    state = read_state(spark, path)
+    if state is None:
+        raise FileNotFoundError(f"no materialized state at {path}")
+    active_view(state).write.format("delta").mode("overwrite").save(out_path)
+
+
+def import_state(
+    spark: SparkSession,
+    table: DataFrame,
+    path: str,
+    pk_cols: list[str],
+    writetime: int = -1,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Reverse seam: bootstrap a bucket store from an external table —
+    each row becomes a synthetic INSERT at ``writetime`` (default -1,
+    the backfill convention: any live event outranks it). One
+    :func:`merge_into` commit; later CDC merges converge on top."""
+    os.makedirs(path, exist_ok=True)
+    batch = (
+        table.withColumn("op", F.lit("INSERT"))
+        .withColumn("writetime", F.lit(writetime).cast("long"))
+        .withColumn("segment", F.lit(-1).cast("long"))
+        .withColumn("position", F.lit(-1).cast("long"))
+    )
+    merge_into(spark, path, batch, pk_cols, n_buckets=n_buckets)
+
+
 def foreach_batch_upsert(
     path: str,
     pk_cols: list[str],

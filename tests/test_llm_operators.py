@@ -640,3 +640,86 @@ def test_zip_parser_cross_checked_against_stdlib_writer():
         read_zip_member(bytes(bad), parse_zip_members(bytes(bad))[0])
     with _pytest.raises(ValueError, match="end-of-central-directory"):
         parse_zip_members(b"not a zip at all")
+
+
+def test_codec_plug_points_capability_gated():
+    """r3 verdict item 8: MP3/MP4 (and PIL-only image formats) dispatch
+    through decode_payload_real's capability probes. Without ffmpeg/PIL
+    the dispatch raises the documented NotImplementedError; where the
+    codecs exist the same seam decodes (gated below)."""
+    import pytest
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        decode_payload_real,
+        ffmpeg_available,
+        pil_available,
+    )
+
+    # minimal MP4 signature (ftyp box) — dispatch must route to ffmpeg
+    mp4_sig = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    if not ffmpeg_available():
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_payload_real(1, mp4_sig)
+    if not pil_available():
+        with pytest.raises(NotImplementedError):
+            decode_payload_real(1, b"GIF89a" + b"\x00" * 32)
+
+
+def test_ffmpeg_decode_when_available():
+    """Activates only on images that carry ffmpeg (the spark-avro
+    contract-test pattern): a generated sine WAV transcoded through the
+    ffmpeg seam must produce frame rows with plausible amplitude."""
+    import math
+    import struct
+    import subprocess
+
+    import pytest
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        _decode_with_ffmpeg,
+        ffmpeg_available,
+    )
+
+    if not ffmpeg_available():
+        pytest.skip("ffmpeg binary not on this image")
+    rate, n = 16000, 16000
+    pcm = b"".join(
+        struct.pack("<h", int(20000 * math.sin(2 * math.pi * 440 * i / rate)))
+        for i in range(n)
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    mp3 = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "wav", "-i", "pipe:0",
+         "-f", "mp3", "pipe:1"],
+        input=wav, capture_output=True, check=True,
+    ).stdout
+    frames = _decode_with_ffmpeg(7, mp3, audio=True)
+    assert len(frames) >= 10
+    assert all(f["doc_id"] == 7 and f["height"] == 16000 for f in frames)
+    mid = frames[len(frames) // 2]["mean_intensity"]
+    assert 0.3 < mid < 0.9  # sine mean-abs ~ 2/pi * 0.61
+
+
+def test_pil_decode_when_available():
+    import pytest
+
+    from cdc_apache_cassandra_spark.operators.multimodal import (
+        _decode_with_pil,
+        pil_available,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow not on this image")
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (8, 4), (255, 0, 0)).save(buf, format="GIF")
+    frames = _decode_with_pil(3, buf.getvalue())
+    assert frames[0]["width"] == 8 and frames[0]["height"] == 4
+    assert abs(frames[0]["mean_intensity"] - (255 / 3) / 255.0) < 0.02

@@ -234,3 +234,93 @@ def test_compound_stream_with_partition_tombstones(spark, sf_dir, tmp_path):
     # partition-deleted partitions (pk_p%13==0, no newer rows) are gone
     assert got.filter((F.col("pk_p") % 13 == 0) & (F.col("writetime") <
         F.lit(1_600_000_000_000_000))).count() == 0
+
+
+def test_export_snapshot_roundtrip_matches_materialized_oracle(
+    spark, sf_dir, tmp_path
+):
+    """r3 verdict item 7: bucket-store state -> exported standard table
+    -> identical rows to the cdc_materialized_state oracle (LWW winners
+    minus tombstones), verified through an EXTERNAL reader (DuckDB reads
+    the exported parquet directly — no engine-private layout leaks).
+    Importing the exported table into a fresh bucket store reproduces
+    the same active view (the reverse seam)."""
+    import duckdb
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        active_view,
+        export_snapshot,
+        import_state,
+        merge_into,
+        read_state,
+    )
+
+    path, out = str(tmp_path / "state"), str(tmp_path / "export")
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(
+        lambda df: df.persist()
+    )
+    for i in range(3):
+        merge_into(
+            spark, path, ev.filter(F.pmod(F.col("segment"), F.lit(3)) == i),
+            ["pk"],
+        )
+    ev.unpersist()
+    export_snapshot(spark, path, out)
+
+    want = {
+        (r["pk"], r["writetime"])
+        for r in active_view(read_state(spark, path)).collect()
+    }
+    got_duck = {
+        (r[0], r[1])
+        for r in duckdb.sql(
+            f"SELECT pk, writetime FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert got_duck == want and len(want) > 0
+    # no engine-private columns leak into the export
+    cols = [
+        d[0]
+        for d in duckdb.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    ]
+    assert not any(c.startswith("__") for c in cols)
+
+    # reverse seam: external table -> fresh bucket store -> same view
+    path2 = str(tmp_path / "state2")
+    exported = spark.read.parquet(out).drop(
+        "op", "writetime", "segment", "position"
+    )
+    import_state(spark, exported, path2, ["pk"])
+    got2 = {
+        r["pk"] for r in active_view(read_state(spark, path2)).collect()
+    }
+    assert got2 == {pk for pk, _ in want}
+
+
+def test_export_delta_gated_on_capability(spark, sf_dir, tmp_path):
+    """export_delta activates only where delta-spark exists (the
+    spark-avro contract-test pattern): here it must raise the documented
+    ModuleNotFoundError; on a Delta-carrying cluster the same call
+    writes a real Delta table."""
+    import pytest
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        delta_available,
+        export_delta,
+        merge_into,
+    )
+
+    path = str(tmp_path / "state")
+    merge_into(
+        spark, path,
+        dedup_mutations(mutation_events(spark, sf_dir)), ["pk"],
+    )
+    if delta_available(spark):
+        out = str(tmp_path / "delta")
+        export_delta(spark, path, out)
+        assert spark.read.format("delta").load(out).count() > 0
+    else:
+        with pytest.raises(ModuleNotFoundError):
+            export_delta(spark, path, str(tmp_path / "delta"))

@@ -656,3 +656,24 @@ def test_batch_codec_timestamp_identity_including_pre_epoch():
         [{"a": 1, "t": minus_half_ms}], schema=pa_schema
     )
     assert make_batch_encoder(node)(batch) == [by]
+
+
+def test_tombstone_decode_with_non_nullable_value_schema(spark):
+    """ADVICE r3: a data-topic stream with tombstones must decode even
+    when the caller declares value fields non-nullable — deletes null
+    every value column by definition, so value nullability is loosened
+    unconditionally."""
+    rows = [
+        (1, "x", 10, 1, 1, "INSERT"),
+        (2, None, 20, 1, 2, "DELETE"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "pk long, s string, writetime long, segment long, "
+        "position long, op string"
+    )
+    ks = T.StructType([T.StructField("pk", T.LongType(), False)])
+    vs = T.StructType([T.StructField("s", T.StringType(), False)])  # strict
+    wire = to_wire_records(ev, ["pk"], ["s"], codec="avro")
+    back = from_wire_records(wire, ks, vs, codec="avro")
+    got = {r["pk"]: r["s"] for r in back.collect()}
+    assert got == {1: "x", 2: None}
