@@ -29,9 +29,15 @@ class CdcPipelineConfig:
     # connector: cache.max.capacity (32767) -> no-op: Spark state is
     # watermark-bounded, not entry-bounded (documented deviation)
     cache_max_capacity: int = 32_767
-    # connector: query.executors (10, adaptive) -> shuffle parallelism;
-    # AQE handles the adaptive part
+    # connector: query.executors (10, adaptive) -> shuffle parallelism
+    # inside a batch (AQE) + the per-trigger admission policy's max
+    # level (streaming/adaptive.py:AdaptiveParallelism)
     query_executors: int = 10
+    # connector: query.minMobileAvgLatency (10 ms) / query.
+    # maxMobileAvgLatency (100 ms) -> the adaptive policy's grow/shrink
+    # thresholds over the 10-batch moving average
+    min_mobile_avg_latency_ms: int = 10
+    max_mobile_avg_latency_ms: int = 100
     # connector: columns regexp -> key_value_schemas(column_pattern=...)
     column_pattern: str | None = None
     # connector: key/value converter -> output mode ('avro'-like struct
@@ -86,6 +92,8 @@ def from_reference_keys(d: dict[str, str]) -> CdcPipelineConfig:
         "cache.expire.after.ms": ("cache_expire_after_ms", int),
         "cache.max.capacity": ("cache_max_capacity", int),
         "query.executors": ("query_executors", int),
+        "query.minMobileAvgLatency": ("min_mobile_avg_latency_ms", int),
+        "query.maxMobileAvgLatency": ("max_mobile_avg_latency_ms", int),
         "columns": ("column_pattern", str),
         "output.format": ("output_format", str),
         "cdcPollIntervalMs": ("poll_interval_ms", int),
