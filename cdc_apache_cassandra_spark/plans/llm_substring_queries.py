@@ -453,7 +453,10 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # doc cardinality grows with the corpus: two-pass range-partitioned
-    # global rank (operators/ranking.py), not a single-partition sort
+    # global rank (operators/ranking.py), not a single-partition sort.
+    # persist_input measured SLOWER here (1.21s vs 0.87s at sf0.1): the
+    # boundary-sampling pass reuses the scorer's shuffle outputs, so
+    # only the post-exchange tail recomputes — cheaper than caching
     ranked = attach_global_order(
         scored,
         [F.desc("logratio_bits"), F.asc("doc_id")],

@@ -56,8 +56,9 @@ def main():
                 # completed stages of this app; filter by submission
                 # time inside this rep's window)
                 try:
-                    store = spark._jsparkSession.sparkContext.statusStore()
-                    it = store.stageList(None).iterator()
+                    store = sc._jsc.sc().statusStore()
+                    empty = spark._jvm.java.util.ArrayList()
+                    it = store.stageList(empty).iterator()
                     t0_ms = int(t0 * 1000)
                     rows = []
                     while it.hasNext():
