@@ -246,8 +246,46 @@ def merge_into(
     manifest["version"] = version
     for b in touched:
         manifest["buckets"][str(b)] = version
+    manifest.setdefault("stats", {}).update(
+        _bucket_stats(spark, path, out_dir)
+    )
     store.commit(path, manifest, tag)
     _prune(path, manifest)
+
+
+def _bucket_stats(spark: SparkSession, base: str, ver_dir: str) -> dict:
+    """Per-bucket stats for the buckets just written under ``ver_dir`` —
+    read BACK from the committed files (columnar, bucket-local; avoids
+    re-running the merge pipeline) and reduced to ≤ touched-bucket rows
+    before the driver sees anything. ``min_del_wt`` (oldest tombstone
+    writetime, null when the bucket holds none) is what lets
+    :func:`compact` GC incrementally instead of rewriting the table."""
+    try:
+        df = spark.read.option("basePath", base).parquet(ver_dir)
+    except Exception:
+        # an all-rows-filtered write leaves only _SUCCESS — no buckets
+        return {}
+    rows = (
+        df.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias(
+                "tombstones"
+            ),
+            F.min(
+                F.when(F.col("op") == "DELETE", F.col("writetime"))
+            ).alias("min_del_wt"),
+        )
+        .collect()
+    )
+    return {
+        str(r["__bucket"]): {
+            "rows": r["rows"],
+            "tombstones": r["tombstones"],
+            "min_del_wt": r["min_del_wt"],
+        }
+        for r in rows
+    }
 
 
 def _prune(path: str, manifest: dict) -> None:
@@ -258,39 +296,163 @@ def _prune(path: str, manifest: dict) -> None:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
+def expired_tombstone_buckets(manifest: dict, tombstone_horizon: int) -> list[int]:
+    """Buckets that (may) hold a tombstone older than the horizon,
+    decided from MANIFEST stats alone — no file IO. Buckets written
+    before stats existed have no entry and are candidates conservatively."""
+    out = []
+    stats = manifest.get("stats", {})
+    for b in manifest["buckets"]:
+        s = stats.get(b)
+        if s is None or (
+            s["tombstones"] > 0
+            and (s["min_del_wt"] is None or s["min_del_wt"] < tombstone_horizon)
+        ):
+            out.append(int(b))
+    return sorted(out)
+
+
 def compact(
     spark: SparkSession,
     path: str,
     pk_cols: list[str],
     tombstone_horizon: int | None = None,
     store: ManifestStore = _DEFAULT_STORE,
+    only_expired: bool = False,
 ) -> None:
-    """Full rewrite at one version: re-LWW every bucket and drop DELETE
-    rows whose writetime precedes the disorder horizon (safe once the
-    watermark has passed them — no staler INSERT can still arrive)."""
+    """Re-LWW buckets and drop DELETE rows whose writetime precedes the
+    disorder horizon (safe once the watermark has passed them — no staler
+    INSERT can still arrive).
+
+    ``only_expired=True`` (requires a horizon) compacts INCREMENTALLY:
+    manifest stats name the buckets that hold expired tombstones, only
+    those are rewritten, every other bucket keeps its current files —
+    GC IO ∝ expired-tombstone buckets, never the table. The default full
+    rewrite remains the defragmentation path (it also re-buckets rows
+    after an ``n_buckets`` policy change)."""
     manifest, tag = store.load(path)
-    state = read_state(spark, path)
-    if manifest is None or state is None:
+    if manifest is None or not manifest["buckets"]:
         return
+    n_buckets = manifest["n_buckets"]
+
+    if only_expired:
+        if tombstone_horizon is None:
+            raise ValueError("only_expired requires a tombstone_horizon")
+        targets = expired_tombstone_buckets(manifest, tombstone_horizon)
+        if not targets:
+            return
+        paths = _bucket_paths(path, manifest, targets)
+        state = (
+            spark.read.option("basePath", path).parquet(*paths).drop("__ver")
+        )
+    else:
+        state = read_state(spark, path)
+        if state is None:
+            return
+        targets = None
+
     state = last_write_wins(state, pk_cols=pk_cols)
     if tombstone_horizon is not None:
         state = state.filter(
             (F.col("op") != "DELETE") | (F.col("writetime") >= tombstone_horizon)
         )
-    n_buckets = manifest["n_buckets"]
-    state = state.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
+    if targets is None:
+        state = state.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
+        state = state.repartition(n_buckets, F.col("__bucket"))
+    else:
+        # already carries __bucket from the partitioned read
+        state = state.repartition(len(targets), F.col("__bucket"))
     version = manifest["version"] + 1
-    state = state.repartition(n_buckets, F.col("__bucket"))
-    state.write.mode("overwrite").partitionBy("__bucket").parquet(
-        os.path.join(path, f"__ver={version}")
-    )
-    buckets = {
-        str(r["__bucket"]): version
-        for r in state.select("__bucket").distinct().collect()
-    }
-    new_manifest = {"version": version, "n_buckets": n_buckets, "buckets": buckets}
+    out_dir = os.path.join(path, f"__ver={version}")
+    state.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+
+    stats = _bucket_stats(spark, path, out_dir)
+    if targets is None:
+        buckets = {b: version for b in stats}
+        new_manifest = {
+            "version": version,
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            "stats": stats,
+        }
+    else:
+        new_manifest = manifest
+        new_manifest["version"] = version
+        for b in targets:
+            k = str(b)
+            if k in stats:  # bucket still has rows
+                new_manifest["buckets"][k] = version
+                new_manifest.setdefault("stats", {})[k] = stats[k]
+            else:  # every row was an expired tombstone — bucket is gone
+                new_manifest["buckets"].pop(k, None)
+                new_manifest.get("stats", {}).pop(k, None)
     store.commit(path, new_manifest, tag)
     _prune(path, new_manifest)
+
+
+def point_read(
+    spark: SparkSession,
+    path: str,
+    pk_cols: list[str],
+    keys,
+    bucket_cols: list[str] | None = None,
+) -> DataFrame | None:
+    """Key lookup that touches ONLY the routed buckets — the store-side
+    analogue of the reference's per-key ``LIMIT 1`` point read (SURVEY
+    O2: CassandraSource.java single-row query): the requested keys hash
+    to their buckets with the same expression `merge_into` bucketed on,
+    every other bucket directory is never listed or read.
+
+    ``keys``: a DataFrame carrying the key columns, or a list of tuples
+    (scalars for a single-column key). Returns current state rows for
+    those keys — op='DELETE' rows included, so a caller distinguishes
+    'deleted' from 'never existed' exactly like the reference's
+    tombstone-vs-miss contract; wrap in :func:`active_view` for live
+    rows only. IO: #distinct-routed-buckets directories, one broadcast
+    semi-join, nothing row-sized on the driver."""
+    from pyspark.sql import types as T
+
+    manifest = _read_manifest(path)
+    if manifest is None or not manifest["buckets"]:
+        return None
+    n_buckets = manifest["n_buckets"]
+    bucket_cols = bucket_cols or pk_cols
+    # table schema from one live bucket's footer (not a full-store listing)
+    one = _bucket_paths(path, manifest)[:1]
+    schema = (
+        spark.read.option("basePath", path)
+        .parquet(*one)
+        .drop("__ver", "__bucket")
+        .schema
+    )
+    if isinstance(keys, DataFrame):
+        kdf = keys
+    else:
+        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        kdf = spark.createDataFrame(
+            rows, schema=T.StructType([schema[c] for c in pk_cols])
+        )
+    # align key dtypes to the table's — the bucket hash is type-sensitive
+    kdf = kdf.select(
+        *[F.col(c).cast(schema[c].dataType).alias(c) for c in pk_cols]
+    )
+    routed = sorted(
+        r["__b"]
+        for r in kdf.select(
+            _bucket_expr(bucket_cols, n_buckets).alias("__b")
+        )
+        .distinct()
+        .collect()
+    )
+    paths = _bucket_paths(path, manifest, routed)
+    if not paths:
+        return spark.createDataFrame([], schema=schema)
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*paths)
+        .drop("__ver", "__bucket")
+    )
+    return df.join(F.broadcast(kdf), on=pk_cols, how="left_semi")
 
 
 def export_snapshot(
