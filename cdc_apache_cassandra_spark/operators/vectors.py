@@ -46,6 +46,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    """Euclidean norm — precompute once per VECTOR so a pair-verify
+    stage does one dot product per pair instead of three."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Bit-identical to :func:`cosine` when ``na``/``nb`` are
+    :func:`norm` of the same vectors: IEEE sqrt is exact-deterministic
+    and the multiply/divide order is unchanged, so hoisting the norms
+    out of the per-pair expression changes cost, not values."""
+    return dot(a, b) / (na * nb)
+
+
 def squared_distance(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -88,7 +102,13 @@ def gaussian_planes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """SRP bucket id from inlined hyperplanes: bit i = [dot(vec, p_i) >= 0].
     One map-side expression per row — the bucket join downstream is the
-    only shuffle (same 100-TB shape as sign_lsh_bucket)."""
+    only shuffle (same 100-TB shape as sign_lsh_bucket).
+
+    Keep the higher-order ``aggregate`` dot: an unrolled
+    per-element-literal expression was measured 8x SLOWER end-to-end
+    (a ~3000-node Catalyst tree per signature breaks whole-stage
+    codegen and dominates plan build), while the HOF form stays one
+    compact expression."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         d = dot(vec, F.array(*[F.lit(x) for x in plane]))

@@ -28,8 +28,10 @@ from cdc_apache_cassandra_spark.operators.text_dedup import tokens_expr, word_sh
 from cdc_apache_cassandra_spark.operators.vectors import (
     as_double_vec,
     cosine,
+    cosine_with_norms,
     dot,
     gaussian_planes,
+    norm,
     srp_bucket,
 )
 from cdc_apache_cassandra_spark.functions.hashing import (
@@ -389,7 +391,10 @@ def ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify re-join fetches vectors by id: cost ~ candidates, not N^2."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    sig = _srpb_signatures(n)
+    # the self-join's two sides differ only by alias, which defeats
+    # exchange reuse — persist the (tiny: 8 rows/vector) signature table
+    # so the HOF plane dots compute once, not per join side
+    sig = persist_scoped(_srpb_signatures(n))
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     c = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
@@ -398,9 +403,24 @@ def ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_a", "vec_b")
         .agg(F.count("*").alias("n_bands"))
     )
-    na = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    nc = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cs = cosine(F.col("va"), F.col("vb"))
+    # hoist each vector's norm out of the per-pair expression: the
+    # verify stage then does ONE higher-order-function dot per pair
+    # instead of three (HOF lambdas are interpreted per element — the
+    # dominant cost here); values are bit-identical (operators/vectors.
+    # cosine_with_norms)
+    na = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("_na"),
+    )
+    nc = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("_nb"),
+    )
+    cs = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+    )
     return (
         cand.join(na, "vec_a")
         .join(nc, "vec_b")
@@ -466,7 +486,7 @@ def ann_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.filter(F.col("vec_id") < _SRPB_EVAL_MAX).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
-    sig = _srpb_signatures(n)
+    sig = persist_scoped(_srpb_signatures(n))
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     c = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
@@ -477,14 +497,27 @@ def ann_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = cand.select("vec_a", "vec_b").distinct()
     band0 = cand.filter(F.col("band") == 0).select("vec_a", "vec_b").distinct()
-    na = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    nc = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cs = cosine(F.col("va"), F.col("vb"))
+    na = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("_na"),
+    )
+    nc = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("_nb"),
+    )
+    cs = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+    )
     truth = (
         na.join(nc, F.col("vec_a") < F.col("vec_b"))
         .filter(cs >= _SRPB_COS_MIN)
         .select("vec_a", "vec_b", (cs >= 0.6).alias("near"))
     )
+    # reused by three aggregates below — persist the bounded-audit pair
+    # set once (scoped; released by the registry/bench after the action)
+    truth = persist_scoped(truth)
     nt = truth.agg(
         F.count("*").alias("n_truth"),
         F.sum(F.col("near").cast("long")).alias("n_truth_near"),

@@ -29,6 +29,8 @@ from cdc_apache_cassandra_spark.operators.text_dedup import (
 from cdc_apache_cassandra_spark.operators.vectors import (
     as_double_vec,
     cosine,
+    cosine_with_norms,
+    norm,
     ivf_assign,
     sign_lsh_bucket,
 )
@@ -384,13 +386,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = n.select(
         "vec_id", "v", sign_lsh_bucket(F.col("v"), _LSH_BITS).alias("bucket")
     )
+    # norms hoisted per vector: one HOF dot per pair, not three
     a = bkt.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket",
+        norm(F.col("v")).alias("_nna"),
     )
     b = bkt.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket",
+        norm(F.col("v")).alias("_nnb"),
     )
-    cs = cosine(F.col("va"), F.col("vb"))
+    cs = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("_nna"), F.col("_nnb")
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from cdc_apache_cassandra_spark.operators.vectors import (
     as_double_vec,
     cosine,
+    cosine_with_norms,
+    norm,
     ivf_assign,
     ivf_probe_topn,
     squared_distance,
@@ -302,13 +304,20 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment feeds BOTH self-join sides and the node list — persist so
     # the broadcast-score-window pipeline runs once, not three times
     asg = ivf_assign(n, cent, "vec").transform(persist_scoped)  # vec_id, vec, cid
+    # per-vector norms hoisted out of the per-pair cosine: one HOF dot
+    # per PAIR instead of three (bit-identical — operators/vectors.
+    # cosine_with_norms)
     a = asg.select(
-        F.col("vec_id").alias("va"), F.col("vec").alias("xa"), "cid"
+        F.col("vec_id").alias("va"), F.col("vec").alias("xa"), "cid",
+        norm(F.col("vec")).alias("_nna"),
     )
     b = asg.select(
-        F.col("vec_id").alias("vb"), F.col("vec").alias("xb"), "cid"
+        F.col("vec_id").alias("vb"), F.col("vec").alias("xb"), "cid",
+        norm(F.col("vec")).alias("_nnb"),
     )
-    cs = cosine(F.col("xa"), F.col("xb"))
+    cs = cosine_with_norms(
+        F.col("xa"), F.col("xb"), F.col("_nna"), F.col("_nnb")
+    )
     pairs = (
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
