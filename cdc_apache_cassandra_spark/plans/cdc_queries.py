@@ -476,6 +476,46 @@ def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_view(state).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+@register("cdc_delta_export_state", sql=_MAT_SQL)
+def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse interop under the oracle gate (r3 verdict item 7, native
+    half): the bucket store is built in two segment-interleaved MERGE
+    commits and published to a REAL Delta table after each —
+    streaming/delta_log.py writes the public Delta transaction log
+    (protocol/metaData/add/remove JSON actions, delta.io PROTOCOL.md)
+    with no delta-spark jar, remove+add-ing only the buckets each commit
+    touched. The returned rows are read BACK through the log (schema
+    from metaData, files from action replay), so the gate pins that an
+    external Delta reader sees exactly the LWW-converged active view:
+    oracle = direct LWW winners minus tombstones, same as
+    cdc_materialized_state."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_export,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    root = tempfile.mkdtemp(prefix="cdc_delta_export_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    # commit 1: the bulk; commit 2: a ~1% key slice — the second export
+    # must rewrite only that slice's buckets (remove+add per touched
+    # bucket), which is the property that makes the log an incremental
+    # feed at 100 TB
+    late = F.pmod(F.col("pk"), F.lit(97)) == 0
+    for batch in (ev.filter(~late), ev.filter(late)):
+        merge_into(spark, store, batch, ["pk"])
+        delta_export(spark, store, table)
+    ev.unpersist()
+    return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""

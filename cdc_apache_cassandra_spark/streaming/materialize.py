@@ -158,9 +158,29 @@ def read_state(spark: SparkSession, path: str) -> DataFrame | None:
         return None
     paths = _bucket_paths(path, manifest)
     return (
-        spark.read.option("basePath", path)
+        spark.read.option("basePath", path).option("mergeSchema", "true")
         .parquet(*paths)
         .drop("__ver", "__bucket")
+    )
+
+
+def _union_evolving(old: DataFrame, batch: DataFrame) -> DataFrame:
+    """Union that admits BACKWARD-compatible schema drift between stored
+    state and an incoming batch (the UDT/ALTER-ADD scenario flowing into
+    the store after a DDL restart): reconcile under the evolution rules
+    — additive nullable fields at any depth merge, type changes raise —
+    then align both sides. Identical schemas skip straight to the plain
+    union (no plan overhead on the common path)."""
+    if old.schema == batch.schema:
+        return old.unionByName(batch)
+    from cdc_apache_cassandra_spark.streaming.schema_evolution import (
+        align_to_schema,
+        reconcile_schemas,
+    )
+
+    target = reconcile_schemas(old.schema, batch.schema)
+    return align_to_schema(old, target).unionByName(
+        align_to_schema(batch, target)
     )
 
 
@@ -169,7 +189,7 @@ def merge_batch_lww(
 ) -> DataFrame:
     """Pure merge: union prior state with the new batch, keep the newest
     mutation per key. Tombstone winners are kept (see module doc)."""
-    merged = batch if state is None else state.unionByName(batch)
+    merged = batch if state is None else _union_evolving(state, batch)
     return last_write_wins(merged, pk_cols=pk_cols)
 
 
@@ -224,11 +244,11 @@ def merge_into(
     old_paths = _bucket_paths(path, manifest, touched)
     if old_paths:
         old = (
-            spark.read.option("basePath", path)
+            spark.read.option("basePath", path).option("mergeSchema", "true")
             .parquet(*old_paths)
             .drop("__ver")
         )
-        merged = reducer(old.unionByName(batch))
+        merged = reducer(_union_evolving(old, batch))
     else:
         merged = reducer(batch)
     merged = merged.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
@@ -261,7 +281,7 @@ def _bucket_stats(spark: SparkSession, base: str, ver_dir: str) -> dict:
     writetime, null when the bucket holds none) is what lets
     :func:`compact` GC incrementally instead of rewriting the table."""
     try:
-        df = spark.read.option("basePath", base).parquet(ver_dir)
+        df = spark.read.option("basePath", base).option("mergeSchema", "true").parquet(ver_dir)
     except Exception:
         # an all-rows-filtered write leaves only _SUCCESS — no buckets
         return {}
@@ -343,7 +363,7 @@ def compact(
             return
         paths = _bucket_paths(path, manifest, targets)
         state = (
-            spark.read.option("basePath", path).parquet(*paths).drop("__ver")
+            spark.read.option("basePath", path).option("mergeSchema", "true").parquet(*paths).drop("__ver")
         )
     else:
         state = read_state(spark, path)
@@ -420,7 +440,7 @@ def point_read(
     # table schema from one live bucket's footer (not a full-store listing)
     one = _bucket_paths(path, manifest)[:1]
     schema = (
-        spark.read.option("basePath", path)
+        spark.read.option("basePath", path).option("mergeSchema", "true")
         .parquet(*one)
         .drop("__ver", "__bucket")
         .schema
@@ -448,7 +468,7 @@ def point_read(
     if not paths:
         return spark.createDataFrame([], schema=schema)
     df = (
-        spark.read.option("basePath", path)
+        spark.read.option("basePath", path).option("mergeSchema", "true")
         .parquet(*paths)
         .drop("__ver", "__bucket")
     )
@@ -496,14 +516,17 @@ def delta_available(spark: SparkSession) -> bool:
 
 
 def export_delta(spark: SparkSession, path: str, out_path: str) -> None:
-    """Write the active view as a real Delta table (full-snapshot
-    overwrite — self-consistent at one manifest version). Activates only
-    on clusters carrying delta-spark (:func:`delta_available`), the same
-    capability-gated pattern as the spark-avro wire codec; this sandbox
-    has no Delta jar, so the seam is pinned by the parquet round-trip
-    test plus the gated test that runs where Delta exists. Incremental
-    MERGE export (``whenMatchedDelete`` on tombstone rows) is the
-    natural extension once a cluster target exists."""
+    """Write the active view as a Delta table THROUGH delta-spark
+    (full-snapshot overwrite — self-consistent at one manifest version).
+    Activates only on clusters carrying the jar (:func:`delta_available`,
+    same capability-gate pattern as the spark-avro wire codec).
+
+    The jar-free production path is ``streaming/delta_log.py``: it
+    writes the public Delta transaction log directly and exports
+    INCREMENTALLY (remove+add of only the buckets each store commit
+    touched), which is what the `cdc_delta_export_state` gate entry
+    runs. Keep this delta-spark variant where a cluster already
+    standardizes on it (e.g. to follow with ``MERGE``/``OPTIMIZE``)."""
     if not delta_available(spark):
         raise ModuleNotFoundError(
             "delta-spark is not on this cluster; use export_snapshot() "

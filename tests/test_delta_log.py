@@ -1,0 +1,266 @@
+"""Native Delta-log export of the bucket store (streaming/delta_log.py).
+
+Pins the PUBLIC Delta protocol shapes (delta.io PROTOCOL.md): version-0
+commit carries protocol(1,2) + metaData with a Spark-JSON schemaString;
+adds/removes replay to the live file set; commits are create-only.
+Functionally: exported rows == the store's active view after every
+incremental commit, export IO ∝ changed buckets, time travel and vacuum
+behave like Delta's.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.streaming.delta_log import (
+    DATA_DIR,
+    LOG_DIR,
+    delta_export,
+    delta_history,
+    delta_log_replay,
+    delta_vacuum,
+    read_delta,
+)
+from cdc_apache_cassandra_spark.streaming.materialize import (
+    CommitConflict,
+    active_view,
+    compact,
+    merge_into,
+    read_state,
+)
+
+SCHEMA = (
+    "op string, pk long, writetime long, v string, w string, "
+    "segment long, position long"
+)
+
+
+def _rows(df):
+    return sorted(
+        (r.pk, r.op, r.writetime, r.v, r.w) for r in df.collect()
+    )
+
+
+def _store(spark, tmp_path, n=64, n_buckets=8):
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    base = spark.createDataFrame(
+        [("INSERT", i, 10, f"v{i}", "x", 0, i) for i in range(n)], SCHEMA
+    )
+    merge_into(spark, path, base, ["pk"], n_buckets=n_buckets)
+    return path
+
+
+def test_full_export_matches_active_view(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    out = str(tmp_path / "delta")
+    version = delta_export(spark, store, out)
+    assert version == 0
+    got = read_delta(spark, out)
+    want = active_view(read_state(spark, store))
+    assert _rows(got) == _rows(want)
+
+
+def test_version0_protocol_and_metadata_shapes(spark, tmp_path):
+    """The spec pins: first commit has protocol(minReader=1, minWriter=2)
+    and metaData whose schemaString parses as a Spark StructType and
+    matches the data files; add actions carry relative paths, real sizes,
+    and numRecords stats."""
+    store = _store(spark, tmp_path)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(out, LOG_DIR, f"{0:020d}.json"))
+    ]
+    protocol = next(a["protocol"] for a in actions if "protocol" in a)
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    assert "pk" in schema.names and "__bucket" not in schema.names
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds, "first export must add data files"
+    total = 0
+    for add in adds:
+        assert not add["path"].startswith("/")
+        full = os.path.join(out, add["path"])
+        assert os.path.getsize(full) == add["size"]
+        assert add["dataChange"] is True and add["partitionValues"] == {}
+        total += json.loads(add["stats"])["numRecords"]
+    assert total == active_view(read_state(spark, store)).count()
+
+
+def test_incremental_export_rewrites_only_changed_buckets(spark, tmp_path):
+    """The 100-TB property carried through the interop seam: a store
+    commit touching one key exports as ONE remove + ONE add (that key's
+    bucket); every other published file is untouched."""
+    store = _store(spark, tmp_path)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    _, files_v0, _ = delta_log_replay(out)
+
+    one = spark.createDataFrame(
+        [("UPDATE", 3, 20, "new", "x", 0, 99)], SCHEMA
+    )
+    merge_into(spark, store, one, ["pk"])
+    assert delta_export(spark, store, out) == 1
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(out, LOG_DIR, f"{1:020d}.json"))
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert len(adds) == 1 and len(removes) == 1
+    assert removes[0]["path"] in files_v0
+
+    def _bucket_of(p):
+        return int(p.split("/")[-1].split("-")[0][1:])
+
+    assert _bucket_of(adds[0]["path"]) == _bucket_of(removes[0]["path"])
+    assert int(adds[0]["tags"]["bucket"]) == _bucket_of(adds[0]["path"])
+    got = read_delta(spark, out)
+    want = active_view(read_state(spark, store))
+    assert _rows(got) == _rows(want)
+    assert got.filter("pk = 3").collect()[0].v == "new"
+
+
+def test_export_noop_when_current(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    out = str(tmp_path / "delta")
+    assert delta_export(spark, store, out) == 0
+    assert delta_export(spark, store, out) is None  # nothing changed
+    log = os.listdir(os.path.join(out, LOG_DIR))
+    assert len([n for n in log if n.endswith(".json")]) == 1
+
+
+def test_tombstones_are_deletes_in_the_export(spark, tmp_path):
+    """A DELETE winner disappears from the exported table (Delta's
+    whenMatchedDelete result), while the store keeps the tombstone."""
+    store = _store(spark, tmp_path, n=16, n_buckets=4)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    dels = spark.createDataFrame(
+        [("DELETE", i, 30, None, None, 1, i) for i in range(4)], SCHEMA
+    )
+    merge_into(spark, store, dels, ["pk"])
+    delta_export(spark, store, out)
+    got = read_delta(spark, out)
+    assert got.filter("pk < 4").count() == 0
+    assert got.count() == 12
+    assert _rows(got) == _rows(active_view(read_state(spark, store)))
+
+
+def test_gc_dropped_bucket_emits_remove_without_add(spark, tmp_path):
+    """compact(only_expired) can erase a bucket wholesale (all rows were
+    expired tombstones); the next export removes its file from the log."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    # two keys in different buckets; tombstone one entirely
+    rows = [("INSERT", i, 10, f"v{i}", "x", 0, i) for i in range(8)]
+    merge_into(
+        spark, store, spark.createDataFrame(rows, SCHEMA), ["pk"], n_buckets=4
+    )
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    n_files_before = len(delta_log_replay(out)[1])
+
+    dels = spark.createDataFrame(
+        [("DELETE", i, 20, None, None, 1, i) for i in range(8)], SCHEMA
+    )
+    merge_into(spark, store, dels, ["pk"])
+    compact(spark, store, ["pk"], tombstone_horizon=100)
+    delta_export(spark, store, out)
+    _, files, _ = delta_log_replay(out)
+    total = sum(json.loads(a["stats"])["numRecords"] for a in files.values())
+    assert total == 0
+    assert read_delta(spark, out).count() == 0
+    assert n_files_before > 0
+
+
+def test_time_travel_versions(spark, tmp_path):
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    v0 = _rows(read_delta(spark, out))
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    delta_export(spark, store, out)
+    assert _rows(read_delta(spark, out, version=0)) == v0
+    assert read_delta(spark, out).filter("pk = 1").collect()[0].v == "u"
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    delta_export(spark, store, out)
+    before = set(os.listdir(os.path.join(out, DATA_DIR)))
+    deleted = delta_vacuum(out)
+    assert deleted, "the replaced bucket file must be vacuumed"
+    after = set(os.listdir(os.path.join(out, DATA_DIR)))
+    assert before - after == {p.split("/")[-1] for p in deleted}
+    # current snapshot unaffected
+    assert _rows(read_delta(spark, out)) == _rows(
+        active_view(read_state(spark, store))
+    )
+
+
+def test_commit_files_are_create_only(spark, tmp_path):
+    """The spec's optimistic-concurrency rule: a commit file is never
+    overwritten; a racing writer must fail with a conflict."""
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    from cdc_apache_cassandra_spark.streaming.delta_log import _write_commit
+
+    try:
+        _write_commit(out, 0, [{"commitInfo": {"timestamp": 0}}])
+        raise AssertionError("expected CommitConflict")
+    except CommitConflict:
+        pass
+
+
+def test_history_records_every_export(spark, tmp_path):
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    delta_export(spark, store, out)
+    hist = delta_history(out)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert all(h["operation"] == "CDC MERGE EXPORT" for h in hist)
+    assert hist[1]["operationParameters"]["changedBuckets"] == "1"
+
+
+def test_schema_widening_reemits_metadata_and_reads_with_nulls(spark, tmp_path):
+    """Store schema evolution flows through: files written before a
+    widening read with typed nulls because the READER takes the schema
+    from the log's newest metaData, not from file footers."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame([("INSERT", 1, 10, "a", "x", 0, 0)], SCHEMA),
+        ["pk"],
+        n_buckets=2,
+    )
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    wide = spark.createDataFrame(
+        [("INSERT", 2, 20, "b", "x", 0, 1, "extra")], SCHEMA + ", z string"
+    )
+    merge_into(spark, store, wide, ["pk"])
+    delta_export(spark, store, out)
+    _, _, meta = delta_log_replay(out)
+    assert "z" in json.loads(meta["schemaString"])["fields"][-1]["name"]
+    got = read_delta(spark, out)
+    assert got.filter("pk = 2").collect()[0].z == "extra"
+    assert got.filter("pk = 1").collect()[0].z is None
