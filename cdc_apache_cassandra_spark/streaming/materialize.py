@@ -566,13 +566,22 @@ def foreach_batch_upsert(
     n_buckets: int = DEFAULT_BUCKETS,
     bucket_cols: list[str] | None = None,
     reducer=None,
+    delta_path: str | None = None,
 ):
     """foreachBatch hook: incremental bucket MERGE per micro-batch.
 
     Atomic per micro-batch because foreachBatch serializes batches and the
     manifest swap is the single commit point; retried batches are
     idempotent (the merge is deterministic and the reducer absorbs
-    replays — at-least-once safe)."""
+    replays — at-least-once safe).
+
+    ``delta_path`` additionally publishes each committed merge as one
+    Delta-log commit (``streaming/delta_log.py``): remove+add of only
+    the buckets the batch touched, so external engines tail the stream's
+    output as an ordinary incremental Delta feed. A replayed batch whose
+    merge was already published exports as a no-op (the manifest diff is
+    empty), keeping the log exactly-once even under at-least-once
+    foreachBatch."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         merge_into(
@@ -584,6 +593,12 @@ def foreach_batch_upsert(
             bucket_cols=bucket_cols,
             reducer=reducer,
         )
+        if delta_path is not None:
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                delta_export,
+            )
+
+            delta_export(batch.sparkSession, path, delta_path)
 
     return apply
 
@@ -596,15 +611,20 @@ def materialize_stream(
     n_buckets: int = DEFAULT_BUCKETS,
     bucket_cols: list[str] | None = None,
     reducer=None,
+    delta_path: str | None = None,
 ):
     """Wire a mutation-event stream into the materialized table.
     Compound tables pass ``bucket_cols=[partition_key]`` and
     ``reducer=operators.lww.compound_reduce`` for partition-range
-    tombstone semantics."""
+    tombstone semantics. ``delta_path`` mirrors every commit into a
+    native Delta log (see :func:`foreach_batch_upsert`)."""
     os.makedirs(path, exist_ok=True)
     return (
         events.writeStream.foreachBatch(
-            foreach_batch_upsert(path, pk_cols, n_buckets, bucket_cols, reducer)
+            foreach_batch_upsert(
+                path, pk_cols, n_buckets, bucket_cols, reducer,
+                delta_path=delta_path,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -264,3 +264,48 @@ def test_schema_widening_reemits_metadata_and_reads_with_nulls(spark, tmp_path):
     got = read_delta(spark, out)
     assert got.filter("pk = 2").collect()[0].z == "extra"
     assert got.filter("pk = 1").collect()[0].z is None
+
+
+def test_streaming_materialize_publishes_delta_feed(spark, sf_dir, tmp_path):
+    """materialize_stream(delta_path=...) mirrors every micro-batch's
+    bucket MERGE into the Delta log: after the stream drains, an external
+    Delta reader sees exactly the converged active view, and the log
+    holds one commit per exporting micro-batch (incremental adds, not
+    snapshots)."""
+    from cdc_apache_cassandra_spark.operators.dedup import dedup_mutations
+    from cdc_apache_cassandra_spark.operators.lww import last_write_wins
+    from cdc_apache_cassandra_spark.sources.event_source import mutation_events
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        materialize_stream,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    mutation_events(spark, sf_dir).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 3).parquet(src)
+    )
+    q = materialize_stream(stream, table, ckpt, ["pk"], delta_path=delta)
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_delta(spark, delta).select("pk", "op", "writetime", "c_acctbal")
+    want = (
+        last_write_wins(dedup_mutations(mutation_events(spark, sf_dir)))
+        .filter("op <> 'DELETE'")
+        .select("pk", "op", "writetime", "c_acctbal")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    hist = delta_history(delta)
+    assert len(hist) >= 2, "multiple micro-batches must commit incrementally"
+    assert _rows_pk(read_delta(spark, delta)) == _rows_pk(
+        active_view(read_state(spark, table))
+    )
+
+
+def _rows_pk(df):
+    return sorted((r.pk, r.writetime) for r in df.select("pk", "writetime").collect())
