@@ -1,14 +1,14 @@
 """Native Delta Lake transaction-log export of the bucket store — no
 delta-spark jar required.
 
-Implements the PUBLIC Delta table protocol (delta.io PROTOCOL.md — the
+Implements the PUBLIC Delta table protocol (delta.io PROTOCOL.md; the
 format Spark+delta-spark, delta-rs, DuckDB's ``delta`` extension, and
 Trino all read): a table directory holding parquet data files plus a
 ``_delta_log/`` of zero-padded numbered JSON commits whose actions
-(``protocol``, ``metaData``, ``add``, ``remove``) replay in version
-order to the current file set. Emitted tables use minReaderVersion=1 /
-minWriterVersion=2 — plain adds/removes, no deletion vectors or column
-mapping: the maximally-portable reader profile.
+(``protocol``, ``metaData``, ``add``, ``remove``, ``txn``) replay in
+version order to the current file set. Emitted tables use
+minReaderVersion=1 / minWriterVersion=2 — plain adds/removes, no
+deletion vectors or column mapping: the maximally-portable profile.
 
 Mapping onto the bucket store (``streaming/materialize.py``) is 1:1:
 
@@ -19,19 +19,26 @@ Mapping onto the bucket store (``streaming/materialize.py``) is 1:1:
                     previous file + ``add`` of its rewrite, tagged with
                     the bucket id and store version so the next export
                     diffs MANIFESTS, never data
-  CAS manifest   -> the log's optimistic-concurrency rule (a commit file
-                    may only be CREATED, never overwritten — O_EXCL here,
-                    conditional PUT / ``If-None-Match: *`` on object
-                    stores, exactly the :class:`ManifestStore` seam)
+  CAS manifest   -> the log's optimistic-concurrency rule: a commit file
+                    must be PUBLISHED atomically and only if absent.
+                    Locally that is write-temp + ``os.link`` (atomic,
+                    fails on an existing target); object stores use a
+                    conditional PUT (``If-None-Match: *``) — the same
+                    seam :class:`ManifestStore` rides.
 
 Export IO is ∝ changed buckets: the exporter reads only buckets whose
 store version moved since the last export and rewrites only their data
 files; unchanged buckets keep their already-published files, and a
-no-change export writes nothing at all. At 100 TB with 4096 buckets an
-hourly export rewrites only what CDC touched in that hour — the log IS
-the incremental feed external engines tail (each commit's add/remove
-set names exactly the changed files, which is how Delta streaming
-readers consume a table).
+no-change export writes nothing at all (all-tombstone buckets are
+remembered in commitInfo so they cannot re-trigger work). At 100 TB
+with 4096 buckets an hourly export rewrites only what CDC touched in
+that hour — the log IS the incremental feed external engines tail.
+
+Streaming idempotence uses the protocol's own device: a ``txn`` action
+``{appId, version}`` per exporting micro-batch. A replayed foreachBatch
+invocation (same appId+batch id) is skipped before any IO — the
+mechanism delta-spark itself prescribes for idempotent ``foreachBatch``
+writes (``txnAppId``/``txnVersion``).
 
 Reference parity: the DataStax connector leaves table materialization to
 downstream Pulsar sinks (ES / another Cassandra); SURVEY §7.4 maps that
@@ -45,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -61,6 +69,10 @@ from cdc_apache_cassandra_spark.streaming.materialize import (
 LOG_DIR = "_delta_log"
 DATA_DIR = "data"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+#: default VACUUM retention — protects data files an in-flight export
+#: has staged into ``data/`` but not yet committed (Delta's own VACUUM
+#: keeps a retention window for the same reason)
+VACUUM_RETAIN_MS = 24 * 3600 * 1000
 
 
 def _commit_path(out_path: str, version: int) -> str:
@@ -71,59 +83,121 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-def delta_log_replay(out_path: str) -> tuple[int, dict[str, dict], dict | None]:
-    """Replay the JSON log exactly as the spec's state reconstruction:
-    actions apply in version order; per data-file path, the last
-    ``add``/``remove`` wins; the newest ``metaData`` is the table schema.
-    Returns ``(last_version, {path: add_action}, metaData | None)``;
-    ``(-1, {}, None)`` when no log exists. Checkpoint parquet files are
-    an optional optimization the spec lets readers skip — this table's
-    writer emits JSON commits only, so replay is always complete."""
+class _LogState:
+    """Replayed log state: the file set, newest metaData, txn watermarks,
+    and this exporter's empty-bucket memo (from commitInfo)."""
+
+    def __init__(self):
+        self.last = -1
+        self.files: dict[str, dict] = {}
+        self.meta: dict | None = None
+        self.txns: dict[str, int] = {}
+        self.empty_buckets: dict[int, int] = {}
+
+
+def _list_commits(out_path: str) -> list[tuple[int, str]]:
+    """Numbered JSON commits, version order. Rejects tables this reader
+    cannot replay completely: a ``_last_checkpoint`` means older JSON
+    commits may have been checkpointed into parquet and cleaned (real
+    Delta writers do this every ~10 commits) — replaying the surviving
+    JSON alone would silently drop files, so refuse loudly. A version
+    gap means the same."""
     log_dir = os.path.join(out_path, LOG_DIR)
     try:
-        names = sorted(
-            n for n in os.listdir(log_dir) if n.endswith(".json") and n[0].isdigit()
-        )
+        names = os.listdir(log_dir)
     except FileNotFoundError:
-        return -1, {}, None
-    files: dict[str, dict] = {}
-    meta = None
-    last = -1
-    for name in names:
-        version = int(name[: -len(".json")])
-        with open(os.path.join(log_dir, name)) as f:
+        return []
+    if "_last_checkpoint" in names:
+        raise NotImplementedError(
+            f"{out_path} has a _delta_log/_last_checkpoint: this table was "
+            "written by a checkpointing writer; JSON-only replay would be "
+            "incomplete. Read it with a full Delta client."
+        )
+    commits = sorted(
+        (int(n[: -len(".json")]), os.path.join(log_dir, n))
+        for n in names
+        if n.endswith(".json") and n[0].isdigit()
+    )
+    for i, (v, _) in enumerate(commits):
+        if v != i:
+            raise FileNotFoundError(
+                f"delta log at {out_path} is not contiguous from 0 "
+                f"(found version {v} at position {i}); incomplete copy?"
+            )
+    return commits
+
+
+def _replay(out_path: str, max_version: int | None = None) -> _LogState:
+    """One action-replay loop for every reader in this module — the
+    spec's state reconstruction: actions apply in version order, last
+    add/remove per path wins, newest metaData is the schema."""
+    state = _LogState()
+    for version, path in _list_commits(out_path):
+        if max_version is not None and version > max_version:
+            break
+        with open(path) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    files[action["add"]["path"]] = action["add"]
+                    state.files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
+                    state.files.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
-                    meta = action["metaData"]
-        last = version
-    return last, files, meta
+                    state.meta = action["metaData"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    state.txns[t["appId"]] = max(
+                        t["version"], state.txns.get(t["appId"], -1)
+                    )
+                elif "commitInfo" in action:
+                    empties = action["commitInfo"].get("emptyBuckets")
+                    if empties is not None:
+                        state.empty_buckets = {
+                            int(b): int(v) for b, v in empties.items()
+                        }
+        state.last = version
+    if max_version is not None and state.last < max_version:
+        raise FileNotFoundError(
+            f"delta version {max_version} not found at {out_path} "
+            f"(last {state.last})"
+        )
+    return state
+
+
+def delta_log_replay(out_path: str) -> tuple[int, dict[str, dict], dict | None]:
+    """Public replay: ``(last_version, {path: add_action}, metaData)``;
+    ``(-1, {}, None)`` when no log exists."""
+    s = _replay(out_path)
+    return s.last, s.files, s.meta
 
 
 def _write_commit(out_path: str, version: int, actions: list[dict]) -> None:
-    """Create commit ``version`` atomically. The spec's concurrency rule:
-    the file must be CREATED, never overwritten — a racing writer loses
-    with :class:`CommitConflict` (object stores: conditional PUT with
-    ``If-None-Match: *``), mirroring the bucket store's manifest CAS."""
+    """Publish commit ``version`` atomically and create-only: the full
+    content is written to a temp file, then ``os.link``ed into place —
+    readers never observe a torn commit, a crash before the link leaves
+    no log entry at all, and linking onto an existing commit fails
+    (:class:`CommitConflict` — the spec's optimistic-concurrency rule;
+    object stores: conditional PUT with ``If-None-Match: *``)."""
     os.makedirs(os.path.join(out_path, LOG_DIR), exist_ok=True)
     path = _commit_path(out_path, version)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         raise CommitConflict(
             f"delta commit {version} already exists at {path}: another "
             "exporter published first; replay the log and re-diff"
         )
-    with os.fdopen(fd, "w") as f:
-        for action in actions:
-            f.write(json.dumps(action, separators=(",", ":")) + "\n")
+    finally:
+        os.unlink(tmp)
 
 
 def _parquet_num_rows(path: str) -> int:
@@ -137,13 +211,21 @@ def delta_export(
     store_path: str,
     out_path: str,
     name: str | None = None,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
-    tags, rewrite only buckets whose store version moved, ``remove`` the
-    files of buckets that disappeared (GC'd to empty), and commit one log
-    version. Returns the committed Delta version, or None when the
-    export is already current (nothing is written at all).
+    tags (and empty-bucket memo), rewrite only buckets whose store
+    version moved, ``remove`` the files of buckets that disappeared
+    (GC'd to empty), and commit one log version. Returns the committed
+    Delta version, or None when the export is already current (nothing
+    is written at all).
+
+    ``txn_app``/``txn_version`` make the export idempotent under
+    at-least-once callers (foreachBatch): an already-recorded
+    (appId, version) pair returns None before any IO, and each commit
+    records its pair as a spec ``txn`` action.
 
     Driver traffic is metadata-sized throughout: bucket ids, file names,
     and footer row counts — never rows. The changed buckets are read and
@@ -151,11 +233,19 @@ def delta_export(
     manifest = _read_manifest(store_path)
     if manifest is None:
         raise FileNotFoundError(f"no materialized state at {store_path}")
-    last_version, files, meta = delta_log_replay(out_path)
+    log = _replay(out_path)
+    if (
+        txn_app is not None
+        and txn_version is not None
+        and log.txns.get(txn_app, -1) >= txn_version
+    ):
+        return None  # replayed batch: already published
 
-    # bucket -> (published path, store version it captured)
-    published: dict[int, tuple[str, int]] = {}
-    for path, add in files.items():
+    # bucket -> (published path | None, store version it captured)
+    published: dict[int, tuple[str | None, int]] = {
+        b: (None, v) for b, v in log.empty_buckets.items()
+    }
+    for path, add in log.files.items():
         tags = add.get("tags") or {}
         if "bucket" in tags:
             published[int(tags["bucket"])] = (path, int(tags["storeVersion"]))
@@ -169,8 +259,11 @@ def delta_export(
     dropped = sorted(b for b in published if b not in store_buckets)
 
     actions: list[dict] = []
-    version = last_version + 1
+    version = log.last + 1
     schema_json = None
+    empty_now: dict[int, int] = {
+        b: v for b, v in log.empty_buckets.items() if b in store_buckets
+    }
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
@@ -185,17 +278,22 @@ def delta_export(
         # (changed-buckets) schema with the log's current metaData so a
         # re-export of an old narrow bucket cannot regress the schema
         new_schema = live.drop("__bucket").schema
-        if meta is not None:
+        if log.meta is not None:
             from cdc_apache_cassandra_spark.streaming.schema_evolution import (
                 reconcile_schemas,
             )
 
             new_schema = reconcile_schemas(
-                T.StructType.fromJson(json.loads(meta["schemaString"])),
+                T.StructType.fromJson(json.loads(log.meta["schemaString"])),
                 new_schema,
             )
         schema_json = new_schema.json()
-        staging = os.path.join(out_path, f"_staging_{version}")
+        # staging is unique per writer: two racing exporters never
+        # clobber each other's files; the loser of the commit race
+        # cleans up its own staging and nothing else
+        staging = os.path.join(
+            out_path, f"_staging_{version}_{uuid.uuid4().hex[:8]}"
+        )
         (
             live.repartition(len(changed), F.col("__bucket"))
             .write.mode("overwrite")
@@ -206,80 +304,105 @@ def delta_export(
         # name; metadata-sized driver work (≤ changed buckets renames)
         os.makedirs(os.path.join(out_path, DATA_DIR), exist_ok=True)
         now = _now_ms()
-        for b in changed:
-            bdir = os.path.join(staging, f"__bucket={b}")
-            parts = (
-                [n for n in os.listdir(bdir) if n.endswith(".parquet")]
-                if os.path.isdir(bdir)
-                else []
-            )
-            if b in published:
+        try:
+            for b in changed:
+                bdir = os.path.join(staging, f"__bucket={b}")
+                parts = (
+                    [n for n in os.listdir(bdir) if n.endswith(".parquet")]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+                if b in published and published[b][0] is not None:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": published[b][0],
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                if not parts:
+                    # every row in the bucket was a tombstone: no data
+                    # file, but REMEMBER it (commitInfo memo) so the next
+                    # export does not reclassify it as changed
+                    empty_now[b] = store_buckets[b]
+                    continue
+                if len(parts) != 1:
+                    raise RuntimeError(
+                        f"bucket {b}: expected one staged file, got {parts} "
+                        "(repartition-by-bucket invariant broken)"
+                    )
+                empty_now.pop(b, None)
+                rel = f"{DATA_DIR}/b{b:05d}-v{store_buckets[b]:010d}.parquet"
+                dst = os.path.join(out_path, rel)
+                os.replace(os.path.join(bdir, parts[0]), dst)
                 actions.append(
                     {
-                        "remove": {
-                            "path": published[b][0],
-                            "deletionTimestamp": now,
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {},
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now,
                             "dataChange": True,
+                            "stats": json.dumps(
+                                {"numRecords": _parquet_num_rows(dst)}
+                            ),
+                            "tags": {
+                                "bucket": str(b),
+                                "storeVersion": str(store_buckets[b]),
+                            },
                         }
                     }
                 )
-            if not parts:
-                continue  # every row in the bucket was a tombstone
-            assert len(parts) == 1, f"bucket {b}: expected one file, {parts}"
-            rel = f"{DATA_DIR}/b{b:05d}-v{store_buckets[b]:010d}.parquet"
-            dst = os.path.join(out_path, rel)
-            os.replace(os.path.join(bdir, parts[0]), dst)
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now,
-                        "dataChange": True,
-                        "stats": json.dumps(
-                            {"numRecords": _parquet_num_rows(dst)}
-                        ),
-                        "tags": {
-                            "bucket": str(b),
-                            "storeVersion": str(store_buckets[b]),
-                        },
-                    }
-                }
-            )
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     now = _now_ms()
     for b in dropped:
-        actions.append(
-            {
-                "remove": {
-                    "path": published[b][0],
-                    "deletionTimestamp": now,
-                    "dataChange": True,
+        if published[b][0] is not None:
+            actions.append(
+                {
+                    "remove": {
+                        "path": published[b][0],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
                 }
-            }
-        )
+            )
 
-    if not actions and not (last_version < 0 and schema_json):
+    schema_changed = schema_json is not None and (
+        log.meta is None or log.meta["schemaString"] != schema_json
+    )
+    memo_changed = empty_now != log.empty_buckets
+    if not actions and not schema_changed and not memo_changed:
         return None  # export already current
 
     header: list[dict] = []
-    if last_version < 0:
+    if log.last < 0:
         header.append({"protocol": PROTOCOL})
-    if meta is None or (schema_json and meta["schemaString"] != schema_json):
+    if log.meta is None or schema_changed:
+        meta = log.meta or {}
         header.append(
             {
                 "metaData": {
-                    "id": (meta or {}).get("id", str(uuid.uuid4())),
-                    "name": name,
+                    "id": meta.get("id", str(uuid.uuid4())),
+                    "name": name if name is not None else meta.get("name"),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": schema_json or (meta or {})["schemaString"],
+                    "schemaString": schema_json or meta["schemaString"],
                     "partitionColumns": [],
                     "configuration": {},
-                    "createdTime": (meta or {}).get("createdTime", now),
+                    "createdTime": meta.get("createdTime", now),
+                }
+            }
+        )
+    if txn_app is not None and txn_version is not None:
+        header.append(
+            {
+                "txn": {
+                    "appId": txn_app,
+                    "version": txn_version,
+                    "lastUpdated": now,
                 }
             }
         )
@@ -293,6 +416,7 @@ def delta_export(
                     "changedBuckets": str(len(changed)),
                     "droppedBuckets": str(len(dropped)),
                 },
+                "emptyBuckets": {str(b): v for b, v in empty_now.items()},
             }
         }
     )
@@ -305,95 +429,61 @@ def read_delta(
 ) -> DataFrame:
     """Snapshot read of a Delta table directly from its log — the
     import half of the seam (reads tables THIS exporter wrote and any
-    JSON-commit Delta table another writer produced). ``version`` time
-    travels to an earlier snapshot, exactly the log-replay semantics of
-    ``VERSION AS OF``. An empty file set still yields the correct schema
-    (from ``metaData.schemaString``)."""
-    last, files, meta = _delta_snapshot(out_path, version)
-    if meta is None:
+    pure-JSON-commit Delta table another writer produced; checkpointed
+    tables are detected and refused rather than silently truncated).
+    ``version`` time travels to an earlier snapshot, exactly the
+    log-replay semantics of ``VERSION AS OF``. An empty file set still
+    yields the correct schema (from ``metaData.schemaString``)."""
+    s = _replay(out_path, version)
+    if s.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    if not files:
+    schema = T.StructType.fromJson(json.loads(s.meta["schemaString"]))
+    if not s.files:
         return spark.createDataFrame([], schema=schema)
     # schema comes from the LOG, not file footers — the Delta reader
     # contract; files predating a schema widening read with typed nulls
     return spark.read.schema(schema).parquet(
-        *[os.path.join(out_path, p) for p in sorted(files)]
+        *[os.path.join(out_path, p) for p in sorted(s.files)]
     )
-
-
-def _delta_snapshot(
-    out_path: str, version: int | None
-) -> tuple[int, dict[str, dict], dict | None]:
-    if version is None:
-        return delta_log_replay(out_path)
-    log_dir = os.path.join(out_path, LOG_DIR)
-    files: dict[str, dict] = {}
-    meta = None
-    last = -1
-    for v in range(version + 1):
-        path = _commit_path(out_path, v)
-        if not os.path.exists(path):
-            if v > last:
-                break
-            continue
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    files[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    meta = action["metaData"]
-        last = v
-    if last < version:
-        raise FileNotFoundError(
-            f"delta version {version} not found at {out_path} (last {last})"
-        )
-    return last, files, meta
 
 
 def delta_history(out_path: str) -> list[dict]:
     """The table's commitInfo rows, oldest first — ``DESCRIBE HISTORY``."""
-    log_dir = os.path.join(out_path, LOG_DIR)
     out = []
-    try:
-        names = sorted(
-            n for n in os.listdir(log_dir) if n.endswith(".json") and n[0].isdigit()
-        )
-    except FileNotFoundError:
-        return out
-    for name in names:
-        with open(os.path.join(log_dir, name)) as f:
+    for version, path in _list_commits(out_path):
+        with open(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     action = json.loads(line)
                     if "commitInfo" in action:
-                        out.append(
-                            {"version": int(name[: -len(".json")]), **action["commitInfo"]}
-                        )
+                        out.append({"version": version, **action["commitInfo"]})
     return out
 
 
-def delta_vacuum(out_path: str) -> list[str]:
-    """Delete data files no snapshot ≤ now references — i.e. files whose
-    ``remove`` has been committed (Delta's VACUUM with retention served
-    by the log itself; time travel to pre-remove versions stops working
-    for vacuumed files, as in Delta). Returns the deleted paths."""
-    _, files, _ = delta_log_replay(out_path)
-    live = {os.path.normpath(p) for p in files}
+def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
+    """Delete data files the current snapshot no longer references —
+    Delta's VACUUM. ``retain_ms`` keeps recently-modified files even if
+    unreferenced: an in-flight export stages files into ``data/`` BEFORE
+    committing the log version that references them, so a zero-retention
+    vacuum racing an exporter would delete files the next commit points
+    at (the same reason real Delta defaults to a 7-day retention).
+    Time travel to versions whose files were vacuumed stops working, as
+    in Delta. Returns the deleted paths."""
+    s = _replay(out_path)
+    live = {os.path.normpath(p) for p in s.files}
     deleted = []
     data_dir = os.path.join(out_path, DATA_DIR)
     if not os.path.isdir(data_dir):
         return deleted
-    for name in os.listdir(data_dir):
-        rel = os.path.normpath(f"{DATA_DIR}/{name}")
-        if name.endswith(".parquet") and rel not in live:
-            os.unlink(os.path.join(data_dir, name))
-            deleted.append(rel)
+    horizon = _now_ms() - retain_ms
+    for fname in os.listdir(data_dir):
+        rel = os.path.normpath(f"{DATA_DIR}/{fname}")
+        full = os.path.join(data_dir, fname)
+        if not fname.endswith(".parquet") or rel in live:
+            continue
+        if int(os.path.getmtime(full) * 1000) > horizon:
+            continue  # inside the retention window — possibly in-flight
+        os.unlink(full)
+        deleted.append(rel)
     return sorted(deleted)

@@ -578,10 +578,16 @@ def foreach_batch_upsert(
     ``delta_path`` additionally publishes each committed merge as one
     Delta-log commit (``streaming/delta_log.py``): remove+add of only
     the buckets the batch touched, so external engines tail the stream's
-    output as an ordinary incremental Delta feed. A replayed batch whose
-    merge was already published exports as a no-op (the manifest diff is
-    empty), keeping the log exactly-once even under at-least-once
-    foreachBatch."""
+    output as an ordinary incremental Delta feed. Idempotence under
+    at-least-once foreachBatch uses the protocol's ``txn`` device
+    (appId = this store's path, version = batch_id — the same
+    txnAppId/txnVersion contract delta-spark prescribes): a replayed
+    batch's export is skipped before any IO. One bounded caveat: if the
+    stream crashes between the STORE commit and the export, the replay
+    re-merges (bumping store versions) and skips its own export, so the
+    next live batch's export re-publishes those buckets once — identical
+    content, flagged dataChange, exactly the at-least-once surface a
+    Delta MERGE writer has after a crash."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         merge_into(
@@ -598,7 +604,13 @@ def foreach_batch_upsert(
                 delta_export,
             )
 
-            delta_export(batch.sparkSession, path, delta_path)
+            delta_export(
+                batch.sparkSession,
+                path,
+                delta_path,
+                txn_app=f"materialize::{os.path.abspath(path)}",
+                txn_version=batch_id,
+            )
 
     return apply
 

@@ -201,7 +201,7 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     merge_into(spark, store, up, ["pk"])
     delta_export(spark, store, out)
     before = set(os.listdir(os.path.join(out, DATA_DIR)))
-    deleted = delta_vacuum(out)
+    deleted = delta_vacuum(out, retain_ms=0)
     assert deleted, "the replaced bucket file must be vacuumed"
     after = set(os.listdir(os.path.join(out, DATA_DIR)))
     assert before - after == {p.split("/")[-1] for p in deleted}
@@ -309,3 +309,117 @@ def test_streaming_materialize_publishes_delta_feed(spark, sf_dir, tmp_path):
 
 def _rows_pk(df):
     return sorted((r.pk, r.writetime) for r in df.select("pk", "writetime").collect())
+
+
+def test_txn_markers_make_export_idempotent(spark, tmp_path):
+    """The protocol's txn device (delta-spark's txnAppId/txnVersion
+    contract): a replayed (appId, version) pair is skipped before any
+    IO, even though the replayed merge bumped store versions."""
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    assert delta_export(spark, store, out, txn_app="app", txn_version=0) == 0
+    # crash-replay: the same batch merges again (store version moves)...
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    # ...but its export is skipped by the txn watermark
+    assert delta_export(spark, store, out, txn_app="app", txn_version=0) is None
+    # the next live batch publishes (including the replayed bucket, once)
+    assert delta_export(spark, store, out, txn_app="app", txn_version=1) == 1
+    assert read_delta(spark, out).filter("pk = 1").collect()[0].v == "u"
+
+
+def test_all_tombstone_bucket_does_not_loop(spark, tmp_path):
+    """An all-tombstone bucket exports no file but is memoized
+    (commitInfo emptyBuckets): the next export must be a no-op, not a
+    re-read of the bucket."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame([("DELETE", 1, 30, None, None, 0, 0)], SCHEMA),
+        ["pk"],
+        n_buckets=2,
+    )
+    out = str(tmp_path / "delta")
+    v = delta_export(spark, store, out)
+    assert v == 0  # commit exists (metaData + memo), zero data files
+    assert read_delta(spark, out).count() == 0
+    assert delta_export(spark, store, out) is None  # memo hit, no work
+    # a later live row in that bucket clears the memo and publishes
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame([("INSERT", 1, 40, "back", "x", 1, 0)], SCHEMA),
+        ["pk"],
+    )
+    delta_export(spark, store, out)
+    assert read_delta(spark, out).collect()[0].v == "back"
+
+
+def test_vacuum_retention_protects_fresh_files(spark, tmp_path):
+    """Default retention keeps recently-written unreferenced files (an
+    in-flight exporter stages data before committing the log version
+    that references it); retain_ms=0 reclaims immediately."""
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    delta_export(spark, store, out)
+    assert delta_vacuum(out) == []  # fresh files inside retention
+    deleted = delta_vacuum(out, retain_ms=0)
+    assert deleted
+    assert _rows(read_delta(spark, out)) == _rows(
+        active_view(read_state(spark, store))
+    )
+
+
+def test_table_name_survives_schema_widening(spark, tmp_path):
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame([("INSERT", 1, 10, "a", "x", 0, 0)], SCHEMA),
+        ["pk"],
+        n_buckets=2,
+    )
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out, name="customers")
+    wide = spark.createDataFrame(
+        [("INSERT", 2, 20, "b", "x", 0, 1, "extra")], SCHEMA + ", z string"
+    )
+    merge_into(spark, store, wide, ["pk"])
+    delta_export(spark, store, out)  # no name passed — must be preserved
+    _, _, meta = delta_log_replay(out)
+    assert meta["name"] == "customers"
+    assert "z" in [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+
+
+def test_checkpointed_foreign_table_is_refused(spark, tmp_path):
+    """A _last_checkpoint means older JSON commits may be gone; replay
+    must refuse rather than silently return partial data."""
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    with open(os.path.join(out, LOG_DIR, "_last_checkpoint"), "w") as f:
+        f.write('{"version": 0}')
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        read_delta(spark, out)
+
+
+def test_noncontiguous_log_is_refused(spark, tmp_path):
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    os.rename(
+        os.path.join(out, LOG_DIR, f"{0:020d}.json"),
+        os.path.join(out, LOG_DIR, f"{5:020d}.json"),
+    )
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, out)
