@@ -227,6 +227,37 @@ def main():
                 )
             )
         )
+        # delta interop: full publish after fill, then the incremental
+        # export of the narrow commit — its add/remove count must track
+        # touched buckets, and its wall cost is the external-feed price
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            delta_export,
+            delta_log_replay,
+        )
+
+        dt_dir = tempfile.mkdtemp(prefix="delta_export_bench_")
+        try:
+            t0 = time.time()
+            delta_export(spark, bs_dir, dt_dir)  # full first publish
+            full_export_sec = time.time() - t0
+            n_files_full = len(delta_log_replay(dt_dir)[1])
+            upd2 = (
+                sliced.filter(F.col("__slice") < 8)
+                .drop("__slice")
+                .withColumn("writetime", F.col("writetime") + F.lit(2 * 10**9))
+            )
+            merge_into(spark, bs_dir, upd2, ["pk"], n_buckets=NB)
+            t0 = time.time()
+            delta_export(spark, bs_dir, dt_dir)
+            inc_export_sec = time.time() - t0
+            delta_export_stats = {
+                "full_export_sec": round(full_export_sec, 3),
+                "data_files": n_files_full,
+                "incremental_export_sec": round(inc_export_sec, 3),
+            }
+        finally:
+            shutil.rmtree(dt_dir, ignore_errors=True)
+
         bucket_store = {
             "n_buckets": NB,
             "fill_commits": SLICES,
@@ -237,6 +268,7 @@ def main():
             "bytes_rewritten": rewritten,
             "rewrite_fraction": round(rewritten / t_full, 4),
             "touched_fraction": round(len(touched) / NB, 4),
+            "delta_export": delta_export_stats,
         }
     finally:
         shutil.rmtree(bs_dir, ignore_errors=True)

@@ -423,3 +423,26 @@ def test_noncontiguous_log_is_refused(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_delta(spark, out)
+
+
+def test_delta_table_bootstraps_a_new_store(spark, tmp_path):
+    """Interop closes in BOTH directions: a Delta table (exported here,
+    or produced by any JSON-commit writer) bootstraps a fresh bucket
+    store via import_state, and later CDC merges converge on top —
+    migration in and out of the engine without a bespoke format."""
+    from cdc_apache_cassandra_spark.streaming.materialize import import_state
+
+    store = _store(spark, tmp_path, n=16, n_buckets=4)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+
+    store2 = str(tmp_path / "store2")
+    table = read_delta(spark, out).drop("op", "writetime", "segment", "position")
+    import_state(spark, table, store2, ["pk"], n_buckets=4)
+    # imported rows carry the backfill writetime (-1): any live event wins
+    up = spark.createDataFrame([("UPDATE", 1, 5, "live", "x", 9, 0)], SCHEMA)
+    merge_into(spark, store2, up, ["pk"])
+    view = active_view(read_state(spark, store2))
+    assert view.count() == 16
+    assert view.filter("pk = 1").collect()[0].v == "live"
+    assert view.filter("pk = 2").collect()[0].v == "v2"
