@@ -311,7 +311,17 @@ def decode_payload_real(doc_id: int, payload: bytes) -> list[dict]:
             "work without it)"
         )
     if pil_available():
-        return _decode_with_pil(doc_id, payload)
+        try:
+            return _decode_with_pil(doc_id, payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            # keep the function's contract: unsupported/corrupt payloads
+            # raise NotImplementedError (callers quarantine on it), not
+            # PIL.UnidentifiedImageError or friends
+            raise NotImplementedError(
+                f"payload is not decodable by Pillow either: {e}"
+            ) from e
     raise NotImplementedError(
         "payload is not a BMP/WAV/PNG/JPEG; other image codecs need "
         "PIL, MP3/MP4 need ffmpeg — neither is in this environment"
@@ -333,7 +343,11 @@ def pil_available() -> bool:
 def ffmpeg_available() -> bool:
     import shutil
 
-    return shutil.which("ffmpeg") is not None
+    # the video path shells out to BOTH binaries (ffprobe for geometry,
+    # ffmpeg for frames); some minimal images package them separately,
+    # so gate on both — a half-present install must take the documented
+    # NotImplementedError path, not die mid-decode
+    return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
 
 
 def _decode_with_pil(doc_id: int, payload: bytes) -> list[dict]:
@@ -366,13 +380,16 @@ _FFMPEG_AUDIO_FRAME = 1024  # samples per emitted frame row (matches WAV path)
 def _decode_with_ffmpeg(
     doc_id: int, payload: bytes, audio: bool
 ) -> list[dict]:
-    """MP3/MP4 full decode through the ffmpeg binary (pipe in, raw PCM /
-    rawvideo out — no temp files, safe inside executors). Audio decodes
-    to mono s16le at 16 kHz and emits fixed-1024-sample frames like the
+    """MP3/MP4 full decode through the ffmpeg binary. Audio decodes to
+    mono s16le at 16 kHz and emits fixed-1024-sample frames like the
     native WAV path; video decodes the first frame to rgb24 with
-    geometry from ffprobe. Bounded: one subprocess per payload inside
-    the Arrow batch loop — acceptable because compressed-media decode
-    dominates the fork cost at any batch size."""
+    geometry from ffprobe. MP3 streams through a pipe; MP4 goes via a
+    worker-local temp file because most encoders write the moov atom
+    AFTER mdat (non-faststart) and ffmpeg cannot seek a pipe — a
+    pipe-only path fails on the majority of real MP4s. Bounded: one
+    subprocess per payload inside the Arrow batch loop — acceptable
+    because compressed-media decode dominates the fork cost at any
+    batch size."""
     import json as _json
     import subprocess
 
@@ -404,25 +421,34 @@ def _decode_with_ffmpeg(
                 }
             )
         return frames
-    probe = _json.loads(
-        subprocess.run(
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".mp4")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        probe = _json.loads(
+            subprocess.run(
+                [
+                    "ffprobe", "-v", "error", "-select_streams", "v:0",
+                    "-show_entries", "stream=width,height", "-of", "json",
+                    tmp,
+                ],
+                capture_output=True, check=True,
+            ).stdout
+        )
+        w = int(probe["streams"][0]["width"])
+        h = int(probe["streams"][0]["height"])
+        out = subprocess.run(
             [
-                "ffprobe", "-v", "error", "-select_streams", "v:0",
-                "-show_entries", "stream=width,height", "-of", "json",
-                "pipe:0",
+                "ffmpeg", "-v", "error", "-i", tmp, "-frames:v", "1",
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
             ],
-            input=payload, capture_output=True, check=True,
+            capture_output=True, check=True,
         ).stdout
-    )
-    w = int(probe["streams"][0]["width"])
-    h = int(probe["streams"][0]["height"])
-    out = subprocess.run(
-        [
-            "ffmpeg", "-v", "error", "-i", "pipe:0", "-frames:v", "1",
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-        ],
-        input=payload, capture_output=True, check=True,
-    ).stdout
+    finally:
+        os.unlink(tmp)
     arr = np.frombuffer(out[: w * h * 3], dtype=np.uint8).astype(np.float64)
     return [
         {

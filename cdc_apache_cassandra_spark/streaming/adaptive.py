@@ -156,14 +156,36 @@ class AdaptiveParallelism:
 
 class AdaptiveLatencyListener(StreamingQueryListener):
     """Feeds Structured Streaming progress into the policy: per
-    micro-batch, total latency = ``durationMs['triggerExecution']`` and
-    n_queries = ``numInputRows`` — the engine's analogue of the
-    reference's batchTotalLatency / batchTotalQuery counters."""
+    micro-batch, total latency = ``durationMs['triggerExecution']`` —
+    the engine's analogue of the reference's batchTotalLatency /
+    batchTotalQuery counters.
 
-    def __init__(self, policy: AdaptiveParallelism, query_name: str | None = None):
+    Unit calibration (code-review r4): the reference's "query" is ONE
+    CQL point lookup (~ms each), so its 10/100 ms thresholds are per
+    lookup. The engine's per-ROW pipeline cost is microseconds — feeding
+    raw ``numInputRows`` floors the per-unit latency to 0 ms and the
+    policy could only ever grow. ``rows_per_unit`` (default 1000 ≈ the
+    reference's 200-event batch × 5 lookup envelope) maps N rows to one
+    reference-query unit, landing healthy batches in the same 10/100 ms
+    band the thresholds were written for and making BOTH the grow and
+    shrink branches reachable."""
+
+    #: bounded history for inspection/tests — a long-running query must
+    #: not accumulate one dict per trigger forever
+    HISTORY = 256
+
+    def __init__(
+        self,
+        policy: AdaptiveParallelism,
+        query_name: str | None = None,
+        rows_per_unit: int = 1000,
+    ):
+        from collections import deque
+
         self.policy = policy
         self.query_name = query_name
-        self.batches: list[dict] = []
+        self.rows_per_unit = max(1, rows_per_unit)
+        self.batches: "deque[dict]" = deque(maxlen=self.HISTORY)
 
     def onQueryStarted(self, event):
         pass
@@ -176,7 +198,8 @@ class AdaptiveLatencyListener(StreamingQueryListener):
         if n <= 0:
             return  # idle trigger: nothing measured, nothing adjusted
         total_ms = (p.durationMs or {}).get("triggerExecution", 0)
-        level = self.policy.record_batch(total_ms, n)
+        units = max(1, n // self.rows_per_unit)
+        level = self.policy.record_batch(total_ms, units)
         self.batches.append(
             {
                 "numInputRows": n,

@@ -279,12 +279,27 @@ def _bucket_stats(spark: SparkSession, base: str, ver_dir: str) -> dict:
     re-running the merge pipeline) and reduced to ≤ touched-bucket rows
     before the driver sees anything. ``min_del_wt`` (oldest tombstone
     writetime, null when the bucket holds none) is what lets
-    :func:`compact` GC incrementally instead of rewriting the table."""
+    :func:`compact` GC incrementally instead of rewriting the table.
+
+    Cost note (considered, kept): the read-back touches only 2 columns
+    (op, writetime) + the partition column of the touched buckets —
+    a column-pruned fraction of the bytes just written. Computing the
+    same aggregate from the ``merged`` DataFrame instead would re-run
+    the whole merge pipeline (union + LWW window) a second time, which
+    measures strictly worse; the caller-side persist the gate queries
+    use is the general mitigation."""
     try:
         df = spark.read.option("basePath", base).option("mergeSchema", "true").parquet(ver_dir)
-    except Exception:
-        # an all-rows-filtered write leaves only _SUCCESS — no buckets
-        return {}
+    except Exception as e:
+        # ONLY the all-rows-filtered write (just _SUCCESS in the dir, no
+        # parquet to infer from) maps to 'no buckets'. Anything else —
+        # transient IO, listing failures — must PROPAGATE: compact()
+        # derives the committed bucket map from these stats, and
+        # swallowing a real error there would commit an empty manifest
+        # and prune every live version directory (data loss).
+        if "infer schema" in str(e).lower():
+            return {}
+        raise
     rows = (
         df.groupBy("__bucket")
         .agg(
@@ -339,6 +354,7 @@ def compact(
     tombstone_horizon: int | None = None,
     store: ManifestStore = _DEFAULT_STORE,
     only_expired: bool = False,
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """Re-LWW buckets and drop DELETE rows whose writetime precedes the
     disorder horizon (safe once the watermark has passed them — no staler
@@ -349,7 +365,13 @@ def compact(
     those are rewritten, every other bucket keeps its current files —
     GC IO ∝ expired-tombstone buckets, never the table. The default full
     rewrite remains the defragmentation path (it also re-buckets rows
-    after an ``n_buckets`` policy change)."""
+    after an ``n_buckets`` policy change).
+
+    ``bucket_cols`` MUST match what ``merge_into`` was called with when
+    it differs from ``pk_cols`` (compound stores bucket on the partition
+    key): the full rewrite recomputes bucket ids, and re-bucketing on the
+    wrong columns would strand every row where later merges and
+    ``point_read`` cannot find it."""
     manifest, tag = store.load(path)
     if manifest is None or not manifest["buckets"]:
         return
@@ -377,7 +399,9 @@ def compact(
             (F.col("op") != "DELETE") | (F.col("writetime") >= tombstone_horizon)
         )
     if targets is None:
-        state = state.withColumn("__bucket", _bucket_expr(pk_cols, n_buckets))
+        state = state.withColumn(
+            "__bucket", _bucket_expr(bucket_cols or pk_cols, n_buckets)
+        )
         state = state.repartition(n_buckets, F.col("__bucket"))
     else:
         # already carries __bucket from the partitioned read

@@ -216,3 +216,40 @@ def test_adaptive_drain_error_triage(tmp_path):
             cycles=1,
             on_error=triage,
         )
+
+
+def test_listener_unit_calibration_reaches_both_branches():
+    """Code-review r4: raw numInputRows floors per-unit latency to 0 ms
+    (per-row cost is µs) so the policy could only grow. With the
+    rows-per-unit mapping, an overloaded batch shrinks the level and a
+    fast batch grows it back — both branches reachable."""
+    from cdc_apache_cassandra_spark.streaming.adaptive import (
+        AdaptiveLatencyListener,
+        AdaptiveParallelism,
+    )
+
+    class _P:  # progress stand-in
+        def __init__(self, ms, rows):
+            self.name = None
+            self.numInputRows = rows
+            self.durationMs = {"triggerExecution": ms}
+
+    class _E:
+        def __init__(self, p):
+            self.progress = p
+
+    policy = AdaptiveParallelism(max_level=8)
+    lst = AdaptiveLatencyListener(policy)
+    # overloaded: 100k rows in 60s -> 600 ms per 1k-row unit -> shrink
+    for _ in range(12):
+        lst.onQueryProgress(_E(_P(60_000, 100_000)))
+    assert policy.level < 8
+    shrunk = policy.level
+    # healthy: 100k rows in 0.5s -> 5 ms per unit -> grow back
+    for _ in range(20):
+        lst.onQueryProgress(_E(_P(500, 100_000)))
+    assert policy.level > shrunk
+    # bounded history
+    for _ in range(300):
+        lst.onQueryProgress(_E(_P(500, 100_000)))
+    assert len(lst.batches) == AdaptiveLatencyListener.HISTORY

@@ -324,3 +324,43 @@ def test_export_delta_gated_on_capability(spark, sf_dir, tmp_path):
     else:
         with pytest.raises(ModuleNotFoundError):
             export_delta(spark, path, str(tmp_path / "delta"))
+
+
+def test_full_compact_preserves_compound_bucket_routing(spark, tmp_path):
+    """Code-review r4: the full rewrite must re-bucket on the SAME
+    bucket_cols the store was built with (compound stores bucket on the
+    partition key) — re-bucketing on the full PK would strand rows where
+    later merges and point_read cannot find them, resurrecting deleted
+    keys and duplicating updated ones."""
+    schema = (
+        "op string, pk_p long, pk_c long, writetime long, v string, "
+        "segment long, position long"
+    )
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    rows = [("INSERT", i % 4, i, 10, f"v{i}", 0, i) for i in range(32)]
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(rows, schema),
+        ["pk_p", "pk_c"],
+        n_buckets=8,
+        bucket_cols=["pk_p"],
+    )
+    compact(
+        spark, path, ["pk_p", "pk_c"], tombstone_horizon=5,
+        bucket_cols=["pk_p"],
+    )
+    # post-compact merges must still find the existing rows' buckets
+    upd = spark.createDataFrame(
+        [("UPDATE", 1, 1, 20, "new", 1, 0), ("DELETE", 2, 2, 20, None, 1, 1)],
+        schema,
+    )
+    merge_into(
+        spark, path, upd, ["pk_p", "pk_c"], bucket_cols=["pk_p"]
+    )
+    view = active_view(read_state(spark, path))
+    assert view.count() == 31  # 32 - 1 deleted
+    assert view.filter("pk_p = 1 AND pk_c = 1").count() == 1  # no duplicate
+    assert view.filter("pk_p = 1 AND pk_c = 1").collect()[0].v == "new"
+    assert view.filter("pk_p = 2 AND pk_c = 2").count() == 0  # stayed deleted

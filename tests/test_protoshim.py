@@ -145,3 +145,23 @@ def test_oneof_set_clears_siblings():
     back.ParseFromString(wire)
     assert back.HasField("stateVariableRequest")
     assert not back.HasField("statefulProcessorCall")
+
+
+def test_detached_oneof_child_cannot_corrupt_parent():
+    """A caller still holding a cleared oneof member (an orphan) must not
+    re-mark the parent present by mutating it: real protobuf leaves the
+    parent untouched when a detached child changes. Before the fix, the
+    orphan's promote callback survived the clear, marked the parent
+    present with NO value entry, and the message serialized to b''."""
+    sm = _sm()
+    req = sm.StateRequest()
+    orphan = req.statefulProcessorCall  # read access creates the child
+    req.stateVariableRequest.valueStateCall.stateName = "s"  # clears sibling
+    orphan.setHandleState.state = 1  # mutating the orphan: no effect on req
+    assert req.HasField("stateVariableRequest")
+    assert not req.HasField("statefulProcessorCall")
+    wire = req.SerializeToString()
+    assert wire != b""
+    back = sm.StateRequest()
+    back.ParseFromString(wire)
+    assert back.HasField("stateVariableRequest")
