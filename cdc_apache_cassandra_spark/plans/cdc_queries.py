@@ -476,6 +476,60 @@ def cdc_materialized_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_view(state).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+_POINT_READ_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest, {_VALUE_LIST}
+  FROM events_stream
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+)
+SELECT pk, op, (op = 'DELETE') AS is_tombstone, writetime, {_VALUE_LIST}
+FROM ranked WHERE rn = 1 AND pk % 41 = 0
+"""
+
+
+@register("cdc_point_read_routing", sql=_POINT_READ_SQL)
+def cdc_point_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-side LIMIT-1 point read under the oracle gate (SURVEY
+    O2/S6: the reference's per-key ``SELECT ... WHERE pk=? LIMIT 1``,
+    CassandraSource.java single-row lookup): materialize the deduped
+    stream into the bucket store, then ``point_read`` a deterministic
+    key set (pk % 41 == 0). Routing is the scale property — only the
+    requested keys' hash buckets are listed or read — and the contract
+    returns op='DELETE' rows too, so a caller distinguishes 'deleted'
+    from 'never existed' exactly like the reference's tombstone-vs-miss.
+    Oracle = LWW winners (tombstones INCLUDED) for the same keys."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        merge_into,
+        point_read,
+    )
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    path = tempfile.mkdtemp(prefix="cdc_point_read_")
+    merge_into(spark, path, ev, ["pk"])
+    ev.unpersist()
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("pk"))
+        .filter(F.col("pk") % 41 == 0)
+    )
+    got = point_read(spark, path, ["pk"], keys)
+    return got.select(
+        "pk",
+        "op",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        "writetime",
+        *VALUE_COLS,
+    )
+
+
 @register("cdc_delta_export_state", sql=_MAT_SQL)
 def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse interop under the oracle gate (r3 verdict item 7, native
