@@ -55,51 +55,26 @@ _NULL = b"\x00"  # union index 0 == null (zigzag(0))
 _PRESENT = 2  # union index 1 (zigzag(1) == 2)
 
 
-def _varint_frags(vals: np.ndarray, nulls: np.ndarray | None) -> list:
-    """Per-row union-prefixed zigzag varints for an int64 column.
-
-    ``vals``: int64 numpy array (null slots hold 0). Returns a list of
-    ``bytes`` fragments ``b"\\x02" + varint`` with ``b"\\x00"`` at null
-    positions. The varint byte planes for the whole column are computed
-    vectorized; per-row work is a single flat-buffer slice.
-    """
-    n = len(vals)
-    zz = (vals.view(np.uint64) << np.uint64(1)) ^ (vals >> np.int64(63)).view(
-        np.uint64
-    )
-    mat = np.zeros((n, 11), dtype=np.uint8)
-    mat[:, 0] = _PRESENT  # union prefix folded into the same buffer
-    lens = np.full(n, 2, dtype=np.int64)  # prefix + >=1 varint byte
-    rem = zz.copy()
-    for i in range(1, 11):
-        mat[:, i] |= (rem & np.uint64(0x7F)).astype(np.uint8)
-        rem >>= np.uint64(7)
-        more = rem != 0
-        if not more.any():
-            break
-        mat[more, i] |= 0x80
-        lens[more] = i + 2
+def _mat_to_frags(mat: np.ndarray, lens: np.ndarray) -> list:
+    """Byte-plane matrix + per-row lengths -> per-row bytes fragments.
+    Null rows (len 1, leading 0x00) slice to exactly ``_NULL``."""
     buf = mat.tobytes()
-    out = [buf[i * 11 : i * 11 + l] for i, l in enumerate(lens.tolist())]
-    if nulls is not None and nulls.any():
-        for i in np.flatnonzero(nulls).tolist():
-            out[i] = _NULL
-    return out
+    w = mat.shape[1]
+    return [buf[i * w : i * w + l] for i, l in enumerate(lens.tolist())]
+
+
+def _varint_frags(vals: np.ndarray, nulls: np.ndarray | None) -> list:
+    """Per-row union-prefixed zigzag varints for an int64 column, as
+    ``bytes`` fragments (``b"\\x00"`` at null positions). One plane
+    construction shared with the vector encoder (:func:`_varint_mat`) —
+    the two paths cannot desynchronize."""
+    return _mat_to_frags(*_varint_mat(vals, nulls))
 
 
 def _fixed_frags(raw: np.ndarray, width: int, nulls: np.ndarray | None) -> list:
-    """Union prefix + little-endian fixed-width payload (double/float)."""
-    n = len(raw) // width
-    mat = np.empty((n, width + 1), dtype=np.uint8)
-    mat[:, 0] = _PRESENT
-    mat[:, 1:] = raw.reshape(n, width)
-    buf = mat.tobytes()
-    w1 = width + 1
-    out = [buf[i * w1 : (i + 1) * w1] for i in range(n)]
-    if nulls is not None and nulls.any():
-        for i in np.flatnonzero(nulls).tolist():
-            out[i] = _NULL
-    return out
+    """Union prefix + little-endian fixed-width payload (double/float),
+    shared plane construction with :func:`_fixed_mat`."""
+    return _mat_to_frags(*_fixed_mat(raw, width, nulls))
 
 
 def _int_col(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
@@ -615,10 +590,10 @@ def vector_decodable(node: tuple) -> bool:
     :func:`avro_codec.avro_schema_for` emits): primitive fields decode
     fully vectorized, other fields take a per-row parse INSIDE the same
     position-tracked walk (null unions — e.g. the events-topic
-    MutationValue ``columns`` — cost one vectorized byte check)."""
-    return node[0] == "record" and all(
-        isinstance(sub, tuple) and sub[0] == "null" for _, sub in node[1]
-    )
+    MutationValue ``columns`` — cost one vectorized byte check).
+    Same predicate as :func:`vector_encodable` — delegated so the two
+    directions cannot silently diverge."""
+    return vector_encodable(node)
 
 
 def _vec_varint(data: np.ndarray, pos: np.ndarray, active: np.ndarray):
@@ -697,6 +672,7 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
                 np.zeros(16, np.uint8),  # varint-gather pad
             ]
         )
+        fallback_buf: bytes | None = None  # lazy, see fallback branch
         offsets = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)[
             : n + 1
         ]
@@ -805,12 +781,18 @@ def make_vector_decoder(node: tuple) -> Callable[[pa.Array], dict]:
             else:
                 # collections / CQL logicals / nested records: union byte
                 # already consumed vectorized above; per-row parse only
-                # where the field is actually present
+                # where the field is actually present. The bytes copy of
+                # the whole batch buffer happens at most ONCE per batch
+                # (lazily, shared across all fallback fields), not once
+                # per field.
                 vals: list = [None] * n
                 if present.any():
-                    buf = data.tobytes()
+                    if fallback_buf is None:
+                        fallback_buf = data.tobytes()
                     for i in np.flatnonzero(present).tolist():
-                        vals[i], pos[i] = decode_value(buf, int(pos[i]), prim)
+                        vals[i], pos[i] = decode_value(
+                            fallback_buf, int(pos[i]), prim
+                        )
                 out[name] = vals
         # every valid blob must be consumed exactly: a position mismatch
         # means a corrupt/truncated record that happened to parse

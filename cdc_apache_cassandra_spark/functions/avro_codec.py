@@ -240,7 +240,12 @@ def encode_value(out: bytearray, node: Any, v: Any) -> None:
     elif node == "cql_decimal":
         d = Decimal(v)
         sign, digits, exp = d.as_tuple()
-        unscaled = int(d.scaleb(-exp))
+        # unscaled from the tuple digits — EXACT at any precision;
+        # Decimal.scaleb would round through the default 28-digit
+        # context and silently corrupt DecimalType(38,18) values
+        unscaled = int("".join(map(str, digits)) or "0")
+        if sign:
+            unscaled = -unscaled
         write_bytes(out, varint_bytes(unscaled))
         write_long(out, -exp)  # scale
     elif node == "cql_duration":
@@ -310,7 +315,12 @@ def decode_value(buf: bytes, pos: int, node: Any) -> tuple[Any, int]:
         raw, pos = read_bytes(buf, pos)
         scale, pos = read_long(buf, pos)
         unscaled = int.from_bytes(raw, "big", signed=True)
-        return Decimal(unscaled).scaleb(-scale), pos
+        # tuple construction is exact at any precision (scaleb rounds
+        # through the 28-digit default context — would corrupt wire
+        # data the reference JVM converter legally produces)
+        sign = 1 if unscaled < 0 else 0
+        digits = tuple(int(c) for c in str(abs(unscaled)))
+        return Decimal((sign, digits, -int(scale))), pos
     if node == "cql_duration":
         months, pos = read_long(buf, pos)
         days, pos = read_long(buf, pos)
@@ -357,5 +367,14 @@ def encode_record(node: tuple, row: dict) -> bytes:
 
 
 def decode_record(node: tuple, blob: bytes) -> dict:
-    value, _ = decode_value(bytes(blob), 0, node)
+    """Decode one record blob with STRICT exact-consumption: trailing
+    bytes mean the blob was not produced for this schema (truncated
+    writes surface inside decode_value; padding/garbage surfaces here).
+    Every decode path shares this contract — the vectorized decoder,
+    the Arrow strict path, and the pandas cross-check codec must all
+    accept and reject the same inputs."""
+    buf = bytes(blob)
+    value, end = decode_value(buf, 0, node)
+    if end != len(buf):
+        raise ValueError(f"record length mismatch ({end} != {len(buf)})")
     return value

@@ -40,6 +40,28 @@ def token_expr(pk: str) -> Column:
     return ((F.col(pk) * F.lit(_KNUTH)) % F.lit(_MOD)).cast("bigint")
 
 
+def wire_token_expr(schema, key_cols: list[str]) -> Column:
+    """Token property for wire records, total over EVERY key shape
+    (code-review r4: ``token_expr(key_cols[0])`` assumes one numeric
+    column — a text partition key casts to null under non-ANSI Spark,
+    silently shipping token=NULL on every record, and a composite key
+    hashed only its first column). Single numeric key keeps the
+    oracle-portable Knuth ring hash (bit-compatible with
+    :func:`token_sql`); composite or non-numeric keys fold xxhash64
+    over ALL key columns into the same [0, 2^31-1) ring."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if len(key_cols) == 1 and isinstance(
+        schema[key_cols[0]].dataType, numeric
+    ):
+        return token_expr(key_cols[0])
+    return F.pmod(F.xxhash64(*key_cols), F.lit(_MOD)).cast("bigint")
+
+
 def token_sql(pk: str) -> str:
     return f"CAST(({pk} * {_KNUTH}) % {_MOD} AS BIGINT)"
 

@@ -53,9 +53,20 @@ from cdc_apache_cassandra_spark.functions.avro_codec import (
     decode_record,
     encode_record,
 )
-from cdc_apache_cassandra_spark.functions.hashing import token_expr
+from cdc_apache_cassandra_spark.functions.hashing import wire_token_expr
 
 DEFAULT_CODEC = "avro"
+#: every codec the dispatch functions accept; anything else raises
+#: (a typo silently falling into the pandas else-branch would let a
+#: producer/consumer pair diverge without an error)
+KNOWN_CODECS = ("avro", "avro-jvm", "avro-pandas", "json")
+
+
+def _check_codec(codec: str) -> None:
+    if codec not in KNOWN_CODECS:
+        raise ValueError(
+            f"unknown wire codec {codec!r}; expected one of {KNOWN_CODECS}"
+        )
 
 
 def wire_codec() -> str:
@@ -91,6 +102,16 @@ def _json_bytes(cols: list[str]) -> Column:
 
 
 def _null_safe(pdf: pd.DataFrame) -> pd.DataFrame:
+    """KNOWN LIMITATION of the avro-pandas cross-check codec: the
+    Arrow->pandas bridge materializes float/double columns as float64
+    where SQL NULL and a genuine NaN VALUE are the same bit pattern, so
+    this codec encodes NaN as Avro null (code-review r4). The DEFAULT
+    ``avro`` codec runs on Arrow validity buffers and preserves the
+    distinction (pinned by test_vector_codec_preserves_nan_vs_null);
+    byte-identity between the two paths is asserted on NaN-free data.
+    int64 above 2**53 has the same bridge-rounding caveat — both are
+    reasons the vectorized codec is the default and this one is the
+    cross-check."""
     return pdf.astype(object).where(pdf.notna(), None)
 
 
@@ -198,7 +219,7 @@ def _encode_arrow(
         *data_cols,
         F.col("writetime"),
         F.concat_ws(":", F.col("segment"), F.col("position")).alias("segpos"),
-        token_expr(key_cols[0]).alias("token"),
+        wire_token_expr(events.schema, key_cols).alias("token"),
     )
     out_schema = T.StructType(
         [
@@ -339,20 +360,11 @@ def _decode_arrow(
     ]]
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # strict exact-consumption decode — the shared contract in
+        # avro_codec.decode_record (identical for every codec path)
         from cdc_apache_cassandra_spark.functions.avro_codec import (
-            decode_value,
+            decode_record,
         )
-
-        def decode_record(node, blob):
-            # strict form: the record must consume the blob exactly
-            # (same check the vector decoder applies)
-            buf = bytes(blob)
-            value, end = decode_value(buf, 0, node)
-            if end != len(buf):
-                raise ValueError(
-                    f"record length mismatch ({end} != {len(buf)})"
-                )
-            return value
 
         def as_arrow(v, t: pa.DataType) -> pa.Array:
             if isinstance(v, pa.Array):
@@ -446,6 +458,7 @@ def to_wire_records(
     """mutation events -> (key BINARY, value BINARY|null, writetime,
     segpos, token) — the exact column set a kafka-format writeStream
     needs, with the reference's three message properties."""
+    _check_codec(codec)
     if codec == "avro":
         return _encode_arrow(events, key_cols, value_cols, op_col)
     if codec == "avro-jvm":
@@ -465,7 +478,7 @@ def to_wire_records(
         value.alias("value"),
         F.col("writetime"),
         F.concat_ws(":", F.col("segment"), F.col("position")).alias("segpos"),
-        token_expr(key_cols[0]).alias("token"),
+        wire_token_expr(events.schema, key_cols).alias("token"),
     )
 
 
@@ -504,6 +517,7 @@ def to_event_topic_records(
         F.col(node_col).cast("string").alias("nodeId"),
         F.lit(None).cast(T.ArrayType(T.StringType())).alias("columns"),
     )
+    _check_codec(codec)
     if codec == "avro":
         return _encode_arrow(
             mv, key_cols, ["md5Digest", "nodeId", "columns"], op_col=None
@@ -511,16 +525,7 @@ def to_event_topic_records(
     if codec == "avro-jvm":
         key_bytes = _jvm_avro_bytes(mv, key_cols)
         value_bytes = _jvm_avro_bytes(mv, ["md5Digest", "nodeId", "columns"])
-        return mv.select(
-            key_bytes.alias("key"),
-            value_bytes.alias("value"),
-            F.col("writetime"),
-            F.concat_ws(":", F.col("segment"), F.col("position")).alias(
-                "segpos"
-            ),
-            token_expr(key_cols[0]).alias("token"),
-        )
-    if codec == "json":
+    elif codec == "json":
         key_bytes = _json_bytes(key_cols)
         value_bytes = F.encode(
             F.to_json(
@@ -537,7 +542,7 @@ def to_event_topic_records(
         value_bytes.alias("value"),
         F.col("writetime"),
         F.concat_ws(":", F.col("segment"), F.col("position")).alias("segpos"),
-        token_expr(key_cols[0]).alias("token"),
+        wire_token_expr(events.schema, key_cols).alias("token"),
     )
 
 
@@ -553,6 +558,7 @@ def from_event_topic_records(
     ``on_error='quarantine'`` (avro) appends ``decode_error`` instead of
     failing the batch — same error-sink posture as
     :func:`from_wire_records`."""
+    _check_codec(codec)
     if codec == "avro":
         dec = _decode_arrow(
             wire, key_schema, MUTATION_VALUE_SCHEMA,
@@ -613,6 +619,7 @@ def from_wire_records(
     column instead of failing the job on malformed blobs — route
     ``decode_error IS NOT NULL`` rows to the error sink (S10) and keep
     the stream alive, the reference's archive/error-topic posture."""
+    _check_codec(codec)
     if codec == "avro":
         return _decode_arrow(
             wire, key_schema, value_schema,

@@ -677,3 +677,51 @@ def test_tombstone_decode_with_non_nullable_value_schema(spark):
     back = from_wire_records(wire, ks, vs, codec="avro")
     got = {r["pk"]: r["s"] for r in back.collect()}
     assert got == {1: "x", 2: None}
+
+
+def test_vector_codec_preserves_nan_vs_null():
+    """Code-review r4: the DEFAULT vectorized codec must keep SQL NULL
+    and a genuine NaN double distinct — Arrow validity buffers carry the
+    difference. (The avro-pandas cross-check codec CANNOT: the
+    Arrow->pandas bridge collapses both to float64 NaN — documented
+    limitation in wire_format._null_safe.)"""
+    import math
+
+    import pyarrow as pa
+
+    from cdc_apache_cassandra_spark.functions.avro_batch import (
+        make_vector_decoder,
+        make_vector_encoder,
+    )
+
+    schema = T.StructType([T.StructField("c", T.DoubleType())])
+    node = avro_schema_for(schema)
+    venc = make_vector_encoder(node)
+    vdec = make_vector_decoder(node)
+    arr = pa.RecordBatch.from_arrays(
+        [pa.array([1.5, None, float("nan")], type=pa.float64())], names=["c"]
+    )
+    blobs = venc(arr)
+    cols = vdec(pa.array([b for b in blobs.to_pylist()], type=pa.binary()))
+    got = cols["c"].to_pylist()
+    assert got[0] == 1.5
+    assert got[1] is None, "NULL must stay NULL"
+    assert got[2] is not None and math.isnan(got[2]), "NaN must stay a VALUE"
+
+
+def test_decimal_precision_beyond_default_context():
+    """Code-review r4: Decimal.scaleb rounds through the default
+    28-digit context, silently corrupting DecimalType(38,18) values on
+    BOTH encode and decode. The codec must be exact at full CQL
+    precision — including blobs the reference JVM converter legally
+    produces."""
+    from decimal import Decimal
+
+    big = Decimal("12345678901234567890.123456789012345678")  # 38 sig digits
+    node = avro_schema_for(
+        T.StructType([T.StructField("x", T.DecimalType(38, 18))])
+    )
+    blob = encode_record(node, {"x": big})
+    assert decode_record(node, blob)["x"] == big
+    neg = -big
+    assert decode_record(node, encode_record(node, {"x": neg}))["x"] == neg
