@@ -264,11 +264,18 @@ def merge_into(
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
 
     manifest["version"] = version
+    stats = _bucket_stats(spark, path, out_dir)
     for b in touched:
-        manifest["buckets"][str(b)] = version
-    manifest.setdefault("stats", {}).update(
-        _bucket_stats(spark, path, out_dir)
-    )
+        k = str(b)
+        if k in stats:
+            manifest["buckets"][k] = version
+            manifest.setdefault("stats", {})[k] = stats[k]
+        else:
+            # the reducer emptied this bucket — partitionBy wrote no
+            # directory for it, so the bucket must leave the map (a
+            # pointer at a nonexistent path would fail every later read)
+            manifest["buckets"].pop(k, None)
+            manifest.get("stats", {}).pop(k, None)
     store.commit(path, manifest, tag)
     _prune(path, manifest)
 

@@ -148,9 +148,8 @@ def mutation_cache_dedup_stream_event_time(
         max_ts_ms = 0
         for pdf in pdfs:
             out, seen = _dedup_rows(pdf, seen, max_digests)
-            batch_max = pdf[  # event time in ms for the timeout horizon
-                "event_time"
-            ].max()
+            # event time in ms for the timeout horizon
+            batch_max = pdf[event_time_col].max()
             if batch_max is not None:
                 max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
             if len(out):

@@ -364,3 +364,38 @@ def test_full_compact_preserves_compound_bucket_routing(spark, tmp_path):
     assert view.filter("pk_p = 1 AND pk_c = 1").count() == 1  # no duplicate
     assert view.filter("pk_p = 1 AND pk_c = 1").collect()[0].v == "new"
     assert view.filter("pk_p = 2 AND pk_c = 2").count() == 0  # stayed deleted
+
+
+def test_merge_into_reducer_emptied_bucket_leaves_manifest_consistent(
+    spark, tmp_path
+):
+    """A reducer may legitimately retain NOTHING for a touched bucket
+    (e.g. a GC-style reducer dropping expired tombstones). partitionBy
+    writes no directory for an empty bucket, so the manifest must drop
+    the bucket instead of pointing at a nonexistent path — otherwise
+    every later read_state/point_read fails on the dead pointer."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    b1 = spark.createDataFrame(
+        [("INSERT", 1, 10, "a", "x", 0, 0), ("INSERT", 2, 10, "b", "x", 0, 0)],
+        SCHEMA,
+    )
+    merge_into(spark, path, b1, ["pk"])
+    with open(os.path.join(path, MANIFEST)) as f:
+        m1 = json.load(f)
+    # batch 2 touches pk=2's bucket with a reducer that drops everything
+    b2 = spark.createDataFrame([("DELETE", 2, 30, None, None, 0, 0)], SCHEMA)
+    merge_into(
+        spark, path, b2, ["pk"], reducer=lambda df: df.filter("op = 'NEVER'")
+    )
+    with open(os.path.join(path, MANIFEST)) as f:
+        m2 = json.load(f)
+    assert m2["version"] == m1["version"] + 1
+    # pk=2's bucket left the map; pk=1's bucket is untouched and readable
+    state = read_state(spark, path)
+    assert state is not None
+    assert {r.pk for r in state.collect()} == {1}
+    for b, ver in m2["buckets"].items():
+        assert os.path.isdir(
+            os.path.join(path, f"__ver={ver}", f"__bucket={b}")
+        ), f"manifest points at a missing bucket dir: {b}->{ver}"

@@ -384,3 +384,31 @@ def test_ddl_restart_listener_one_logical_stream(spark, tmp_path):
     assert len(rows) == 3 and merged.count() == 3  # no dup, no loss
     assert rows[1].v2 is None and rows[2].v2 is None
     assert rows[3].v2 == "X"
+
+
+def test_mutation_cache_event_time_custom_column_name(spark, sf_dir, event_dir):
+    """The event-time operator must honor ``event_time_col`` — the timeout
+    horizon reads the CALLER'S column, not a hardcoded name (regression:
+    the inner fn indexed pdf["event_time"] literally, so any other name
+    KeyError'd on the executor)."""
+    from cdc_apache_cassandra_spark.streaming.state import (
+        mutation_cache_dedup_stream_event_time,
+    )
+
+    stream = _read_stream(spark, event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    ).withColumn("mutation_ts", F.timestamp_micros(F.col("writetime")))
+    name = f"cache_etc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        mutation_cache_dedup_stream_event_time(
+            stream, ttl_ms=60_000, event_time_col="mutation_ts"
+        ),
+        name,
+    )
+    got = spark.table(name)
+    batch = spark.read.parquet(event_dir).select(
+        "pk", "digest", "writetime", "segment", "position"
+    )
+    want = mutation_cache_dedup_batch(batch)
+    assert got.count() == want.count()
+    assert got.groupBy("pk", "digest").count().filter("count > 1").count() == 0
