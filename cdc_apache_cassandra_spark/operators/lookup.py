@@ -156,13 +156,19 @@ def read_after_event_compound(
     )
 
     # branch 2: PK-prefix lookup, static-only projection (one static row
-    # per partition — max() collapses the per-row copies)
+    # per partition — max() collapses the per-row copies). The aggregated
+    # count doubles as the presence marker: a prefix that matches NO
+    # snapshot partition is an empty read → tombstone, exactly the
+    # reference's null-row result (CassandraSource.java:554) — NOT a live
+    # record with null statics.
     static_snap = snapshot.groupBy(*partition_cols).agg(
-        *[F.max(c).alias(f"_s_{c}") for c in static_cols]
+        F.count(F.lit(1)).alias("_s_cnt"),
+        *[F.max(c).alias(f"_s_{c}") for c in static_cols],
     )
     stat_ev = events.filter(
         F.col(ptype_col) == "PARTITION_LEVEL_MODIFICATION"
     ).join(static_snap, on=partition_cols, how="left")
+    stat_tomb = F.col("_s_cnt").isNull()
     stat_out = stat_ev.select(
         *partition_cols,
         *[F.lit(None).cast(dict(snapshot.dtypes)[c]).alias(c)
@@ -170,8 +176,11 @@ def read_after_event_compound(
         op_col,
         ptype_col,
         *passthrough,
-        F.lit(False).alias("is_tombstone"),
-        *[F.col(f"_s_{c}").alias(c) for c in static_cols],
+        stat_tomb.alias("is_tombstone"),
+        *[
+            F.when(stat_tomb, F.lit(None)).otherwise(F.col(f"_s_{c}")).alias(c)
+            for c in static_cols
+        ],
         *[F.lit(None).cast(dict(snapshot.dtypes)[c]).alias(c) for c in regular_cols],
     )
 

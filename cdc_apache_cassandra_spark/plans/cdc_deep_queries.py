@@ -255,8 +255,9 @@ row_branch AS (
                     'PARTITION_AND_CLUSTERING_KEY_ROW_DELETION')
 ),
 static_branch AS (
+  -- a prefix matching no snapshot partition is an empty read: tombstone
   SELECT d.pk_p, CAST(NULL AS BIGINT) AS pk_c, d.op, d.ptype, d.writetime,
-         FALSE AS is_tombstone, st.s_seg,
+         (st.pk_p IS NULL) AS is_tombstone, st.s_seg,
          CAST(NULL AS DOUBLE) AS r_price, CAST(NULL AS VARCHAR) AS r_status
   FROM deduped d LEFT JOIN statics st ON st.pk_p = d.pk_p
   WHERE d.ptype = 'PARTITION_LEVEL_MODIFICATION'

@@ -153,6 +153,31 @@ def test_compound_read_after_event_branches(spark):
     assert rows[(2, None, "PARTITION_KEY_ROW_DELETION")].is_tombstone
 
 
+def test_compound_static_lookup_on_vanished_partition_is_tombstone(spark):
+    """A PARTITION_LEVEL_MODIFICATION whose prefix matches NO snapshot
+    partition is an EMPTY read — the reference emits a null value
+    (tombstone, CassandraSource.java:554), not a live record whose
+    statics happen to be null."""
+    from cdc_apache_cassandra_spark.operators.lookup import (
+        read_after_event_compound,
+    )
+
+    ev = spark.createDataFrame(
+        [(7, None, "PARTITION_LEVEL_MODIFICATION", "UPDATE", 100)],
+        "pk_p long, pk_c long, ptype string, op string, writetime long",
+    )
+    snap = spark.createDataFrame(
+        [(1, 10, "SEG_A", 5.0, "O")],
+        "pk_p long, pk_c long, s_seg string, r_price double, r_status string",
+    )
+    out = read_after_event_compound(
+        ev, snap, ["pk_p"], ["pk_c"], ["s_seg"], ["r_price", "r_status"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.is_tombstone and r.s_seg is None and r.r_price is None
+
+
 def test_compound_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Streaming digest-dedup over a file replay of the compound stream
     collapses the RF=2 duplication to the batch cardinality."""
