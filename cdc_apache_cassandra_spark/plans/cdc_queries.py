@@ -570,6 +570,53 @@ def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+@register("cdc_delta_checkpoint_state", sql=_MAT_SQL)
+def cdc_delta_checkpoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long-lived-export shape (r4 verdict item 1): TWELVE
+    position-sliced MERGE commits each published as a Delta commit, so
+    the log crosses delta-spark's default 10-commit checkpoint cadence —
+    streaming/delta_log.py writes a spec parquet checkpoint
+    ({v}.checkpoint.parquet + _last_checkpoint) at version 10 by itself.
+    The pre-checkpoint JSON commits are then CLEANED
+    (delta_log_cleanup — what real writers do with expired metadata), so
+    the rows returned here are readable ONLY via checkpoint restore +
+    JSON-tail replay, never full-history JSON. Oracle = direct LWW
+    winners minus tombstones, same as cdc_materialized_state: the
+    checkpointed table an external engine mounts must equal the
+    converged active view exactly."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_export,
+        delta_log_cleanup,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    root = tempfile.mkdtemp(prefix="cdc_delta_ckpt_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    for i in range(12):
+        merge_into(
+            spark,
+            store,
+            ev.filter(F.pmod(F.col("position"), F.lit(12)) == i),
+            ["pk"],
+            n_buckets=8,
+        )
+        delta_export(spark, store, table)
+    ev.unpersist()
+    assert os.path.exists(
+        f"{table}/_delta_log/{10:020d}.checkpoint.parquet"
+    ), "default cadence must have checkpointed at version 10"
+    delta_log_cleanup(table)
+    return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""

@@ -69,6 +69,11 @@ from cdc_apache_cassandra_spark.streaming.materialize import (
 LOG_DIR = "_delta_log"
 DATA_DIR = "data"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+LAST_CHECKPOINT = "_last_checkpoint"
+#: delta-spark's own default cadence — a parquet checkpoint every 10
+#: commits, so external readers replay O(10) JSON files, not the whole
+#: history, and old JSON can be cleaned (:func:`delta_log_cleanup`)
+CHECKPOINT_INTERVAL = 10
 #: default VACUUM retention — protects data files an in-flight export
 #: has staged into ``data/`` but not yet committed (Delta's own VACUUM
 #: keeps a retention window for the same reason)
@@ -95,44 +100,172 @@ class _LogState:
         self.empty_buckets: dict[int, int] = {}
 
 
-def _list_commits(out_path: str) -> list[tuple[int, str]]:
-    """Numbered JSON commits, version order. Rejects tables this reader
-    cannot replay completely: a ``_last_checkpoint`` means older JSON
-    commits may have been checkpointed into parquet and cleaned (real
-    Delta writers do this every ~10 commits) — replaying the surviving
-    JSON alone would silently drop files, so refuse loudly. A version
-    gap means the same."""
+def _read_last_checkpoint(out_path: str) -> dict | None:
+    """Parse ``_delta_log/_last_checkpoint`` — the spec's pointer file
+    ``{"version": V, "size": n, ...}`` (extra fields tolerated; this
+    writer stashes its empty-bucket memo there)."""
+    try:
+        with open(os.path.join(out_path, LOG_DIR, LAST_CHECKPOINT)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:
+    """Resolve the checkpoint pointer to its parquet file(s) — classic
+    single-part ``{v}.checkpoint.parquet`` or multi-part
+    ``{v}.checkpoint.{i}.{n}.parquet`` (both spec formats delta-spark
+    writes by default). UUID-named V2 checkpoints (table feature
+    ``v2Checkpoint``) are detected and refused loudly rather than
+    half-read."""
+    log_dir = os.path.join(out_path, LOG_DIR)
+    v = int(last_cp["version"])
+    parts = last_cp.get("parts")
+    if parts:
+        files = [
+            os.path.join(
+                log_dir,
+                f"{v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet",
+            )
+            for i in range(1, int(parts) + 1)
+        ]
+    else:
+        files = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+    missing = [p for p in files if not os.path.exists(p)]
+    if missing:
+        v2 = [
+            n
+            for n in os.listdir(log_dir)
+            if n.startswith(f"{v:020d}.checkpoint.") and n.endswith(".parquet")
+        ]
+        if v2:
+            raise NotImplementedError(
+                f"{out_path}: checkpoint {v} uses an unrecognized layout "
+                f"({v2[:3]}) — likely a V2/UUID-named checkpoint; read it "
+                "with a full Delta client."
+            )
+        raise FileNotFoundError(
+            f"{out_path}: _last_checkpoint points at version {v} but "
+            f"{missing[0]} is absent; incomplete copy?"
+        )
+    return files
+
+
+def _list_commits(
+    out_path: str, after: int = -1
+) -> list[tuple[int, str]]:
+    """Numbered JSON commits with version > ``after``, version order.
+    Commits ≤ ``after`` are covered by a checkpoint and may legitimately
+    have been cleaned; the surviving tail must be contiguous from
+    ``after``+1 or the replay would silently drop files — refuse loudly
+    on a gap."""
     log_dir = os.path.join(out_path, LOG_DIR)
     try:
         names = os.listdir(log_dir)
     except FileNotFoundError:
         return []
-    if "_last_checkpoint" in names:
-        raise NotImplementedError(
-            f"{out_path} has a _delta_log/_last_checkpoint: this table was "
-            "written by a checkpointing writer; JSON-only replay would be "
-            "incomplete. Read it with a full Delta client."
-        )
     commits = sorted(
         (int(n[: -len(".json")]), os.path.join(log_dir, n))
         for n in names
         if n.endswith(".json") and n[0].isdigit()
     )
+    commits = [(v, p) for v, p in commits if v > after]
     for i, (v, _) in enumerate(commits):
-        if v != i:
+        if v != after + 1 + i:
             raise FileNotFoundError(
-                f"delta log at {out_path} is not contiguous from 0 "
+                f"delta log at {out_path} is not contiguous from {after + 1} "
                 f"(found version {v} at position {i}); incomplete copy?"
             )
     return commits
 
 
+def _check_protocol(proto: dict, out_path: str) -> None:
+    """This reader implements the base protocol only (reader version 1:
+    plain add/remove replay). Column mapping, deletion vectors, and V2
+    checkpoints all raise minReaderVersion / readerFeatures — refuse
+    rather than silently misread such a table."""
+    if int(proto.get("minReaderVersion", 1)) > 1 and not proto.get(
+        "readerFeatures"
+    ):
+        raise NotImplementedError(
+            f"{out_path}: table requires minReaderVersion="
+            f"{proto['minReaderVersion']}; this reader implements version 1."
+        )
+    unsupported = set(proto.get("readerFeatures") or []) - {"timestampNtz"}
+    if unsupported:
+        raise NotImplementedError(
+            f"{out_path}: table requires reader features {sorted(unsupported)}; "
+            "read it with a full Delta client."
+        )
+
+
+def _load_checkpoint_state(out_path: str, last_cp: dict) -> "_LogState":
+    """Reconstruct log state from a parquet checkpoint — the spec's
+    compacted snapshot: one row per action, struct columns ``add`` /
+    ``remove`` / ``metaData`` / ``protocol`` / ``txn`` (one non-null
+    each). ``remove`` rows are VACUUM tombstones, irrelevant to the
+    current file set. Driver-side pyarrow read: checkpoints are
+    metadata-sized (one row per live file)."""
+    import pyarrow.parquet as pq
+
+    state = _LogState()
+    state.last = int(last_cp["version"])
+    for path in _checkpoint_files(out_path, last_cp):
+        tbl = pq.read_table(path)
+        cols = set(tbl.column_names)
+        rows = tbl.to_pylist()
+        for row in rows:
+            if "protocol" in cols and row.get("protocol"):
+                _check_protocol(row["protocol"], out_path)
+            if "metaData" in cols and row.get("metaData"):
+                meta = dict(row["metaData"])
+                fmt = meta.get("format") or {}
+                meta["format"] = {
+                    "provider": fmt.get("provider", "parquet"),
+                    "options": dict(fmt.get("options") or {}),
+                }
+                for k in ("partitionColumns",):
+                    meta[k] = list(meta.get(k) or [])
+                for k in ("configuration",):
+                    meta[k] = dict(meta.get(k) or {})
+                state.meta = meta
+            if "add" in cols and row.get("add"):
+                add = dict(row["add"])
+                add["partitionValues"] = dict(add.get("partitionValues") or {})
+                if add.get("tags") is not None:
+                    add["tags"] = dict(add["tags"])
+                # delta-spark side-structs (stats_parsed, partitionValues_parsed)
+                # are writer conveniences — drop anything non-spec-required
+                add.pop("stats_parsed", None)
+                add.pop("partitionValues_parsed", None)
+                state.files[add["path"]] = add
+            if "txn" in cols and row.get("txn"):
+                t = row["txn"]
+                state.txns[t["appId"]] = max(
+                    int(t["version"]), state.txns.get(t["appId"], -1)
+                )
+    empties = last_cp.get("emptyBuckets")
+    if empties:
+        state.empty_buckets = {int(b): int(v) for b, v in empties.items()}
+    return state
+
+
 def _replay(out_path: str, max_version: int | None = None) -> _LogState:
     """One action-replay loop for every reader in this module — the
-    spec's state reconstruction: actions apply in version order, last
-    add/remove per path wins, newest metaData is the schema."""
-    state = _LogState()
-    for version, path in _list_commits(out_path):
+    spec's state reconstruction: restore from the newest parquet
+    checkpoint when ``_last_checkpoint`` names one, then apply the JSON
+    commits after it in version order (last add/remove per path wins,
+    newest metaData is the schema). Time travel BEFORE the checkpoint
+    falls back to pure-JSON replay from 0 and fails loudly if those
+    commits were cleaned."""
+    last_cp = _read_last_checkpoint(out_path)
+    if last_cp is not None and (
+        max_version is None or max_version >= int(last_cp["version"])
+    ):
+        state = _load_checkpoint_state(out_path, last_cp)
+    else:
+        state = _LogState()
+    for version, path in _list_commits(out_path, after=state.last):
         if max_version is not None and version > max_version:
             break
         with open(path) as f:
@@ -152,6 +285,8 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
                     state.txns[t["appId"]] = max(
                         t["version"], state.txns.get(t["appId"], -1)
                     )
+                elif "protocol" in action:
+                    _check_protocol(action["protocol"], out_path)
                 elif "commitInfo" in action:
                     empties = action["commitInfo"].get("emptyBuckets")
                     if empties is not None:
@@ -206,6 +341,173 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _checkpoint_arrow_schema():
+    """The spec checkpoint schema: one struct column per action type,
+    exactly one non-null per row. Types mirror the JSON actions
+    (partitionValues/tags/options as string maps) so delta-spark /
+    delta-rs / DuckDB read the file as their own checkpoint."""
+    import pyarrow as pa
+
+    smap = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field("name", pa.string()),
+                        pa.field("description", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", smap),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", smap),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                        pa.field("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", smap),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                        pa.field("tags", smap),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def write_checkpoint(out_path: str, version: int | None = None) -> str:
+    """Compact the log at ``version`` (default: current last) into a
+    spec parquet checkpoint ``{v}.checkpoint.parquet`` and point
+    ``_last_checkpoint`` at it. External readers then replay one parquet
+    file plus the JSON tail instead of the whole history, and
+    :func:`delta_log_cleanup` may drop the checkpointed JSON. The
+    checkpoint holds the full reconstructed state: protocol, newest
+    metaData, txn watermarks, and every live ``add`` (``dataChange``
+    false, per spec — a checkpoint repeats known data). ``remove``
+    tombstones are only VACUUM hints and this writer's vacuum works off
+    the live set, so none are carried. The exporter's empty-bucket memo
+    rides ``_last_checkpoint`` (extra JSON fields are spec-tolerated).
+
+    Driver-side pyarrow write — a checkpoint is metadata-sized (one row
+    per live file; 4096 buckets → 4096 rows). Both files publish
+    atomically (temp + ``os.replace``): ``_last_checkpoint`` is the spec's
+    single mutable pointer, and a torn checkpoint parquet is never
+    observable under its final name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = _replay(out_path, version)
+    if state.last < 0:
+        raise FileNotFoundError(f"no Delta log at {out_path} to checkpoint")
+    version = state.last
+    now = _now_ms()
+    rows: list[dict] = [{"protocol": PROTOCOL}]
+    if state.meta is not None:
+        meta = dict(state.meta)
+        meta.setdefault("description", None)
+        rows.append({"metaData": meta})
+    for app_id, txn_ver in sorted(state.txns.items()):
+        rows.append(
+            {"txn": {"appId": app_id, "version": txn_ver, "lastUpdated": now}}
+        )
+    for path in sorted(state.files):
+        add = dict(state.files[path])
+        add["dataChange"] = False
+        rows.append({"add": add})
+
+    schema = _checkpoint_arrow_schema()
+    table = pa.Table.from_pylist(rows, schema=schema)
+    log_dir = os.path.join(out_path, LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = f"{cp_path}.{uuid.uuid4().hex}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, cp_path)
+
+    pointer = {"version": version, "size": table.num_rows}
+    if state.empty_buckets:
+        pointer["emptyBuckets"] = {
+            str(b): v for b, v in state.empty_buckets.items()
+        }
+    lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
+    tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(pointer, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, lc_path)
+    return cp_path
+
+
+def delta_log_cleanup(out_path: str) -> list[str]:
+    """Delete JSON commits strictly older than the last checkpoint —
+    they are fully covered by it, so the log stops growing without
+    bound (the reason real Delta writers checkpoint at all). The
+    checkpoint version's own JSON is kept (one file; preserves
+    ``DESCRIBE HISTORY`` continuity at the boundary). Time travel to
+    cleaned versions stops working, as in Delta's own metadata
+    retention. Returns the deleted file names."""
+    last_cp = _read_last_checkpoint(out_path)
+    if last_cp is None:
+        return []
+    cp_version = int(last_cp["version"])
+    log_dir = os.path.join(out_path, LOG_DIR)
+    deleted = []
+    for name in sorted(os.listdir(log_dir)):
+        if not (name.endswith(".json") and name[0].isdigit()):
+            continue
+        if int(name[: -len(".json")]) < cp_version:
+            os.unlink(os.path.join(log_dir, name))
+            deleted.append(name)
+    return deleted
+
+
 def delta_export(
     spark: SparkSession,
     store_path: str,
@@ -213,6 +515,7 @@ def delta_export(
     name: str | None = None,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -421,6 +724,16 @@ def delta_export(
         }
     )
     _write_commit(out_path, version, header + actions)
+    # delta-spark cadence: a parquet checkpoint every N commits, so a
+    # long-lived export stays replayable in O(N) JSON reads and old JSON
+    # can be cleaned. After the commit, so a checkpoint failure never
+    # loses the committed version (the next export just re-checkpoints).
+    if (
+        checkpoint_interval is not None
+        and version > 0
+        and version % checkpoint_interval == 0
+    ):
+        write_checkpoint(out_path, version)
     return version
 
 
@@ -428,12 +741,18 @@ def read_delta(
     spark: SparkSession, out_path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read of a Delta table directly from its log — the
-    import half of the seam (reads tables THIS exporter wrote and any
-    pure-JSON-commit Delta table another writer produced; checkpointed
-    tables are detected and refused rather than silently truncated).
+    import half of the seam: reads tables THIS exporter wrote and
+    foreign base-protocol tables, including CHECKPOINTED ones (state
+    restored from the newest ``{v}.checkpoint.parquet`` named by
+    ``_last_checkpoint`` — single- or multi-part — then the JSON tail
+    replays on top; delta-spark checkpoints every 10 commits by
+    default, so this is most real tables). Tables needing reader
+    version >1 features (column mapping, deletion vectors, V2
+    checkpoints) are refused loudly rather than misread.
     ``version`` time travels to an earlier snapshot, exactly the
-    log-replay semantics of ``VERSION AS OF``. An empty file set still
-    yields the correct schema (from ``metaData.schemaString``)."""
+    log-replay semantics of ``VERSION AS OF`` (pre-checkpoint versions
+    work while their JSON commits survive cleanup). An empty file set
+    still yields the correct schema (from ``metaData.schemaString``)."""
     s = _replay(out_path, version)
     if s.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")
@@ -448,9 +767,21 @@ def read_delta(
 
 
 def delta_history(out_path: str) -> list[dict]:
-    """The table's commitInfo rows, oldest first — ``DESCRIBE HISTORY``."""
+    """The table's commitInfo rows, oldest first — ``DESCRIBE HISTORY``.
+    On a cleaned log only the surviving JSON commits (>= the last
+    checkpoint) appear, as in Delta's own metadata retention."""
     out = []
-    for version, path in _list_commits(out_path):
+    log_dir = os.path.join(out_path, LOG_DIR)
+    try:
+        versions = sorted(
+            int(n[: -len(".json")])
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[0].isdigit()
+        )
+    except FileNotFoundError:
+        return out
+    first = versions[0] if versions else 0
+    for version, path in _list_commits(out_path, after=first - 1):
         with open(path) as f:
             for line in f:
                 line = line.strip()

@@ -397,9 +397,10 @@ def test_table_name_survives_schema_widening(spark, tmp_path):
     assert "z" in [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
 
 
-def test_checkpointed_foreign_table_is_refused(spark, tmp_path):
-    """A _last_checkpoint means older JSON commits may be gone; replay
-    must refuse rather than silently return partial data."""
+def test_dangling_last_checkpoint_is_refused(spark, tmp_path):
+    """A _last_checkpoint naming a checkpoint whose parquet is absent
+    means the table copy is incomplete (or a V2 layout we can't see);
+    replay must refuse rather than silently return partial data."""
     store = _store(spark, tmp_path, n=8, n_buckets=2)
     out = str(tmp_path / "delta")
     delta_export(spark, store, out)
@@ -407,8 +408,126 @@ def test_checkpointed_foreign_table_is_refused(spark, tmp_path):
         f.write('{"version": 0}')
     import pytest
 
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, out)
+
+
+def test_reader_version_2_table_is_refused(spark, tmp_path):
+    """Base-protocol reader: a table whose protocol demands
+    minReaderVersion > 1 (column mapping / deletion vectors) must be
+    refused loudly, never misread."""
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    commit0 = os.path.join(out, LOG_DIR, f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(commit0)]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"]["minReaderVersion"] = 2
+    with open(commit0, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    import pytest
+
     with pytest.raises(NotImplementedError):
         read_delta(spark, out)
+
+
+def _incremental_store_and_exports(spark, tmp_path, n_commits=12):
+    """A store driven through ``n_commits`` merge+export rounds — enough
+    to cross the default 10-commit checkpoint cadence."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    for i in range(n_commits):
+        batch = spark.createDataFrame(
+            [
+                ("INSERT", 100 * i + j, 10 + i, f"v{i}.{j}", "x", i, j)
+                for j in range(6)
+            ]
+            # rewrite one earlier key per round so adds+removes both flow
+            + ([("UPSERT", 100 * (i - 1), 10 + i, f"re{i}", "y", i, 99)] if i else []),
+            SCHEMA,
+        )
+        merge_into(spark, store, batch, ["pk"], n_buckets=4)
+        delta_export(spark, store, out)
+    return store, out
+
+
+def test_checkpoint_written_at_interval_and_restores(spark, tmp_path):
+    """>10 commits: the exporter writes {10}.checkpoint.parquet +
+    _last_checkpoint by itself; replay-from-checkpoint equals the
+    store's active view, and time travel to the checkpoint boundary
+    still works."""
+    store, out = _incremental_store_and_exports(spark, tmp_path, 12)
+    cp = os.path.join(out, LOG_DIR, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    pointer = json.load(open(os.path.join(out, LOG_DIR, "_last_checkpoint")))
+    assert pointer["version"] == 10
+    import pyarrow.parquet as pq
+
+    assert pointer["size"] == pq.ParquetFile(cp).metadata.num_rows
+    got = read_delta(spark, out)
+    want = active_view(read_state(spark, store))
+    assert _rows(got) == _rows(want)
+    # the snapshot AT the checkpoint is served from the parquet alone
+    at_cp = read_delta(spark, out, version=10)
+    assert at_cp.count() > 0
+
+
+def test_cleaned_log_still_reads_and_history_survives(spark, tmp_path):
+    """delta_log_cleanup drops JSON < checkpoint version; the table
+    still reads identically (checkpoint + JSON tail), history lists the
+    surviving commits, and pre-checkpoint time travel now refuses."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+    )
+
+    store, out = _incremental_store_and_exports(spark, tmp_path, 12)
+    before = _rows(read_delta(spark, out))
+    deleted = delta_log_cleanup(out)
+    assert deleted == [f"{v:020d}.json" for v in range(10)]
+    assert _rows(read_delta(spark, out)) == before
+    hist = delta_history(out)
+    assert [h["version"] for h in hist] == [10, 11]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, out, version=3)
+
+
+def test_checkpoint_preserves_empty_bucket_memo(spark, tmp_path):
+    """The exporter's all-tombstone-bucket memo survives checkpoint +
+    cleanup (it rides _last_checkpoint): a no-change re-export after
+    cleanup must stay a no-op instead of reclassifying memoized empty
+    buckets as changed work."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        write_checkpoint,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    # bucket of pk=1 becomes all-tombstone: exporter memoizes it
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("DELETE", 1, 10, None, None, 0, 0), ("INSERT", 2, 10, "b", "x", 0, 1)],
+            SCHEMA,
+        ),
+        ["pk"],
+        n_buckets=2,
+    )
+    delta_export(spark, store, out)
+    write_checkpoint(out)
+    delta_log_cleanup(out)
+    pointer = json.load(open(os.path.join(out, LOG_DIR, "_last_checkpoint")))
+    assert pointer.get("emptyBuckets"), "memo must ride the pointer file"
+    # no store change -> export must detect 'already current' from the
+    # checkpointed state alone and write nothing
+    assert delta_export(spark, store, out) is None
 
 
 def test_noncontiguous_log_is_refused(spark, tmp_path):
@@ -446,3 +565,63 @@ def test_delta_table_bootstraps_a_new_store(spark, tmp_path):
     assert view.count() == 16
     assert view.filter("pk = 1").collect()[0].v == "live"
     assert view.filter("pk = 2").collect()[0].v == "v2"
+
+
+def test_import_from_checkpointed_cleaned_log(spark, tmp_path):
+    """The real-world import shape: a long-lived foreign table whose old
+    JSON commits are GONE (delta-spark checkpoints every 10 commits and
+    cleans expired metadata). import_state ∘ read_delta must bootstrap a
+    store from checkpoint + JSON tail alone."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import import_state
+
+    store, out = _incremental_store_and_exports(spark, tmp_path, 12)
+    delta_log_cleanup(out)
+    want = _rows(active_view(read_state(spark, store)))
+
+    store2 = str(tmp_path / "store2")
+    table = read_delta(spark, out).drop("op", "writetime", "segment", "position")
+    import_state(spark, table, store2, ["pk"], n_buckets=4)
+    got = active_view(read_state(spark, store2)).select(
+        "pk", "v", "w"
+    )
+    assert sorted((r.pk, r.v, r.w) for r in got.collect()) == sorted(
+        (pk, v, w) for pk, _, _, v, w in want
+    )
+
+
+def test_multipart_foreign_checkpoint_reads(spark, tmp_path):
+    """Foreign tables may carry MULTI-part checkpoints
+    ({v}.checkpoint.{i}.{n}.parquet, "parts" in _last_checkpoint) —
+    delta-spark writes them for big states. Split our own checkpoint
+    into two spec-named parts and verify replay stitches them."""
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        write_checkpoint,
+    )
+
+    store, out = _incremental_store_and_exports(spark, tmp_path, 5)
+    before = _rows(read_delta(spark, out))
+    cp = write_checkpoint(out)  # version 4
+    delta_log_cleanup(out)
+    tbl = pq.read_table(cp)
+    mid = tbl.num_rows // 2
+    log_dir = os.path.join(out, LOG_DIR)
+    pq.write_table(
+        tbl.slice(0, mid),
+        os.path.join(log_dir, f"{4:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(mid),
+        os.path.join(log_dir, f"{4:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.unlink(cp)
+    pointer = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    pointer["parts"] = 2
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump(pointer, f)
+    assert _rows(read_delta(spark, out)) == before
