@@ -116,6 +116,77 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("bigint")
 
 
+def srp_band_signatures(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    bits: int,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded SRP signature table ``(id, band, bucket)`` — ``bands``
+    bands of ``bits`` Gaussian sign-bits each, one map-side explode per
+    row (planes are inlined literals = broadcast; NO shuffle here). The
+    band+bucket equi-join downstream is the only wide stage."""
+    assert len(planes) >= bands * bits, "need bands*bits planes"
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                srp_bucket(
+                    F.col(vec_col), planes[j * bits : (j + 1) * bits]
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return vectors.select(id_col, F.explode(band_arr).alias("bb")).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def ann_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    bands: int = 8,
+    bits: int = 6,
+    seed: int = 11,
+    planes: list[list[float]] | None = None,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """THE DEFAULT ANN pair-candidate seam — banded SRP-LSH
+    (OR-amplified: a pair is a candidate when ANY band's ``bits``-bit
+    bucket collides), the production path for near-duplicate /
+    similarity-pair generation. Returns ``(id_a, id_b, n_bands)`` with
+    ``id_a < id_b``; callers verify candidates by exact cosine.
+
+    Why this default: candidate mass per band is ~Σ_bucket |bucket|²
+    with 2^bits buckets — at scale choose ``bits`` ≈ log2(N /
+    target_bucket_size) so mass stays ~N·target (linear), while
+    OR-amplification across ``bands`` recovers the recall a single
+    band loses. The single-table anchor-plane shape
+    (plans/analytics_extra_queries.py::llm_ann_srp_anchor_lsh) keeps
+    candidate mass ~N²/2^bits over a FIXED bucket count — registered as
+    a labeled comparison entry only, never this seam. For query→corpus
+    top-k (rather than all-pairs), use :func:`ivf_probe_topn` /
+    :func:`ivf_assign` (centroids broadcast, corpus partitioned by
+    cell)."""
+    if planes is None:
+        planes = gaussian_planes(dim, bands * bits, seed=seed)
+    sig = srp_band_signatures(vectors, planes, bands, bits, vec_col, id_col)
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    c = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 def kmeans_lite(
     vectors: DataFrame,
     dim: int,

@@ -255,14 +255,19 @@ WHERE list_dot_product(a.v, c.v) /
 
 @register("llm_ann_srp_anchor_lsh", sql=_SRP_SQL)
 def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed-random-projection LSH with real hyperplanes: bit i is the
-    sign of the dot product against anchor vector i (first {a} corpus
-    vectors; production swaps in seeded Gaussian planes through the same
-    operator). Complements the axis-sign bucketing of
-    llm_dedup_embedding_cosine — anchor planes adapt to the data's
-    orientation, so collisions track cosine similarity more tightly.
-    Anchors broadcast (tiny cross join), signature is a map-side agg;
-    the only shuffle is the 2^{a}-bucket equi-join."""
+    """COMPARISON-ONLY entry (like llm_ann_brute_topk): single-table
+    anchor-plane LSH kept to quantify what banding buys — NOT a
+    production path, and no default seam points here. Candidate mass is
+    ~N²/2^{a} over a FIXED bucket count, i.e. quadratic-over-constant at
+    scale; the production all-pairs seam is
+    operators/vectors.ann_candidate_pairs (banded SRP, llm_ann_srp_banded
+    — bucket count scales with N via the bits config) and the
+    query→corpus seam is ivf_probe_topn.
+
+    Shape kept honest for comparison: bit i is the sign of the dot
+    product against anchor vector i (first {a} corpus vectors); anchors
+    inlined as literals (broadcast analogue), signature map-side; the
+    only shuffle is the 2^{a}-bucket equi-join."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     # anchors are tiny and fixed: pull them to the driver and inline as
@@ -355,22 +360,14 @@ WHERE {_DUCK_COS} >= {_SRPB_COS_MIN}
 
 
 def _srpb_signatures(n: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket) — one map-side explode, no shuffle."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                srp_bucket(
-                    F.col("v"),
-                    _SRPB_PLANES[j * _SRPB_BITS : (j + 1) * _SRPB_BITS],
-                ).alias("bucket"),
-            )
-            for j in range(_SRPB_BANDS)
-        ]
+    """(vec_id, band, bucket) via the DEFAULT ANN seam
+    (operators/vectors.srp_band_signatures) — one map-side explode, no
+    shuffle. This plan IS the production path that seam points at."""
+    from cdc_apache_cassandra_spark.operators.vectors import (
+        srp_band_signatures,
     )
-    return n.select("vec_id", F.explode(bands).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+
+    return srp_band_signatures(n, _SRPB_PLANES, _SRPB_BANDS, _SRPB_BITS)
 
 
 @register("llm_ann_srp_banded", sql=_SRPB_SQL)

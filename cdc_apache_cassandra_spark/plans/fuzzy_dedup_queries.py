@@ -400,9 +400,13 @@ WHERE list_dot_product(a.v, c.v) /
 @register("llm_dedup_embedding_cosine", sql=_EMB_NEAR_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: sign-bit LSH bucket equi-join (the only
-    shuffle), cosine computed on in-bucket pairs only. 2^bits buckets
-    bound each block; more bits or multiple hash tables tune recall at
-    scale."""
+    shuffle), cosine computed on in-bucket pairs only. Bucket count is
+    CONFIG, not structure: at scale set bits ≈ log2(N/target_bucket_size)
+    so candidate mass stays ~N·target (the gate runs 2^{bits} buckets at
+    test N). The production all-pairs seam with recall amplification is
+    operators/vectors.ann_candidate_pairs (banded SRP,
+    llm_ann_srp_banded); this axis-sign single-band entry is the
+    documented baseline the banded recall audit compares against."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     bkt = n.select(

@@ -142,3 +142,40 @@ def test_ivfpq_neighbors_share_query_cell(spark):
     for r in rows:
         assert coarse[r.qid] == r.cell
         assert coarse[r.nid] == r.cell
+
+
+def test_ann_candidate_pairs_seam_matches_banded_plan(spark):
+    """operators/vectors.ann_candidate_pairs is THE default all-pairs ANN
+    seam: with the banded plan's exact config it must produce the same
+    candidate set (id_a, id_b, n_bands) the oracle-green
+    llm_ann_srp_banded query verifies — the seam and the gate cannot
+    drift apart."""
+    from cdc_apache_cassandra_spark.operators.vectors import (
+        ann_candidate_pairs,
+        as_double_vec,
+    )
+    from cdc_apache_cassandra_spark.plans.analytics_extra_queries import (
+        _SRPB_BANDS,
+        _SRPB_BITS,
+        _SRPB_PLANES,
+        _srpb_signatures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    seam = ann_candidate_pairs(
+        n, dim=0, bands=_SRPB_BANDS, bits=_SRPB_BITS, planes=_SRPB_PLANES
+    )
+    sig = _srpb_signatures(n)
+    a = sig.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    c = sig.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    plan = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    got = sorted((r.id_a, r.id_b, r.n_bands) for r in seam.collect())
+    want = sorted((r.id_a, r.id_b, r.n_bands) for r in plan.collect())
+    assert got == want and got, "seam must equal the gated banded plan"
