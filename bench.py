@@ -273,6 +273,29 @@ def main():
     finally:
         shutil.rmtree(bs_dir, ignore_errors=True)
 
+    # Solo best-of-3 for the most expensive queries (r4 verdict item 7):
+    # cross-round regression checks compare THESE numbers, not the tail
+    # ratios of the main loop, whose single-digit-percent swings are
+    # JVM/GC noise. Flag a regression only when solo-vs-solo moves >1.5x.
+    solo: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SOLO", "1") != "0":
+        top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "10"))
+        top = sorted(per_query, key=per_query.get, reverse=True)[:top_n]
+        for name in top:
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.time() - t0)
+                release_plan_caches()
+            times.sort()
+            solo[name] = {
+                "best": round(times[0], 3),
+                "median": round(times[len(times) // 2], 3),
+            }
+
     payload = {
         "metric": "sum_best_of_n_seconds",
         "value": total,
@@ -291,6 +314,8 @@ def main():
         "reps": reps,
         "loop_wall_seconds": loop_wall,
     }
+    if solo:
+        payload["solo"] = solo
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
