@@ -855,36 +855,7 @@ def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# --- HLL approximate distinct (sketch scale path; rows-only check) ----------
-
-
-@register("stats_approx_distinct_users", sql=None)
-def stats_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch path for COUNT(DISTINCT) at 100 TB: HyperLogLog++
-    `approx_count_distinct` per event type (mergeable partial aggregate —
-    one narrow shuffle of sketches, never a distinct-expand), reported
-    next to the exact distinct and the signed relative error. Sketch
-    estimates are engine-specific, so no cross-engine value oracle
-    (rows-only check): Spark's HLL++ and DuckDB's approx_count_distinct
-    disagree by design; the exact twin is what the relational surface
-    already covers under the gate (agg_distinct_customers_per_status)."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-    err = (F.col("approx_users") - F.col("exact_users")).cast("double") / F.col(
-        "exact_users"
-    )
-    return agg.select(
-        "event_type",
-        "approx_users",
-        "exact_users",
-        F.round(err, 4).alias("rel_err_r"),
-    )
-
-
-# --- portable HLL: identical sketch in both engines, hash-checked -----------
+# --- HLL approximate distinct (sketch scale path, fully oracled) ------------
 
 # E = alpha_64 * m^2 / sum(2^-M[j]); with S = sum(2^(55-M[j])) kept in
 # exact BIGINT (max 64 * 2^55 = 2^61), E = alpha * m^2 * 2^55 / S. The
@@ -894,6 +865,80 @@ _HLL_EST_EXPR = hll_estimate_sql(
     "(a.s_filled + (64 - a.n_filled) * (1::BIGINT << 55))",
     n_filled="a.n_filled",
 )
+
+
+def _approx_users_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+rho AS (
+  SELECT event_type, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m FROM rho GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_filled,
+         CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_filled
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(FLOOR({_HLL_EST_EXPR}) AS BIGINT) AS approx_users,
+       e.exact_users,
+       CAST(ROUND(
+         CAST(CAST(FLOOR({_HLL_EST_EXPR}) AS BIGINT) - e.exact_users AS DOUBLE)
+           / CAST(e.exact_users AS DOUBLE), 4) + 0.0 AS DOUBLE) AS rel_err_r
+FROM agg a JOIN ex e ON a.event_type = e.event_type
+"""
+
+
+@register("stats_approx_distinct_users", sql=_approx_users_sql())
+def stats_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for COUNT(DISTINCT) at 100 TB, fully under the value
+    oracle (r4 verdict item 8 — this was the suite's one rows-only
+    entry): approximate distinct users per event type from the PORTABLE
+    HLL device (functions/hashing.py — md5-derived registers, exact
+    BIGINT harmonic sum, deterministic double estimate), reported next
+    to the exact distinct and the signed relative error. Every
+    intermediate is engine-deterministic, so the oracle pins registers
+    AND estimate bit-for-bit. The shape is the production one: two
+    narrow integer group-bys, mergeable by MAX, never a distinct-expand;
+    register count is config (m=64 here — rsd ~1.04/sqrt(m); a 100-TB
+    deployment raises m, not the plan shape). Spark's built-in HLL++
+    (`approx_count_distinct`) computes the same answer shape with an
+    engine-specific sketch — pinned by the pytest envelope
+    (test_extra_analytics.py) instead, since DuckDB's sketch differs by
+    design."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    fin = hll_finalize(regs, ["event_type"]).join(exact, "event_type")
+    approx = F.floor(F.col("hll_estimate_r")).cast("long")
+    err = (approx - F.col("exact_users")).cast("double") / F.col(
+        "exact_users"
+    ).cast("double")
+    return fin.select(
+        "event_type",
+        approx.alias("approx_users"),
+        "exact_users",
+        (F.round(err, 4) + F.lit(0.0)).alias("rel_err_r"),
+    )
+
+
+# --- portable HLL: identical sketch in both engines, hash-checked -----------
 
 _HLL_PORTABLE_SQL = f"""
 WITH h AS (

@@ -61,3 +61,40 @@ def test_bigram_novelty_ratio_domain(spark):
         | (F.col("n_rare") > F.col("n_grams"))
     )
     assert bad.count() == 0
+
+
+def test_builtin_hllpp_within_rsd_envelope(spark):
+    """Spark's built-in HLL++ (approx_count_distinct) — the engine's own
+    mergeable-sketch COUNT(DISTINCT) path — stays inside 3x the requested
+    rsd of the exact distinct per event_type. Its sketch is
+    engine-specific (DuckDB's differs by design), so this envelope is
+    its pin; the ORACLE-gated sketch path is stats_approx_distinct_users
+    (portable HLL device, bit-exact cross-engine)."""
+    from cdc_apache_cassandra_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            3, 3 * 0.02 * r.exact_users
+        ), r
+
+
+def test_portable_hll_estimate_matches_gate_entry(spark):
+    """stats_approx_distinct_users' approx column IS floor of the
+    portable-sketch estimate the register-pinning entry computes — the
+    two gate entries cannot drift apart."""
+    a = {
+        r.event_type: r.approx_users
+        for r in QUERIES["stats_approx_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    b = {
+        r.event_type: int(r.hll_estimate_r // 1)
+        for r in QUERIES["stats_hll_portable_sketch"].fn(spark, SF_SMOKE).collect()
+    }
+    assert a == b
