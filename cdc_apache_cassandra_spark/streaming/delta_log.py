@@ -341,6 +341,76 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _file_stats_json(path: str) -> str:
+    """Delta ``add.stats`` JSON from the parquet footer ALONE (no data
+    read): numRecords plus per-column minValues/maxValues/nullCount for
+    top-level primitive columns with valid chunk statistics — the fields
+    delta-spark/delta-rs/Trino use for file skipping, so external
+    engines prune our exports' buckets exactly like their own tables.
+    Columns without safe stats (nested, binary, NaN-polluted floats) are
+    simply omitted — stats are advisory in the spec."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+
+    def render(v):
+        if isinstance(v, str):
+            # writers may truncate long binary stats; a truncated max is
+            # NOT an upper bound — only publish comfortably-short strings
+            return v if len(v) < 32 else None
+        if isinstance(v, (bool, int)):
+            return v
+        if isinstance(v, float):
+            return v if v == v and abs(v) != float("inf") else None
+        if isinstance(v, bytes):
+            return None  # binary stats are truncated bytes — unsafe
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%dT%H:%M:%S.") + f"{v.microsecond // 1000:03d}Z"
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return str(v)
+        return None
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    for ci in range(meta.num_columns):
+        col0 = meta.row_group(0).column(ci)
+        name = col0.path_in_schema
+        if "." in name:
+            continue  # nested leaves use dotted paths — top-level only
+        lo = hi = None
+        nn = 0
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max or st.null_count is None:
+                ok = False
+                break
+            nn += st.null_count
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if not ok:
+            continue
+        rlo, rhi = render(lo), render(hi)
+        nulls[name] = nn
+        if rlo is not None and rhi is not None:
+            mins[name] = rlo
+            maxs[name] = rhi
+    out: dict = {"numRecords": meta.num_rows}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    if nulls:
+        out["nullCount"] = nulls
+    return json.dumps(out, separators=(",", ":"))
+
+
 def _checkpoint_arrow_schema():
     """The spec checkpoint schema: one struct column per action type,
     exactly one non-null per row. Types mirror the JSON actions
@@ -648,9 +718,7 @@ def delta_export(
                             "size": os.path.getsize(dst),
                             "modificationTime": now,
                             "dataChange": True,
-                            "stats": json.dumps(
-                                {"numRecords": _parquet_num_rows(dst)}
-                            ),
+                            "stats": _file_stats_json(dst),
                             "tags": {
                                 "bucket": str(b),
                                 "storeVersion": str(store_buckets[b]),
@@ -737,8 +805,30 @@ def delta_export(
     return version
 
 
+def version_at_timestamp(out_path: str, ts_ms: int) -> int:
+    """``TIMESTAMP AS OF`` resolution, exactly Delta's rule: the LAST
+    version whose commit timestamp is <= the requested time (commitInfo
+    timestamps; commits this writer produces always carry one). Raises
+    if the requested time predates the earliest surviving commit —
+    matching Delta's 'before the earliest available version' error."""
+    history = delta_history(out_path)
+    if not history:
+        raise FileNotFoundError(f"no Delta log at {out_path}")
+    eligible = [h["version"] for h in history if h.get("timestamp", 0) <= ts_ms]
+    if not eligible:
+        raise FileNotFoundError(
+            f"{out_path}: no commit at or before timestamp {ts_ms} "
+            f"(earliest surviving commit: version {history[0]['version']} "
+            f"at {history[0].get('timestamp')})"
+        )
+    return max(eligible)
+
+
 def read_delta(
-    spark: SparkSession, out_path: str, version: int | None = None
+    spark: SparkSession,
+    out_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table directly from its log — the
     import half of the seam: reads tables THIS exporter wrote and
@@ -752,7 +842,14 @@ def read_delta(
     ``version`` time travels to an earlier snapshot, exactly the
     log-replay semantics of ``VERSION AS OF`` (pre-checkpoint versions
     work while their JSON commits survive cleanup). An empty file set
-    still yields the correct schema (from ``metaData.schemaString``)."""
+    still yields the correct schema (from ``metaData.schemaString``).
+    ``timestamp_ms`` is ``TIMESTAMP AS OF`` (mutually exclusive with
+    ``version``): resolved to the last commit at or before that time via
+    :func:`version_at_timestamp`."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(out_path, timestamp_ms)
     s = _replay(out_path, version)
     if s.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")

@@ -132,6 +132,44 @@ class LocalManifestStore(ManifestStore):
             os.unlink(lock)
 
 
+class InMemoryManifestStore(ManifestStore):
+    """Reference conditional-PUT semantics in memory — the exact shape an
+    S3 (``If-Match`` / ``If-None-Match: *``) or GCS
+    (``ifGenerationMatch``) backend implements: ``load`` returns the
+    manifest plus its generation tag; ``commit`` publishes IFF the stored
+    tag still equals the caller's, else :class:`CommitConflict`. Used by
+    the contended-CAS tests (tests/test_manifest_cas.py) to force the
+    race window (``on_commit`` runs after the caller's load, inside its
+    commit — the interleave point), and usable as-is for ephemeral
+    stores. An object-store backend replaces the dict with its bucket
+    and the tag with the ETag/generation; nothing else in merge_into /
+    delta_export changes."""
+
+    def __init__(self):
+        self.blobs: dict[str, dict] = {}
+        self.on_commit = None
+        self.commits = 0
+
+    def load(self, path: str) -> tuple[dict | None, object]:
+        m = self.blobs.get(path)
+        if m is None:
+            return None, None
+        return json.loads(json.dumps(m)), m["version"]
+
+    def commit(self, path: str, manifest: dict, expect_tag: object) -> None:
+        hook, self.on_commit = self.on_commit, None
+        if hook is not None:
+            hook()  # competing writer lands inside the CAS window
+        current = self.blobs.get(path)
+        tag = None if current is None else current["version"]
+        if tag != expect_tag:
+            raise CommitConflict(
+                f"precondition failed: expected tag {expect_tag}, found {tag}"
+            )
+        self.blobs[path] = json.loads(json.dumps(manifest))
+        self.commits += 1
+
+
 _DEFAULT_STORE = LocalManifestStore()
 
 

@@ -722,3 +722,55 @@ def test_ddl_between_exports_reads_typed_nulls_and_imports(spark, tmp_path):
     write_checkpoint(out)
     delta_log_cleanup(out)
     check_reads("checkpointed")
+
+
+def test_add_stats_carry_minmax_for_file_skipping(spark, tmp_path):
+    """add.stats carries minValues/maxValues/nullCount for top-level
+    primitive columns (footer-derived, no data read) — the fields
+    external engines use to prune files; numRecords stays consistent
+    with the data."""
+    store = _store(spark, tmp_path, n=16, n_buckets=4)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(out, LOG_DIR, f"{0:020d}.json"))
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds
+    lo, hi, total = 10**9, -1, 0
+    for add in adds:
+        st = json.loads(add["stats"])
+        total += st["numRecords"]
+        assert st["nullCount"]["pk"] == 0
+        lo = min(lo, st["minValues"]["pk"])
+        hi = max(hi, st["maxValues"]["pk"])
+        assert st["minValues"]["writetime"] == st["maxValues"]["writetime"] == 10
+    assert (lo, hi, total) == (0, 15, 16)
+
+
+def test_timestamp_as_of_reads(spark, tmp_path):
+    """TIMESTAMP AS OF: resolved to the last commit at or before the
+    requested time; pre-history timestamps refuse."""
+    import time as _time
+
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    t0 = int(_time.time() * 1000)
+    v0 = _rows(read_delta(spark, out))
+    _time.sleep(0.05)
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    delta_export(spark, store, out)
+    assert _rows(read_delta(spark, out, timestamp_ms=t0)) == v0
+    now = int(_time.time() * 1000) + 1000
+    assert read_delta(spark, out, timestamp_ms=now).filter(
+        "pk = 1"
+    ).collect()[0].v == "u"
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, out, timestamp_ms=t0 - 10_000_000)
+    with pytest.raises(ValueError):
+        read_delta(spark, out, version=0, timestamp_ms=t0)

@@ -20,7 +20,7 @@ import pytest
 
 from cdc_apache_cassandra_spark.streaming.materialize import (
     CommitConflict,
-    ManifestStore,
+    InMemoryManifestStore as MemoryManifestStore,
     active_view,
     merge_into,
 )
@@ -29,38 +29,6 @@ SCHEMA = (
     "op string, pk long, writetime long, v string, w string, "
     "segment long, position long"
 )
-
-
-class MemoryManifestStore(ManifestStore):
-    """Conditional-PUT semantics in memory — the S3 ``If-Match`` /
-    GCS ``ifGenerationMatch`` shape: load returns (manifest, tag);
-    commit succeeds IFF the stored tag still equals the caller's.
-    ``on_commit`` is the interleave point: it runs after the caller's
-    load (inside its commit) and may perform a competing full commit."""
-
-    def __init__(self):
-        self.blobs: dict[str, dict] = {}
-        self.on_commit = None
-        self.commits = 0
-
-    def load(self, path):
-        m = self.blobs.get(path)
-        if m is None:
-            return None, None
-        return json.loads(json.dumps(m)), m["version"]
-
-    def commit(self, path, manifest, expect_tag):
-        hook, self.on_commit = self.on_commit, None
-        if hook is not None:
-            hook()  # the competing writer gets in first
-        current = self.blobs.get(path)
-        tag = None if current is None else current["version"]
-        if tag != expect_tag:
-            raise CommitConflict(
-                f"precondition failed: expected tag {expect_tag}, found {tag}"
-            )
-        self.blobs[path] = json.loads(json.dumps(manifest))
-        self.commits += 1
 
 
 def _batch(spark, rows):
