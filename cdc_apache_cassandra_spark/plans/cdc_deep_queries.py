@@ -664,6 +664,76 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "cdc_compound_streaming_end_to_end",
+    sql=_compound_lww_sql("pk_p % 3 = 0"),
+)
+def cdc_compound_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOUND pipeline through the actual STREAMING engine (the
+    compound sibling of cdc_streaming_end_to_end): the partition-sampled
+    event corpus replays as a multi-micro-batch file stream
+    (maxFilesPerTrigger=1 over 4 files), replica-deduped by streaming
+    dropDuplicates on the digest (state-bounded in production via the
+    watermarked variant, dedup_mutations_stream), and committed through
+    ``materialize_stream`` — real writeStream.foreachBatch MERGEs,
+    bucketed on the PARTITION key with the partition-range-tombstone
+    reducer (operators/lww.py::compound_reduce). Micro-batch boundaries
+    land in arrival order, NOT writetime order, so convergence genuinely
+    exercises range-tombstone LWW under the streaming engine. Oracle =
+    the direct compound converged state, same as
+    cdc_compound_materialized_state."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.operators.lww import (
+        compound_active_view,
+        compound_reduce,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        materialize_stream,
+        read_state,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_compound_stream_")
+    src = f"{root}/events"
+    table = f"{root}/table"
+    ckpt = f"{root}/ckpt"
+    (
+        compound_events(spark, sf_dir)
+        .filter(F.col("pk_p") % 3 == 0)
+        .repartition(4)
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.dropDuplicates(["digest"]).drop("node_id", "digest")
+    q = materialize_stream(
+        deduped,
+        table,
+        ckpt,
+        ["pk_p", "pk_c"],
+        n_buckets=8,
+        bucket_cols=["pk_p"],
+        reducer=compound_reduce,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    alive = compound_active_view(read_state(spark, table))
+    return alive.select(
+        F.col("pk_p").alias("custkey"),
+        F.col("pk_c").alias("orderkey"),
+        F.col("s_mktsegment").alias("mktsegment"),
+        F.col("v_totalprice").alias("totalprice"),
+        F.col("v_orderstatus").alias("orderstatus"),
+        "writetime",
+    )
+
+
 # --- S8 parallel export: dsbulk-style token-range splits --------------------
 
 
