@@ -318,6 +318,40 @@ def merge_into(
     _prune(path, manifest)
 
 
+def merge_into_retrying(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    pk_cols: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    bucket_cols: list[str] | None = None,
+    reducer=None,
+    store: ManifestStore = _DEFAULT_STORE,
+    max_attempts: int = 5,
+) -> int:
+    """Multi-writer ergonomics over :func:`merge_into`: on
+    :class:`CommitConflict` the ENTIRE merge re-runs — reload manifest,
+    re-read the (now newer) touched buckets, re-reduce, re-commit — the
+    only correct retry (replaying the same staged merge would publish a
+    result computed against stale state; the reducer's idempotence +
+    merge-associativity makes the re-merge converge regardless of which
+    competing batch landed first, the property test_manifest_cas pins).
+    Returns the number of attempts used. Bounded: conflicts mean live
+    contention, and each loser's next attempt merges ON TOP of the
+    winner, so N writers finish in ≤N rounds absent a crash loop."""
+    for attempt in range(1, max_attempts + 1):
+        try:
+            merge_into(
+                spark, path, batch, pk_cols, n_buckets,
+                bucket_cols=bucket_cols, reducer=reducer, store=store,
+            )
+            return attempt
+        except CommitConflict:
+            if attempt == max_attempts:
+                raise
+    raise AssertionError("unreachable")
+
+
 def _bucket_stats(spark: SparkSession, base: str, ver_dir: str) -> dict:
     """Per-bucket stats for the buckets just written under ``ver_dir`` —
     read BACK from the committed files (columnar, bucket-local; avoids
@@ -673,13 +707,27 @@ def foreach_batch_upsert(
                 delta_export,
             )
 
-            delta_export(
-                batch.sparkSession,
-                path,
-                delta_path,
-                txn_app=f"materialize::{os.path.abspath(path)}",
-                txn_version=batch_id,
-            )
+            # One bounded retry on a commit race: the loser re-replays
+            # the log and re-diffs — if the competing exporter published
+            # this store state already, the retry is a no-op (txn memo /
+            # identical diff); a second conflict propagates and fails the
+            # batch, which Structured Streaming replays idempotently.
+            try:
+                delta_export(
+                    batch.sparkSession,
+                    path,
+                    delta_path,
+                    txn_app=f"materialize::{os.path.abspath(path)}",
+                    txn_version=batch_id,
+                )
+            except CommitConflict:
+                delta_export(
+                    batch.sparkSession,
+                    path,
+                    delta_path,
+                    txn_app=f"materialize::{os.path.abspath(path)}",
+                    txn_version=batch_id,
+                )
 
     return apply
 

@@ -186,3 +186,30 @@ def test_contended_delta_commit_loser_rediffs_to_noop(spark, tmp_path, monkeypat
         a["remove"]["path"] for a in winner_actions if "remove" in a
     )
     assert dl.delta_vacuum(out, retain_ms=0) == removed
+
+
+def test_merge_into_retrying_recovers_from_conflict(spark, tmp_path):
+    """The multi-writer ergonomics wrapper: a forced mid-commit conflict
+    is absorbed, the retry re-merges on top of the winner, and the final
+    state equals the sequential execution."""
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        merge_into_retrying,
+    )
+
+    store = MemoryManifestStore()
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=4, store=store)
+
+    def winner_commits():
+        merge_into(
+            spark, path, _batch(spark, BATCH_B), ["pk"], n_buckets=4, store=store
+        )
+
+    store.on_commit = winner_commits
+    attempts = merge_into_retrying(
+        spark, path, _batch(spark, BATCH_A), ["pk"], n_buckets=4, store=store
+    )
+    assert attempts == 2  # one conflict, one clean retry
+    got = _state_rows(spark, path, store)
+    assert got == _sequential_result(spark, tmp_path, BATCH_B, BATCH_A)
