@@ -171,6 +171,7 @@ def main():
     from cdc_apache_cassandra_spark.streaming.materialize import (
         LocalManifestStore,
         merge_into,
+        version_dir,
     )
 
     bs_dir = tempfile.mkdtemp(prefix="bucket_store_bench_")
@@ -187,7 +188,7 @@ def main():
                 os.path.getsize(f)
                 for b, v in manifest["buckets"].items()
                 for f in glob.glob(
-                    os.path.join(bs_dir, f"__ver={v}", f"__bucket={b}", "*")
+                    os.path.join(bs_dir, version_dir(manifest, v), f"__bucket={b}", "*")
                 )
             )
 
@@ -223,7 +224,10 @@ def main():
             for b in touched
             for f in glob.glob(
                 os.path.join(
-                    bs_dir, f"__ver={m_inc['version']}", f"__bucket={b}", "*"
+                    bs_dir,
+                    version_dir(m_inc, m_inc["version"]),
+                    f"__bucket={b}",
+                    "*",
                 )
             )
         )
@@ -250,10 +254,27 @@ def main():
             t0 = time.time()
             delta_export(spark, bs_dir, dt_dir)
             inc_export_sec = time.time() - t0
+            # checkpoint cost at this bucket count: write compacts the
+            # whole log into one parquet (one row per live file) and
+            # restore replays it — both metadata-sized, the numbers that
+            # bound a foreign reader's open cost on a long-lived export
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                write_checkpoint,
+            )
+
+            t0 = time.time()
+            write_checkpoint(dt_dir)
+            cp_write_sec = time.time() - t0
+            t0 = time.time()
+            n_files_cp = len(delta_log_replay(dt_dir)[1])
+            cp_replay_sec = time.time() - t0
             delta_export_stats = {
                 "full_export_sec": round(full_export_sec, 3),
                 "data_files": n_files_full,
                 "incremental_export_sec": round(inc_export_sec, 3),
+                "checkpoint_write_sec": round(cp_write_sec, 3),
+                "checkpoint_replay_sec": round(cp_replay_sec, 3),
+                "checkpoint_files": n_files_cp,
             }
         finally:
             shutil.rmtree(dt_dir, ignore_errors=True)

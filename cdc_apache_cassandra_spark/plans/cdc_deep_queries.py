@@ -672,7 +672,9 @@ def cdc_compound_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataF
     """The COMPOUND pipeline through the actual STREAMING engine (the
     compound sibling of cdc_streaming_end_to_end): the partition-sampled
     event corpus replays as a multi-micro-batch file stream
-    (maxFilesPerTrigger=1 over 4 files), replica-deduped by streaming
+    (maxFilesPerTrigger=1 over 2 files - two genuine engine
+    batches; more would add per-commit overhead, not coverage),
+    replica-deduped by streaming
     dropDuplicates on the digest (state-bounded in production via the
     watermarked variant, dedup_mutations_stream), and committed through
     ``materialize_stream`` — real writeStream.foreachBatch MERGEs,
@@ -700,7 +702,7 @@ def cdc_compound_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataF
     (
         compound_events(spark, sf_dir)
         .filter(F.col("pk_p") % 3 == 0)
-        .repartition(4)
+        .repartition(2)
         .write.parquet(src)
     )
     schema = spark.read.parquet(src).schema

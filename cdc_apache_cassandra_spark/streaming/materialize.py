@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -177,11 +178,29 @@ def _read_manifest(path: str) -> dict | None:
     return _DEFAULT_STORE.load(path)[0]
 
 
+def version_dir(manifest: dict, version: int) -> str:
+    """Resolve a committed version number to its directory name. New
+    commits write to WRITER-UNIQUE directories ``__ver=<v>-<token>``
+    (recorded in ``manifest["dirs"]``) so two in-flight committers can
+    never collide on the same staging path — the CAS then decides whose
+    directory the pointer adopts (exactly Delta's content-addressed
+    files + pointer). Legacy stores without the map resolve to the old
+    ``__ver=<v>`` layout."""
+    return (manifest.get("dirs") or {}).get(str(version), f"__ver={version}")
+
+
+def _live_dirs(manifest: dict) -> set[str]:
+    return {
+        version_dir(manifest, v)
+        for v in {manifest["buckets"][k] for k in manifest["buckets"]}
+    }
+
+
 def _bucket_paths(path: str, manifest: dict, buckets: list[int] | None = None) -> list[str]:
     live = manifest["buckets"]
     keys = [str(b) for b in buckets] if buckets is not None else list(live)
     return [
-        os.path.join(path, f"__ver={live[k]}", f"__bucket={k}")
+        os.path.join(path, version_dir(manifest, live[k]), f"__bucket={k}")
         for k in keys
         if k in live
     ]
@@ -248,10 +267,13 @@ def merge_into(
 ) -> None:
     """One incremental MERGE commit: rewrite only the buckets the batch
     touches, then CAS-swap the manifest (:class:`ManifestStore`).
-    Retry-safe: a crashed attempt leaves an unreferenced ``v=`` directory
-    that the next attempt overwrites and :func:`_prune` removes; an
-    attempt racing a completed commit fails the precondition with
-    :class:`CommitConflict` rather than publishing a stale merge.
+    Retry-safe AND multi-writer-safe: every attempt stages into a
+    writer-unique ``__ver=<v>-<token>`` directory, so concurrent
+    committers never collide on disk — the CAS alone decides the winner;
+    a loser deletes only its own staging and raises
+    :class:`CommitConflict` (see :func:`merge_into_retrying`), a crashed
+    attempt's never-referenced staging is reclaimed by
+    :func:`gc_orphan_dirs`.
 
     ``bucket_cols`` (default: ``pk_cols``) chooses the co-location key —
     compound tables bucket on the PARTITION key so a partition-range
@@ -292,16 +314,37 @@ def merge_into(
     merged = merged.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
 
     version = manifest["version"] + 1
-    out_dir = os.path.join(path, f"__ver={version}")
-    # Distributed write of ONLY the touched buckets; mode=overwrite clears
-    # leftovers of a failed prior attempt at this version. Repartition by
+    old_dirs = _live_dirs(manifest)
+    # WRITER-UNIQUE directory: two in-flight committers stage disjoint
+    # paths; the CAS decides whose directory the manifest adopts, and
+    # the loser deletes only its own staging (see except below).
+    dirname = f"__ver={version}-{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(path, dirname)
+    # Distributed write of ONLY the touched buckets. Repartition by
     # bucket first: one task per touched bucket ⇒ one file per bucket dir
     # (without it, every shuffle partition writes a sliver into every
     # bucket — the small-files anti-pattern at any scale).
     merged = merged.repartition(len(touched), F.col("__bucket"))
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+    try:
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+    except Exception:
+        # A competing commit may have PRUNED the old bucket files this
+        # merge was reading mid-job. If the manifest moved since we
+        # loaded it, that is what happened — surface it as the conflict
+        # it is (reload + re-merge fixes it); a genuine IO error with an
+        # unmoved manifest propagates untouched.
+        current, _ = store.load(path)
+        if current is not None and current["version"] != manifest["version"]:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise CommitConflict(
+                f"manifest moved from {manifest['version']} to "
+                f"{current['version']} during the merge job (superseded "
+                "files pruned under this reader); reload and re-merge"
+            )
+        raise
 
     manifest["version"] = version
+    manifest.setdefault("dirs", {})[str(version)] = dirname
     stats = _bucket_stats(spark, path, out_dir)
     for b in touched:
         k = str(b)
@@ -314,8 +357,16 @@ def merge_into(
             # pointer at a nonexistent path would fail every later read)
             manifest["buckets"].pop(k, None)
             manifest.get("stats", {}).pop(k, None)
-    store.commit(path, manifest, tag)
-    _prune(path, manifest)
+    live_versions = {manifest["buckets"][k] for k in manifest["buckets"]}
+    manifest["dirs"] = {
+        v: d for v, d in manifest["dirs"].items() if int(v) in live_versions
+    }
+    try:
+        store.commit(path, manifest, tag)
+    except CommitConflict:
+        shutil.rmtree(out_dir, ignore_errors=True)  # only OUR staging
+        raise
+    _prune_superseded(path, old_dirs, _live_dirs(manifest))
 
 
 def merge_into_retrying(
@@ -402,12 +453,50 @@ def _bucket_stats(spark: SparkSession, base: str, ver_dir: str) -> dict:
     }
 
 
-def _prune(path: str, manifest: dict) -> None:
-    """Delete version directories no longer referenced by any bucket."""
-    live = {manifest["buckets"][k] for k in manifest["buckets"]}
-    for name in os.listdir(path):
-        if name.startswith("__ver=") and int(name[6:]) not in live:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+def _prune_superseded(path: str, old_dirs: set[str], new_dirs: set[str]) -> None:
+    """Delete exactly the version directories THIS commit superseded
+    (referenced before, unreferenced now). Never a blanket
+    unreferenced-sweep: a concurrent writer's in-flight staging is
+    unreferenced by construction, and sweeping it would fail that
+    writer's Spark job mid-write instead of letting its CAS lose
+    cleanly. Crashed writers' never-referenced staging is reclaimed by
+    :func:`gc_orphan_dirs` (age-gated maintenance) instead."""
+    for name in old_dirs - new_dirs:
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def gc_orphan_dirs(
+    path: str,
+    older_than_seconds: float = 3600.0,
+    store: ManifestStore = _DEFAULT_STORE,
+) -> list[str]:
+    """Maintenance sweep for staging directories that will never be
+    referenced — a writer that crashed between its data write and its
+    CAS. Age-gated on the NEWEST mtime inside the directory (an
+    in-flight writer is actively creating files, so its tree stays
+    fresh), the same reason Delta's VACUUM keeps a retention window.
+    Returns the deleted directory names."""
+    import time
+
+    manifest, _ = store.load(path)
+    live = _live_dirs(manifest) if manifest else set()
+    horizon = time.time() - older_than_seconds
+    deleted = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("__ver=") or name in live:
+            continue
+        full = os.path.join(path, name)
+        newest = os.path.getmtime(full)
+        for root, _dirs, files in os.walk(full):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                except FileNotFoundError:
+                    pass
+        if newest < horizon:
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(name)
+    return deleted
 
 
 def expired_tombstone_buckets(manifest: dict, tombstone_horizon: int) -> list[int]:
@@ -486,7 +575,9 @@ def compact(
         # already carries __bucket from the partitioned read
         state = state.repartition(len(targets), F.col("__bucket"))
     version = manifest["version"] + 1
-    out_dir = os.path.join(path, f"__ver={version}")
+    old_dirs = _live_dirs(manifest)
+    dirname = f"__ver={version}-{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(path, dirname)
     state.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
 
     stats = _bucket_stats(spark, path, out_dir)
@@ -497,10 +588,12 @@ def compact(
             "n_buckets": n_buckets,
             "buckets": buckets,
             "stats": stats,
+            "dirs": {str(version): dirname},
         }
     else:
         new_manifest = manifest
         new_manifest["version"] = version
+        new_manifest.setdefault("dirs", {})[str(version)] = dirname
         for b in targets:
             k = str(b)
             if k in stats:  # bucket still has rows
@@ -509,8 +602,20 @@ def compact(
             else:  # every row was an expired tombstone — bucket is gone
                 new_manifest["buckets"].pop(k, None)
                 new_manifest.get("stats", {}).pop(k, None)
-    store.commit(path, new_manifest, tag)
-    _prune(path, new_manifest)
+        live_versions = {
+            new_manifest["buckets"][k] for k in new_manifest["buckets"]
+        }
+        new_manifest["dirs"] = {
+            v: d
+            for v, d in new_manifest["dirs"].items()
+            if int(v) in live_versions
+        }
+    try:
+        store.commit(path, new_manifest, tag)
+    except CommitConflict:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
+    _prune_superseded(path, old_dirs, _live_dirs(new_manifest))
 
 
 def point_read(

@@ -104,15 +104,18 @@ def test_contended_cas_exactly_one_wins_and_retry_converges(
     assert got == _sequential_result(spark, tmp_path, winner_batch, loser_batch)
 
     # no orphaned version directory: everything on disk is referenced
-    live = {manifest["buckets"][k] for k in manifest["buckets"]}
-    on_disk = {
-        int(n[6:]) for n in os.listdir(path) if n.startswith("__ver=")
+    from cdc_apache_cassandra_spark.streaming.materialize import version_dir
+
+    live = {
+        version_dir(manifest, v)
+        for v in {manifest["buckets"][k] for k in manifest["buckets"]}
     }
+    on_disk = {n for n in os.listdir(path) if n.startswith("__ver=")}
     assert on_disk == live
 
     # no double-prune: every manifest pointer resolves to real files
     for b, ver in manifest["buckets"].items():
-        bdir = os.path.join(path, f"__ver={ver}", f"__bucket={b}")
+        bdir = os.path.join(path, version_dir(manifest, ver), f"__bucket={b}")
         assert os.path.isdir(bdir) and any(
             f.endswith(".parquet") for f in os.listdir(bdir)
         )
@@ -213,3 +216,53 @@ def test_merge_into_retrying_recovers_from_conflict(spark, tmp_path):
     assert attempts == 2  # one conflict, one clean retry
     got = _state_rows(spark, path, store)
     assert got == _sequential_result(spark, tmp_path, BATCH_B, BATCH_A)
+
+
+def test_parallel_threads_all_commit_via_retry(spark, tmp_path):
+    """REAL concurrency (not forced interleave): four driver threads
+    race merge_into_retrying against the LocalManifestStore (O_EXCL
+    lock + re-check + replace). Every writer must eventually land —
+    losers reload and re-merge — and the final state must equal the
+    sequential merge of all batches in ANY order (reducer
+    associativity). This is the multi-writer shape object-store
+    deployments run; the local store's critical section is the
+    conditional PUT stand-in."""
+    import threading
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        active_view,
+        merge_into_retrying,
+        read_state,
+    )
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2)
+
+    batches = [
+        [("UPDATE", i, 20 + w, f"w{w}", "x", w, i) for i in range(w, 8, 4)]
+        for w in range(4)
+    ]
+    errors = []
+
+    def writer(w):
+        try:
+            merge_into_retrying(
+                spark, path, _batch(spark, batches[w]), ["pk"],
+                n_buckets=2, max_attempts=10,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = {r.pk: (r.v, r.writetime) for r in active_view(read_state(spark, path)).collect()}
+    # every key 0..7 was updated by exactly one writer (w = pk % 4)
+    for pk in range(8):
+        w = pk % 4
+        assert got[pk] == (f"w{w}", 20 + w), (pk, got[pk])

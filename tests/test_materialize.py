@@ -395,7 +395,9 @@ def test_merge_into_reducer_emptied_bucket_leaves_manifest_consistent(
     state = read_state(spark, path)
     assert state is not None
     assert {r.pk for r in state.collect()} == {1}
+    from cdc_apache_cassandra_spark.streaming.materialize import version_dir
+
     for b, ver in m2["buckets"].items():
         assert os.path.isdir(
-            os.path.join(path, f"__ver={ver}", f"__bucket={b}")
+            os.path.join(path, version_dir(m2, ver), f"__bucket={b}")
         ), f"manifest points at a missing bucket dir: {b}->{ver}"

@@ -41,8 +41,10 @@ def _manifest(store, path):
 
 def _bucket_files(path: str, manifest: dict, bucket: str) -> dict[str, str]:
     """{relative file path: sha256} for one bucket's LIVE files."""
+    from cdc_apache_cassandra_spark.streaming.materialize import version_dir
+
     ver = manifest["buckets"][bucket]
-    d = os.path.join(path, f"__ver={ver}", f"__bucket={bucket}")
+    d = os.path.join(path, version_dir(manifest, ver), f"__bucket={bucket}")
     out = {}
     for f in sorted(glob.glob(os.path.join(d, "*"))):
         with open(f, "rb") as fh:
@@ -111,8 +113,10 @@ def test_commit_io_proportional_to_touched_buckets(spark, tmp_path):
 
     def table_bytes(manifest):
         total = 0
+        from cdc_apache_cassandra_spark.streaming.materialize import version_dir
+
         for b, v in manifest["buckets"].items():
-            d = os.path.join(path, f"__ver={v}", f"__bucket={b}")
+            d = os.path.join(path, version_dir(manifest, v), f"__bucket={b}")
             total += sum(
                 os.path.getsize(f) for f in glob.glob(os.path.join(d, "*"))
             )
@@ -128,7 +132,12 @@ def test_commit_io_proportional_to_touched_buckets(spark, tmp_path):
         sum(
             os.path.getsize(f)
             for f in glob.glob(
-                os.path.join(path, f"__ver={m2['version']}", f"__bucket={b}", "*")
+                os.path.join(
+                    path,
+                    __import__("cdc_apache_cassandra_spark.streaming.materialize", fromlist=["version_dir"]).version_dir(m2, m2["version"]),
+                    f"__bucket={b}",
+                    "*",
+                )
             )
         )
         for b in m2["buckets"]
