@@ -266,3 +266,40 @@ def test_parallel_threads_all_commit_via_retry(spark, tmp_path):
     for pk in range(8):
         w = pk % 4
         assert got[pk] == (f"w{w}", 20 + w), (pk, got[pk])
+
+
+def test_gc_orphan_dirs_reclaims_only_stale_staging(spark, tmp_path):
+    """Crashed-writer staging (never referenced) is reclaimed only once
+    its newest mtime ages past the grace window; a fresh in-flight
+    staging dir and every live dir survive."""
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        gc_orphan_dirs,
+        version_dir,
+    )
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2)
+
+    stale = os.path.join(path, "__ver=99-deadbeef", "__bucket=0")
+    fresh = os.path.join(path, "__ver=99-cafef00d", "__bucket=0")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    for d in (stale, fresh):
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+    old = 1_000_000_000  # 2001 — far past any grace window
+    os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
+    os.utime(stale, (old, old))
+    os.utime(os.path.dirname(stale), (old, old))
+
+    deleted = gc_orphan_dirs(path, older_than_seconds=60)
+    assert deleted == ["__ver=99-deadbeef"]
+    assert os.path.isdir(os.path.dirname(fresh))
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        LocalManifestStore,
+    )
+
+    manifest = LocalManifestStore().load(path)[0]
+    live = version_dir(manifest, manifest["version"])
+    assert os.path.isdir(os.path.join(path, live))
