@@ -672,6 +672,101 @@ def cdc_delta_checkpoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+# --- Delta CDF: row-level change feed between export versions ---------------
+
+_CDF_CUT = "(1600000000000000 + 300000000)"  # WRITETIME_BASE + 300s, µs
+
+_CDF_COLS = "pk, op, writetime, segment, position, " + _VALUE_LIST
+_CDF_DIFF = " OR ".join(
+    f"(a.{c} IS DISTINCT FROM b.{c})"
+    for c in ["op", "writetime", "segment", "position", *VALUE_COLS]
+)
+
+
+def _cdf_state_sql(where: str) -> str:
+    return f"""
+  SELECT {_CDF_COLS} FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+    ) AS rn
+    FROM deduped WHERE {where}
+  ) WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
+_CDF_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT {_CDF_COLS}
+  FROM events_stream
+),
+pre AS ({_cdf_state_sql(f"writetime <= {_CDF_CUT}")}),
+post AS ({_cdf_state_sql("TRUE")}),
+diff AS (
+  SELECT a.pk FROM pre a JOIN post b ON a.pk = b.pk WHERE {_CDF_DIFF}
+)
+SELECT *, CAST(1 AS BIGINT) AS _commit_version FROM (
+  SELECT b.*, 'insert' AS _change_type
+  FROM post b LEFT JOIN pre a ON a.pk = b.pk WHERE a.pk IS NULL
+  UNION ALL
+  SELECT a.*, 'delete' AS _change_type
+  FROM pre a LEFT JOIN post b ON b.pk = a.pk WHERE b.pk IS NULL
+  UNION ALL
+  SELECT a.*, 'update_preimage' AS _change_type
+  FROM pre a JOIN diff d ON d.pk = a.pk
+  UNION ALL
+  SELECT b.*, 'update_postimage' AS _change_type
+  FROM post b JOIN diff d ON d.pk = b.pk
+)
+"""
+
+
+@register("cdc_delta_change_feed", sql=_CDF_SQL)
+def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED between two Delta export versions — the
+    Delta CDF surface (table_changes) derived from the plain add/remove
+    log (streaming/delta_log.py::delta_changes): the store is built in
+    two writetime-cut batches (pre-cutoff, then the tail), each
+    published as one Delta commit; the feed between version 0 and 1
+    must classify every key as insert (first event after the cutoff),
+    update_preimage/update_postimage (a newer winner displaced the
+    pre-cutoff row), or delete (a post-cutoff tombstone won) — and emit
+    NOTHING for untouched keys, including unchanged rows inside
+    rewritten buckets (cancelled by null-safe full-row equality). The
+    engine reads only the net file diff (IO ∝ changed buckets); the
+    oracle computes the same classification from the two LWW states
+    directly. This is what a downstream training pipeline tails instead
+    of re-scanning the table."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes,
+        delta_export,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    cut = 1_600_000_000_000_000 + 300_000_000
+    ev = (
+        dedup_mutations(mutation_events(spark, sf_dir))
+        .select("pk", "op", "writetime", "segment", "position", *VALUE_COLS)
+        .transform(persist_scoped)
+    )
+    root = tempfile.mkdtemp(prefix="cdc_delta_cdf_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    for batch in (
+        ev.filter(F.col("writetime") <= cut),
+        ev.filter(F.col("writetime") > cut),
+    ):
+        merge_into(spark, store, batch, ["pk"], n_buckets=8)
+        delta_export(spark, store, table)
+    ev.unpersist()
+    return delta_changes(spark, table, 0, 1, ["pk"])
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""

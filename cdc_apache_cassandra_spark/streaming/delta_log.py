@@ -863,6 +863,94 @@ def read_delta(
     )
 
 
+def delta_changes(
+    spark: SparkSession,
+    out_path: str,
+    from_version: int,
+    to_version: int,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots — the Delta CDF
+    surface (``table_changes``) derived from a plain add/remove log, no
+    persisted _change_data files needed: the exporter rewrites whole
+    buckets, so the NET file diff between the versions contains every
+    changed row (plus unchanged neighbors, cancelled below).
+
+    Reads ONLY the diff: files removed across the range (pre image) and
+    files added (post image) — IO ∝ changed buckets, never the table.
+    A full outer join on the primary key classifies each key:
+
+      post only                          -> ``insert``
+      pre only                           -> ``delete`` (pre row emitted)
+      both, rows null-safe identical     -> no change (bucket-rewrite
+                                            neighbors cancel here)
+      both, differing                    -> ``update_preimage`` +
+                                            ``update_postimage``
+
+    Output columns: the table's (latest-schema; pre-DDL rows read with
+    typed nulls) plus ``_change_type`` and ``_commit_version`` =
+    ``to_version`` — the net change attribution, exactly what a
+    downstream training-data pipeline tails to stay incremental."""
+    if to_version <= from_version:
+        raise ValueError("to_version must be > from_version")
+    s_from = _replay(out_path, from_version)
+    s_to = _replay(out_path, to_version)
+    if s_to.meta is None:
+        raise FileNotFoundError(f"no Delta log at {out_path}")
+    schema = T.StructType.fromJson(json.loads(s_to.meta["schemaString"]))
+    removed = sorted(set(s_from.files) - set(s_to.files))
+    added = sorted(set(s_to.files) - set(s_from.files))
+
+    def read(paths):
+        if not paths:
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(out_path, p) for p in paths]
+        )
+
+    cols = schema.names
+    pre = read(removed).select(
+        *[F.col(c).alias(f"__pre_{c}") for c in cols]
+    )
+    post = read(added).select(
+        *[F.col(c).alias(f"__post_{c}") for c in cols]
+    )
+    cond = None
+    for k in pk_cols:
+        c = F.col(f"__pre_{k}").eqNullSafe(F.col(f"__post_{k}"))
+        cond = c if cond is None else cond & c
+    joined = pre.join(post, cond, "full_outer")
+    pre_exists = F.col(f"__pre_{pk_cols[0]}").isNotNull()
+    post_exists = F.col(f"__post_{pk_cols[0]}").isNotNull()
+    same_row = F.struct(*[F.col(f"__pre_{c}") for c in cols]).eqNullSafe(
+        F.struct(*[F.col(f"__post_{c}") for c in cols])
+    )
+
+    inserts = joined.filter(post_exists & ~pre_exists).select(
+        *[F.col(f"__post_{c}").alias(c) for c in cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    deletes = joined.filter(pre_exists & ~post_exists).select(
+        *[F.col(f"__pre_{c}").alias(c) for c in cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    changed = joined.filter(pre_exists & post_exists & ~same_row)
+    upd_pre = changed.select(
+        *[F.col(f"__pre_{c}").alias(c) for c in cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    upd_post = changed.select(
+        *[F.col(f"__post_{c}").alias(c) for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return (
+        inserts.unionByName(deletes)
+        .unionByName(upd_pre)
+        .unionByName(upd_post)
+        .withColumn("_commit_version", F.lit(to_version).cast("long"))
+    )
+
+
 def delta_history(out_path: str) -> list[dict]:
     """The table's commitInfo rows, oldest first — ``DESCRIBE HISTORY``.
     On a cleaned log only the surviving JSON commits (>= the last

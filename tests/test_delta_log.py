@@ -774,3 +774,44 @@ def test_timestamp_as_of_reads(spark, tmp_path):
         read_delta(spark, out, timestamp_ms=t0 - 10_000_000)
     with pytest.raises(ValueError):
         read_delta(spark, out, version=0, timestamp_ms=t0)
+
+
+def test_delta_changes_classifies_and_cancels_neighbors(spark, tmp_path):
+    """delta_changes between two commits: insert / delete /
+    update_pre+postimage per key, and — the property that makes the feed
+    usable — NO rows for unchanged keys that share a rewritten bucket
+    with a changed key."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_changes
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    base = spark.createDataFrame(
+        [("INSERT", i, 10, f"v{i}", "x", 0, i) for i in range(8)], SCHEMA
+    )
+    merge_into(spark, store, base, ["pk"], n_buckets=2)  # 2 buckets: dense
+    delta_export(spark, store, out)
+    batch2 = spark.createDataFrame(
+        [
+            ("UPDATE", 1, 20, "u1", "x", 1, 0),   # update
+            ("DELETE", 2, 20, None, None, 1, 1),  # delete
+            ("INSERT", 99, 20, "new", "x", 1, 2), # insert
+        ],
+        SCHEMA,
+    )
+    merge_into(spark, store, batch2, ["pk"], n_buckets=2)
+    delta_export(spark, store, out)
+
+    ch = delta_changes(spark, out, 0, 1, ["pk"]).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+        assert r["_commit_version"] == 1
+    assert [r.pk for r in by_type["insert"]] == [99]
+    assert [r.pk for r in by_type["delete"]] == [2]
+    assert [(r.pk, r.v) for r in by_type["update_preimage"]] == [(1, "v1")]
+    assert [(r.pk, r.v) for r in by_type["update_postimage"]] == [(1, "u1")]
+    # 8 keys across 2 buckets => both buckets were rewritten, yet the 5
+    # untouched keys emit nothing
+    touched = {r.pk for r in ch}
+    assert touched == {1, 2, 99}
