@@ -824,11 +824,35 @@ def version_at_timestamp(out_path: str, ts_ms: int) -> int:
     return max(eligible)
 
 
+def prune_files_by_stats(
+    files: dict[str, dict], col: str, lo, hi
+) -> list[str]:
+    """Data skipping off the log alone: keep files whose
+    ``add.stats.minValues/maxValues[col]`` interval overlaps [lo, hi]
+    (either bound may be None for a half-open range). Files without
+    stats for the column are kept — stats are advisory, skipping must
+    never drop data. Returns the kept relative paths, sorted."""
+    kept = []
+    for path, add in files.items():
+        st = add.get("stats")
+        st = json.loads(st) if isinstance(st, str) else (st or {})
+        mins = (st.get("minValues") or {}).get(col)
+        maxs = (st.get("maxValues") or {}).get(col)
+        if mins is None or maxs is None:
+            kept.append(path)
+            continue
+        if (hi is not None and mins > hi) or (lo is not None and maxs < lo):
+            continue
+        kept.append(path)
+    return sorted(kept)
+
+
 def read_delta(
     spark: SparkSession,
     out_path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table directly from its log — the
     import half of the seam: reads tables THIS exporter wrote and
@@ -854,12 +878,20 @@ def read_delta(
     if s.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")
     schema = T.StructType.fromJson(json.loads(s.meta["schemaString"]))
-    if not s.files:
+    paths = sorted(s.files)
+    if prune is not None:
+        # ``prune=(col, lo, hi)``: Delta-style data skipping — candidate
+        # files chosen from log stats ONLY (no footer IO); the caller
+        # still applies its row filter, this just bounds which files the
+        # scan lists at all. The gate for correctness is in
+        # prune_files_by_stats: stat-less files are never skipped.
+        paths = prune_files_by_stats(s.files, *prune)
+    if not paths:
         return spark.createDataFrame([], schema=schema)
     # schema comes from the LOG, not file footers — the Delta reader
     # contract; files predating a schema widening read with typed nulls
     return spark.read.schema(schema).parquet(
-        *[os.path.join(out_path, p) for p in sorted(s.files)]
+        *[os.path.join(out_path, p) for p in paths]
     )
 
 

@@ -815,3 +815,35 @@ def test_delta_changes_classifies_and_cancels_neighbors(spark, tmp_path):
     # untouched keys emit nothing
     touched = {r.pk for r in ch}
     assert touched == {1, 2, 99}
+
+
+def test_read_delta_prunes_files_by_log_stats(spark, tmp_path):
+    """Data skipping off add.stats alone: a narrow pk range reads a
+    strict subset of the table's files, returns exactly the rows the
+    full scan filtered, and files without stats are never skipped."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_replay,
+        prune_files_by_stats,
+    )
+
+    store = _store(spark, tmp_path, n=64, n_buckets=8)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    _, files, _ = delta_log_replay(out)
+
+    target = 7
+    kept = prune_files_by_stats(files, "pk", target, target)
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+
+    got = read_delta(spark, out, prune=("pk", target, target)).filter(
+        F.col("pk") == target
+    )
+    want = read_delta(spark, out).filter(F.col("pk") == target)
+    assert _rows(got) == _rows(want)
+
+    # a file with no stats must survive pruning
+    no_stats = dict(files)
+    some = next(iter(no_stats))
+    no_stats[some] = {**no_stats[some], "stats": None}
+    kept2 = prune_files_by_stats(no_stats, "pk", target, target)
+    assert some in kept2
