@@ -983,6 +983,28 @@ def delta_changes(
     )
 
 
+def delta_changes_since(
+    spark: SparkSession,
+    out_path: str,
+    last_version: int,
+    pk_cols: list[str],
+) -> tuple[DataFrame | None, int]:
+    """Incremental tail of the change feed — the consumer loop shape:
+    ``(changes, new_version) = delta_changes_since(..., last_version)``;
+    persist ``new_version`` with the consumed output (a checkpoint, a
+    txn row) and pass it back next poll. Returns ``(None,
+    last_version)`` when the log hasn't moved — no files are read at
+    all (replay is metadata-only). Net-effect semantics across multiple
+    commits, same as :func:`delta_changes`."""
+    s = _replay(out_path)
+    if s.last <= last_version:
+        return None, last_version
+    return (
+        delta_changes(spark, out_path, last_version, s.last, pk_cols),
+        s.last,
+    )
+
+
 def delta_history(out_path: str) -> list[dict]:
     """The table's commitInfo rows, oldest first — ``DESCRIBE HISTORY``.
     On a cleaned log only the surviving JSON commits (>= the last

@@ -847,3 +847,57 @@ def test_read_delta_prunes_files_by_log_stats(spark, tmp_path):
     no_stats[some] = {**no_stats[some], "stats": None}
     kept2 = prune_files_by_stats(no_stats, "pk", target, target)
     assert some in kept2
+
+
+def test_delta_changes_since_tails_incrementally(spark, tmp_path):
+    """Consumer-loop shape: poll returns (None, v) when nothing moved
+    (metadata-only check), then exactly the net changes since the last
+    consumed version; works for COMPOUND keys including null clustering
+    keys (partition/static rows)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_since,
+    )
+
+    schema = (
+        "op string, pk_p long, pk_c long, writetime long, v string, "
+        "segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    base = spark.createDataFrame(
+        [("INSERT", p, c, 10, f"v{p}.{c}", 0, p * 10 + c)
+         for p in range(3) for c in range(2)]
+        + [("INSERT", 0, None, 10, "static0", 0, 99)],  # null clustering
+        schema,
+    )
+    merge_into(spark, store, base, ["pk_p", "pk_c"], n_buckets=2,
+               bucket_cols=["pk_p"])
+    delta_export(spark, store, out)
+
+    ch, v = delta_changes_since(spark, out, -1, ["pk_p", "pk_c"])
+    assert v == 0 and ch.count() == 7
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+
+    # nothing moved: no read at all
+    ch2, v2 = delta_changes_since(spark, out, v, ["pk_p", "pk_c"])
+    assert ch2 is None and v2 == 0
+
+    up = spark.createDataFrame(
+        [("UPDATE", 1, 0, 20, "u", 1, 0),
+         ("UPDATE", 0, None, 20, "staticU", 1, 1)],
+        schema,
+    )
+    merge_into(spark, store, up, ["pk_p", "pk_c"], n_buckets=2,
+               bucket_cols=["pk_p"])
+    delta_export(spark, store, out)
+    ch3, v3 = delta_changes_since(spark, out, v, ["pk_p", "pk_c"])
+    assert v3 == 1
+    rows = ch3.collect()
+    got = {(r.pk_p, r.pk_c, r["_change_type"]) for r in rows}
+    # the updated row AND the null-clustering static row both classify
+    # as updates (null-safe key join); untouched rows emit nothing
+    assert got == {
+        (1, 0, "update_preimage"), (1, 0, "update_postimage"),
+        (0, None, "update_preimage"), (0, None, "update_postimage"),
+    }
