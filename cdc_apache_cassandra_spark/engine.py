@@ -174,3 +174,57 @@ class CdcEngine:
         writetime −1 so any live event wins) — unionByName with the live
         stream and run through the same pipeline (T2)."""
         return backfill_mutations(snapshot, pk_col, value_cols)
+
+    # --- materialization + lakehouse (§7.4 downstream legs) ------------------
+
+    def materialize(
+        self,
+        events: DataFrame,
+        path: str,
+        checkpoint: str,
+        pk_cols: list[str] | None = None,
+        delta_path: str | None = None,
+        **kwargs,
+    ):
+        """Wire a (deduped) mutation stream into the incremental bucket
+        store; ``delta_path`` mirrors every commit into the native Delta
+        log. Returns the StreamingQuery."""
+        from cdc_apache_cassandra_spark.streaming.materialize import (
+            materialize_stream,
+        )
+
+        return materialize_stream(
+            events, path, checkpoint, pk_cols or ["pk"],
+            delta_path=delta_path, **kwargs,
+        )
+
+    def export_delta(self, store_path: str, out_path: str, **kwargs):
+        """Publish the store's active view as a native Delta table
+        (incremental; auto-checkpoints every 10 commits). Returns the
+        committed version or None when already current."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
+
+        return delta_export(self.spark, store_path, out_path, **kwargs)
+
+    def read_table(self, out_path: str, **kwargs) -> DataFrame:
+        """Snapshot read of a Delta table (ours or a foreign
+        base-protocol one, checkpointed included); ``version=`` /
+        ``timestamp_ms=`` time travel, ``prune=(col, lo, hi)`` data
+        skipping."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import read_delta
+
+        return read_delta(self.spark, out_path, **kwargs)
+
+    def table_changes(
+        self, out_path: str, last_version: int, pk_cols: list[str] | None = None
+    ):
+        """Tail the row-level change feed: ``(changes | None,
+        new_version)`` since ``last_version`` — the incremental-consumer
+        loop (Delta CDF analogue)."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            delta_changes_since,
+        )
+
+        return delta_changes_since(
+            self.spark, out_path, last_version, pk_cols or ["pk"]
+        )

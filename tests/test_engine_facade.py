@@ -113,3 +113,59 @@ def test_scd2_facade_current_equals_converged(spark, engine):
     assert Counter(map(tuple, cur.collect())) == Counter(
         map(tuple, state.collect())
     )
+
+
+def test_facade_materialize_export_and_change_feed(spark, tmp_path):
+    """The full downstream leg through the facade alone: stream ->
+    bucket store (+ mirrored Delta log) -> snapshot read -> change-feed
+    tail after a second batch."""
+    import os
+
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+
+    eng = CdcEngine(spark)
+    root = str(tmp_path)
+    src = f"{root}/src"
+    schema = "op string, pk long, writetime long, v string, segment long, position long"
+    spark.createDataFrame(
+        [("INSERT", i, 10, f"v{i}", 0, i) for i in range(8)], schema
+    ).repartition(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = eng.materialize(
+        stream, f"{root}/store", f"{root}/ckpt",
+        pk_cols=["pk"], delta_path=f"{root}/table", n_buckets=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert eng.read_table(f"{root}/table").count() == 8
+    ch, v = eng.table_changes(f"{root}/table", -1)
+    assert ch.count() == 8 and v == 0
+
+    # second batch through a fresh drain: update one key
+    spark.createDataFrame(
+        [("UPDATE", 1, 20, "u1", 1, 0)], schema
+    ).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    q2 = eng.materialize(
+        stream2, f"{root}/store", f"{root}/ckpt",
+        pk_cols=["pk"], delta_path=f"{root}/table", n_buckets=2,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    ch2, v2 = eng.table_changes(f"{root}/table", v)
+    assert v2 > v
+    types = sorted(r["_change_type"] for r in ch2.collect())
+    assert types == ["update_postimage", "update_preimage"]
+    assert eng.read_table(
+        f"{root}/table", prune=("pk", 1, 1)
+    ).filter("pk = 1").collect()[0].v == "u1"
