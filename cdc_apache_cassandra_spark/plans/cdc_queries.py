@@ -757,14 +757,33 @@ def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     os.makedirs(store)
+    versions = []
     for batch in (
         ev.filter(F.col("writetime") <= cut),
         ev.filter(F.col("writetime") > cut),
     ):
         merge_into(spark, store, batch, ["pk"], n_buckets=8)
-        delta_export(spark, store, table)
+        versions.append(delta_export(spark, store, table))
     ev.unpersist()
-    return delta_changes(spark, table, 0, 1, ["pk"])
+    if versions[1] is None:
+        # tiny SFs can place every event before the cutoff: the second
+        # commit is a no-op and the feed is legitimately EMPTY (exactly
+        # what the oracle's pre==post classification yields)
+        from cdc_apache_cassandra_spark.streaming.delta_log import read_delta
+        from pyspark.sql import types as T2
+
+        base = read_delta(spark, table).schema
+        return spark.createDataFrame(
+            [],
+            T2.StructType(
+                list(base.fields)
+                + [
+                    T2.StructField("_change_type", T2.StringType()),
+                    T2.StructField("_commit_version", T2.LongType()),
+                ]
+            ),
+        )
+    return delta_changes(spark, table, versions[0], versions[1], ["pk"])
 
 
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
