@@ -922,7 +922,13 @@ def delta_changes(
     Output columns: the table's (latest-schema; pre-DDL rows read with
     typed nulls) plus ``_change_type`` and ``_commit_version`` =
     ``to_version`` — the net change attribution, exactly what a
-    downstream training-data pipeline tails to stay incremental."""
+    downstream training-data pipeline tails to stay incremental.
+
+    Retention contract (same as Delta CDF without _change_data files):
+    the PRE image reads files the range REMOVED, so
+    :func:`delta_vacuum`'s retention must exceed the consumer's maximum
+    lag — vacuuming a file a feed still needs surfaces as a read error
+    on that consumer, never silent data loss."""
     if to_version <= from_version:
         raise ValueError("to_version must be > from_version")
     s_from = _replay(out_path, from_version)
