@@ -901,3 +901,62 @@ def test_delta_changes_since_tails_incrementally(spark, tmp_path):
         (1, 0, "update_preimage"), (1, 0, "update_postimage"),
         (0, None, "update_preimage"), (0, None, "update_postimage"),
     }
+
+
+def test_randomized_lifecycle_export_always_matches_store(spark, tmp_path):
+    """Seeded randomized lifecycle: interleave merges (inserts/updates/
+    deletes), compactions, exports, checkpoints, log cleanups, and
+    vacuums in random order — after EVERY export the Delta table read
+    back through the log must equal the store's active view exactly.
+    This is the replay-invariant a foreign reader relies on, fuzzed
+    across op interleavings instead of pinned scenarios."""
+    import random
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        delta_vacuum,
+        write_checkpoint,
+    )
+
+    rng = random.Random(20260814)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    wt = [100]
+
+    def batch(n):
+        rows = []
+        for _ in range(n):
+            pk = rng.randrange(24)
+            op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
+            wt[0] += rng.randrange(1, 5)
+            rows.append(
+                (op, pk, wt[0], None if op == "DELETE" else f"v{wt[0]}",
+                 "x", wt[0], pk)
+            )
+        return spark.createDataFrame(rows, SCHEMA)
+
+    merge_into(spark, store, batch(12), ["pk"], n_buckets=4)
+    delta_export(spark, store, out, checkpoint_interval=3)
+    n_checks = 0
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "merge", "compact", "checkpoint",
+                         "cleanup", "vacuum"])
+        if op == "merge":
+            merge_into(spark, store, batch(rng.randrange(2, 8)), ["pk"],
+                       n_buckets=4)
+        elif op == "compact":
+            compact(spark, store, ["pk"], tombstone_horizon=wt[0] + 1)
+        elif op == "checkpoint":
+            write_checkpoint(out)
+        elif op == "cleanup":
+            delta_log_cleanup(out)
+        elif op == "vacuum":
+            delta_vacuum(out, retain_ms=0)
+        delta_export(spark, store, out, checkpoint_interval=3)
+        got = _rows(read_delta(spark, out))
+        state = read_state(spark, store)
+        want = _rows(active_view(state)) if state is not None else []
+        assert got == want, f"diverged at step {step} after {op}"
+        n_checks += 1
+    assert n_checks == 14
