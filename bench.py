@@ -47,13 +47,25 @@ def main():
     # been observed at 67 s on a cold code path; the second rep is
     # codegen-warm and measures the plan). Default 2.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # End-to-end engine gates (streaming queries, 12-commit Delta
+    # lifecycles): their wall time is structural overhead (engine
+    # startup, serial commits), not codegen warm-up, so a second rep
+    # measures nothing new at 2x the cost — single rep, and the solo
+    # block below still gives them best-of-3 when they land in the
+    # top-N.
+    single_rep = {
+        "cdc_streaming_end_to_end",
+        "cdc_compound_streaming_end_to_end",
+        "cdc_delta_checkpoint_state",
+        "cdc_delta_change_feed",
+    }
     per_query: dict[str, float] = {}
     t_all = time.time()
     errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         times = []
         try:
-            for _ in range(reps):
+            for _ in range(1 if name in single_rep else reps):
                 t0 = time.time()
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
