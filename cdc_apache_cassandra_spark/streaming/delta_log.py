@@ -555,18 +555,37 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
     return cp_path
 
 
-def delta_log_cleanup(out_path: str) -> list[str]:
+def delta_log_cleanup(
+    out_path: str, respect_consumers: bool = True
+) -> list[str]:
     """Delete JSON commits strictly older than the last checkpoint —
     they are fully covered by it, so the log stops growing without
     bound (the reason real Delta writers checkpoint at all). The
     checkpoint version's own JSON is kept (one file; preserves
     ``DESCRIBE HISTORY`` continuity at the boundary). Time travel to
     cleaned versions stops working, as in Delta's own metadata
-    retention. Returns the deleted file names."""
+    retention.
+
+    ``respect_consumers`` (default): when any recorded change-feed
+    consumer (:func:`record_consumer_offset`) still sits BEFORE the
+    checkpoint, nothing is cleaned — reconstructing the file set at
+    that cursor needs the full JSON prefix, so cleaning would break
+    that consumer's next poll (the Kafka-retention-vs-consumer-lag
+    tradeoff, decided for safety; pass False to evict laggards).
+    Returns the deleted file names."""
     last_cp = _read_last_checkpoint(out_path)
     if last_cp is None:
         return []
     cp_version = int(last_cp["version"])
+    if respect_consumers:
+        state = _replay(out_path)
+        lagging = [
+            v
+            for app, v in state.txns.items()
+            if app.startswith(_CONSUMER_NS) and v < cp_version
+        ]
+        if lagging:
+            return []
     log_dir = os.path.join(out_path, LOG_DIR)
     deleted = []
     for name in sorted(os.listdir(log_dir)):
@@ -1005,9 +1024,79 @@ def delta_changes_since(
     s = _replay(out_path)
     if s.last <= last_version:
         return None, last_version
+    if last_version >= 0 and set(
+        _replay(out_path, last_version).files
+    ) == set(s.files):
+        # the log advanced but only with data-free commits (consumer
+        # txn watermarks, metadata): no change rows exist — advance the
+        # cursor without running any Spark job
+        return None, s.last
     return (
         delta_changes(spark, out_path, last_version, s.last, pk_cols),
         s.last,
+    )
+
+
+#: txn appId namespace for change-feed consumers: distinguishes LOG-VERSION
+#: cursors (what cleanup retention must respect) from exporter batch-id
+#: watermarks (``materialize::<path>`` — app-defined integers)
+_CONSUMER_NS = "consumer::"
+
+
+def consumer_offset(out_path: str, app_id: str) -> int:
+    """The last change-feed version ``app_id`` recorded as consumed, or
+    -1 — read from the log's own ``txn`` watermarks (surviving
+    checkpoints: txns are carried into every checkpoint)."""
+    return _replay(out_path).txns.get(_CONSUMER_NS + app_id, -1)
+
+
+def record_consumer_offset(
+    out_path: str, app_id: str, version: int, max_attempts: int = 5
+) -> int:
+    """Durably record a consumer's consumed-through version IN the log
+    itself — the protocol's own device (a txn-only commit, exactly what
+    delta-spark writes for idempotent streaming sinks): no files
+    change, the table version advances by one, and any reader of the
+    log can see every consumer's watermark. Create-only publication,
+    retried through version races with concurrent exporters. Returns
+    the committed log version. Pairs with :func:`delta_changes_since`:
+
+        last = consumer_offset(path, "my-job")
+        changes, new = delta_changes_since(spark, path, last, pk_cols)
+        ... process ...
+        record_consumer_offset(path, "my-job", new)
+    """
+    for _ in range(max_attempts):
+        s = _replay(out_path)
+        if s.last < 0:
+            raise FileNotFoundError(f"no Delta log at {out_path}")
+        now = _now_ms()
+        actions = [
+            {
+                "txn": {
+                    "appId": _CONSUMER_NS + app_id,
+                    "version": version,
+                    "lastUpdated": now,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "SET TRANSACTION",
+                    "operationParameters": {"appId": app_id},
+                    "emptyBuckets": {
+                        str(b): v for b, v in s.empty_buckets.items()
+                    },
+                }
+            },
+        ]
+        try:
+            _write_commit(out_path, s.last + 1, actions)
+            return s.last + 1
+        except CommitConflict:
+            continue  # another writer took the version — re-replay
+    raise CommitConflict(
+        f"could not record consumer offset after {max_attempts} attempts"
     )
 
 

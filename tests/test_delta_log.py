@@ -960,3 +960,61 @@ def test_randomized_lifecycle_export_always_matches_store(spark, tmp_path):
         assert got == want, f"diverged at step {step} after {op}"
         n_checks += 1
     assert n_checks == 14
+
+
+def test_consumer_offsets_ride_the_log(spark, tmp_path):
+    """Change-feed consumer watermarks as spec txn actions: recorded as
+    txn-only commits, readable back, surviving checkpoint + cleanup,
+    racing a planted commit via retry, and not perturbing the
+    exporter's no-change detection."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _write_commit,
+        consumer_offset,
+        delta_changes_since,
+        delta_log_cleanup,
+        record_consumer_offset,
+        write_checkpoint,
+    )
+
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+
+    assert consumer_offset(out, "job-a") == -1
+    ch, v = delta_changes_since(spark, out, consumer_offset(out, "job-a"), ["pk"])
+    assert ch.count() == 8 and v == 0
+    assert record_consumer_offset(out, "job-a", v) == 1
+    assert consumer_offset(out, "job-a") == 0
+
+    # polling again: only the txn commit advanced the log — no data
+    # moved, so the poll short-circuits (no Spark job) and the cursor
+    # advances past the txn-only commit
+    ch2, v2 = delta_changes_since(spark, out, consumer_offset(out, "job-a"), ["pk"])
+    assert ch2 is None and v2 == 1
+
+    # the txn-only commit must not break the exporter's no-change check
+    assert delta_export(spark, store, out) is None
+
+    # survives checkpoint; cleanup REFUSES while job-a's cursor (0)
+    # predates the checkpoint — its next poll still needs the full JSON
+    # prefix to reconstruct the file set at version 0
+    write_checkpoint(out)
+    assert delta_log_cleanup(out) == []
+    assert consumer_offset(out, "job-a") == 0
+
+    # race: another writer takes the next version first -> retry lands
+    next_v = 2
+    _write_commit(out, next_v, [{"commitInfo": {"timestamp": 1}}])
+    committed = record_consumer_offset(out, "job-b", 0)
+    assert committed == next_v + 1
+    assert consumer_offset(out, "job-b") == 0
+
+    # a real store change still exports and feeds after all that
+    up = spark.createDataFrame([("UPDATE", 1, 20, "u", "x", 1, 0)], SCHEMA)
+    merge_into(spark, store, up, ["pk"])
+    newv = delta_export(spark, store, out)
+    ch3, v3 = delta_changes_since(spark, out, consumer_offset(out, "job-a"), ["pk"])
+    assert v3 == newv
+    assert sorted(r["_change_type"] for r in ch3.collect()) == [
+        "update_postimage", "update_preimage",
+    ]
