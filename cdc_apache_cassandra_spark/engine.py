@@ -228,3 +228,20 @@ class CdcEngine:
         return delta_changes_since(
             self.spark, out_path, last_version, pk_cols or ["pk"]
         )
+
+    def consumer_offset(self, out_path: str, app_id: str) -> int:
+        """This consumer's durable change-feed cursor (-1 if none)."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            consumer_offset,
+        )
+
+        return consumer_offset(out_path, app_id)
+
+    def record_consumed(self, out_path: str, app_id: str, version: int) -> int:
+        """Record the consumed-through version in the log itself (txn
+        action) — call after processing a ``table_changes`` batch."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            record_consumer_offset,
+        )
+
+        return record_consumer_offset(out_path, app_id, version)

@@ -166,6 +166,12 @@ def test_facade_materialize_export_and_change_feed(spark, tmp_path):
     assert v2 > v
     types = sorted(r["_change_type"] for r in ch2.collect())
     assert types == ["update_postimage", "update_preimage"]
+    eng.record_consumed(f"{root}/table", "job", v2)
+    assert eng.consumer_offset(f"{root}/table", "job") == v2
+    ch3, v3 = eng.table_changes(
+        f"{root}/table", eng.consumer_offset(f"{root}/table", "job")
+    )
+    assert ch3 is None and v3 >= v2
     assert eng.read_table(
         f"{root}/table", prune=("pk", 1, 1)
     ).filter("pk = 1").collect()[0].v == "u1"
