@@ -605,6 +605,7 @@ def delta_export(
     txn_app: str | None = None,
     txn_version: int | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    active_view_fn=None,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -659,13 +660,30 @@ def delta_export(
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
-        live = (
+        raw = (
             spark.read.option("basePath", store_path)
             .option("mergeSchema", "true")
             .parquet(*paths)
             .drop("__ver")
-            .filter(F.col("op") != "DELETE")
         )
+        # ``active_view_fn``: state rows -> publishable table rows. The
+        # default (row-tombstone filter) matches the single-PK store;
+        # COMPOUND stores MUST pass operators.lww.compound_active_view —
+        # their dominance rules (partition-range tombstones, static
+        # resolution) are read-time, and publishing raw op!='DELETE'
+        # rows would resurrect dominated rows for external readers.
+        # Bucket-local application is sound because the store buckets on
+        # the partition key: a partition's tombstone/static co-locate
+        # with every row they govern (the merge_into invariant).
+        view_fn = active_view_fn or (
+            lambda df: df.filter(F.col("op") != "DELETE")
+        )
+        live = view_fn(raw)
+        if "__bucket" not in live.columns:
+            raise ValueError(
+                "active_view_fn must preserve the __bucket column "
+                "(operate on state rows, do not project it away)"
+            )
         # the table schema only ever WIDENS: reconcile this export's
         # (changed-buckets) schema with the log's current metaData so a
         # re-export of an old narrow bucket cannot regress the schema

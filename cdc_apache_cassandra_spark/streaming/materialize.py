@@ -775,6 +775,7 @@ def foreach_batch_upsert(
     bucket_cols: list[str] | None = None,
     reducer=None,
     delta_path: str | None = None,
+    delta_active_view_fn=None,
 ):
     """foreachBatch hook: incremental bucket MERGE per micro-batch.
 
@@ -824,6 +825,7 @@ def foreach_batch_upsert(
                     delta_path,
                     txn_app=f"materialize::{os.path.abspath(path)}",
                     txn_version=batch_id,
+                    active_view_fn=delta_active_view_fn,
                 )
             except CommitConflict:
                 delta_export(
@@ -832,6 +834,7 @@ def foreach_batch_upsert(
                     delta_path,
                     txn_app=f"materialize::{os.path.abspath(path)}",
                     txn_version=batch_id,
+                    active_view_fn=delta_active_view_fn,
                 )
 
     return apply
@@ -846,6 +849,7 @@ def materialize_stream(
     bucket_cols: list[str] | None = None,
     reducer=None,
     delta_path: str | None = None,
+    delta_active_view_fn=None,
 ):
     """Wire a mutation-event stream into the materialized table.
     Compound tables pass ``bucket_cols=[partition_key]`` and
@@ -858,6 +862,7 @@ def materialize_stream(
             foreach_batch_upsert(
                 path, pk_cols, n_buckets, bucket_cols, reducer,
                 delta_path=delta_path,
+                delta_active_view_fn=delta_active_view_fn,
             )
         )
         .option("checkpointLocation", checkpoint)

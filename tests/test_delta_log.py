@@ -1018,3 +1018,73 @@ def test_consumer_offsets_ride_the_log(spark, tmp_path):
     assert sorted(r["_change_type"] for r in ch3.collect()) == [
         "update_postimage", "update_preimage",
     ]
+
+
+def test_compound_store_exports_through_compound_active_view(spark, tmp_path):
+    """COMPOUND stores must export through compound_active_view (r5):
+    partition-range tombstones dominate at READ time, so the default
+    op!='DELETE' filter would publish dominated rows to external
+    readers. With the view fn: the exported table == the compound
+    active view after every commit, incl. a later partition delete that
+    erases its partition's rows (and an even-later row that survives
+    it)."""
+    from cdc_apache_cassandra_spark.operators.lww import (
+        compound_active_view,
+        compound_reduce,
+    )
+
+    schema = (
+        "ptype string, op string, pk_p long, pk_c long, writetime long, "
+        "s_mktsegment string, v_totalprice double, segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    rows = [
+        ("ROW", "INSERT", p, c, 10, None, float(p * 10 + c), 0, p * 10 + c)
+        for p in range(4)
+        for c in range(3)
+    ] + [("STATIC", "UPDATE", 1, None, 11, "SEG1", None, 0, 99)]
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame(rows, schema),
+        ["pk_p", "pk_c"],
+        n_buckets=2,
+        bucket_cols=["pk_p"],
+        reducer=compound_reduce,
+    )
+    delta_export(spark, store, out, active_view_fn=compound_active_view)
+    got = read_delta(spark, out)
+    want = compound_active_view(read_state(spark, store))
+    assert got.count() == want.count() == 12
+    assert got.filter("pk_p = 1 AND s_mktsegment = 'SEG1'").count() == 3
+
+    # partition delete for pk_p=2, then a NEWER row in that partition
+    batch2 = [
+        ("PARTITION_KEY_ROW_DELETION", "DELETE", 2, None, 20, None, None, 1, 0),
+        ("ROW", "INSERT", 2, 9, 30, None, 299.0, 1, 1),
+    ]
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame(batch2, schema),
+        ["pk_p", "pk_c"],
+        n_buckets=2,
+        bucket_cols=["pk_p"],
+        reducer=compound_reduce,
+    )
+    delta_export(spark, store, out, active_view_fn=compound_active_view)
+    got2 = read_delta(spark, out)
+    want2 = compound_active_view(read_state(spark, store))
+    g = sorted((r.pk_p, r.pk_c) for r in got2.collect())
+    w = sorted((r.pk_p, r.pk_c) for r in want2.collect())
+    assert g == w
+    # pk_p=2: only the post-tombstone row survives in the PUBLISHED table
+    assert [pc for pp, pc in g if pp == 2] == [9]
+    # and the old default would have been WRONG here: op!='DELETE' keeps
+    # the 3 dominated rows of pk_p=2
+    dominated = read_state(spark, store).filter(
+        "pk_p = 2 AND op <> 'DELETE' AND pk_c IS NOT NULL"
+    )
+    assert dominated.count() == 4  # 3 dominated + 1 live
