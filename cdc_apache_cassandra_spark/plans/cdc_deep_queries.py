@@ -665,6 +665,70 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "cdc_compound_delta_export_state",
+    sql=_compound_lww_sql("pk_p % 3 = 0"),
+)
+def cdc_compound_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse interop for the COMPOUND table (r5): the
+    partition-bucketed store (range tombstones + statics,
+    compound_reduce) publishes to a native Delta table through its
+    dominance-aware view (delta_export(active_view_fn=
+    compound_active_view)) — the published rows external engines read
+    must equal the compound converged state, i.e. partition deletes and
+    static resolution are applied BEFORE publication, never left to the
+    reader. Two segment-split commits so the second export rewrites
+    only the buckets it touched. Oracle = the direct compound LWW
+    state, same as cdc_compound_materialized_state."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.operators.lww import (
+        compound_active_view,
+        compound_reduce,
+    )
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_export,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    ev = (
+        compound_events(spark, sf_dir)
+        .filter(F.col("pk_p") % 3 == 0)
+        .dropDuplicates(["digest"])
+        .drop("node_id", "digest")
+        .transform(persist_scoped)
+    )
+    root = tempfile.mkdtemp(prefix="cdc_compound_delta_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    for i in range(2):
+        merge_into(
+            spark,
+            store,
+            ev.filter(
+                F.pmod(F.coalesce(F.col("pk_c"), F.col("pk_p")), F.lit(2)) == i
+            ),
+            pk_cols=["pk_p", "pk_c"],
+            bucket_cols=["pk_p"],
+            reducer=compound_reduce,
+            n_buckets=8,
+        )
+        delta_export(spark, store, table, active_view_fn=compound_active_view)
+    ev.unpersist()
+    return read_delta(spark, table).select(
+        F.col("pk_p").alias("custkey"),
+        F.col("pk_c").alias("orderkey"),
+        F.col("s_mktsegment").alias("mktsegment"),
+        F.col("v_totalprice").alias("totalprice"),
+        F.col("v_orderstatus").alias("orderstatus"),
+        "writetime",
+    )
+
+
+@register(
     "cdc_compound_streaming_end_to_end",
     sql=_compound_lww_sql("pk_p % 3 = 0"),
 )
