@@ -1,0 +1,231 @@
+"""``cdc_store`` — the bucket store as a first-class Spark read format.
+
+``spark.read.format("cdc_store").load(root)`` turns the manifest-pointer
+merge-on-write store (streaming/materialize.py) into a scan Catalyst can
+plan against directly, instead of going through the ``read_state`` /
+``active_view`` helper functions. Three scan-level behaviors the helpers
+can't give a declarative reader:
+
+1. **Bucket pruning at PLANNING time** (Spark 4.1 Python DataSource
+   ``pushFilters``): an equality predicate covering the store's bucket
+   key (``WHERE pk = 5``, or ``pk IN (...)``) routes to the exact hash
+   buckets that can hold those keys — every other bucket directory is
+   never listed, opened, or scheduled. The bucket id is re-derived
+   driver-side with a bit-exact Python port of Spark's ``xxhash64``
+   (functions/xxhash64_py.py, parity pinned in tests), the same
+   expression ``merge_into`` bucketed on. This is the reference's
+   per-key ``LIMIT 1`` point read (SURVEY O2, CassandraSource.java
+   single-row lookup) surfaced as ordinary SQL: at 4096 buckets over
+   100 TB a point query touches ~1/4096th of the table's files. All
+   filters are returned to Spark unhandled — pruning only narrows WHICH
+   files are read, Spark still applies the predicate row-wise, so a
+   partially-covering filter set is always correct.
+2. **Tombstone semantics in the scan** (``mode`` option): ``active``
+   (default) hides DELETE winners inside the reader — arrow-level filter
+   per batch, the Delta ``whenMatchedDelete`` read contract;
+   ``state`` exposes the raw LWW state including tombstones (the
+   tombstone-vs-miss contract point reads need).
+3. **Schema evolution at the footer level**: live buckets written before
+   an ALTER-ADD lack the new columns; the reader unifies all live
+   footers into one arrow schema and nulls the gaps per file, exactly
+   like the store's own ``mergeSchema`` read.
+
+Everything is arrow-batched (``read`` yields RecordBatches; no per-row
+Python), one InputPartition per live parquet file, so parallelism follows
+the file layout like any parquet scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+from cdc_apache_cassandra_spark.functions.xxhash64_py import spark_bucket
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _load_manifest(path: str) -> dict:
+    try:
+        with open(os.path.join(path, MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"cdc_store: no {MANIFEST} under {path!r} — not a bucket store "
+            "(or no commit has published yet)"
+        )
+
+
+def _bucket_dirs(path: str, manifest: dict) -> dict[str, str]:
+    """bucket id -> live directory, resolved through the dirs map
+    (writer-unique ``__ver=<v>-<token>`` layout; legacy ``__ver=<v>``
+    read via the same fallback as materialize.version_dir)."""
+    dirs = manifest.get("dirs") or {}
+    out = {}
+    for b, ver in manifest["buckets"].items():
+        vdir = dirs.get(str(ver), f"__ver={ver}")
+        out[b] = os.path.join(path, vdir, f"__bucket={b}")
+    return out
+
+
+def _bucket_files(bucket_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+
+
+def _unified_arrow_schema(path: str, manifest: dict):
+    """One schema over every live bucket's footers (additive evolution:
+    later files may carry columns earlier ones lack). O(live files)
+    footer reads on the driver — the same metadata cost any parquet
+    open pays; no data IO."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas, seen = [], set()
+    for b in sorted(manifest["buckets"], key=int):
+        bdir = _bucket_dirs(path, manifest)[b]
+        for f in _bucket_files(bdir):
+            s = pq.ParquetFile(f).schema_arrow
+            key = tuple(zip(s.names, (str(t) for t in s.types)))
+            if key not in seen:
+                seen.add(key)
+                schemas.append(s)
+    if not schemas:
+        raise ValueError(f"cdc_store: store at {path!r} has no data files")
+    return pa.unify_schemas(schemas, promote_options="permissive")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class StoreScanReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc_store requires a path")
+        self.mode = (options.get("mode") or "active").lower()
+        if self.mode not in ("active", "state"):
+            raise ValueError(f"cdc_store: mode must be active|state, got {self.mode!r}")
+        self.manifest = _load_manifest(self.path)
+        self.arrow_schema = to_arrow_schema(schema)
+        self.spark_schema = schema
+        # None = no routing predicate pushed; else the only buckets that
+        # can satisfy the query (set of bucket-id strings)
+        self.routed: set[str] | None = None
+
+    # -- planning-time pruning ------------------------------------------
+    def pushFilters(self, filters):
+        bucket_cols = self.manifest.get("bucket_cols")
+        n = self.manifest["n_buckets"]
+        if bucket_cols and all(c in self.spark_schema.names for c in bucket_cols):
+            types = {c: self.spark_schema[c].dataType for c in bucket_cols}
+            eq: dict[str, list] = {}
+            supported = True
+            for f in filters:
+                if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                    col = f.attribute[0]
+                    if col in types:
+                        eq.setdefault(col, []).append([f.value])
+                elif isinstance(f, In) and len(f.attribute) == 1:
+                    col = f.attribute[0]
+                    if col in types:
+                        eq.setdefault(col, []).append([[v] for v in f.value])
+            # route only when EVERY bucket column is pinned by equalities
+            # (the hash needs the full key); conjunct semantics let us
+            # intersect candidate value sets per column
+            if all(c in eq for c in bucket_cols):
+                try:
+                    candidates = [set()]
+                    # cartesian of per-column candidate values, built
+                    # column by column (bounded: IN lists are literal)
+                    tuples = [()]
+                    for c in bucket_cols:
+                        vals = None
+                        for grp in eq[c]:
+                            flat = {v[0] for v in grp}
+                            vals = flat if vals is None else (vals & flat)
+                        tuples = [t + (v,) for t in tuples for v in vals]
+                        if len(tuples) > 10_000:  # refuse absurd INs
+                            supported = False
+                            break
+                    if supported:
+                        self.routed = {
+                            str(
+                                spark_bucket(
+                                    list(t), [types[c] for c in bucket_cols], n
+                                )
+                            )
+                            for t in tuples
+                        }
+                except TypeError:
+                    # un-hashable pushdown type — scan everything
+                    self.routed = None
+        # every filter goes back to Spark: pruning narrows the file set,
+        # row-level evaluation stays with the engine (always correct)
+        return filters
+
+    def partitions(self):
+        dirs = _bucket_dirs(self.path, self.manifest)
+        buckets = sorted(dirs, key=int)
+        if self.routed is not None:
+            buckets = [b for b in buckets if b in self.routed]
+        parts = [
+            _FilePartition(f) for b in buckets for f in _bucket_files(dirs[b])
+        ]
+        # zero matching buckets (point read of an absent key): one empty
+        # placeholder so the scan still yields a well-formed relation
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.file:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file)
+        if self.mode == "active":
+            table = table.filter(pc.notequal(pc.field("op"), "DELETE"))
+        present = set(table.column_names)
+        for field in self.arrow_schema:
+            if field.name not in present:
+                table = table.append_column(
+                    field.name, pa.nulls(table.num_rows, type=field.type)
+                )
+        table = table.select(self.arrow_schema.names).cast(self.arrow_schema)
+        yield from table.to_batches()
+
+
+class StoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_store"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cdc_store requires a path")
+        manifest = _load_manifest(path)
+        return from_arrow_schema(_unified_arrow_schema(path, manifest))
+
+    def reader(self, schema) -> StoreScanReader:
+        return StoreScanReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(StoreDataSource)

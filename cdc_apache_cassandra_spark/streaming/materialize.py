@@ -283,13 +283,23 @@ def merge_into(
     merge-associative (reduce(reduce(a) ∪ b) == reduce(a ∪ b)) — the
     property that makes batching order irrelevant."""
     manifest, tag = store.load(path)
+    bucket_cols = bucket_cols or pk_cols
     manifest = manifest or {
         "version": 0,
         "n_buckets": n_buckets,
         "buckets": {},
+        # self-describing routing: scan-level readers (the cdc_store
+        # DataSource's pushFilters bucket pruning) re-derive the bucket
+        # of a pushed-down key from the manifest alone
+        "bucket_cols": bucket_cols,
     }
     n_buckets = manifest["n_buckets"]
-    bucket_cols = bucket_cols or pk_cols
+    recorded = manifest.setdefault("bucket_cols", bucket_cols)
+    if recorded != bucket_cols:
+        raise ValueError(
+            f"store at {path} is bucketed on {recorded}; merging with "
+            f"bucket_cols={bucket_cols} would split keys across buckets"
+        )
     if reducer is None:
         reducer = lambda df: last_write_wins(df, pk_cols=pk_cols)  # noqa: E731
     batch = batch.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
