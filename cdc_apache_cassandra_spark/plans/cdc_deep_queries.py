@@ -650,6 +650,7 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
             pk_cols=["pk_p", "pk_c"],
             bucket_cols=["pk_p"],
             reducer=compound_reduce,
+            kind="compound",
         )
     ev.unpersist()
     state = read_state(spark, path)
@@ -714,6 +715,7 @@ def cdc_compound_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFra
             pk_cols=["pk_p", "pk_c"],
             bucket_cols=["pk_p"],
             reducer=compound_reduce,
+            kind="compound",
             n_buckets=8,
         )
         delta_export(spark, store, table, active_view_fn=compound_active_view)
@@ -784,6 +786,7 @@ def cdc_compound_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataF
         n_buckets=8,
         bucket_cols=["pk_p"],
         reducer=compound_reduce,
+        kind="compound",
     )
     try:
         q.processAllAvailable()

@@ -530,6 +530,57 @@ def cdc_point_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cdc_store_point_read", sql=_POINT_READ_SQL)
+def cdc_store_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-read contract as cdc_point_read_routing, but through
+    the declarative scan: ``spark.read.format("cdc_store")`` with the key
+    set pushed down as an IN filter (PySpark 4 DataSource ``pushFilters``).
+    Planning re-derives each key's bucket with the bit-exact Python port
+    of Spark's xxhash64 (functions/xxhash64_py.py, parity pinned in
+    tests/test_store_source.py) and lists ONLY those buckets' files —
+    the reference's per-key ``LIMIT 1`` read
+    (connector/src/main/java/com/datastax/oss/cdc/CassandraClient.java:292-337)
+    surfaced as ordinary SQL. mode=state so tombstone winners come back
+    (the tombstone-vs-miss contract). Oracle = LWW winners (tombstones
+    included) for the same keys — identical to cdc_point_read_routing, so
+    the two routing surfaces are pinned to each other through the gate."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.sources.store_source import (
+        register as register_store,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    path = tempfile.mkdtemp(prefix="cdc_store_scan_")
+    merge_into(spark, path, ev, ["pk"])
+    ev.unpersist()
+    # literal key set: a point read's keys are driver-known by nature
+    # (bounded by the request, never the table)
+    keys = [
+        r["pk"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("pk"))
+        .filter(F.col("pk") % 41 == 0)
+        .collect()
+    ]
+    register_store(spark)
+    got = (
+        spark.read.format("cdc_store")
+        .option("path", path)
+        .option("mode", "state")
+        .load()
+        .filter(F.col("pk").isin(keys))
+    )
+    return got.select(
+        "pk",
+        "op",
+        (F.col("op") == "DELETE").alias("is_tombstone"),
+        "writetime",
+        *VALUE_COLS,
+    )
+
+
 @register("cdc_delta_export_state", sql=_MAT_SQL)
 def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse interop under the oracle gate (r3 verdict item 7, native

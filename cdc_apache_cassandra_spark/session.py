@@ -26,6 +26,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (cdc_store bucket pruning): without
+    # this conf Spark REFUSES any DataSourceReader implementing pushFilters
+    # (AnalysisException DATA_SOURCE_PUSHDOWN_DISABLED). Runtime-settable.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -24,11 +24,21 @@ can't give a declarative reader:
    (default) hides DELETE winners inside the reader — arrow-level filter
    per batch, the Delta ``whenMatchedDelete`` read contract;
    ``state`` exposes the raw LWW state including tombstones (the
-   tombstone-vs-miss contract point reads need).
-3. **Schema evolution at the footer level**: live buckets written before
-   an ALTER-ADD lack the new columns; the reader unifies all live
-   footers into one arrow schema and nulls the gaps per file, exactly
-   like the store's own ``mergeSchema`` read.
+   tombstone-vs-miss contract point reads need). ``active`` is only
+   sound on plain LWW stores (manifest ``kind == "lww"``): a compound
+   store's dominance rules (partition-range tombstones, static
+   resolution) are read-time and CROSS-row, so the per-row op filter
+   would resurrect dominated rows — exactly the bug delta_export's
+   default view had for compound stores (streaming/delta_log.py
+   documents it). The reader refuses ``active`` on any non-lww kind;
+   scan with ``mode=state`` and apply the store's view function
+   (operators.lww.compound_active_view) on top.
+3. **Schema evolution without footer IO**: the manifest records the
+   table-wide Spark schema at merge time (reconciled, only ever widens),
+   so scan planning reads ONE json file; per-file gaps (buckets written
+   before an ALTER-ADD) are nulled at read. Legacy stores without the
+   recorded schema fall back to unifying live footers — O(live files)
+   driver-side metadata reads, capped to stay a planning-time cost.
 
 Everything is arrow-batched (``read`` yields RecordBatches; no per-row
 Python), one InputPartition per live parquet file, so parallelism follows
@@ -82,26 +92,52 @@ def _bucket_files(bucket_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
 
 
-def _unified_arrow_schema(path: str, manifest: dict):
-    """One schema over every live bucket's footers (additive evolution:
-    later files may carry columns earlier ones lack). O(live files)
-    footer reads on the driver — the same metadata cost any parquet
-    open pays; no data IO."""
+#: legacy-fallback ceiling: footer unification is a driver-side planning
+#: cost, acceptable for the ≤4096-single-file-bucket layouts legacy stores
+#: actually have; a store past this should be re-merged once (any commit
+#: records the schema) rather than paying unbounded plan-time IO forever
+MAX_FOOTER_READS = 8192
+
+
+def _spark_table_schema(path: str, manifest: dict) -> T.StructType:
+    """The scan's Spark schema. Current-format stores: the manifest's
+    recorded table schema (written by merge_into at commit time — ZERO
+    file IO at planning). Legacy stores: unify every live footer
+    (additive evolution: later files may carry columns earlier ones
+    lack) — O(live files) driver-side metadata reads, refused past
+    :data:`MAX_FOOTER_READS`."""
+    recorded = manifest.get("schema")
+    if recorded:
+        return T.StructType.fromJson(json.loads(recorded))
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
 
+    files = [
+        f
+        for b in sorted(manifest["buckets"], key=int)
+        for f in _bucket_files(_bucket_dirs(path, manifest)[b])
+    ]
+    if len(files) > MAX_FOOTER_READS:
+        raise ValueError(
+            f"cdc_store: legacy store at {path!r} has {len(files)} live "
+            f"files (> {MAX_FOOTER_READS}); run one merge_into commit to "
+            "record the schema in the manifest instead of unbounded "
+            "plan-time footer reads"
+        )
     schemas, seen = [], set()
-    for b in sorted(manifest["buckets"], key=int):
-        bdir = _bucket_dirs(path, manifest)[b]
-        for f in _bucket_files(bdir):
-            s = pq.ParquetFile(f).schema_arrow
-            key = tuple(zip(s.names, (str(t) for t in s.types)))
-            if key not in seen:
-                seen.add(key)
-                schemas.append(s)
+    for f in files:
+        s = pq.ParquetFile(f).schema_arrow
+        key = tuple(zip(s.names, (str(t) for t in s.types)))
+        if key not in seen:
+            seen.add(key)
+            schemas.append(s)
     if not schemas:
         raise ValueError(f"cdc_store: store at {path!r} has no data files")
-    return pa.unify_schemas(schemas, promote_options="permissive")
+    return from_arrow_schema(
+        pa.unify_schemas(schemas, promote_options="permissive")
+    )
 
 
 class _FilePartition(InputPartition):
@@ -120,6 +156,21 @@ class StoreScanReader(DataSourceReader):
         if self.mode not in ("active", "state"):
             raise ValueError(f"cdc_store: mode must be active|state, got {self.mode!r}")
         self.manifest = _load_manifest(self.path)
+        # 'active' = per-row tombstone filter, sound ONLY for plain LWW
+        # stores. Compound/custom reducers have cross-row read semantics
+        # (range-tombstone dominance, static resolution) that a per-file
+        # op filter cannot honor — refusing beats resurrecting dominated
+        # rows. Manifests predating the marker recorded no reducer either,
+        # so they are plain-LWW by construction.
+        kind = self.manifest.get("kind", "lww")
+        if self.mode == "active" and kind != "lww":
+            raise ValueError(
+                f"cdc_store: store at {self.path!r} has kind={kind!r}; "
+                "'active' mode (row-level op filter) would resurrect rows "
+                "dominated by range tombstones. Read mode='state' and "
+                "apply the store's active view (e.g. operators.lww."
+                "compound_active_view) on top."
+            )
         self.arrow_schema = to_arrow_schema(schema)
         self.spark_schema = schema
         # None = no routing predicate pushed; else the only buckets that
@@ -132,36 +183,39 @@ class StoreScanReader(DataSourceReader):
         n = self.manifest["n_buckets"]
         if bucket_cols and all(c in self.spark_schema.names for c in bucket_cols):
             types = {c: self.spark_schema[c].dataType for c in bucket_cols}
-            eq: dict[str, list] = {}
-            supported = True
-            for f in filters:
-                if isinstance(f, EqualTo) and len(f.attribute) == 1:
-                    col = f.attribute[0]
-                    if col in types:
-                        eq.setdefault(col, []).append([f.value])
-                elif isinstance(f, In) and len(f.attribute) == 1:
-                    col = f.attribute[0]
-                    if col in types:
-                        eq.setdefault(col, []).append([[v] for v in f.value])
+            # conjunct equality candidates per bucket column: each
+            # EqualTo/In contributes one candidate SET; conjunct semantics
+            # mean the sets intersect (x = 5 AND x IN (5, 7) -> {5})
+            eq: dict[str, list[set]] = {}
+            try:
+                for f in filters:
+                    if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                        col = f.attribute[0]
+                        if col in types and f.value is not None:
+                            eq.setdefault(col, []).append({f.value})
+                    elif isinstance(f, In) and len(f.attribute) == 1:
+                        col = f.attribute[0]
+                        if col in types:
+                            eq.setdefault(col, []).append(
+                                {v for v in f.value if v is not None}
+                            )
+            except TypeError:
+                eq = {}  # un-hashable literal (shouldn't happen) — no routing
             # route only when EVERY bucket column is pinned by equalities
-            # (the hash needs the full key); conjunct semantics let us
-            # intersect candidate value sets per column
+            # (the hash needs the full key)
             if all(c in eq for c in bucket_cols):
-                try:
-                    candidates = [set()]
-                    # cartesian of per-column candidate values, built
-                    # column by column (bounded: IN lists are literal)
-                    tuples = [()]
-                    for c in bucket_cols:
-                        vals = None
-                        for grp in eq[c]:
-                            flat = {v[0] for v in grp}
-                            vals = flat if vals is None else (vals & flat)
-                        tuples = [t + (v,) for t in tuples for v in vals]
-                        if len(tuples) > 10_000:  # refuse absurd INs
-                            supported = False
-                            break
-                    if supported:
+                supported = True
+                # cartesian of per-column candidate values, built column
+                # by column (bounded: IN lists are literal)
+                tuples: list[tuple] = [()]
+                for c in bucket_cols:
+                    vals = set.intersection(*eq[c])
+                    tuples = [t + (v,) for t in tuples for v in vals]
+                    if len(tuples) > 10_000:  # refuse absurd INs
+                        supported = False
+                        break
+                if supported:
+                    try:
                         self.routed = {
                             str(
                                 spark_bucket(
@@ -170,9 +224,9 @@ class StoreScanReader(DataSourceReader):
                             )
                             for t in tuples
                         }
-                except TypeError:
-                    # un-hashable pushdown type — scan everything
-                    self.routed = None
+                    except TypeError:
+                        # a type xxhash64_py doesn't map — scan everything
+                        self.routed = None
         # every filter goes back to Spark: pruning narrows the file set,
         # row-level evaluation stays with the engine (always correct)
         return filters
@@ -198,7 +252,7 @@ class StoreScanReader(DataSourceReader):
 
         table = pq.read_table(partition.file)
         if self.mode == "active":
-            table = table.filter(pc.notequal(pc.field("op"), "DELETE"))
+            table = table.filter(pc.not_equal(pc.field("op"), "DELETE"))
         present = set(table.column_names)
         for field in self.arrow_schema:
             if field.name not in present:
@@ -215,13 +269,11 @@ class StoreDataSource(DataSource):
         return "cdc_store"
 
     def schema(self):
-        from pyspark.sql.pandas.types import from_arrow_schema
-
         path = self.options.get("path")
         if not path:
             raise ValueError("cdc_store requires a path")
         manifest = _load_manifest(path)
-        return from_arrow_schema(_unified_arrow_schema(path, manifest))
+        return _spark_table_schema(path, manifest)
 
     def reader(self, schema) -> StoreScanReader:
         return StoreScanReader(self.options, schema)

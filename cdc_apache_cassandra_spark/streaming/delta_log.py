@@ -355,7 +355,7 @@ def _file_stats_json(path: str) -> str:
 
     meta = pq.ParquetFile(path).metadata
 
-    def render(v):
+    def render(v, ceil=False):
         if isinstance(v, str):
             # writers may truncate long binary stats; a truncated max is
             # NOT an upper bound — only publish comfortably-short strings
@@ -367,6 +367,13 @@ def _file_stats_json(path: str) -> str:
         if isinstance(v, bytes):
             return None  # binary stats are truncated bytes — unsafe
         if isinstance(v, datetime.datetime):
+            # the JSON form carries millisecond precision; flooring the
+            # sub-millisecond tail is only safe for MIN — a maxValues
+            # below the file's true max lets engines skip a file that
+            # contains matching rows (delta-spark rounds truncated max
+            # stats UP for the same reason)
+            if ceil and v.microsecond % 1000 != 0:
+                v = v + datetime.timedelta(milliseconds=1)
             return v.strftime("%Y-%m-%dT%H:%M:%S.") + f"{v.microsecond // 1000:03d}Z"
         if isinstance(v, datetime.date):
             return v.isoformat()
@@ -397,7 +404,7 @@ def _file_stats_json(path: str) -> str:
             hi = st.max if hi is None or st.max > hi else hi
         if not ok:
             continue
-        rlo, rhi = render(lo), render(hi)
+        rlo, rhi = render(lo), render(hi, ceil=True)
         nulls[name] = nn
         if rlo is not None and rhi is not None:
             mins[name] = rlo
@@ -626,6 +633,19 @@ def delta_export(
     manifest = _read_manifest(store_path)
     if manifest is None:
         raise FileNotFoundError(f"no materialized state at {store_path}")
+    # The default view (row-level op filter) is sound ONLY for plain-LWW
+    # stores. The manifest records the store's kind at merge time; a
+    # compound/custom store exported without its dominance-aware view
+    # would RESURRECT dominated rows for every external reader — refuse
+    # rather than publish wrong data. (Manifests predating the marker
+    # recorded no reducer either: plain LWW by construction.)
+    if active_view_fn is None and manifest.get("kind", "lww") != "lww":
+        raise ValueError(
+            f"store at {store_path} has kind={manifest['kind']!r}; pass "
+            "active_view_fn (e.g. operators.lww.compound_active_view) — "
+            "the default op!='DELETE' view would resurrect rows dominated "
+            "by partition-range tombstones"
+        )
     log = _replay(out_path)
     if (
         txn_app is not None
@@ -851,7 +871,14 @@ def version_at_timestamp(out_path: str, ts_ms: int) -> int:
     history = delta_history(out_path)
     if not history:
         raise FileNotFoundError(f"no Delta log at {out_path}")
-    eligible = [h["version"] for h in history if h.get("timestamp", 0) <= ts_ms]
+    # commits with NO commitInfo timestamp (foreign writers may omit it)
+    # are simply not eligible — defaulting them to 0 would make them
+    # always-eligible and could resolve PAST the requested time
+    eligible = [
+        h["version"]
+        for h in history
+        if h.get("timestamp") is not None and h["timestamp"] <= ts_ms
+    ]
     if not eligible:
         raise FileNotFoundError(
             f"{out_path}: no commit at or before timestamp {ts_ms} "
@@ -984,19 +1011,26 @@ def delta_changes(
         )
 
     cols = schema.names
+    # explicit presence markers: inferring existence from pk nullability
+    # (pk IS NOT NULL after the outer join) misclassifies rows when the
+    # caller's first pk column is genuinely nullable in data (e.g. a
+    # compound clustering key ordered first — partition-level rows carry
+    # a null clustering key)
     pre = read(removed).select(
-        *[F.col(c).alias(f"__pre_{c}") for c in cols]
+        *[F.col(c).alias(f"__pre_{c}") for c in cols],
+        F.lit(True).alias("__pre_present"),
     )
     post = read(added).select(
-        *[F.col(c).alias(f"__post_{c}") for c in cols]
+        *[F.col(c).alias(f"__post_{c}") for c in cols],
+        F.lit(True).alias("__post_present"),
     )
     cond = None
     for k in pk_cols:
         c = F.col(f"__pre_{k}").eqNullSafe(F.col(f"__post_{k}"))
         cond = c if cond is None else cond & c
     joined = pre.join(post, cond, "full_outer")
-    pre_exists = F.col(f"__pre_{pk_cols[0]}").isNotNull()
-    post_exists = F.col(f"__post_{pk_cols[0]}").isNotNull()
+    pre_exists = F.col("__pre_present").isNotNull()
+    post_exists = F.col("__post_present").isNotNull()
     same_row = F.struct(*[F.col(f"__pre_{c}") for c in cols]).eqNullSafe(
         F.struct(*[F.col(f"__post_{c}") for c in cols])
     )

@@ -174,6 +174,43 @@ class InMemoryManifestStore(ManifestStore):
 _DEFAULT_STORE = LocalManifestStore()
 
 
+def _all_nullable(dt):
+    """Parquet round-trips every field as nullable — normalize the plan
+    schema the same way so the recorded schema matches what any reader of
+    the files (including cdc_store) actually observes."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _all_nullable(dt.valueType), True)
+    return dt
+
+
+def _record_schema(manifest: dict, schema) -> None:
+    """Fold ``schema`` into the manifest's recorded table schema under the
+    evolution rules (additive nullable fields merge, type changes raise) —
+    a narrow-bucket rewrite can never regress the recorded schema."""
+    schema = _all_nullable(schema)
+    recorded = manifest.get("schema")
+    if recorded:
+        from pyspark.sql import types as T
+
+        from cdc_apache_cassandra_spark.streaming.schema_evolution import (
+            reconcile_schemas,
+        )
+
+        schema = reconcile_schemas(T.StructType.fromJson(json.loads(recorded)), schema)
+    manifest["schema"] = schema.json()
+
+
 def _read_manifest(path: str) -> dict | None:
     return _DEFAULT_STORE.load(path)[0]
 
@@ -264,6 +301,7 @@ def merge_into(
     bucket_cols: list[str] | None = None,
     reducer=None,
     store: ManifestStore = _DEFAULT_STORE,
+    kind: str | None = None,
 ) -> None:
     """One incremental MERGE commit: rewrite only the buckets the batch
     touches, then CAS-swap the manifest (:class:`ManifestStore`).
@@ -281,9 +319,18 @@ def merge_into(
     ``reducer`` (default: full-PK :func:`last_write_wins`) reduces
     ``old ∪ batch`` to the retained state; it must be idempotent and
     merge-associative (reduce(reduce(a) ∪ b) == reduce(a ∪ b)) — the
-    property that makes batching order irrelevant."""
+    property that makes batching order irrelevant.
+
+    ``kind`` names the store's READ semantics in the manifest so scan-level
+    readers know which active view is sound: ``"lww"`` (default when
+    ``reducer`` is None — a row tombstone filter suffices), ``"compound"``
+    (partition-range tombstones + static resolution: the raw op filter
+    would resurrect dominated rows), or any caller-defined tag for custom
+    reducers (default ``"custom"``). The marker is write-once: a later
+    merge with a conflicting explicit kind raises."""
     manifest, tag = store.load(path)
     bucket_cols = bucket_cols or pk_cols
+    kind = kind or ("lww" if reducer is None else "custom")
     manifest = manifest or {
         "version": 0,
         "n_buckets": n_buckets,
@@ -292,6 +339,9 @@ def merge_into(
         # DataSource's pushFilters bucket pruning) re-derive the bucket
         # of a pushed-down key from the manifest alone
         "bucket_cols": bucket_cols,
+        # self-describing semantics: which active view is sound on top
+        # of this state (cdc_store 'active' mode / delta_export default)
+        "kind": kind,
     }
     n_buckets = manifest["n_buckets"]
     recorded = manifest.setdefault("bucket_cols", bucket_cols)
@@ -299,6 +349,12 @@ def merge_into(
         raise ValueError(
             f"store at {path} is bucketed on {recorded}; merging with "
             f"bucket_cols={bucket_cols} would split keys across buckets"
+        )
+    recorded_kind = manifest.setdefault("kind", kind)
+    if recorded_kind != kind:
+        raise ValueError(
+            f"store at {path} has kind={recorded_kind!r}; merging with "
+            f"kind={kind!r} would flip its read semantics mid-life"
         )
     if reducer is None:
         reducer = lambda df: last_write_wins(df, pk_cols=pk_cols)  # noqa: E731
@@ -355,6 +411,12 @@ def merge_into(
 
     manifest["version"] = version
     manifest.setdefault("dirs", {})[str(version)] = dirname
+    # Record the TABLE-WIDE schema (Spark StructType JSON): the merged
+    # schema of the touched buckets reconciled with what was recorded
+    # before — it only ever widens (additive evolution), so scan planning
+    # (cdc_store DataSource.schema) needs ZERO footer IO on stores with
+    # this field; legacy stores fall back to footer unification.
+    _record_schema(manifest, merged.drop("__bucket").schema)
     stats = _bucket_stats(spark, path, out_dir)
     for b in touched:
         k = str(b)
@@ -389,6 +451,7 @@ def merge_into_retrying(
     reducer=None,
     store: ManifestStore = _DEFAULT_STORE,
     max_attempts: int = 5,
+    kind: str | None = None,
 ) -> int:
     """Multi-writer ergonomics over :func:`merge_into`: on
     :class:`CommitConflict` the ENTIRE merge re-runs — reload manifest,
@@ -405,6 +468,7 @@ def merge_into_retrying(
             merge_into(
                 spark, path, batch, pk_cols, n_buckets,
                 bucket_cols=bucket_cols, reducer=reducer, store=store,
+                kind=kind,
             )
             return attempt
         except CommitConflict:
@@ -600,6 +664,11 @@ def compact(
             "stats": stats,
             "dirs": {str(version): dirname},
         }
+        # the store's identity survives a full rewrite: routing columns,
+        # read semantics, recorded schema (a compaction never narrows)
+        for key in ("bucket_cols", "kind", "schema"):
+            if key in manifest:
+                new_manifest[key] = manifest[key]
     else:
         new_manifest = manifest
         new_manifest["version"] = version
@@ -786,6 +855,7 @@ def foreach_batch_upsert(
     reducer=None,
     delta_path: str | None = None,
     delta_active_view_fn=None,
+    kind: str | None = None,
 ):
     """foreachBatch hook: incremental bucket MERGE per micro-batch.
 
@@ -817,6 +887,7 @@ def foreach_batch_upsert(
             n_buckets,
             bucket_cols=bucket_cols,
             reducer=reducer,
+            kind=kind,
         )
         if delta_path is not None:
             from cdc_apache_cassandra_spark.streaming.delta_log import (
@@ -860,6 +931,7 @@ def materialize_stream(
     reducer=None,
     delta_path: str | None = None,
     delta_active_view_fn=None,
+    kind: str | None = None,
 ):
     """Wire a mutation-event stream into the materialized table.
     Compound tables pass ``bucket_cols=[partition_key]`` and
@@ -873,6 +945,7 @@ def materialize_stream(
                 path, pk_cols, n_buckets, bucket_cols, reducer,
                 delta_path=delta_path,
                 delta_active_view_fn=delta_active_view_fn,
+                kind=kind,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -1053,6 +1053,7 @@ def test_compound_store_exports_through_compound_active_view(spark, tmp_path):
         n_buckets=2,
         bucket_cols=["pk_p"],
         reducer=compound_reduce,
+        kind="compound",
     )
     delta_export(spark, store, out, active_view_fn=compound_active_view)
     got = read_delta(spark, out)
@@ -1073,6 +1074,7 @@ def test_compound_store_exports_through_compound_active_view(spark, tmp_path):
         n_buckets=2,
         bucket_cols=["pk_p"],
         reducer=compound_reduce,
+        kind="compound",
     )
     delta_export(spark, store, out, active_view_fn=compound_active_view)
     got2 = read_delta(spark, out)
@@ -1088,3 +1090,130 @@ def test_compound_store_exports_through_compound_active_view(spark, tmp_path):
         "pk_p = 2 AND op <> 'DELETE' AND pk_c IS NOT NULL"
     )
     assert dominated.count() == 4  # 3 dominated + 1 live
+
+
+def test_compound_store_export_refuses_default_view(spark, tmp_path):
+    """The manifest's kind marker is ENFORCED (r5 advice): exporting a
+    compound store without its dominance-aware view raises instead of
+    publishing resurrected rows."""
+    import pytest
+
+    from cdc_apache_cassandra_spark.operators.lww import compound_reduce
+
+    schema = (
+        "ptype string, op string, pk_p long, pk_c long, writetime long, "
+        "s_mktsegment string, v_totalprice double, segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    rows = [("ROW", "INSERT", 1, 1, 10, None, 1.0, 0, 0)]
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame(rows, schema),
+        ["pk_p", "pk_c"],
+        n_buckets=2,
+        bucket_cols=["pk_p"],
+        reducer=compound_reduce,
+        kind="compound",
+    )
+    with pytest.raises(ValueError, match="compound"):
+        delta_export(spark, store, out)
+
+
+def test_timestamp_stats_min_floors_max_ceils(tmp_path):
+    """add.stats timestamp bounds (r5 advice): the JSON form is
+    millisecond-precision, so a sub-millisecond true max must round UP
+    (a published max below the real max lets engines skip files that
+    contain matching rows); min keeps flooring (safe direction)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import _file_stats_json
+
+    lo = datetime.datetime(2024, 1, 1, 12, 0, 0, 1500)   # .0015s
+    hi = datetime.datetime(2024, 1, 1, 12, 0, 0, 999999)  # .999999s
+    mid = datetime.datetime(2024, 1, 1, 12, 0, 0, 500000)
+    exact = datetime.datetime(2024, 1, 2, 0, 0, 0, 3000)  # ms-aligned
+    tbl = pa.table(
+        {
+            "ts": pa.array([lo, mid, hi], pa.timestamp("us")),
+            "ts2": pa.array([exact] * 3, pa.timestamp("us")),
+        }
+    )
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, f)
+    st = json.loads(_file_stats_json(f))
+    assert st["minValues"]["ts"] == "2024-01-01T12:00:00.001Z"  # floored
+    assert st["maxValues"]["ts"] == "2024-01-01T12:00:01.000Z"  # ceiled
+    # millisecond-aligned values are exact in both directions
+    assert st["minValues"]["ts2"] == st["maxValues"]["ts2"] == "2024-01-02T00:00:00.003Z"
+
+
+def test_version_at_timestamp_skips_timestampless_commits(spark, tmp_path):
+    """TIMESTAMP AS OF (r5 advice): a foreign commit whose commitInfo has
+    no timestamp must not default to 0 (always-eligible) — it is simply
+    not resolvable by time."""
+    import pytest
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        version_at_timestamp,
+    )
+
+    store = _store(spark, tmp_path, n=8, n_buckets=2)
+    out = str(tmp_path / "delta")
+    delta_export(spark, store, out)
+    t0 = delta_history(out)[0]["timestamp"]
+    # a timestamp-less foreign commit on top (e.g. a writer that omits
+    # commitInfo.timestamp): txn-only, no files
+    with open(os.path.join(out, LOG_DIR, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"txn": {"appId": "foreign", "version": 1}}) + "\n")
+        f.write(json.dumps({"commitInfo": {"operation": "FOREIGN"}}) + "\n")
+    assert version_at_timestamp(out, t0) == 0
+    assert version_at_timestamp(out, t0 + 10_000) == 0  # NOT 1
+    with pytest.raises(FileNotFoundError):
+        version_at_timestamp(out, t0 - 1)
+
+
+def test_delta_changes_with_nullable_first_pk(spark, tmp_path):
+    """Change-feed presence detection (r5 advice): existence after the
+    full outer join is decided by explicit markers, not pk nullability —
+    a key whose FIRST pk column is null classifies correctly."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_changes
+
+    schema = (
+        "op string, k1 long, k2 long, writetime long, v string, "
+        "segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    b1 = [
+        ("INSERT", None, 1, 10, "null-key-v1", 0, 0),  # null FIRST pk col
+        ("INSERT", 5, 1, 10, "five", 0, 1),
+        ("INSERT", 6, 1, 10, "six", 0, 2),
+    ]
+    merge_into(spark, store, spark.createDataFrame(b1, schema), ["k1", "k2"], n_buckets=2)
+    delta_export(spark, store, out)
+    b2 = [
+        ("INSERT", None, 1, 20, "null-key-v2", 1, 0),  # update the null key
+        ("DELETE", 6, 1, 20, None, 1, 1),              # delete six
+        ("INSERT", 7, 1, 20, "seven", 1, 2),           # insert new
+    ]
+    merge_into(spark, store, spark.createDataFrame(b2, schema), ["k1", "k2"], n_buckets=2)
+    delta_export(spark, store, out)
+
+    ch = delta_changes(spark, out, 0, 1, ["k1", "k2"]).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append((r["k1"], r["k2"], r["v"]))
+    assert sorted(by_type["insert"]) == [(7, 1, "seven")]
+    assert sorted(by_type["delete"]) == [(6, 1, "six")]
+    # the null-first-pk key is an UPDATE pair, not a spurious insert+delete
+    assert by_type["update_preimage"] == [(None, 1, "null-key-v1")]
+    assert by_type["update_postimage"] == [(None, 1, "null-key-v2")]
+    # unchanged neighbor (5) cancels entirely
+    assert all(r["k1"] != 5 for r in ch)

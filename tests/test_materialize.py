@@ -211,6 +211,7 @@ def test_compound_stream_with_partition_tombstones(spark, sf_dir, tmp_path):
         pk_cols=["pk_p", "pk_c"],
         bucket_cols=["pk_p"],
         reducer=compound_reduce,
+        kind="compound",
     )
     q.processAllAvailable()
     q.stop()
@@ -385,8 +386,11 @@ def test_merge_into_reducer_emptied_bucket_leaves_manifest_consistent(
         m1 = json.load(f)
     # batch 2 touches pk=2's bucket with a reducer that drops everything
     b2 = spark.createDataFrame([("DELETE", 2, 30, None, None, 0, 0)], SCHEMA)
+    # kind="lww": the drop-everything reducer is a test device, not a
+    # change of read semantics (the kind marker is write-once per store)
     merge_into(
-        spark, path, b2, ["pk"], reducer=lambda df: df.filter("op = 'NEVER'")
+        spark, path, b2, ["pk"],
+        reducer=lambda df: df.filter("op = 'NEVER'"), kind="lww",
     )
     with open(os.path.join(path, MANIFEST)) as f:
         m2 = json.load(f)
