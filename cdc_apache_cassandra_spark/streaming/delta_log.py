@@ -309,30 +309,59 @@ def delta_log_replay(out_path: str) -> tuple[int, dict[str, dict], dict | None]:
     return s.last, s.files, s.meta
 
 
+class LocalLogCommitStore:
+    """Create-only publication on POSIX: full content to a temp file,
+    then ``os.link`` into place — readers never observe a torn commit, a
+    crash before the link leaves no log entry at all, and linking onto
+    an existing commit fails (the spec's optimistic-concurrency rule)."""
+
+    def publish(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflict(
+                f"delta commit file already exists at {path}: another "
+                "exporter published first; replay the log and re-diff"
+            )
+        finally:
+            os.unlink(tmp)
+
+
+#: the create-only publication seam every numbered commit goes through —
+#: ONE primitive, two transports: POSIX link locally, conditional PUT
+#: (``If-None-Match: *``, streaming/object_store.HttpLogCommitStore) on
+#: an object store. Swap with :func:`set_log_commit_store`.
+_LOG_COMMIT_STORE = LocalLogCommitStore()
+
+
+def set_log_commit_store(store) -> object:
+    """Route all Delta commit publication through ``store`` (an object
+    with ``publish(path, data) -> None`` raising :class:`CommitConflict`
+    when the commit already exists). Returns the previous store so
+    callers can restore it."""
+    global _LOG_COMMIT_STORE
+    prev, _LOG_COMMIT_STORE = _LOG_COMMIT_STORE, store
+    return prev
+
+
 def _write_commit(out_path: str, version: int, actions: list[dict]) -> None:
-    """Publish commit ``version`` atomically and create-only: the full
-    content is written to a temp file, then ``os.link``ed into place —
-    readers never observe a torn commit, a crash before the link leaves
-    no log entry at all, and linking onto an existing commit fails
-    (:class:`CommitConflict` — the spec's optimistic-concurrency rule;
-    object stores: conditional PUT with ``If-None-Match: *``)."""
+    """Publish commit ``version`` atomically and create-only through the
+    pluggable :data:`_LOG_COMMIT_STORE` (POSIX link by default;
+    conditional PUT against an object store via
+    :func:`set_log_commit_store`). Racing a commit that already exists
+    raises :class:`CommitConflict` — the caller replays and re-diffs."""
     os.makedirs(os.path.join(out_path, LOG_DIR), exist_ok=True)
     path = _commit_path(out_path, version)
-    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        for action in actions:
-            f.write(json.dumps(action, separators=(",", ":")) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
-        raise CommitConflict(
-            f"delta commit {version} already exists at {path}: another "
-            "exporter published first; replay the log and re-diff"
-        )
-    finally:
-        os.unlink(tmp)
+    data = b"".join(
+        json.dumps(action, separators=(",", ":")).encode() + b"\n"
+        for action in actions
+    )
+    _LOG_COMMIT_STORE.publish(path, data)
 
 
 def _parquet_num_rows(path: str) -> int:

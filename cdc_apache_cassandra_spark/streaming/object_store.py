@@ -1,0 +1,274 @@
+"""HTTP conditional-write adapters for the two commit seams — the piece
+that maps the engine's optimistic concurrency onto an object store.
+
+Both commit points in this engine reduce to ONE storage primitive, the
+conditional PUT:
+
+* the bucket store's manifest pointer (:class:`ManifestStore`):
+  compare-and-swap — publish IFF the stored generation still equals the
+  one the writer read (`If-Match: <etag>`; first version
+  `If-None-Match: *`). S3 exposes exactly this (conditional writes GA
+  2024, ``If-Match``/``If-None-Match`` on PUT); GCS spells it
+  ``ifGenerationMatch``; Azure Blob uses the same HTTP headers.
+* the Delta log's numbered commit files (delta_log._write_commit):
+  create-only — publish IFF absent (`If-None-Match: *`), the protocol's
+  own optimistic-concurrency rule.
+
+:class:`HttpManifestStore` implements the first against any endpoint
+speaking those headers; :class:`HttpLogCommitStore` the second (and
+``delta_log.set_log_commit_store`` routes every Delta commit through
+it). Precondition failures (HTTP 412, and 409 for stores that answer
+create-races with Conflict) surface as :class:`CommitConflict` — the
+same exception, so ``merge_into_retrying`` / the exporters' re-diff
+retry loops work unchanged over HTTP.
+
+:class:`ConditionalPutServer` is an in-process emulator of the S3
+semantics (atomic check-and-set under one lock, monotone ETags) used by
+the contract tests (tests/test_manifest_http.py — the SAME
+exactly-one-wins suite the in-memory store runs) and usable as a
+single-node coordination point in dev. Against a real bucket, swap the
+base URL; nothing else in merge_into / delta_export changes.
+
+Scale note: manifests and commit files are metadata-sized (KBs); every
+data byte still moves through distributed parquet IO. The HTTP hop per
+COMMIT (not per row) is the same cost profile Delta/Iceberg pay for
+their pointer swap.
+
+Reference parity: the reference delegates exactly-once publication to
+Pulsar's broker dedup; here the broker is replaced by the object store's
+conditional write, the standard lakehouse substitution.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from cdc_apache_cassandra_spark.streaming.materialize import (
+    CommitConflict,
+    ManifestStore,
+)
+
+
+def _request(
+    url: str,
+    method: str = "GET",
+    data: bytes | None = None,
+    headers: dict | None = None,
+):
+    req = urllib.request.Request(url, data=data, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    return urllib.request.urlopen(req, timeout=30)
+
+
+def http_get(url: str) -> tuple[bytes | None, str | None]:
+    """GET → (body, etag); (None, None) when the key doesn't exist."""
+    try:
+        with _request(url) as resp:
+            return resp.read(), resp.headers.get("ETag")
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return None, None
+        raise
+
+
+def http_put_conditional(
+    url: str,
+    data: bytes,
+    if_match: str | None = None,
+    if_none_match: bool = False,
+) -> str | None:
+    """Conditional PUT; returns the new ETag. Precondition failure (412;
+    or 409, which some stores answer create-races with) raises
+    :class:`CommitConflict` — never a silent overwrite."""
+    headers = {"Content-Type": "application/json"}
+    if if_match is not None:
+        headers["If-Match"] = if_match
+    if if_none_match:
+        headers["If-None-Match"] = "*"
+    try:
+        with _request(url, "PUT", data, headers) as resp:
+            return resp.headers.get("ETag")
+    except urllib.error.HTTPError as e:
+        if e.code in (409, 412):
+            raise CommitConflict(
+                f"conditional PUT of {url} failed precondition "
+                f"(HTTP {e.code}): another writer published first"
+            )
+        raise
+
+
+class HttpManifestStore(ManifestStore):
+    """ManifestStore over HTTP conditional writes — the S3/GCS/Azure
+    adapter behind the seam merge_into / compact / delta_export commit
+    through. The precondition tag is the server's ETag: ``load`` returns
+    it, ``commit`` replays it as ``If-Match`` (or ``If-None-Match: *``
+    for the first version), so the CAS decision is made atomically BY
+    the store — two racing writers can both stage data, exactly one PUT
+    succeeds, the other gets :class:`CommitConflict` and re-merges
+    (tests/test_manifest_http.py pins both the forced interleave and a
+    real 4-thread race).
+
+    ``on_commit`` is the same test seam InMemoryManifestStore exposes:
+    it runs after the caller's load, inside its commit — the interleave
+    point a competing writer lands in."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+        self.on_commit = None
+
+    def _url(self, path: str) -> str:
+        key = urllib.parse.quote(path.strip("/"), safe="")
+        return f"{self.base_url}/{key}/_MANIFEST.json"
+
+    def load(self, path: str) -> tuple[dict | None, object]:
+        body, etag = http_get(self._url(path))
+        if body is None:
+            return None, None
+        return json.loads(body), etag
+
+    def commit(self, path: str, manifest: dict, expect_tag: object) -> None:
+        hook, self.on_commit = self.on_commit, None
+        if hook is not None:
+            hook()  # competing writer lands inside the CAS window
+        data = json.dumps(manifest).encode()
+        if expect_tag is None:
+            http_put_conditional(self._url(path), data, if_none_match=True)
+        else:
+            http_put_conditional(self._url(path), data, if_match=str(expect_tag))
+
+
+class HttpLogCommitStore:
+    """Create-only publication of Delta commit files through the same
+    conditional-PUT primitive (``If-None-Match: *``) — plug into
+    ``delta_log.set_log_commit_store`` and every numbered commit races
+    through the object store instead of the local ``os.link``.
+
+    ``mirror_local=True`` (default) also materializes the file at its
+    local path AFTER the PUT wins, so this process's log replay readers
+    see the commit — the single-writer-coordinator deployment shape. A
+    fully remote log (readers listing the bucket too) additionally needs
+    the replay reader pointed at the store; the commit-side atomicity —
+    the part that decides correctness — is entirely here."""
+
+    def __init__(self, base_url: str, mirror_local: bool = True):
+        self.base_url = base_url.rstrip("/")
+        self.mirror_local = mirror_local
+
+    def publish(self, path: str, data: bytes) -> None:
+        key = urllib.parse.quote(path.strip("/"), safe="")
+        http_put_conditional(f"{self.base_url}/{key}", data, if_none_match=True)
+        if self.mirror_local:
+            import os
+            import uuid
+
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)  # PUT already decided the race
+
+
+# ---------------------------------------------------------------------------
+# In-process conditional-PUT emulator (S3 semantics) for tests/dev
+# ---------------------------------------------------------------------------
+
+
+class ConditionalPutServer:
+    """Minimal object store speaking GET / conditional PUT with ETags.
+
+    Semantics (what S3 conditional writes guarantee, enforced atomically
+    under one lock — the property the contract tests exercise):
+
+      PUT + If-None-Match:*  -> 412 if the key exists
+      PUT + If-Match:<etag>  -> 412 unless the stored ETag matches
+      PUT unconditional      -> refused (400): this engine must never
+                                blind-write a commit point
+      GET                    -> 200 body+ETag | 404
+
+    ETags are monotone integers per key. ``fail_after_commit(n)`` makes
+    the n-th successful PUT return HTTP 500 AFTER applying the write —
+    the ambiguous-outcome fault real object stores exhibit (the write
+    landed, the writer saw an error), used to test retry idempotence."""
+
+    def __init__(self):
+        import http.server
+
+        self._blobs: dict[str, tuple[int, bytes]] = {}
+        self._lock = threading.Lock()
+        self.puts = 0
+        self._fail_puts: set[int] = set()
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                with outer._lock:
+                    item = outer._blobs.get(self.path)
+                if item is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                gen, body = item
+                self.send_response(200)
+                self.send_header("ETag", str(gen))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if_match = self.headers.get("If-Match")
+                if_none = self.headers.get("If-None-Match")
+                with outer._lock:
+                    cur = outer._blobs.get(self.path)
+                    if if_none == "*":
+                        if cur is not None:
+                            self.send_response(412)
+                            self.end_headers()
+                            return
+                        new_gen = 1
+                    elif if_match is not None:
+                        if cur is None or str(cur[0]) != if_match:
+                            self.send_response(412)
+                            self.end_headers()
+                            return
+                        new_gen = cur[0] + 1
+                    else:
+                        self.send_response(400)  # blind writes refused
+                        self.end_headers()
+                        return
+                    outer._blobs[self.path] = (new_gen, body)
+                    outer.puts += 1
+                    fail = outer.puts in outer._fail_puts
+                self.send_response(500 if fail else 200)
+                self.send_header("ETag", str(new_gen))
+                self.end_headers()
+
+        self._handler = Handler
+
+    def fail_after_commit(self, nth_put: int) -> None:
+        self._fail_puts.add(nth_put)
+
+    def start(self) -> str:
+        import http.server
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), self._handler
+        )
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,274 @@
+"""The SAME contended-CAS contract as tests/test_manifest_cas.py, run over
+HTTP conditional writes (streaming/object_store.py) against an in-process
+S3-semantics emulator — the object-store deployment shape, end to end:
+ETag-preconditioned manifest CAS, create-only Delta commit publication,
+exactly-one-wins under both a forced interleave and a real thread race,
+and the ambiguous 500-after-apply fault."""
+
+import json
+import os
+import threading
+
+import pytest
+
+from cdc_apache_cassandra_spark.streaming.materialize import (
+    CommitConflict,
+    active_view,
+    merge_into,
+    merge_into_retrying,
+    read_state,
+)
+from cdc_apache_cassandra_spark.streaming.object_store import (
+    ConditionalPutServer,
+    HttpLogCommitStore,
+    HttpManifestStore,
+    http_get,
+    http_put_conditional,
+)
+
+SCHEMA = (
+    "op string, pk long, writetime long, v string, w string, "
+    "segment long, position long"
+)
+
+BASE = [("INSERT", i, 10, f"v{i}", "x", 0, i) for i in range(8)]
+BATCH_A = [("UPDATE", 1, 20, "a1", "x", 1, 0), ("UPDATE", 2, 20, "a2", "x", 1, 1)]
+BATCH_B = [("UPDATE", 2, 30, "b2", "x", 2, 0), ("DELETE", 3, 30, None, None, 2, 1)]
+
+
+@pytest.fixture()
+def server():
+    s = ConditionalPutServer()
+    url = s.start()
+    yield s, url
+    s.stop()
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state_rows(spark, path, store):
+    from cdc_apache_cassandra_spark.streaming.materialize import _bucket_paths
+
+    manifest, _ = store.load(path)
+    paths = _bucket_paths(path, manifest)
+    df = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+        .drop("__ver", "__bucket")
+    )
+    return sorted((r.pk, r.op, r.writetime, r.v) for r in df.collect())
+
+
+def _sequential_result(spark, tmp_path, url, first, second):
+    store = HttpManifestStore(url)
+    path = str(tmp_path / "seq")
+    os.makedirs(path)
+    for rows in (BASE, first, second):
+        merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4, store=store)
+    return _state_rows(spark, path, store)
+
+
+# ---------------------------------------------------------------------------
+# primitive semantics
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_put_primitive(server):
+    _, url = server
+    key = f"{url}/k1"
+    assert http_get(key) == (None, None)
+    etag = http_put_conditional(key, b"one", if_none_match=True)
+    assert http_get(key) == (b"one", etag)
+    # create-only on an existing key fails
+    with pytest.raises(CommitConflict):
+        http_put_conditional(key, b"two", if_none_match=True)
+    # CAS with a stale tag fails; with the current tag succeeds
+    with pytest.raises(CommitConflict):
+        http_put_conditional(key, b"two", if_match="999")
+    etag2 = http_put_conditional(key, b"two", if_match=etag)
+    assert http_get(key) == (b"two", etag2) and etag2 != etag
+
+
+def test_blind_put_is_refused(server):
+    import urllib.error
+
+    _, url = server
+    with pytest.raises(urllib.error.HTTPError):
+        http_put_conditional(f"{url}/k2", b"x")  # no precondition header
+
+
+# ---------------------------------------------------------------------------
+# manifest CAS: the exactly-one-wins suite over HTTP
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "loser_batch,winner_batch", [(BATCH_A, BATCH_B), (BATCH_B, BATCH_A)]
+)
+def test_contended_http_cas_exactly_one_wins_and_retry_converges(
+    spark, tmp_path, server, loser_batch, winner_batch
+):
+    _, url = server
+    store = HttpManifestStore(url)
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=4, store=store)
+
+    def winner_commits():
+        merge_into(
+            spark, path, _batch(spark, winner_batch), ["pk"], n_buckets=4, store=store
+        )
+
+    store.on_commit = winner_commits
+    with pytest.raises(CommitConflict):
+        merge_into(
+            spark, path, _batch(spark, loser_batch), ["pk"], n_buckets=4, store=store
+        )
+
+    manifest, _ = store.load(path)
+    assert manifest["version"] == 2  # base + winner only
+
+    # the loser retries from scratch: reload + re-merge on top of the winner
+    merge_into(
+        spark, path, _batch(spark, loser_batch), ["pk"], n_buckets=4, store=store
+    )
+    manifest, _ = store.load(path)
+    assert manifest["version"] == 3
+    assert _state_rows(spark, path, store) == _sequential_result(
+        spark, tmp_path, url, winner_batch, loser_batch
+    )
+
+    # no orphaned version directory, no dead pointer
+    from cdc_apache_cassandra_spark.streaming.materialize import version_dir
+
+    live = {
+        version_dir(manifest, v)
+        for v in {manifest["buckets"][k] for k in manifest["buckets"]}
+    }
+    on_disk = {n for n in os.listdir(path) if n.startswith("__ver=")}
+    assert on_disk == live
+    for b, ver in manifest["buckets"].items():
+        bdir = os.path.join(path, version_dir(manifest, ver), f"__bucket={b}")
+        assert os.path.isdir(bdir)
+
+
+def test_parallel_threads_all_commit_over_http(spark, tmp_path, server):
+    """Real concurrency against the HTTP CAS: four driver threads race
+    merge_into_retrying; every writer lands; the result equals the
+    sequential merge (reducer associativity). The emulator enforces the
+    precondition atomically, exactly like S3."""
+    _, url = server
+    store = HttpManifestStore(url)
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2, store=store)
+
+    batches = [
+        [("UPDATE", i, 20 + w, f"w{w}", "x", w, i) for i in range(w, 8, 4)]
+        for w in range(4)
+    ]
+    errors = []
+
+    def writer(w):
+        try:
+            # each thread gets its own adapter (no shared hook state)
+            merge_into_retrying(
+                spark, path, _batch(spark, batches[w]), ["pk"],
+                n_buckets=2, store=HttpManifestStore(url), max_attempts=10,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    manifest, _ = store.load(path)
+    paths_df = _state_rows(spark, path, store)
+    got = {pk: (v, wt) for pk, op, wt, v in paths_df if op != "DELETE"}
+    for pk in range(8):
+        w = pk % 4
+        assert got[pk] == (f"w{w}", 20 + w), (pk, got[pk])
+
+
+def test_ambiguous_500_after_apply_then_reload_converges(spark, tmp_path, server):
+    """The object-store fault CAS must absorb: the PUT applies but the
+    writer sees HTTP 500. The writer reloads — its manifest IS there —
+    and the next merge lands on top; nothing is lost or doubled."""
+    import urllib.error
+
+    srv, url = server
+    store = HttpManifestStore(url)
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2, store=store)
+    srv.fail_after_commit(srv.puts + 1)  # next PUT: applied, then 500
+    with pytest.raises(urllib.error.HTTPError):
+        merge_into(spark, path, _batch(spark, BATCH_A), ["pk"], n_buckets=2, store=store)
+    manifest, _ = store.load(path)
+    assert manifest["version"] == 2  # the 'failed' commit actually landed
+    # follow-up merge proceeds normally on top of it
+    merge_into(spark, path, _batch(spark, BATCH_B), ["pk"], n_buckets=2, store=store)
+    assert _state_rows(spark, path, store) == _sequential_result(
+        spark, tmp_path, url, BATCH_A, BATCH_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta commit files: create-only publication through the same primitive
+# ---------------------------------------------------------------------------
+
+
+def test_delta_commits_route_through_http_create_only(spark, tmp_path, server):
+    """set_log_commit_store(HttpLogCommitStore): every numbered Delta
+    commit publishes via conditional PUT (If-None-Match: *). The server
+    holds the authoritative copy; racing a second publish of the same
+    version raises CommitConflict and the loser's re-diff is a no-op —
+    the exact contract the local os.link path has."""
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+
+    srv, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2)
+
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+    try:
+        assert dl.delta_export(spark, path, out) == 0
+        # authoritative copy is ON THE SERVER, mirrored locally for replay
+        from urllib.parse import quote
+
+        commit0 = dl._commit_path(out, 0)
+        body, _ = http_get(f"{url}/" + quote(commit0.strip("/"), safe=""))
+        assert body is not None and os.path.exists(commit0)
+        assert [json.loads(l) for l in body.decode().splitlines()] == [
+            json.loads(l) for l in open(commit0)
+        ]
+        # replay reads the mirrored log normally
+        got = sorted(r.pk for r in dl.read_delta(spark, out).collect())
+        want = sorted(
+            r.pk for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got == want
+        # a second exporter racing the SAME version loses cleanly
+        with pytest.raises(CommitConflict):
+            dl._write_commit(out, 0, [{"commitInfo": {"timestamp": 1}}])
+        # and an incremental follow-up export still works over HTTP
+        merge_into(spark, path, _batch(spark, BATCH_A), ["pk"], n_buckets=2)
+        assert dl.delta_export(spark, path, out) == 1
+        got2 = sorted(
+            (r.pk, r.v) for r in dl.read_delta(spark, out).collect()
+        )
+        want2 = sorted(
+            (r.pk, r.v) for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got2 == want2
+    finally:
+        dl.set_log_commit_store(prev)
