@@ -198,6 +198,75 @@ class CdcEngine:
             delta_path=delta_path, **kwargs,
         )
 
+    def read_store(self, path: str, mode: str = "active") -> DataFrame:
+        """The bucket store as a declarative SCAN (``cdc_store`` format):
+        Catalyst plans against it directly, and an equality/IN predicate
+        covering the store's bucket key prunes to exactly those buckets
+        at PLANNING time — the reference's per-key LIMIT 1 point read
+        (CassandraClient.java:292-337) as ordinary SQL.
+        ``mode="state"`` exposes tombstone winners (the tombstone-vs-miss
+        contract); ``"active"`` hides them (plain-LWW stores only —
+        compound stores read state + operators.lww.compound_active_view)."""
+        from cdc_apache_cassandra_spark.sources.store_source import register
+
+        register(self.spark)
+        return (
+            self.spark.read.format("cdc_store")
+            .option("path", path)
+            .option("mode", mode)
+            .load()
+        )
+
+    def point_read(
+        self,
+        path: str,
+        keys,
+        pk_cols: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Key lookup touching ONLY the routed buckets. Literal key lists
+        route driver-side with the same bit-exact hash the cdc_store
+        scan's filter pushdown uses (one routing code path); DataFrame
+        keys route via one metadata-sized Spark job."""
+        from cdc_apache_cassandra_spark.streaming.materialize import (
+            point_read,
+        )
+
+        return point_read(
+            self.spark, path, pk_cols or ["pk"], keys, bucket_cols=bucket_cols
+        )
+
+    def stream_changes(
+        self,
+        out_path: str,
+        pk_cols: list[str] | None = None,
+        starting_version: int = -1,
+        max_versions_per_batch: int | None = None,
+        consumer_id: str | None = None,
+    ) -> DataFrame:
+        """Tail the export's change feed as a STRUCTURED STREAMING source
+        (``cdc_delta_changes``): Delta versions as offsets, classified
+        change rows per micro-batch, optional durable consumer cursor
+        recorded in the log (what cleanup retention respects) — the
+        reference connector's consume→process→acknowledge loop over the
+        export instead of the events topic."""
+        from cdc_apache_cassandra_spark.sources.change_feed_source import (
+            register,
+        )
+
+        register(self.spark)
+        reader = (
+            self.spark.readStream.format("cdc_delta_changes")
+            .option("path", out_path)
+            .option("pkCols", ",".join(pk_cols or ["pk"]))
+            .option("startingVersion", starting_version)
+        )
+        if max_versions_per_batch is not None:
+            reader = reader.option("maxVersionsPerBatch", max_versions_per_batch)
+        if consumer_id is not None:
+            reader = reader.option("consumerId", consumer_id)
+        return reader.load()
+
     def export_delta(self, store_path: str, out_path: str, **kwargs):
         """Publish the store's active view as a native Delta table
         (incremental; auto-checkpoints every 10 commits). Returns the

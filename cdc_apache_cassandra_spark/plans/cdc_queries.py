@@ -837,6 +837,68 @@ def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_changes(spark, table, versions[0], versions[1], ["pk"])
 
 
+@register("cdc_delta_change_feed_stream", sql=_CDF_SQL)
+def cdc_delta_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed as a STRUCTURED STREAMING SOURCE (r5
+    verdict item 4): the same two-commit export as cdc_delta_change_feed,
+    but tailed through ``readStream.format("cdc_delta_changes")`` — log
+    versions as offsets, one InputPartition per changed bucket (the
+    exporter's add tags co-locate each key's pre/post files),
+    classification computed inside the partitions, and the consumer's
+    durable cursor recorded in the log itself
+    (delta_log.record_consumer_offset — what cleanup retention respects).
+    This is the reference connector's consume→process→acknowledge loop
+    (CassandraSource.java:452-499) over the export instead of the events
+    topic. Oracle = the SAME classification SQL as cdc_delta_change_feed:
+    the streaming and batch reads of the feed must agree exactly."""
+    import tempfile
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register as register_feed,
+    )
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    cut = 1_600_000_000_000_000 + 300_000_000
+    ev = (
+        dedup_mutations(mutation_events(spark, sf_dir))
+        .select("pk", "op", "writetime", "segment", "position", *VALUE_COLS)
+        .transform(persist_scoped)
+    )
+    root = tempfile.mkdtemp(prefix="cdc_delta_cdf_stream_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    for batch in (
+        ev.filter(F.col("writetime") <= cut),
+        ev.filter(F.col("writetime") > cut),
+    ):
+        merge_into(spark, store, batch, ["pk"], n_buckets=8)
+        delta_export(spark, store, table)
+    ev.unpersist()
+
+    register_feed(spark)
+    name = "cdf_stream_" + _uuid.uuid4().hex[:10]
+    stream = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", table)
+        .option("pkCols", "pk")
+        .option("startingVersion", 0)
+        .option("maxVersionsPerBatch", 1)
+        .option("consumerId", "gate-consumer")
+        .load()
+    )
+    q = stream.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""

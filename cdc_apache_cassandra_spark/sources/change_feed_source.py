@@ -1,0 +1,324 @@
+"""``cdc_delta_changes`` — the export's change feed as a Structured
+Streaming SOURCE, so a downstream engine tails the Delta log the way the
+reference's connector tails the events topic
+(connector/src/main/java/com/datastax/oss/cdc/CassandraSource.java:452-499:
+consume → process → acknowledge cursor).
+
+    spark.readStream.format("cdc_delta_changes")
+        .option("path", <delta table>)
+        .option("pkCols", "pk")            # classification key
+        .option("startingVersion", 0)      # offset to tail from
+                                           # (-1 = initial snapshot as inserts)
+        .option("maxVersionsPerBatch", 10) # rate limit (optional)
+        .option("consumerId", "train-job") # durable cursor (optional)
+        .load()
+
+Offsets ARE Delta versions: a micro-batch covers the net row-level change
+between two log versions, classified exactly like
+``delta_log.delta_changes`` (insert / delete / update_preimage /
+update_postimage + ``_commit_version``; unchanged bucket-rewrite
+neighbors cancel under null-safe full-row equality). Net-effect is
+per-BATCH: with ``maxVersionsPerBatch=1`` every version's own diff is
+emitted; with a larger window intermediate states inside the window
+collapse — the same contract Delta CDF batch reads have over a range.
+
+Distribution: the exporter tags every ``add`` with its store bucket, and
+a bucket's keys never migrate, so each bucket's (pre-file, post-file)
+pair is classified INDEPENDENTLY — one InputPartition per changed
+bucket, pandas/Arrow inside the partition, nothing row-sized on the
+driver. Driver work per trigger is log replay (metadata-sized). Files
+from foreign writers without bucket tags fall back to one partition
+(correct, just not parallel).
+
+Exact-type classification: partitions convert Arrow → pandas with
+``ArrowDtype`` (int64 keys stay int64 — no float64 round-trip that would
+corrupt keys past 2^53 — and null keys match null keys in the outer
+merge, the null-safe join the classification needs). One documented
+divergence from Spark's ``eqNullSafe``: a float NaN compares unequal to
+NaN here, so a NaN→NaN rewrite emits an update pair instead of
+cancelling — conservative (never loses a change).
+
+Resume: Spark checkpoints the version offset (restart replays nothing —
+pinned in tests/test_change_feed_source.py). ``consumerId`` additionally
+records the consumed-through version IN the log itself after each
+data-carrying batch (``delta_log.record_consumer_offset``), which is
+what ``delta_log_cleanup`` retention respects — the Kafka-consumer-lag
+contract. Cursor commits are txn-only log versions; the reader skips
+recording after data-free ranges, so the cursor can never self-feed.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+CDF_FIELDS = [
+    T.StructField("_change_type", T.StringType(), True),
+    T.StructField("_commit_version", T.LongType(), True),
+]
+
+
+def _table_schema(path: str) -> T.StructType:
+    from cdc_apache_cassandra_spark.streaming.delta_log import _replay
+
+    meta = _replay(path).meta
+    if meta is None:
+        raise ValueError(f"cdc_delta_changes: no Delta log at {path!r}")
+    return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+class _ChangePartition(InputPartition):
+    def __init__(self, pre: list[str], post: list[str], to_version: int):
+        self.pre = pre
+        self.post = post
+        self.to_version = to_version
+
+
+class ChangeFeedStreamReader(DataSourceStreamReader):
+    """Offset = {"version": last consumed Delta version}."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc_delta_changes requires option 'path'")
+        pk = options.get("pkcols") or options.get("pkCols")
+        if not pk:
+            raise ValueError(
+                "cdc_delta_changes requires option 'pkCols' "
+                "(comma-separated primary-key columns)"
+            )
+        self.pk_cols = [c.strip() for c in pk.split(",") if c.strip()]
+        self.schema = schema
+        missing = [c for c in self.pk_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"cdc_delta_changes: pkCols {missing} not in table schema "
+                f"{[f.name for f in schema.fields]}"
+            )
+        self.start_version = int(options.get("startingversion", -1))
+        mv = options.get("maxversionsperbatch")
+        self.max_versions = int(mv) if mv else None
+        self.consumer_id = options.get("consumerid")
+        # driver-side trackers: rate-limit base + data-bearing watermark.
+        # _primed: the base is authoritative only once we've seen a real
+        # offset (fresh run's initialOffset, or any partitions() call) —
+        # on a RESTART Spark plans from its checkpoint without telling us
+        # first, so an unprimed latestOffset must not cap (one unbounded
+        # catch-up batch, then pacing resumes).
+        self._pos = self.start_version
+        self._last_data_version = self.start_version
+        self._primed = False
+        self._unprimed_offers = 0
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        self._primed = True
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _replay,
+            consumer_offset,
+        )
+
+        last = _replay(self.path).last
+        if self.max_versions is None:
+            return {"version": max(self._pos, last)}
+        if self._primed:
+            base = self._pos
+        else:
+            # Spark 4.1 asks latestOffset BEFORE initialOffset on a fresh
+            # run (observed; restarts replay partitions() first, which
+            # primes). Pace from the best base we can know without the
+            # checkpoint: startingVersion, or the durable consumer cursor
+            # when one is recorded. Safety valve: if Spark did NOT take a
+            # capped unprimed offer (no partitions() call in between —
+            # the would-be-stall signature on an exotic restart path),
+            # the next offer is uncapped so progress is guaranteed.
+            if self._unprimed_offers > 0:
+                return {"version": max(self._pos, last)}
+            base = max(
+                self.start_version,
+                consumer_offset(self.path, self.consumer_id)
+                if self.consumer_id
+                else self.start_version,
+            )
+            self._unprimed_offers += 1
+        return {"version": max(base, min(last, base + self.max_versions))}
+
+    # -- planning ----------------------------------------------------------
+    def _files_at(self, version: int) -> dict[str, dict]:
+        from cdc_apache_cassandra_spark.streaming.delta_log import _replay
+
+        if version < 0:
+            return {}
+        return _replay(self.path, version).files
+
+    def partitions(self, start: dict, end: dict):
+        from_v, to_v = start["version"], end["version"]
+        self._pos = max(self._pos, from_v, to_v)
+        self._primed = True
+        self._unprimed_offers = 0
+        if to_v <= from_v:
+            return [_ChangePartition([], [], to_v)]  # empty batch placeholder
+        f_from = self._files_at(from_v)
+        f_to = self._files_at(to_v)
+        removed = sorted(set(f_from) - set(f_to))
+        added = sorted(set(f_to) - set(f_from))
+        if removed or added:
+            self._last_data_version = max(self._last_data_version, to_v)
+        import os
+
+        def bucket_of(p: str, files: dict) -> str | None:
+            tags = files[p].get("tags") or {}
+            return tags.get("bucket")
+
+        groups: dict[str | None, tuple[list, list]] = {}
+        for p in removed:
+            g = groups.setdefault(bucket_of(p, f_from), ([], []))
+            g[0].append(os.path.join(self.path, p))
+        for p in added:
+            g = groups.setdefault(bucket_of(p, f_to), ([], []))
+            g[1].append(os.path.join(self.path, p))
+        if None in groups and len(groups) > 1:
+            # untagged (foreign) files can pair with ANY bucket's keys —
+            # classification is only key-local if all files land together
+            pre = [f for g in groups.values() for f in g[0]]
+            post = [f for g in groups.values() for f in g[1]]
+            groups = {None: (pre, post)}
+        parts = [
+            _ChangePartition(pre, post, to_v)
+            for _, (pre, post) in sorted(
+                groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return parts or [_ChangePartition([], [], to_v)]
+
+    # -- execution ---------------------------------------------------------
+    def read(self, partition: _ChangePartition):
+        if not partition.pre and not partition.post:
+            return
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(self.schema)
+        table_fields = [
+            f for f in out_schema
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        table_schema = pa.schema(table_fields)
+        cols = [f.name for f in table_fields]
+
+        def load(paths) -> pd.DataFrame:
+            if not paths:
+                return pa.Table.from_pylist([], schema=table_schema).to_pandas(
+                    types_mapper=pd.ArrowDtype
+                )
+            tables = []
+            for p in paths:
+                t = pq.read_table(p)
+                present = set(t.column_names)
+                for f in table_fields:  # pre-DDL files: typed nulls
+                    if f.name not in present:
+                        t = t.append_column(
+                            f.name, pa.nulls(t.num_rows, type=f.type)
+                        )
+                tables.append(t.select(cols).cast(table_schema))
+            return pa.concat_tables(tables).to_pandas(types_mapper=pd.ArrowDtype)
+
+        pre = load(partition.pre)
+        post = load(partition.post)
+        value_cols = [c for c in cols if c not in self.pk_cols]
+        m = pre.merge(
+            post,
+            on=self.pk_cols,
+            how="outer",
+            suffixes=("__pre", "__post"),
+            indicator=True,
+        )
+        if value_cols:
+            same = None
+            for c in value_cols:
+                a, b = m[f"{c}__pre"], m[f"{c}__post"]
+                eq = (a == b).fillna(False) | (a.isna() & b.isna())
+                same = eq if same is None else (same & eq)
+        else:
+            same = pd.Series(True, index=m.index)
+
+        def emit(mask, side: str, change: str) -> pd.DataFrame:
+            sel = m[mask]
+            out = pd.DataFrame(index=sel.index)
+            for c in cols:
+                out[c] = sel[c] if c in self.pk_cols else sel[f"{c}__{side}"]
+            out["_change_type"] = change
+            return out
+
+        parts = [
+            emit(m["_merge"] == "right_only", "post", "insert"),
+            emit(m["_merge"] == "left_only", "pre", "delete"),
+            emit((m["_merge"] == "both") & ~same, "pre", "update_preimage"),
+            emit((m["_merge"] == "both") & ~same, "post", "update_postimage"),
+        ]
+        out = pd.concat(parts, ignore_index=True)
+        out["_commit_version"] = partition.to_version
+        result = pa.Table.from_pandas(out, preserve_index=False).select(
+            out_schema.names
+        ).cast(out_schema)
+        yield from result.to_batches()
+
+    # -- lifecycle -----------------------------------------------------------
+    def commit(self, end: dict) -> None:
+        """Record the durable consumer cursor for data-carrying progress
+        (cleanup retention respects it). Skipped for data-free ranges —
+        a cursor commit is itself a log version, and recording it again
+        would self-feed forever.
+
+        Timing contract (same as Kafka-source offset commits): Spark
+        delivers commit(N) while PLANNING batch N+1, so the cursor lags
+        the last batch until the next planning cycle — and because a
+        cursor commit advances the log, recording batch N itself
+        triggers the (data-free) cycle that acknowledges batch N+1.
+        Exactly-once resume never depends on this; the stream's own
+        checkpoint does that. The cursor is the RETENTION guard."""
+        if self.consumer_id is None:
+            return
+        v = end["version"]
+        if v < 0 or v > self._last_data_version:
+            return
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            consumer_offset,
+            record_consumer_offset,
+        )
+
+        if consumer_offset(self.path, self.consumer_id) < v:
+            record_consumer_offset(self.path, self.consumer_id, v)
+
+    def stop(self) -> None:
+        pass
+
+
+class ChangeFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_delta_changes"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cdc_delta_changes requires option 'path'")
+        return T.StructType(list(_table_schema(path).fields) + CDF_FIELDS)
+
+    def streamReader(self, schema) -> ChangeFeedStreamReader:
+        return ChangeFeedStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ChangeFeedDataSource)

@@ -743,14 +743,48 @@ def point_read(
     kdf = kdf.select(
         *[F.col(c).cast(schema[c].dataType).alias(c) for c in pk_cols]
     )
-    routed = sorted(
-        r["__b"]
-        for r in kdf.select(
-            _bucket_expr(bucket_cols, n_buckets).alias("__b")
+    if not isinstance(keys, DataFrame):
+        # literal keys route DRIVER-SIDE with the same bit-exact xxhash64
+        # port the cdc_store scan's pushFilters uses — ONE routing code
+        # path for both surfaces (pinned against each other in
+        # tests/test_store_source.py), and zero Spark jobs before the
+        # actual read. Key positions within pk_cols: bucket_cols ⊆ pk_cols
+        # by the merge_into contract.
+        from cdc_apache_cassandra_spark.functions.xxhash64_py import (
+            spark_bucket,
         )
-        .distinct()
-        .collect()
-    )
+
+        types = [schema[c].dataType for c in bucket_cols]
+        idx = [pk_cols.index(c) for c in bucket_cols]
+        try:
+            routed = sorted(
+                {
+                    spark_bucket([row[i] for i in idx], types, n_buckets)
+                    for row in (
+                        k if isinstance(k, tuple) else (k,) for k in keys
+                    )
+                }
+            )
+        except TypeError:
+            # a key type the Python port doesn't map (timestamp/decimal):
+            # route through the JVM expression instead
+            routed = sorted(
+                r["__b"]
+                for r in kdf.select(
+                    _bucket_expr(bucket_cols, n_buckets).alias("__b")
+                )
+                .distinct()
+                .collect()
+            )
+    else:
+        routed = sorted(
+            r["__b"]
+            for r in kdf.select(
+                _bucket_expr(bucket_cols, n_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        )
     paths = _bucket_paths(path, manifest, routed)
     if not paths:
         return spark.createDataFrame([], schema=schema)

@@ -1,0 +1,240 @@
+"""cdc_delta_changes streaming source (sources/change_feed_source.py):
+log versions as offsets, per-bucket distributed classification, rate
+limiting, durable consumer cursor, exactly-once resume."""
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.sources.change_feed_source import (
+    ChangeFeedStreamReader,
+    register,
+)
+from cdc_apache_cassandra_spark.streaming.delta_log import (
+    consumer_offset,
+    delta_changes,
+    delta_export,
+    delta_log_replay,
+    read_delta,
+)
+from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+SCHEMA = (
+    "op string, pk long, writetime long, v string, segment long, position long"
+)
+
+B0 = [("INSERT", i, 10, f"v{i}", 0, i) for i in range(8)]
+B1 = [("UPDATE", 1, 20, "u1", 1, 0), ("DELETE", 3, 20, None, 1, 1)]
+B2 = [("INSERT", 9, 30, "nine", 2, 0), ("UPDATE", 1, 30, "u1b", 2, 1)]
+
+
+def _build(spark, tmp_path, batches=(B0, B1, B2), n_buckets=4):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store, exist_ok=True)
+    for b in batches:
+        merge_into(spark, store, spark.createDataFrame(b, SCHEMA), ["pk"], n_buckets=n_buckets)
+        delta_export(spark, store, table)
+    return store, table
+
+
+def _tail(spark, table, wait_cursor=None, **opts):
+    register(spark)
+    name = "cdf_" + uuid.uuid4().hex[:10]
+    reader = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", table)
+        .option("pkCols", opts.pop("pkCols", "pk"))
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = reader.load().writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    if wait_cursor is not None:
+        # source.commit() fires on a LATER engine cycle than the batch it
+        # acknowledges (the cursor is a retention guard, at-least-once by
+        # design) — give the idle loop a moment to deliver it
+        import time
+
+        app, version = wait_cursor
+        for _ in range(100):
+            if consumer_offset(table, app) >= version:
+                break
+            time.sleep(0.1)
+    q.stop()
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_per_version_tail_matches_batch_delta_changes(spark, tmp_path):
+    _, table = _build(spark, tmp_path)
+    got = _tail(spark, table, startingVersion=0, maxVersionsPerBatch=1)
+    want = delta_changes(spark, table, 0, 1, ["pk"]).unionByName(
+        delta_changes(spark, table, 1, 2, ["pk"])
+    )
+    assert _rows(got) == _rows(want.select(*got.columns))
+    # pacing produced one batch per version
+    assert sorted({r["_commit_version"] for r in got.collect()}) == [1, 2]
+
+
+def test_initial_snapshot_mode(spark, tmp_path):
+    """startingVersion=-1: the v0 snapshot arrives as inserts at
+    _commit_version 0, then the tail."""
+    _, table = _build(spark, tmp_path)
+    got = _tail(spark, table, startingVersion=-1, maxVersionsPerBatch=1)
+    v0 = got.filter("_commit_version = 0")
+    assert v0.count() == 8
+    assert {r["_change_type"] for r in v0.collect()} == {"insert"}
+    snap = read_delta(spark, table, version=0)
+    assert sorted(r["pk"] for r in v0.collect()) == sorted(
+        r["pk"] for r in snap.collect()
+    )
+
+
+def test_resume_after_restart_no_duplicates(spark, tmp_path):
+    """The gate requirement: stop after consuming, add commits, restart
+    with the same checkpoint — already-consumed versions are never
+    re-emitted, new ones arrive exactly once."""
+    store, table = _build(spark, tmp_path)
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.format("cdc_delta_changes")
+            .option("path", table)
+            .option("pkCols", "pk")
+            .option("startingVersion", 0)
+            .option("maxVersionsPerBatch", 1)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert sorted({r["_commit_version"] for r in first.collect()}) == [1, 2]
+
+    for b in (
+        [("UPDATE", 2, 40, "u2", 3, 0)],
+        [("DELETE", 4, 50, None, 4, 0)],
+    ):
+        merge_into(spark, store, spark.createDataFrame(b, SCHEMA), ["pk"], n_buckets=4)
+        delta_export(spark, store, table)
+    run()
+    both = spark.read.parquet(out)
+    # no duplicates of the first run's rows...
+    assert both.filter(F.col("_commit_version") <= 2).count() == n_first
+    # ...and the two new versions arrived exactly once each
+    want = delta_changes(spark, table, 2, 3, ["pk"]).unionByName(
+        delta_changes(spark, table, 3, 4, ["pk"])
+    )
+    got_new = both.filter(F.col("_commit_version") > 2)
+    assert _rows(got_new) == _rows(want.select(*got_new.columns))
+
+
+def test_consumer_cursor_recorded_and_no_self_feed(spark, tmp_path):
+    """consumerId records the consumed-through version IN the log (a
+    txn-only commit), and the cursor commit itself never re-triggers
+    work: a second tail over the unchanged table emits nothing and
+    leaves the log version alone."""
+    _, table = _build(spark, tmp_path)
+    got = _tail(spark, table, startingVersion=0, consumerId="job-a",
+                maxVersionsPerBatch=1, wait_cursor=("job-a", 2))
+    assert got.count() > 0
+    assert consumer_offset(table, "job-a") == 2  # consumed through v2
+    # log grew ONLY by cursor txn commits (data versions 0..2 + cursors),
+    # and the cursor never chased its own commits (self-feed guard)
+    last1, files1, _ = delta_log_replay(table)
+    assert last1 > 2  # cursor commits appended...
+    got2 = _tail(spark, table, startingVersion=0, consumerId="job-b",
+                 maxVersionsPerBatch=1, wait_cursor=("job-b", 2))
+    # job-b re-reads the data versions, but the cursor txn commits are
+    # data-free and yield no rows
+    assert sorted({r["_commit_version"] for r in got2.collect()}) == [1, 2]
+    assert consumer_offset(table, "job-b") == 2  # lastdata, not log tail
+    last2, files2, _ = delta_log_replay(table)
+    assert files2 == files1  # cursor commits never touch the file set
+
+
+def test_nullable_first_pk_classifies_correctly(spark, tmp_path):
+    """A key whose FIRST pk column is null must classify as an update
+    pair across versions (explicit presence markers in the partition
+    merge — pandas ArrowDtype outer merge matches null keys)."""
+    schema = (
+        "op string, k1 long, k2 long, writetime long, v string, "
+        "segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    b1 = [
+        ("INSERT", None, 1, 10, "null-v1", 0, 0),
+        ("INSERT", 5, 1, 10, "five", 0, 1),
+    ]
+    b2 = [("INSERT", None, 1, 20, "null-v2", 1, 0)]
+    for b in (b1, b2):
+        merge_into(spark, store, spark.createDataFrame(b, schema), ["k1", "k2"], n_buckets=2)
+        delta_export(spark, store, table)
+    got = _tail(spark, table, pkCols="k1,k2", startingVersion=0)
+    rows = {(r["_change_type"], r["k1"], r["v"]) for r in got.collect()}
+    assert rows == {
+        ("update_preimage", None, "null-v1"),
+        ("update_postimage", None, "null-v2"),
+    }
+
+
+def test_untagged_foreign_files_fall_back_to_one_partition(spark, tmp_path):
+    """Files without the exporter's bucket tags (a foreign writer) can
+    pair with any key — the planner must put ALL of them in one
+    partition or cross-file updates would misclassify as
+    insert+delete."""
+    _, table = _build(spark, tmp_path, batches=(B0, B1))
+    # strip the bucket tags from every commit, as a foreign writer would
+    log_dir = os.path.join(table, "_delta_log")
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(log_dir, name)
+        actions = [json.loads(line) for line in open(p)]
+        for a in actions:
+            if "add" in a:
+                a["add"].pop("tags", None)
+        with open(p, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("pk", T.LongType()),
+        T.StructField("writetime", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("segment", T.LongType()),
+        T.StructField("position", T.LongType()),
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+    ]
+    r = ChangeFeedStreamReader(
+        {"path": table, "pkcols": "pk"}, T.StructType(fields)
+    )
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 1  # every untagged file lands together
+    # and the single-partition classification still matches the batch read
+    got = _tail(spark, table, startingVersion=0)
+    want = delta_changes(spark, table, 0, 1, ["pk"])
+    assert _rows(got) == _rows(want.select(*got.columns))

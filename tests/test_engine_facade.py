@@ -175,3 +175,72 @@ def test_facade_materialize_export_and_change_feed(spark, tmp_path):
     assert eng.read_table(
         f"{root}/table", prune=("pk", 1, 1)
     ).filter("pk = 1").collect()[0].v == "u1"
+
+
+def test_facade_store_scan_point_read_and_stream_changes(spark, tmp_path):
+    """r5 verdict item 5: the facade offers the store as a declarative
+    scan (read_store), point reads through the unified routing path, and
+    the change feed as a streaming source (stream_changes)."""
+    import os
+    import uuid
+
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        active_view,
+        merge_into,
+        read_state,
+    )
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
+    from pyspark.sql import functions as F
+
+    eng = CdcEngine(spark)
+    schema = (
+        "op string, pk long, writetime long, v string, "
+        "segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    b1 = [("INSERT", i, 10, f"v{i}", 0, i) for i in range(10)] + [
+        ("DELETE", 3, 20, None, 1, 0)
+    ]
+    merge_into(spark, store, spark.createDataFrame(b1, schema), ["pk"], n_buckets=4)
+    delta_export(spark, store, table)
+
+    # read_store == active view; state mode shows the tombstone
+    scan = eng.read_store(store)
+    direct = active_view(read_state(spark, store))
+    assert sorted(r.pk for r in scan.collect()) == sorted(
+        r.pk for r in direct.collect()
+    )
+    state = eng.read_store(store, mode="state").filter(F.col("pk") == 3)
+    assert [r.op for r in state.collect()] == ["DELETE"]
+
+    # point_read literal keys == the pushed-down scan (one routing path)
+    pr = eng.point_read(store, [2, 3, 999])
+    via_scan = eng.read_store(store, mode="state").filter(
+        F.col("pk").isin(2, 3, 999)
+    )
+    assert sorted(map(tuple, pr.select(*via_scan.columns).collect())) == sorted(
+        map(tuple, via_scan.collect())
+    )
+
+    # stream_changes tails the export
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame([("UPDATE", 2, 30, "u2", 2, 0)], schema),
+        ["pk"],
+        n_buckets=4,
+    )
+    delta_export(spark, store, table)
+    stream = eng.stream_changes(table, ["pk"], starting_version=0)
+    assert stream.isStreaming
+    name = "facade_cdf_" + uuid.uuid4().hex[:8]
+    q = stream.writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["_change_type"], r["pk"]) for r in spark.table(name).collect()
+    }
+    assert got == {("update_preimage", 2), ("update_postimage", 2)}
