@@ -312,7 +312,9 @@ def main():
     # JVM/GC noise. Flag a regression only when solo-vs-solo moves >1.5x.
     solo: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SOLO", "1") != "0":
-        top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "10"))
+        # 12 (was 10): llm_bpe_train_merges ranked 11th and was the one
+        # query r5's drift analysis wanted solo-tracked across rounds
+        top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "12"))
         top = sorted(per_query, key=per_query.get, reverse=True)[:top_n]
         for name in top:
             times = []

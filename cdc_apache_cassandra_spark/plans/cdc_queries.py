@@ -506,10 +506,8 @@ def cdc_point_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = LWW winners (tombstones INCLUDED) for the same keys."""
     import tempfile
 
-    from cdc_apache_cassandra_spark.streaming.materialize import (
-        merge_into,
-        point_read,
-    )
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
 
     ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
     path = tempfile.mkdtemp(prefix="cdc_point_read_")
@@ -520,7 +518,9 @@ def cdc_point_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("pk"))
         .filter(F.col("pk") % 41 == 0)
     )
-    got = point_read(spark, path, ["pk"], keys)
+    # through the FACADE (r5 item 5): CdcEngine.point_read delegates to
+    # the one routing code path shared with the cdc_store scan pushdown
+    got = CdcEngine(spark).point_read(path, keys, ["pk"])
     return got.select(
         "pk",
         "op",
