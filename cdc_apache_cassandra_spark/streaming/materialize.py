@@ -416,7 +416,15 @@ def merge_into(
     # before — it only ever widens (additive evolution), so scan planning
     # (cdc_store DataSource.schema) needs ZERO footer IO on stores with
     # this field; legacy stores fall back to footer unification.
-    _record_schema(manifest, merged.drop("__bucket").schema)
+    # Derived from merged.schema (analyzed once, shared with the write) —
+    # a .drop().schema here would re-analyze the whole merge plan per
+    # commit, a measurable driver cost on commit-heavy streams.
+    from pyspark.sql import types as T
+
+    _record_schema(
+        manifest,
+        T.StructType([f for f in merged.schema.fields if f.name != "__bucket"]),
+    )
     stats = _bucket_stats(spark, path, out_dir)
     for b in touched:
         k = str(b)
