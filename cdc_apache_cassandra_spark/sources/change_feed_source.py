@@ -297,9 +297,19 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             consumer_offset,
             record_consumer_offset,
         )
+        from cdc_apache_cassandra_spark.streaming.materialize import (
+            CommitConflict,
+        )
 
-        if consumer_offset(self.path, self.consumer_id) < v:
-            record_consumer_offset(self.path, self.consumer_id, v)
+        try:
+            if consumer_offset(self.path, self.consumer_id) < v:
+                record_consumer_offset(self.path, self.consumer_id, v)
+        except CommitConflict:
+            # lost every version race to a busy exporter — the cursor is
+            # retention bookkeeping, never the resume mechanism (Spark's
+            # checkpoint is), so a missed recording must not fail the
+            # stream; the next data-carrying commit retries
+            pass
 
     def stop(self) -> None:
         pass

@@ -114,17 +114,18 @@ def _spark_table_schema(path: str, manifest: dict) -> T.StructType:
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    dirs = _bucket_dirs(path, manifest)  # built once, not per bucket
     files = [
         f
         for b in sorted(manifest["buckets"], key=int)
-        for f in _bucket_files(_bucket_dirs(path, manifest)[b])
+        for f in _bucket_files(dirs[b])
     ]
     if len(files) > MAX_FOOTER_READS:
         raise ValueError(
             f"cdc_store: legacy store at {path!r} has {len(files)} live "
-            f"files (> {MAX_FOOTER_READS}); run one merge_into commit to "
-            "record the schema in the manifest instead of unbounded "
-            "plan-time footer reads"
+            f"files (> {MAX_FOOTER_READS}); run compact() once (a "
+            "full-coverage rewrite records the table schema in the "
+            "manifest) instead of unbounded plan-time footer reads"
         )
     schemas, seen = [], set()
     for f in files:
@@ -160,16 +161,21 @@ class StoreScanReader(DataSourceReader):
         # stores. Compound/custom reducers have cross-row read semantics
         # (range-tombstone dominance, static resolution) that a per-file
         # op filter cannot honor — refusing beats resurrecting dominated
-        # rows. Manifests predating the marker recorded no reducer either,
-        # so they are plain-LWW by construction.
-        kind = self.manifest.get("kind", "lww")
+        # rows. A manifest WITHOUT the marker is indistinguishable
+        # (compound stores predate it too), so it is refused as well:
+        # availability lost on a correct legacy-lww store beats silent
+        # wrong data on a legacy-compound one. One merge_into records the
+        # marker; mode='state' always works.
+        kind = self.manifest.get("kind")
         if self.mode == "active" and kind != "lww":
             raise ValueError(
                 f"cdc_store: store at {self.path!r} has kind={kind!r}; "
                 "'active' mode (row-level op filter) would resurrect rows "
-                "dominated by range tombstones. Read mode='state' and "
-                "apply the store's active view (e.g. operators.lww."
-                "compound_active_view) on top."
+                "dominated by range tombstones on a compound store. Read "
+                "mode='state' and apply the store's active view "
+                "(operators.lww.compound_active_view for compound; "
+                "filter op != 'DELETE' for plain LWW), or — for a legacy "
+                "lww store — run one merge_into to record kind='lww'."
             )
         self.arrow_schema = to_arrow_schema(schema)
         self.spark_schema = schema

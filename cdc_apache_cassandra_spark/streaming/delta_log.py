@@ -642,6 +642,7 @@ def delta_export(
     txn_version: int | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     active_view_fn=None,
+    manifest_store=None,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -658,22 +659,31 @@ def delta_export(
 
     Driver traffic is metadata-sized throughout: bucket ids, file names,
     and footer row counts — never rows. The changed buckets are read and
-    rewritten by ONE distributed job."""
-    manifest = _read_manifest(store_path)
+    rewritten by ONE distributed job.
+
+    ``manifest_store`` overrides the module-default manifest resolution
+    (cross-machine exporters of an HTTP-committed store)."""
+    manifest = (
+        _read_manifest(store_path)
+        if manifest_store is None
+        else manifest_store.load(store_path)[0]
+    )
     if manifest is None:
         raise FileNotFoundError(f"no materialized state at {store_path}")
     # The default view (row-level op filter) is sound ONLY for plain-LWW
     # stores. The manifest records the store's kind at merge time; a
     # compound/custom store exported without its dominance-aware view
     # would RESURRECT dominated rows for every external reader — refuse
-    # rather than publish wrong data. (Manifests predating the marker
-    # recorded no reducer either: plain LWW by construction.)
-    if active_view_fn is None and manifest.get("kind", "lww") != "lww":
+    # rather than publish wrong data. A manifest WITHOUT the marker is
+    # indistinguishable (compound stores predate it), so it is refused
+    # too: one merge_into records the marker on a legacy lww store.
+    if active_view_fn is None and manifest.get("kind") != "lww":
         raise ValueError(
-            f"store at {store_path} has kind={manifest['kind']!r}; pass "
-            "active_view_fn (e.g. operators.lww.compound_active_view) — "
-            "the default op!='DELETE' view would resurrect rows dominated "
-            "by partition-range tombstones"
+            f"store at {store_path} has kind={manifest.get('kind')!r}; "
+            "pass active_view_fn (operators.lww.compound_active_view for "
+            "compound stores) — the default op!='DELETE' view would "
+            "resurrect rows dominated by partition-range tombstones. For "
+            "a legacy lww store, one merge_into records kind='lww'."
         )
     log = _replay(out_path)
     if (

@@ -174,6 +174,41 @@ class InMemoryManifestStore(ManifestStore):
 _DEFAULT_STORE = LocalManifestStore()
 
 
+def _py_cast(value, dt):
+    """Driver-side twin of the ``cast(pk to table dtype)`` the DataFrame
+    key path applies before hashing: coerce a literal Python key value to
+    the type Spark's xxhash64 would see. Raises TypeError/ValueError for
+    anything the cast can't represent — the caller falls back to routing
+    through the JVM expression (which nulls uncastables, matching the
+    DataFrame path's semantics)."""
+    if value is None:
+        return None
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        if isinstance(value, float) and not value.is_integer():
+            raise TypeError(f"non-integral {value!r} for {s} key")
+        return int(value)
+    if s in ("float", "double"):
+        return float(value)
+    if s == "string":
+        return str(value)
+    if s == "boolean":
+        return bool(value)
+    if s == "binary":
+        if isinstance(value, (bytes, bytearray, memoryview)):
+            return bytes(value)
+        raise TypeError(f"non-bytes {type(value).__name__} for binary key")
+    if s == "date":
+        import datetime
+
+        if isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        ):
+            return value
+        raise TypeError(f"{type(value).__name__} for date key")
+    raise TypeError(f"no driver-side cast for key type {s!r}")
+
+
 def _all_nullable(dt):
     """Parquet round-trips every field as nullable — normalize the plan
     schema the same way so the recorded schema matches what any reader of
@@ -243,11 +278,15 @@ def _bucket_paths(path: str, manifest: dict, buckets: list[int] | None = None) -
     ]
 
 
-def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+def read_state(
+    spark: SparkSession, path: str, store: ManifestStore | None = None
+) -> DataFrame | None:
     """Current table state (tombstones included), resolved via the
     manifest pointer. Partition pruning is structural: only live
-    ``v=/b=`` directories are listed at all."""
-    manifest = _read_manifest(path)
+    ``v=/b=`` directories are listed at all. ``store`` overrides the
+    module-default manifest resolution (cross-machine readers of an
+    HTTP-committed store pass their HttpManifestStore here)."""
+    manifest = (store or _DEFAULT_STORE).load(path)[0]
     if manifest is None or not manifest["buckets"]:
         return None
     paths = _bucket_paths(path, manifest)
@@ -326,11 +365,19 @@ def merge_into(
     ``reducer`` is None — a row tombstone filter suffices), ``"compound"``
     (partition-range tombstones + static resolution: the raw op filter
     would resurrect dominated rows), or any caller-defined tag for custom
-    reducers (default ``"custom"``). The marker is write-once: a later
-    merge with a conflicting explicit kind raises."""
+    reducers (default ``"custom"``). Write-once consistency: an explicit
+    ``kind`` must match the recorded one; omitting it with a custom
+    ``reducer`` INHERITS the recorded kind (incremental re-merges never
+    restate it); omitting BOTH implies "lww" — merging the default LWW
+    reducer into a compound store raises rather than corrupting it."""
     manifest, tag = store.load(path)
     bucket_cols = bucket_cols or pk_cols
-    kind = kind or ("lww" if reducer is None else "custom")
+    # what this call asserts about the store's semantics: the explicit
+    # kind, or "lww" when the default reducer is used (the default
+    # reducer IS lww semantics); a custom reducer without a kind asserts
+    # nothing and inherits.
+    asserted_kind = kind if kind is not None else ("lww" if reducer is None else None)
+    default_kind = asserted_kind or "custom"
     manifest = manifest or {
         "version": 0,
         "n_buckets": n_buckets,
@@ -341,7 +388,7 @@ def merge_into(
         "bucket_cols": bucket_cols,
         # self-describing semantics: which active view is sound on top
         # of this state (cdc_store 'active' mode / delta_export default)
-        "kind": kind,
+        "kind": default_kind,
     }
     n_buckets = manifest["n_buckets"]
     recorded = manifest.setdefault("bucket_cols", bucket_cols)
@@ -350,12 +397,22 @@ def merge_into(
             f"store at {path} is bucketed on {recorded}; merging with "
             f"bucket_cols={bucket_cols} would split keys across buckets"
         )
-    recorded_kind = manifest.setdefault("kind", kind)
-    if recorded_kind != kind:
+    recorded_kind = manifest.setdefault("kind", default_kind)
+    if asserted_kind is not None and recorded_kind != asserted_kind:
         raise ValueError(
             f"store at {path} has kind={recorded_kind!r}; merging with "
-            f"kind={kind!r} would flip its read semantics mid-life"
+            f"kind={asserted_kind!r}"
+            f"{' (implied by the default LWW reducer)' if kind is None else ''}"
+            " would flip its read semantics mid-life"
         )
+    # Schema recording is safe only when the recorded schema cannot NARROW
+    # the table: a fresh store (this merge defines it), or a store that
+    # already records one (reconcile only widens). A LEGACY store's first
+    # post-upgrade merge sees only its touched buckets — recording that
+    # would drop columns living solely in untouched buckets — so legacy
+    # stores keep the footer-unification read path until a full-coverage
+    # rewrite (compact) records the true table schema.
+    can_record_schema = "schema" in manifest or not manifest["buckets"]
     if reducer is None:
         reducer = lambda df: last_write_wins(df, pk_cols=pk_cols)  # noqa: E731
     batch = batch.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
@@ -419,12 +476,15 @@ def merge_into(
     # Derived from merged.schema (analyzed once, shared with the write) —
     # a .drop().schema here would re-analyze the whole merge plan per
     # commit, a measurable driver cost on commit-heavy streams.
-    from pyspark.sql import types as T
+    if can_record_schema:
+        from pyspark.sql import types as T
 
-    _record_schema(
-        manifest,
-        T.StructType([f for f in merged.schema.fields if f.name != "__bucket"]),
-    )
+        _record_schema(
+            manifest,
+            T.StructType(
+                [f for f in merged.schema.fields if f.name != "__bucket"]
+            ),
+        )
     stats = _bucket_stats(spark, path, out_dir)
     for b in touched:
         k = str(b)
@@ -677,6 +737,18 @@ def compact(
         for key in ("bucket_cols", "kind", "schema"):
             if key in manifest:
                 new_manifest[key] = manifest[key]
+        # a full rewrite reads EVERY live bucket, so its schema is the
+        # true table schema — this is also how a LEGACY store (no
+        # recorded schema; merge_into must not record from partial
+        # coverage) upgrades to zero-footer-IO scan planning
+        from pyspark.sql import types as T
+
+        _record_schema(
+            new_manifest,
+            T.StructType(
+                [f for f in state.schema.fields if f.name != "__bucket"]
+            ),
+        )
     else:
         new_manifest = manifest
         new_manifest["version"] = version
@@ -711,6 +783,7 @@ def point_read(
     pk_cols: list[str],
     keys,
     bucket_cols: list[str] | None = None,
+    store: ManifestStore | None = None,
 ) -> DataFrame | None:
     """Key lookup that touches ONLY the routed buckets — the store-side
     analogue of the reference's per-key ``LIMIT 1`` point read (SURVEY
@@ -727,7 +800,7 @@ def point_read(
     semi-join, nothing row-sized on the driver."""
     from pyspark.sql import types as T
 
-    manifest = _read_manifest(path)
+    manifest = (store or _DEFAULT_STORE).load(path)[0]
     if manifest is None or not manifest["buckets"]:
         return None
     n_buckets = manifest["n_buckets"]
@@ -740,10 +813,14 @@ def point_read(
         .drop("__ver", "__bucket")
         .schema
     )
-    if isinstance(keys, DataFrame):
+    rows = (
+        None
+        if isinstance(keys, DataFrame)
+        else [k if isinstance(k, tuple) else (k,) for k in keys]
+    )  # materialized ONCE — keys may be a generator
+    if rows is None:
         kdf = keys
     else:
-        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
         kdf = spark.createDataFrame(
             rows, schema=T.StructType([schema[c] for c in pk_cols])
         )
@@ -751,13 +828,25 @@ def point_read(
     kdf = kdf.select(
         *[F.col(c).cast(schema[c].dataType).alias(c) for c in pk_cols]
     )
-    if not isinstance(keys, DataFrame):
+
+    def _routed_via_jvm():
+        return sorted(
+            r["__b"]
+            for r in kdf.select(
+                _bucket_expr(bucket_cols, n_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        )
+
+    if rows is not None:
         # literal keys route DRIVER-SIDE with the same bit-exact xxhash64
         # port the cdc_store scan's pushFilters uses — ONE routing code
         # path for both surfaces (pinned against each other in
         # tests/test_store_source.py), and zero Spark jobs before the
-        # actual read. Key positions within pk_cols: bucket_cols ⊆ pk_cols
-        # by the merge_into contract.
+        # actual read. Values are coerced like the kdf cast above (the
+        # hash is type-sensitive); anything the Python port can't map —
+        # or a value the cast would have nulled — falls back to the JVM.
         from cdc_apache_cassandra_spark.functions.xxhash64_py import (
             spark_bucket,
         )
@@ -767,32 +856,18 @@ def point_read(
         try:
             routed = sorted(
                 {
-                    spark_bucket([row[i] for i in idx], types, n_buckets)
-                    for row in (
-                        k if isinstance(k, tuple) else (k,) for k in keys
+                    spark_bucket(
+                        [_py_cast(row[i], types[j]) for j, i in enumerate(idx)],
+                        types,
+                        n_buckets,
                     )
+                    for row in rows
                 }
             )
-        except TypeError:
-            # a key type the Python port doesn't map (timestamp/decimal):
-            # route through the JVM expression instead
-            routed = sorted(
-                r["__b"]
-                for r in kdf.select(
-                    _bucket_expr(bucket_cols, n_buckets).alias("__b")
-                )
-                .distinct()
-                .collect()
-            )
+        except (TypeError, ValueError):
+            routed = _routed_via_jvm()
     else:
-        routed = sorted(
-            r["__b"]
-            for r in kdf.select(
-                _bucket_expr(bucket_cols, n_buckets).alias("__b")
-            )
-            .distinct()
-            .collect()
-        )
+        routed = _routed_via_jvm()
     paths = _bucket_paths(path, manifest, routed)
     if not paths:
         return spark.createDataFrame([], schema=schema)

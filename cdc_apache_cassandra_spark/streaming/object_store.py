@@ -27,7 +27,9 @@ semantics (atomic check-and-set under one lock, monotone ETags) used by
 the contract tests (tests/test_manifest_http.py — the SAME
 exactly-one-wins suite the in-memory store runs) and usable as a
 single-node coordination point in dev. Against a real bucket, swap the
-base URL; nothing else in merge_into / delta_export changes.
+base URL. Both adapters mirror the winning write locally by default so
+same-machine readers that resolve through the module-default store see
+committed state; cross-machine readers pass the HTTP store explicitly.
 
 Scale note: manifests and commit files are metadata-sized (KBs); every
 data byte still moves through distributed parquet IO. The HTTP hop per
@@ -113,12 +115,23 @@ class HttpManifestStore(ManifestStore):
     (tests/test_manifest_http.py pins both the forced interleave and a
     real 4-thread race).
 
+    ``mirror_local=True`` (default) also materializes the winning
+    manifest at its local ``_MANIFEST.json`` path AFTER the PUT decides
+    the race, so this process's default-store READERS (read_state /
+    point_read / delta_export / the cdc_store scan, which resolve the
+    manifest through the module default) see the committed state — the
+    single-coordinator deployment shape. Writers on OTHER machines must
+    pass this store explicitly to their readers' ``store=`` parameters
+    (or read through their own mirror); the commit-side atomicity — the
+    part that decides correctness — is entirely the conditional PUT.
+
     ``on_commit`` is the same test seam InMemoryManifestStore exposes:
     it runs after the caller's load, inside its commit — the interleave
     point a competing writer lands in."""
 
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, mirror_local: bool = True):
         self.base_url = base_url.rstrip("/")
+        self.mirror_local = mirror_local
         self.on_commit = None
 
     def _url(self, path: str) -> str:
@@ -140,6 +153,15 @@ class HttpManifestStore(ManifestStore):
             http_put_conditional(self._url(path), data, if_none_match=True)
         else:
             http_put_conditional(self._url(path), data, if_match=str(expect_tag))
+        if self.mirror_local:
+            import os
+            import uuid
+
+            local = os.path.join(path, "_MANIFEST.json")
+            tmp = f"{local}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(data.decode())
+            os.replace(tmp, local)  # the PUT already decided the race
 
 
 class HttpLogCommitStore:

@@ -272,3 +272,41 @@ def test_delta_commits_route_through_http_create_only(spark, tmp_path, server):
         assert got2 == want2
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_http_mirror_makes_default_readers_work(spark, tmp_path, server):
+    """HttpManifestStore mirrors the winning manifest locally (default),
+    so the module-default readers — read_state, point_read, delta_export,
+    the cdc_store scan — see HTTP-committed state; with mirror_local=False
+    the same readers take the store explicitly (cross-machine shape)."""
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+    from cdc_apache_cassandra_spark.streaming.materialize import point_read
+
+    _, url = server
+    store = HttpManifestStore(url)
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2, store=store)
+
+    # default (LocalManifestStore-resolved) readers see the mirror
+    st = read_state(spark, path)
+    assert st is not None and st.count() == len(BASE)
+    pr = point_read(spark, path, ["pk"], [1, 2])
+    assert sorted(r.pk for r in pr.collect()) == [1, 2]
+    out = str(tmp_path / "delta")
+    assert dl.delta_export(spark, path, out) == 0
+
+    # mirror_local=False: default readers see nothing; explicit store works
+    store2 = HttpManifestStore(url, mirror_local=False)
+    path2 = str(tmp_path / "store2")
+    os.makedirs(path2)
+    merge_into(spark, path2, _batch(spark, BASE), ["pk"], n_buckets=2, store=store2)
+    assert read_state(spark, path2) is None  # no local manifest
+    st2 = read_state(spark, path2, store=store2)
+    assert st2 is not None and st2.count() == len(BASE)
+    pr2 = point_read(spark, path2, ["pk"], [3], store=store2)
+    assert [r.pk for r in pr2.collect()] == [3]
+    out2 = str(tmp_path / "delta2")
+    assert dl.delta_export(spark, path2, out2, manifest_store=store2) == 0
+    got = sorted(r.pk for r in dl.read_delta(spark, out2).collect())
+    assert got == sorted(b[1] for b in BASE)

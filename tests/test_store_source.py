@@ -448,3 +448,121 @@ def test_kind_marker_is_write_once(spark):
     )
     with pytest.raises(ValueError, match="kind"):
         merge_into(spark, path, ev, ["pk_p", "pk_c"], bucket_cols=["pk_p"])
+
+
+def test_kind_inherits_for_custom_reducer_re_merge(spark):
+    """Incremental re-merges with a custom reducer don't restate kind —
+    it inherits; but the DEFAULT reducer (implied lww) into a compound
+    store still raises (it would corrupt the state, not just the view)."""
+    path = tempfile.mkdtemp(prefix="t_store_kind_inherit_")
+    ev = _compound_events(spark)
+    merge_into(
+        spark, path, ev, ["pk_p", "pk_c"], bucket_cols=["pk_p"],
+        reducer=compound_reduce, kind="compound", n_buckets=4,
+    )
+    # custom reducer, no kind: inherits, no raise
+    merge_into(
+        spark, path, ev, ["pk_p", "pk_c"], bucket_cols=["pk_p"],
+        reducer=compound_reduce, n_buckets=4,
+    )
+    m = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert m["kind"] == "compound"
+    # default reducer implies lww: refused on a compound store
+    with pytest.raises(ValueError, match="implied by the default LWW"):
+        merge_into(spark, path, ev, ["pk_p", "pk_c"], bucket_cols=["pk_p"])
+
+
+def _strip_manifest(path, *fields):
+    mf = os.path.join(path, "_MANIFEST.json")
+    m = json.load(open(mf))
+    for f in fields:
+        m.pop(f, None)
+    json.dump(m, open(mf, "w"))
+    return m
+
+
+def test_legacy_store_partial_merge_does_not_narrow_schema(spark):
+    """A LEGACY store (no recorded schema) whose evolved column lives
+    only in untouched buckets: a partial merge must NOT record a
+    narrowed schema; the scan keeps unioning footers (column visible);
+    compact() (full coverage) then records the true table schema."""
+    from cdc_apache_cassandra_spark.streaming.materialize import compact
+
+    path = tempfile.mkdtemp(prefix="t_store_legacy_")
+    merge_into(spark, path, _lww_events(spark, 40), ["pk"], n_buckets=4)
+    evolved = (
+        _lww_events(spark, 10)
+        .withColumn("c_tier", F.lit("gold"))
+        .withColumn("pk", F.col("pk") + 1000)
+    )
+    merge_into(spark, path, evolved, ["pk"], n_buckets=4)
+    _strip_manifest(path, "schema", "kind")  # simulate a pre-r6 manifest
+
+    # partial merge touching one bucket, OLD (narrow) schema
+    merge_into(
+        spark, path, _lww_events(spark, 3).withColumn("pk", F.col("pk") + 5000),
+        ["pk"], n_buckets=4,
+    )
+    m = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert "schema" not in m  # never recorded from partial coverage
+    register(spark)
+    scan = (
+        spark.read.format("cdc_store")
+        .option("path", path)
+        .option("mode", "state")
+        .load()
+    )
+    assert "c_tier" in scan.columns  # footer-union fallback still wide
+    assert scan.filter(F.col("c_tier") == "gold").count() == 10
+
+    compact(spark, path, ["pk"])  # full rewrite records the TRUE schema
+    m2 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    fields = [f["name"] for f in json.loads(m2["schema"])["fields"]]
+    assert "c_tier" in fields
+    scan2 = (
+        spark.read.format("cdc_store")
+        .option("path", path)
+        .option("mode", "state")
+        .load()
+    )
+    assert scan2.filter(F.col("c_tier") == "gold").count() == 10
+
+
+def test_legacy_store_without_kind_refuses_active(spark):
+    """A manifest without the kind marker is indistinguishable from a
+    compound store — 'active' is refused until one merge records it."""
+    path = tempfile.mkdtemp(prefix="t_store_nokin_")
+    merge_into(spark, path, _lww_events(spark, 20), ["pk"], n_buckets=4)
+    _strip_manifest(path, "kind")
+    register(spark)
+    with pytest.raises(Exception, match="kind=None"):
+        spark.read.format("cdc_store").option("path", path).load().collect()
+    # one merge records kind='lww' and active works again
+    merge_into(spark, path, _lww_events(spark, 2), ["pk"], n_buckets=4)
+    got = spark.read.format("cdc_store").option("path", path).load()
+    assert got.count() > 0
+
+
+def test_point_read_accepts_generator_keys(spark, lww_store):
+    """Literal keys may be any iterable — materialized once (a generator
+    must not be exhausted before routing)."""
+    got = point_read(spark, lww_store, ["pk"], (k for k in [3, 7, 999]))
+    assert sorted(r["pk"] for r in got.collect()) == [3, 7]
+
+
+def test_point_read_unmapped_key_type_falls_back_to_jvm(spark):
+    """A key type the Python hash port doesn't map (timestamp) routes
+    through the JVM expression instead of crashing — same result, one
+    metadata-sized Spark job."""
+    path = tempfile.mkdtemp(prefix="t_store_tskey_")
+    df = spark.range(0, 50).select(
+        F.timestamp_seconds(F.col("id") * 3600).alias("pk"),
+        F.lit("INSERT").alias("op"),
+        F.col("id").alias("writetime"),
+        F.lit(0).cast("long").alias("segment"),
+        F.col("id").alias("position"),
+    )
+    merge_into(spark, path, df, ["pk"], n_buckets=4)
+    keys = [datetime.datetime(1970, 1, 1, 3, 0, 0)]  # id=3's timestamp
+    got = point_read(spark, path, ["pk"], keys)
+    assert [r["writetime"] for r in got.collect()] == [3]
