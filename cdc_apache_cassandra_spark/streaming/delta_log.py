@@ -84,6 +84,95 @@ def _commit_path(out_path: str, version: int) -> str:
     return os.path.join(out_path, LOG_DIR, f"{version:020d}.json")
 
 
+# ---------------------------------------------------------------------------
+# Read-side IO: local paths take the plain-POSIX fast path; URI table
+# roots (file://, s3://, gs://, hdfs://) resolve through pyarrow.fs, so
+# FOREIGN tables living in an object store can be mounted read-only with
+# no extra dependency (pyarrow ships S3/GCS/Hadoop filesystems). Writers
+# stay local-root (commit publication goes through the create-only
+# LogCommitStore seam instead — see set_log_commit_store); file:// is
+# accepted everywhere and exercises the filesystem code path in tests.
+# ---------------------------------------------------------------------------
+
+
+def _fs(path: str):
+    """(filesystem | None, path-in-that-filesystem). None = plain POSIX."""
+    if "://" not in path:
+        return None, path
+    import pyarrow.fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _local_root(path: str) -> str:
+    """Writers need a POSIX-addressable root: plain paths pass through,
+    file:// URIs strip to their local path, anything else is refused —
+    remote logs are READ-only here; remote commits go through the
+    conditional-PUT seam (:func:`set_log_commit_store`)."""
+    if "://" not in path:
+        return path
+    if path.startswith("file://"):
+        return _fs(path)[1]
+    # refused by SCHEME, before any remote filesystem is instantiated
+    # (an S3 client construction may touch credentials/network)
+    raise NotImplementedError(
+        f"{path}: this writer needs a local table root; remote logs are "
+        "read-only (mount for reads via the URI; publish commits through "
+        "set_log_commit_store / the ManifestStore adapters)"
+    )
+
+
+def _io_listdir(dir_path: str) -> list[str]:
+    """Base names in a directory; [] when it doesn't exist."""
+    fs, p = _fs(dir_path)
+    if fs is None:
+        try:
+            return os.listdir(p)
+        except FileNotFoundError:
+            return []
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except FileNotFoundError:
+        return []
+    return [i.base_name for i in infos]
+
+
+def _io_exists(path: str) -> bool:
+    fs, p = _fs(path)
+    if fs is None:
+        return os.path.exists(p)
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def _io_read_bytes(path: str) -> bytes:
+    """Raises FileNotFoundError uniformly when absent."""
+    fs, p = _fs(path)
+    if fs is None:
+        with open(p, "rb") as f:
+            return f.read()
+    import pyarrow as pa
+
+    try:
+        with fs.open_input_stream(p) as f:
+            return f.read()
+    except (FileNotFoundError, pa.lib.ArrowIOError) as e:
+        # pyarrow surfaces missing keys as IOError on some filesystems
+        if "No such file" in str(e) or isinstance(e, FileNotFoundError):
+            raise FileNotFoundError(p)
+        raise
+
+
+def _io_read_parquet(path: str):
+    import pyarrow.parquet as pq
+
+    fs, p = _fs(path)
+    return pq.read_table(p, filesystem=fs) if fs is not None else pq.read_table(p)
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -105,8 +194,9 @@ def _read_last_checkpoint(out_path: str) -> dict | None:
     ``{"version": V, "size": n, ...}`` (extra fields tolerated; this
     writer stashes its empty-bucket memo there)."""
     try:
-        with open(os.path.join(out_path, LOG_DIR, LAST_CHECKPOINT)) as f:
-            return json.load(f)
+        return json.loads(
+            _io_read_bytes(os.path.join(out_path, LOG_DIR, LAST_CHECKPOINT))
+        )
     except FileNotFoundError:
         return None
 
@@ -131,11 +221,11 @@ def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:
         ]
     else:
         files = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
-    missing = [p for p in files if not os.path.exists(p)]
+    missing = [p for p in files if not _io_exists(p)]
     if missing:
         v2 = [
             n
-            for n in os.listdir(log_dir)
+            for n in _io_listdir(log_dir)
             if n.startswith(f"{v:020d}.checkpoint.") and n.endswith(".parquet")
         ]
         if v2:
@@ -160,10 +250,7 @@ def _list_commits(
     ``after``+1 or the replay would silently drop files — refuse loudly
     on a gap."""
     log_dir = os.path.join(out_path, LOG_DIR)
-    try:
-        names = os.listdir(log_dir)
-    except FileNotFoundError:
-        return []
+    names = _io_listdir(log_dir)
     commits = sorted(
         (int(n[: -len(".json")]), os.path.join(log_dir, n))
         for n in names
@@ -206,12 +293,10 @@ def _load_checkpoint_state(out_path: str, last_cp: dict) -> "_LogState":
     each). ``remove`` rows are VACUUM tombstones, irrelevant to the
     current file set. Driver-side pyarrow read: checkpoints are
     metadata-sized (one row per live file)."""
-    import pyarrow.parquet as pq
-
     state = _LogState()
     state.last = int(last_cp["version"])
     for path in _checkpoint_files(out_path, last_cp):
-        tbl = pq.read_table(path)
+        tbl = _io_read_parquet(path)
         cols = set(tbl.column_names)
         rows = tbl.to_pylist()
         for row in rows:
@@ -268,8 +353,8 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
     for version, path in _list_commits(out_path, after=state.last):
         if max_version is not None and version > max_version:
             break
-        with open(path) as f:
-            for line in f:
+        if True:
+            for line in _io_read_bytes(path).decode().splitlines():
                 line = line.strip()
                 if not line:
                     continue
@@ -548,6 +633,7 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    out_path = _local_root(out_path)
     state = _replay(out_path, version)
     if state.last < 0:
         raise FileNotFoundError(f"no Delta log at {out_path} to checkpoint")
@@ -609,6 +695,7 @@ def delta_log_cleanup(
     that consumer's next poll (the Kafka-retention-vs-consumer-lag
     tradeoff, decided for safety; pass False to evict laggards).
     Returns the deleted file names."""
+    out_path = _local_root(out_path)
     last_cp = _read_last_checkpoint(out_path)
     if last_cp is None:
         return []
@@ -663,6 +750,7 @@ def delta_export(
 
     ``manifest_store`` overrides the module-default manifest resolution
     (cross-machine exporters of an HTTP-committed store)."""
+    out_path = _local_root(out_path)
     manifest = (
         _read_manifest(store_path)
         if manifest_store is None
@@ -1157,6 +1245,7 @@ def record_consumer_offset(
         ... process ...
         record_consumer_offset(path, "my-job", new)
     """
+    out_path = _local_root(out_path)
     for _ in range(max_attempts):
         s = _replay(out_path)
         if s.last < 0:
@@ -1197,18 +1286,17 @@ def delta_history(out_path: str) -> list[dict]:
     checkpoint) appear, as in Delta's own metadata retention."""
     out = []
     log_dir = os.path.join(out_path, LOG_DIR)
-    try:
-        versions = sorted(
-            int(n[: -len(".json")])
-            for n in os.listdir(log_dir)
-            if n.endswith(".json") and n[0].isdigit()
-        )
-    except FileNotFoundError:
+    versions = sorted(
+        int(n[: -len(".json")])
+        for n in _io_listdir(log_dir)
+        if n.endswith(".json") and n[0].isdigit()
+    )
+    if not versions:
         return out
-    first = versions[0] if versions else 0
+    first = versions[0]
     for version, path in _list_commits(out_path, after=first - 1):
-        with open(path) as f:
-            for line in f:
+        if True:
+            for line in _io_read_bytes(path).decode().splitlines():
                 line = line.strip()
                 if line:
                     action = json.loads(line)
@@ -1226,6 +1314,7 @@ def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
     at (the same reason real Delta defaults to a 7-day retention).
     Time travel to versions whose files were vacuumed stops working, as
     in Delta. Returns the deleted paths."""
+    out_path = _local_root(out_path)
     s = _replay(out_path)
     live = {os.path.normpath(p) for p in s.files}
     deleted = []
