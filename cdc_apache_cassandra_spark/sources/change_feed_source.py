@@ -304,11 +304,13 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         try:
             if consumer_offset(self.path, self.consumer_id) < v:
                 record_consumer_offset(self.path, self.consumer_id, v)
-        except CommitConflict:
-            # lost every version race to a busy exporter — the cursor is
-            # retention bookkeeping, never the resume mechanism (Spark's
-            # checkpoint is), so a missed recording must not fail the
-            # stream; the next data-carrying commit retries
+        except (CommitConflict, NotImplementedError):
+            # CommitConflict: lost every version race to a busy exporter.
+            # NotImplementedError: the table root is a remote READ-ONLY
+            # URI — cursor commits need a writable log. Either way the
+            # cursor is retention bookkeeping, never the resume mechanism
+            # (Spark's checkpoint is), so a missed recording must not
+            # fail the stream; the next data-carrying commit retries.
             pass
 
     def stop(self) -> None:

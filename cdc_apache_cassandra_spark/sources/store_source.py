@@ -94,8 +94,10 @@ def _bucket_files(bucket_dir: str) -> list[str]:
 
 #: legacy-fallback ceiling: footer unification is a driver-side planning
 #: cost, acceptable for the ≤4096-single-file-bucket layouts legacy stores
-#: actually have; a store past this should be re-merged once (any commit
-#: records the schema) rather than paying unbounded plan-time IO forever
+#: actually have; a store past this should run compact() once (a
+#: full-coverage rewrite records the table schema in the manifest —
+#: partial merges deliberately do NOT, see materialize._record_schema)
+#: rather than paying unbounded plan-time IO forever
 MAX_FOOTER_READS = 8192
 
 

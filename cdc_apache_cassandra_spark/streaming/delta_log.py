@@ -50,6 +50,7 @@ rest of the lakehouse already speaks, kept current incrementally.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -87,18 +88,30 @@ def _commit_path(out_path: str, version: int) -> str:
 # ---------------------------------------------------------------------------
 # Read-side IO: local paths take the plain-POSIX fast path; URI table
 # roots (file://, s3://, gs://, hdfs://) resolve through pyarrow.fs, so
-# FOREIGN tables living in an object store can be mounted read-only with
-# no extra dependency (pyarrow ships S3/GCS/Hadoop filesystems). Writers
-# stay local-root (commit publication goes through the create-only
-# LogCommitStore seam instead — see set_log_commit_store); file:// is
-# accepted everywhere and exercises the filesystem code path in tests.
+# a FOREIGN table's LOG replays from an object store with no extra
+# Python dependency (pyarrow ships S3/GCS/Hadoop filesystems). The DATA
+# files still scan through spark.read.parquet — on a real cluster that
+# needs the matching Hadoop cloud connector jars (hadoop-aws/S3A etc.,
+# standard on managed Spark); file:// is handled natively end to end and
+# is what the tests exercise. Writers stay local-root (commit
+# publication goes through the create-only LogCommitStore seam instead —
+# see set_log_commit_store).
 # ---------------------------------------------------------------------------
 
 
 def _fs(path: str):
-    """(filesystem | None, path-in-that-filesystem). None = plain POSIX."""
+    """(filesystem | None, path-in-that-filesystem). None = plain POSIX.
+    Cached per full path: log replay touches the same commit/checkpoint
+    files every trigger, and re-running ``from_uri`` would construct a
+    fresh filesystem client per call (credential/region resolution on
+    S3). LRU-bounded so month-long version histories can't grow it."""
     if "://" not in path:
         return None, path
+    return _fs_cached(path)
+
+
+@functools.lru_cache(maxsize=4096)
+def _fs_cached(path: str):
     import pyarrow.fs as pafs
 
     return pafs.FileSystem.from_uri(path)
@@ -353,31 +366,30 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
     for version, path in _list_commits(out_path, after=state.last):
         if max_version is not None and version > max_version:
             break
-        if True:
-            for line in _io_read_bytes(path).decode().splitlines():
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    state.files[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    state.files.pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    state.meta = action["metaData"]
-                elif "txn" in action:
-                    t = action["txn"]
-                    state.txns[t["appId"]] = max(
-                        t["version"], state.txns.get(t["appId"], -1)
-                    )
-                elif "protocol" in action:
-                    _check_protocol(action["protocol"], out_path)
-                elif "commitInfo" in action:
-                    empties = action["commitInfo"].get("emptyBuckets")
-                    if empties is not None:
-                        state.empty_buckets = {
-                            int(b): int(v) for b, v in empties.items()
-                        }
+        for line in _io_read_bytes(path).decode().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                state.files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                state.files.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                state.meta = action["metaData"]
+            elif "txn" in action:
+                t = action["txn"]
+                state.txns[t["appId"]] = max(
+                    t["version"], state.txns.get(t["appId"], -1)
+                )
+            elif "protocol" in action:
+                _check_protocol(action["protocol"], out_path)
+            elif "commitInfo" in action:
+                empties = action["commitInfo"].get("emptyBuckets")
+                if empties is not None:
+                    state.empty_buckets = {
+                        int(b): int(v) for b, v in empties.items()
+                    }
         state.last = version
     if max_version is not None and state.last < max_version:
         raise FileNotFoundError(
@@ -1295,13 +1307,12 @@ def delta_history(out_path: str) -> list[dict]:
         return out
     first = versions[0]
     for version, path in _list_commits(out_path, after=first - 1):
-        if True:
-            for line in _io_read_bytes(path).decode().splitlines():
-                line = line.strip()
-                if line:
-                    action = json.loads(line)
-                    if "commitInfo" in action:
-                        out.append({"version": version, **action["commitInfo"]})
+        for line in _io_read_bytes(path).decode().splitlines():
+            line = line.strip()
+            if line:
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    out.append({"version": version, **action["commitInfo"]})
     return out
 
 

@@ -50,6 +50,7 @@ import urllib.parse
 import urllib.request
 
 from cdc_apache_cassandra_spark.streaming.materialize import (
+    MANIFEST,
     CommitConflict,
     ManifestStore,
 )
@@ -136,7 +137,7 @@ class HttpManifestStore(ManifestStore):
 
     def _url(self, path: str) -> str:
         key = urllib.parse.quote(path.strip("/"), safe="")
-        return f"{self.base_url}/{key}/_MANIFEST.json"
+        return f"{self.base_url}/{key}/{MANIFEST}"
 
     def load(self, path: str) -> tuple[dict | None, object]:
         body, etag = http_get(self._url(path))
@@ -154,14 +155,46 @@ class HttpManifestStore(ManifestStore):
         else:
             http_put_conditional(self._url(path), data, if_match=str(expect_tag))
         if self.mirror_local:
-            import os
-            import uuid
+            self._mirror(path, manifest)
 
-            local = os.path.join(path, "_MANIFEST.json")
+    def _mirror(self, path: str, manifest: dict) -> None:
+        """Write the local mirror ONLY if it advances the version: two
+        same-machine winners can reach here out of order (P1 wins the
+        PUT for v2, stalls; P2 commits v3 and mirrors; P1 resumes), and
+        an unguarded replace would park a stale manifest — whose bucket
+        dirs the newer commit may have pruned — in front of every
+        default-store reader. Version check + replace run under the same
+        O_EXCL lock file the LocalManifestStore uses."""
+        import os
+        import time
+        import uuid
+
+        local = os.path.join(path, MANIFEST)
+        lock = local + ".lock"
+        fd = None
+        for _ in range(1000):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.01)
+        if fd is None:
+            return  # mirror is best-effort; the PUT already committed
+        try:
+            try:
+                with open(local) as f:
+                    current = json.load(f)["version"]
+            except (FileNotFoundError, ValueError, KeyError):
+                current = -1
+            if manifest["version"] <= current:
+                return  # a newer commit mirrored first — keep it
             tmp = f"{local}.{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as f:
-                f.write(data.decode())
-            os.replace(tmp, local)  # the PUT already decided the race
+                json.dump(manifest, f)
+            os.replace(tmp, local)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
 
 class HttpLogCommitStore:
