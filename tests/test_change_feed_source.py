@@ -238,3 +238,20 @@ def test_untagged_foreign_files_fall_back_to_one_partition(spark, tmp_path):
     got = _tail(spark, table, startingVersion=0)
     want = delta_changes(spark, table, 0, 1, ["pk"])
     assert _rows(got) == _rows(want.select(*got.columns))
+
+
+def test_stream_tails_uri_table_root(spark, tmp_path):
+    """The source reads a URI table root (file:// here; the same
+    pyarrow.fs path an object-store mount takes): offsets, partitions,
+    and per-bucket classification all through the URI — identical rows
+    to the local tail. (file:// cursor commits normalize to the local
+    log; non-file remote roots skip cursor recording via the
+    NotImplementedError tolerance in commit().)"""
+    _, table = _build(spark, tmp_path)
+    uri = f"file://{table}"
+    got = _tail(spark, uri, startingVersion=0, maxVersionsPerBatch=1,
+                consumerId="uri-job")
+    want = delta_changes(spark, table, 0, 1, ["pk"]).unionByName(
+        delta_changes(spark, table, 1, 2, ["pk"])
+    )
+    assert _rows(got) == _rows(want.select(*got.columns))
