@@ -105,6 +105,13 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv else None
         self.consumer_id = options.get("consumerid")
+        # cursor txn commits need a WRITABLE log: plain local paths and
+        # file:// only. Decided by scheme up front — a remote root would
+        # otherwise pay a full remote log replay per commit cycle just
+        # to discard the result.
+        self._cursor_writable = "://" not in self.path or self.path.startswith(
+            "file://"
+        )
         # driver-side trackers: rate-limit base + data-bearing watermark.
         # _primed: the base is authoritative only once we've seen a real
         # offset (fresh run's initialOffset, or any partitions() call) —
@@ -288,7 +295,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         triggers the (data-free) cycle that acknowledges batch N+1.
         Exactly-once resume never depends on this; the stream's own
         checkpoint does that. The cursor is the RETENTION guard."""
-        if self.consumer_id is None:
+        if self.consumer_id is None or not self._cursor_writable:
             return
         v = end["version"]
         if v < 0 or v > self._last_data_version:
@@ -304,13 +311,11 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         try:
             if consumer_offset(self.path, self.consumer_id) < v:
                 record_consumer_offset(self.path, self.consumer_id, v)
-        except (CommitConflict, NotImplementedError):
-            # CommitConflict: lost every version race to a busy exporter.
-            # NotImplementedError: the table root is a remote READ-ONLY
-            # URI — cursor commits need a writable log. Either way the
-            # cursor is retention bookkeeping, never the resume mechanism
-            # (Spark's checkpoint is), so a missed recording must not
-            # fail the stream; the next data-carrying commit retries.
+        except CommitConflict:
+            # lost every version race to a busy exporter — the cursor is
+            # retention bookkeeping, never the resume mechanism (Spark's
+            # checkpoint is), so a missed recording must not fail the
+            # stream; the next data-carrying commit retries
             pass
 
     def stop(self) -> None:

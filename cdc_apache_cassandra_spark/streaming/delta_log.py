@@ -101,20 +101,27 @@ def _commit_path(out_path: str, version: int) -> str:
 
 def _fs(path: str):
     """(filesystem | None, path-in-that-filesystem). None = plain POSIX.
-    Cached per full path: log replay touches the same commit/checkpoint
-    files every trigger, and re-running ``from_uri`` would construct a
-    fresh filesystem client per call (credential/region resolution on
-    S3). LRU-bounded so month-long version histories can't grow it."""
+    The filesystem client is cached per scheme+authority (ONE
+    ``from_uri`` — and one credential/region resolution on S3 — per
+    table root, however many files the log holds); the file's
+    in-filesystem path is derived by appending the URI path to the
+    authority root's."""
     if "://" not in path:
         return None, path
-    return _fs_cached(path)
+    import urllib.parse
+
+    parts = urllib.parse.urlsplit(path)
+    fs, root = _fs_cached(f"{parts.scheme}://{parts.netloc}/")
+    # root = the authority root's in-fs path ("/" locally, "bucket/" on
+    # S3); rstrip so the join never doubles the separator
+    return fs, root.rstrip("/") + parts.path
 
 
-@functools.lru_cache(maxsize=4096)
-def _fs_cached(path: str):
+@functools.lru_cache(maxsize=64)
+def _fs_cached(authority_uri: str):
     import pyarrow.fs as pafs
 
-    return pafs.FileSystem.from_uri(path)
+    return pafs.FileSystem.from_uri(authority_uri)
 
 
 def _local_root(path: str) -> str:

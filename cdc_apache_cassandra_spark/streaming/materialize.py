@@ -42,6 +42,7 @@ tombstones older than the disorder horizon once it has passed.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -54,6 +55,32 @@ from cdc_apache_cassandra_spark.operators.lww import last_write_wins
 
 MANIFEST = "_MANIFEST.json"
 DEFAULT_BUCKETS = 16
+
+
+@contextlib.contextmanager
+def manifest_lock(path: str, attempts: int = 1000):
+    """O_EXCL lock-file critical section shared by every local-manifest
+    mutator (LocalManifestStore.commit, HttpManifestStore's mirror):
+    yields True when acquired, False after ``attempts`` x 10ms — the
+    caller decides whether a timeout is fatal. ONE protocol, one lock
+    name: two implementations of the spin would silently stop excluding
+    each other the day one changed."""
+    import time as _time
+
+    lock = os.path.join(path, MANIFEST + ".lock")
+    fd = None
+    for _ in range(attempts):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:  # another writer inside its critical section
+            _time.sleep(0.01)
+    try:
+        yield fd is not None
+    finally:
+        if fd is not None:
+            os.close(fd)
+            os.unlink(lock)
 
 
 def _bucket_expr(pk_cols: list[str], n_buckets: int):
@@ -106,19 +133,11 @@ class LocalManifestStore(ManifestStore):
             return None, None
 
     def commit(self, path: str, manifest: dict, expect_tag: object) -> None:
-        lock = os.path.join(path, MANIFEST + ".lock")
-        fd = None
-        for _ in range(1000):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:  # another writer inside its critical section
-                import time
-
-                time.sleep(0.01)
-        if fd is None:
-            raise CommitConflict(f"lock {lock} held too long")
-        try:
+        with manifest_lock(path) as acquired:
+            if not acquired:
+                raise CommitConflict(
+                    f"manifest lock at {path} held too long"
+                )
             current, tag = self.load(path)
             if tag != expect_tag:
                 raise CommitConflict(
@@ -128,9 +147,6 @@ class LocalManifestStore(ManifestStore):
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, os.path.join(path, MANIFEST))
-        finally:
-            os.close(fd)
-            os.unlink(lock)
 
 
 class InMemoryManifestStore(ManifestStore):

@@ -53,6 +53,7 @@ from cdc_apache_cassandra_spark.streaming.materialize import (
     MANIFEST,
     CommitConflict,
     ManifestStore,
+    manifest_lock,
 )
 
 
@@ -166,25 +167,16 @@ class HttpManifestStore(ManifestStore):
         default-store reader. Version check + replace run under the same
         O_EXCL lock file the LocalManifestStore uses."""
         import os
-        import time
         import uuid
 
         local = os.path.join(path, MANIFEST)
-        lock = local + ".lock"
-        fd = None
-        for _ in range(1000):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                time.sleep(0.01)
-        if fd is None:
-            return  # mirror is best-effort; the PUT already committed
-        try:
+        with manifest_lock(path) as acquired:
+            if not acquired:
+                return  # mirror is best-effort; the PUT already committed
             try:
                 with open(local) as f:
                     current = json.load(f)["version"]
-            except (FileNotFoundError, ValueError, KeyError):
+            except Exception:  # absent, torn, or foreign content: replace
                 current = -1
             if manifest["version"] <= current:
                 return  # a newer commit mirrored first — keep it
@@ -192,9 +184,6 @@ class HttpManifestStore(ManifestStore):
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, local)
-        finally:
-            os.close(fd)
-            os.unlink(lock)
 
 
 class HttpLogCommitStore:
