@@ -142,20 +142,25 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         else:
             # Spark 4.1 asks latestOffset BEFORE initialOffset on a fresh
             # run (observed; restarts replay partitions() first, which
-            # primes). Pace from the best base we can know without the
-            # checkpoint: startingVersion, or the durable consumer cursor
-            # when one is recorded. Safety valve: if Spark did NOT take a
-            # capped unprimed offer (no partitions() call in between —
-            # the would-be-stall signature on an exotic restart path),
-            # the next offer is uncapped so progress is guaranteed.
-            if self._unprimed_offers > 0:
-                return {"version": max(self._pos, last)}
-            base = max(
-                self.start_version,
+            # primes). A capped unprimed offer is only safe when no
+            # checkpoint can be ahead of our base: a recorded consumer
+            # cursor means this stream ran before (the checkpoint LEADS
+            # the cursor), and offering below Spark's committed offset
+            # would regress the offset log — so with a cursor present the
+            # first offer is UNCAPPED (one catch-up batch, then pacing
+            # resumes from the primed position). Without a cursor we pace
+            # from startingVersion, with a safety valve: if Spark did NOT
+            # take a capped unprimed offer (no partitions() call in
+            # between — the would-be-stall signature on an exotic restart
+            # path), the next offer is uncapped so progress is guaranteed.
+            cursor = (
                 consumer_offset(self.path, self.consumer_id)
                 if self.consumer_id
-                else self.start_version,
+                else -1
             )
+            if cursor >= 0 or self._unprimed_offers > 0:
+                return {"version": max(self._pos, cursor, last)}
+            base = self.start_version
             self._unprimed_offers += 1
         return {"version": max(base, min(last, base + self.max_versions))}
 

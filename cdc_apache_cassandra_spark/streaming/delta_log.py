@@ -179,10 +179,20 @@ def _io_read_bytes(path: str) -> bytes:
     try:
         with fs.open_input_stream(p) as f:
             return f.read()
-    except (FileNotFoundError, pa.lib.ArrowIOError) as e:
-        # pyarrow surfaces missing keys as IOError on some filesystems
-        if "No such file" in str(e) or isinstance(e, FileNotFoundError):
-            raise FileNotFoundError(p)
+    except FileNotFoundError:
+        raise FileNotFoundError(p)
+    except pa.lib.ArrowIOError as e:
+        # pyarrow surfaces missing keys as OSError with filesystem-specific
+        # wording ('No such file' locally, 'Path does not exist' /
+        # NO_SUCH_KEY on S3/GCS) — probe existence instead of matching text
+        import pyarrow.fs as pafs
+
+        try:
+            missing = fs.get_file_info(p).type == pafs.FileType.NotFound
+        except Exception:
+            missing = False  # probe failed — surface the original error
+        if missing:
+            raise FileNotFoundError(p) from e
         raise
 
 

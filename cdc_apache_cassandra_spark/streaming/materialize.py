@@ -209,7 +209,15 @@ def _py_cast(value, dt):
     if s == "string":
         return str(value)
     if s == "boolean":
-        return bool(value)
+        # strict: bool(value) diverges from the JVM cast the DataFrame
+        # path applies (bool('false') is True, bool('') is False vs JVM
+        # null) — a coerced mistype would route to the WRONG bucket and
+        # silently return empty; raising takes the JVM-routing fallback
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, int) and value in (0, 1):
+            return bool(value)
+        raise TypeError(f"{type(value).__name__} for boolean key")
     if s == "binary":
         if isinstance(value, (bytes, bytearray, memoryview)):
             return bytes(value)

@@ -195,25 +195,70 @@ class HttpLogCommitStore:
     ``mirror_local=True`` (default) also materializes the file at its
     local path AFTER the PUT wins, so this process's log replay readers
     see the commit — the single-writer-coordinator deployment shape. A
-    fully remote log (readers listing the bucket too) additionally needs
-    the replay reader pointed at the store; the commit-side atomicity —
-    the part that decides correctness — is entirely here."""
+    fully remote log (readers listing the bucket too) instead resolves
+    replay through this store's reader half (``list_dir``/``read_bytes``
+    — ``delta_log`` consults them when ``mirror_local=False``); the
+    commit-side atomicity — the part that decides correctness — is
+    entirely here.
+
+    Ambiguous-fault absorption: an object store can APPLY a PUT and
+    still answer 5xx (the fault :class:`ConditionalPutServer` emulates).
+    A create-only retry of that PUT then sees 412 even though the commit
+    is ours — without recovery every re-export recomputes the same
+    version, collides, and livelocks. ``publish`` therefore verifies by
+    content: after a 5xx (retried) or a precondition failure it GETs the
+    key — byte-identical body means OUR write landed (commit bytes are
+    writer-unique: timestamps + uuids), anything else is a genuine lost
+    race and raises :class:`CommitConflict`."""
 
     def __init__(self, base_url: str, mirror_local: bool = True):
         self.base_url = base_url.rstrip("/")
         self.mirror_local = mirror_local
 
-    def publish(self, path: str, data: bytes) -> None:
-        key = urllib.parse.quote(path.strip("/"), safe="")
-        http_put_conditional(f"{self.base_url}/{key}", data, if_none_match=True)
-        if self.mirror_local:
-            import os
-            import uuid
+    def _url(self, path: str) -> str:
+        return f"{self.base_url}/{urllib.parse.quote(path.strip('/'), safe='')}"
 
-            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)  # PUT already decided the race
+    def publish(self, path: str, data: bytes) -> None:
+        url = self._url(path)
+        last_err: Exception | None = None
+        for _ in range(3):
+            try:
+                http_put_conditional(url, data, if_none_match=True)
+                break
+            except CommitConflict:
+                # key exists: either a competing writer won, or OUR
+                # earlier attempt applied before an ambiguous fault
+                body, _ = http_get(url)
+                if body == data:
+                    break  # idempotent retry of our own landed commit
+                raise
+            except urllib.error.HTTPError as e:
+                if e.code < 500:
+                    raise
+                # ambiguous outcome — the write may have applied
+                body, _ = http_get(url)
+                if body == data:
+                    break  # it landed; treat as success
+                if body is not None:
+                    raise CommitConflict(
+                        f"conditional PUT of {url} returned HTTP {e.code} "
+                        "and the stored commit is not ours: another writer "
+                        "published first"
+                    )
+                last_err = e  # did not land — retry the PUT
+        else:
+            raise last_err  # type: ignore[misc]
+        if self.mirror_local:
+            self._mirror(path, data)
+
+    def _mirror(self, path: str, data: bytes) -> None:
+        import os
+        import uuid
+
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # PUT already decided the race
 
 
 # ---------------------------------------------------------------------------

@@ -255,3 +255,39 @@ def test_stream_tails_uri_table_root(spark, tmp_path):
         delta_changes(spark, table, 1, 2, ["pk"])
     )
     assert _rows(got) == _rows(want.select(*got.columns))
+
+
+def test_unprimed_offer_uncapped_when_cursor_exists(spark, tmp_path):
+    """ADVICE r6: with a recorded consumer cursor a checkpoint may exist
+    AHEAD of the pacing base; a capped unprimed offer could then sit
+    below Spark's committed offset and regress the offset log. With a
+    cursor present, the first unprimed latestOffset must be UNCAPPED
+    (one catch-up batch); a genuinely fresh run (no cursor) still paces
+    from startingVersion."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        record_consumer_offset,
+    )
+
+    _, table = _build(spark, tmp_path)  # versions 0..2
+    last, _, _ = delta_log_replay(table)
+
+    # fresh run, no cursor: capped first offer (pacing preserved)
+    fresh = ChangeFeedStreamReader(
+        {"path": table, "pkcols": "pk", "startingversion": "0",
+         "maxversionsperbatch": "1"},
+        read_delta(spark, table).schema,
+    )
+    assert fresh.latestOffset() == {"version": 1}
+
+    # recorded cursor: first unprimed offer jumps to the log tail
+    record_consumer_offset(table, "job-r", 1)
+    resumed = ChangeFeedStreamReader(
+        {"path": table, "pkcols": "pk", "startingversion": "0",
+         "maxversionsperbatch": "1", "consumerid": "job-r"},
+        read_delta(spark, table).schema,
+    )
+    first = resumed.latestOffset()
+    assert first["version"] >= last  # uncapped catch-up
+    # after priming (partitions replay), pacing resumes
+    resumed.partitions({"version": 0}, {"version": 1})
+    assert resumed.latestOffset() == {"version": 2}

@@ -1272,3 +1272,54 @@ def test_uri_table_root_reads_through_pyarrow_fs(spark, tmp_path):
         delta_export(spark, store, "s3://bucket/table")
     with pytest.raises(NotImplementedError, match="local table root"):
         write_checkpoint("s3://bucket/table")
+
+
+def test_io_read_bytes_probes_existence_not_error_text(monkeypatch, tmp_path):
+    """ADVICE r6: S3/GCS filesystems word missing-key OSErrors differently
+    ('Path does not exist', NO_SUCH_KEY) — _io_read_bytes must probe
+    get_file_info, not substring-match, so _read_last_checkpoint on a
+    young remote table returns None instead of raising."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pytest
+
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+
+    class S3ishFS:
+        def open_input_stream(self, p):
+            raise pa.lib.ArrowIOError(
+                f"Path does not exist '{p}'. Detail: [errno 2] NO_SUCH_KEY"
+            )
+
+        def get_file_info(self, p):
+            class Info:
+                type = pafs.FileType.NotFound
+
+            return Info()
+
+    fake = S3ishFS()
+    real_fs = dl._fs
+    monkeypatch.setattr(
+        dl, "_fs", lambda p: (fake, p) if p.startswith("s3x://") else real_fs(p)
+    )
+    with pytest.raises(FileNotFoundError):
+        dl._io_read_bytes("s3x://bucket/table/_delta_log/_last_checkpoint")
+    assert dl._read_last_checkpoint("s3x://bucket/table") is None
+
+    # a NON-missing IO error (probe says the key exists) must propagate
+    class FlakyFS(S3ishFS):
+        def open_input_stream(self, p):
+            raise pa.lib.ArrowIOError("connection reset by peer")
+
+        def get_file_info(self, p):
+            class Info:
+                type = pafs.FileType.File
+
+            return Info()
+
+    flaky = FlakyFS()
+    monkeypatch.setattr(
+        dl, "_fs", lambda p: (flaky, p) if p.startswith("s3x://") else real_fs(p)
+    )
+    with pytest.raises(OSError, match="connection reset"):
+        dl._io_read_bytes("s3x://bucket/table/_delta_log/_last_checkpoint")

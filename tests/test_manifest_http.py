@@ -310,3 +310,51 @@ def test_http_mirror_makes_default_readers_work(spark, tmp_path, server):
     assert dl.delta_export(spark, path2, out2, manifest_store=store2) == 0
     got = sorted(r.pk for r in dl.read_delta(spark, out2).collect())
     assert got == sorted(b[1] for b in BASE)
+
+
+def test_log_publish_ambiguous_500_absorbed(spark, tmp_path, server):
+    """ADVICE r6 (medium): a Delta-commit PUT that APPLIES but returns
+    500 must not livelock the exporter — publish() verifies by content
+    (GET; byte-identical body == our commit landed) and proceeds,
+    including the local mirror, so replay sees the commit."""
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+
+    srv, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2)
+
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+    try:
+        assert dl.delta_export(spark, path, out) == 0
+        merge_into(spark, path, _batch(spark, BATCH_A), ["pk"], n_buckets=2)
+        srv.fail_after_commit(srv.puts + 1)  # commit v1: applied, then 500
+        assert dl.delta_export(spark, path, out) == 1  # absorbed, no raise
+        # mirror written -> local replay sees both versions
+        last, files, _ = (lambda s: (s.last, s.files, s.meta))(dl._replay(out))
+        assert last == 1
+        got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+        want = sorted(
+            (r.pk, r.v) for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got == want
+        # and the next export still proceeds normally on top
+        merge_into(spark, path, _batch(spark, BATCH_B), ["pk"], n_buckets=2)
+        assert dl.delta_export(spark, path, out) == 2
+    finally:
+        dl.set_log_commit_store(prev)
+
+
+def test_log_publish_conflict_with_foreign_body_still_raises(tmp_path, server):
+    """Content verification must NOT absorb a genuine lost race: the key
+    exists with someone else's bytes -> CommitConflict, both on 412 and
+    on an ambiguous 500."""
+    srv, url = server
+    store = HttpLogCommitStore(url, mirror_local=False)
+    path = str(tmp_path / "t" / "_delta_log" / ("0" * 20 + ".json"))
+    store.publish(path, b'{"theirs":1}\n')
+    with pytest.raises(CommitConflict):
+        store.publish(path, b'{"ours":2}\n')
+    # idempotent retry of OUR OWN bytes is absorbed silently
+    store.publish(path, b'{"theirs":1}\n')

@@ -405,3 +405,53 @@ def test_merge_into_reducer_emptied_bucket_leaves_manifest_consistent(
         assert os.path.isdir(
             os.path.join(path, version_dir(m2, ver), f"__bucket={b}")
         ), f"manifest points at a missing bucket dir: {b}->{ver}"
+
+
+def test_py_cast_boolean_is_strict():
+    """ADVICE r6: bool(value) diverges from the JVM cast (bool('false')
+    is True); only real bools and 0/1 ints coerce — anything else raises
+    so point_read takes the JVM-routing fallback instead of silently
+    routing to the wrong bucket."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from cdc_apache_cassandra_spark.streaming.materialize import _py_cast
+
+    dt = T.BooleanType()
+    assert _py_cast(True, dt) is True
+    assert _py_cast(False, dt) is False
+    assert _py_cast(1, dt) is True
+    assert _py_cast(0, dt) is False
+    assert _py_cast(None, dt) is None
+    for bad in ("false", "true", "", 2, 1.0):
+        with pytest.raises(TypeError):
+            _py_cast(bad, dt)
+
+
+def test_point_read_boolean_key_falls_back_to_jvm(spark, tmp_path):
+    """A boolean bucket column with NON-bool literal keys must still
+    return the right rows (JVM fallback), and real bool keys route
+    driver-side."""
+    import os
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        merge_into,
+        point_read,
+    )
+
+    schema = (
+        "op string, flag boolean, writetime long, v string, "
+        "segment long, position long"
+    )
+    path = str(tmp_path / "bstore")
+    os.makedirs(path)
+    rows = [
+        ("INSERT", True, 10, "yes", 0, 0),
+        ("INSERT", False, 10, "no", 0, 1),
+        ("INSERT", None, 10, "null", 0, 2),
+    ]
+    merge_into(spark, path, spark.createDataFrame(rows, schema), ["flag"], n_buckets=4)
+    got = point_read(spark, path, ["flag"], [True])
+    assert [r.v for r in got.collect()] == ["yes"]
+    got_f = point_read(spark, path, ["flag"], [False])
+    assert [r.v for r in got_f.collect()] == ["no"]
