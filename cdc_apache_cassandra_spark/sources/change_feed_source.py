@@ -27,8 +27,12 @@ a bucket's keys never migrate, so each bucket's (pre-file, post-file)
 pair is classified INDEPENDENTLY — one InputPartition per changed
 bucket, pandas/Arrow inside the partition, nothing row-sized on the
 driver. Driver work per trigger is log replay (metadata-sized). Files
-from foreign writers without bucket tags fall back to one partition
-(correct, just not parallel).
+from foreign writers without bucket tags fall back to one GROUP (any
+key may pair across them) — but any group whose file bytes exceed
+``maxBytesPerPartition`` (default 512 MiB) splits by key-hash range
+into N sub-partitions, each classifying its own key slice of both
+sides, so neither a pathological bucket nor an untagged foreign table
+funnels through a single task.
 
 Exact-type classification: partitions convert Arrow → pandas with
 ``ArrowDtype`` (int64 keys stay int64 — no float64 round-trip that would
@@ -74,10 +78,22 @@ def _table_schema(path: str) -> T.StructType:
 
 
 class _ChangePartition(InputPartition):
-    def __init__(self, pre: list[str], post: list[str], to_version: int):
+    def __init__(
+        self,
+        pre: list[str],
+        post: list[str],
+        to_version: int,
+        split_idx: int = 0,
+        split_count: int = 1,
+    ):
         self.pre = pre
         self.post = post
         self.to_version = to_version
+        # key-hash sub-range of an oversized group: this partition
+        # classifies only keys with hash(pk) % split_count == split_idx
+        # (sound — classification is key-local, both sides slice alike)
+        self.split_idx = split_idx
+        self.split_count = split_count
 
 
 class ChangeFeedStreamReader(DataSourceStreamReader):
@@ -95,6 +111,18 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             )
         self.pk_cols = [c.strip() for c in pk.split(",") if c.strip()]
         self.schema = schema
+        # the TABLE schema this stream is pinned to (CDF columns are
+        # ours); partitions() re-checks every planned range against it —
+        # a Spark streaming source cannot widen its schema mid-stream,
+        # so a widening DDL must stop the stream loudly, never silently
+        # project the new columns away (reference parity:
+        # connector/.../CassandraSource.java:666-698 swaps its converter
+        # on onTableUpdated; the Spark idiom is restart-on-DDL)
+        self._pinned_types = {
+            f.name: f.dataType.json()
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        }
         missing = [c for c in self.pk_cols if c not in schema.names]
         if missing:
             raise ValueError(
@@ -104,6 +132,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingversion", -1))
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv else None
+        # upper bound on the file bytes one partition classifies: groups
+        # above it (a pathological bucket, or the untagged-foreign
+        # fallback that would otherwise collapse to ONE partition) split
+        # by key-hash range into ceil(bytes/threshold) sub-partitions.
+        # Default 512 MiB — the store's documented bucket sizing keeps
+        # normal buckets well under it (SCALE.md), so tagged tables
+        # usually plan exactly one partition per changed bucket.
+        mb = options.get("maxbytesperpartition")
+        self.max_bytes = int(mb) if mb else 512 << 20
         self.consumer_id = options.get("consumerid")
         # cursor txn commits need a WRITABLE log: plain local paths and
         # file:// only. Decided by scheme up front — a remote root would
@@ -165,12 +202,36 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return {"version": max(base, min(last, base + self.max_versions))}
 
     # -- planning ----------------------------------------------------------
-    def _files_at(self, version: int) -> dict[str, dict]:
+    def _state_at(self, version: int):
         from cdc_apache_cassandra_spark.streaming.delta_log import _replay
 
-        if version < 0:
-            return {}
-        return _replay(self.path, version).files
+        return _replay(self.path, version) if version >= 0 else None
+
+    def _check_schema(self, meta: dict | None, to_v: int) -> None:
+        """Stop loudly when the range's newest metaData WIDENS or retypes
+        columns relative to the pinned stream schema. Narrower (pre-DDL)
+        schemas inside the range are fine — their files read with typed
+        nulls, same as the batch CDF. Raising fails the query with a
+        restart instruction; a restarted stream re-pins the new schema
+        from the log and loses nothing (offsets are Delta versions)."""
+        if meta is None:
+            return
+        drift = [
+            f"{f['name']}"
+            for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] not in self._pinned_types
+            or json.dumps(f["type"], sort_keys=True)
+            != json.dumps(json.loads(self._pinned_types[f["name"]]), sort_keys=True)
+        ]
+        if drift:
+            raise RuntimeError(
+                f"cdc_delta_changes: table schema at {self.path!r} changed "
+                f"at or before version {to_v} (new/retyped columns: "
+                f"{drift}); a streaming source cannot widen its schema "
+                "mid-stream — restart the stream to pick up the new schema "
+                "(the checkpointed offset resumes exactly where this batch "
+                "would have started; no rows are lost)"
+            )
 
     def partitions(self, start: dict, end: dict):
         from_v, to_v = start["version"], end["version"]
@@ -179,8 +240,11 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self._unprimed_offers = 0
         if to_v <= from_v:
             return [_ChangePartition([], [], to_v)]  # empty batch placeholder
-        f_from = self._files_at(from_v)
-        f_to = self._files_at(to_v)
+        st_from = self._state_at(from_v)
+        st_to = self._state_at(to_v)
+        self._check_schema(st_to.meta if st_to else None, to_v)
+        f_from = st_from.files if st_from else {}
+        f_to = st_to.files if st_to else {}
         removed = sorted(set(f_from) - set(f_to))
         added = sorted(set(f_to) - set(f_from))
         if removed or added:
@@ -191,25 +255,38 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             tags = files[p].get("tags") or {}
             return tags.get("bucket")
 
-        groups: dict[str | None, tuple[list, list]] = {}
+        # group -> [pre paths, post paths, total file bytes]
+        groups: dict[str | None, list] = {}
         for p in removed:
-            g = groups.setdefault(bucket_of(p, f_from), ([], []))
+            g = groups.setdefault(bucket_of(p, f_from), [[], [], 0])
             g[0].append(os.path.join(self.path, p))
+            g[2] += int(f_from[p].get("size") or 0)
         for p in added:
-            g = groups.setdefault(bucket_of(p, f_to), ([], []))
+            g = groups.setdefault(bucket_of(p, f_to), [[], [], 0])
             g[1].append(os.path.join(self.path, p))
+            g[2] += int(f_to[p].get("size") or 0)
         if None in groups and len(groups) > 1:
             # untagged (foreign) files can pair with ANY bucket's keys —
             # classification is only key-local if all files land together
             pre = [f for g in groups.values() for f in g[0]]
             post = [f for g in groups.values() for f in g[1]]
-            groups = {None: (pre, post)}
-        parts = [
-            _ChangePartition(pre, post, to_v)
-            for _, (pre, post) in sorted(
-                groups.items(), key=lambda kv: (kv[0] is None, kv[0])
-            )
-        ]
+            size = sum(g[2] for g in groups.values())
+            groups = {None: [pre, post, size]}
+        parts = []
+        for _, (pre, post, size) in sorted(
+            groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
+            # oversized group (pathological bucket / untagged fallback):
+            # split by key-hash range — each sub-partition classifies its
+            # own key slice of BOTH sides, so the union is byte-identical
+            # to the unsplit output and no single task carries the group.
+            # Capped: every split re-READS the group's files (the slice
+            # happens after decode), so N× splits cost N× IO — 64 bounds
+            # that at two orders of magnitude parallelism, enough to take
+            # a many-GB group down to task-sized slices.
+            n = min(64, max(1, -(-size // self.max_bytes))) if size else 1
+            for i in range(n):
+                parts.append(_ChangePartition(pre, post, to_v, i, n))
         return parts or [_ChangePartition([], [], to_v)]
 
     # -- execution ---------------------------------------------------------
@@ -229,12 +306,19 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         table_schema = pa.schema(table_fields)
         cols = [f.name for f in table_fields]
 
+        def key_slice(frame: pd.DataFrame) -> pd.DataFrame:
+            """Keep only this sub-partition's key-hash slice. Both sides
+            slice with the same deterministic hash, so a key's pre and
+            post rows always land in the same sub-partition."""
+            if partition.split_count <= 1 or not len(frame):
+                return frame
+            h = pd.util.hash_pandas_object(
+                frame[self.pk_cols].astype(object), index=False
+            ).to_numpy()
+            return frame[(h % partition.split_count) == partition.split_idx]
+
         def load(paths) -> pd.DataFrame:
-            if not paths:
-                return pa.Table.from_pylist([], schema=table_schema).to_pandas(
-                    types_mapper=pd.ArrowDtype
-                )
-            tables = []
+            frames = []
             for p in paths:
                 t = pq.read_table(p)
                 present = set(t.column_names)
@@ -243,8 +327,20 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                         t = t.append_column(
                             f.name, pa.nulls(t.num_rows, type=f.type)
                         )
-                tables.append(t.select(cols).cast(table_schema))
-            return pa.concat_tables(tables).to_pandas(types_mapper=pd.ArrowDtype)
+                # slice PER FILE: a split partition holds at most one
+                # file plus its own key slice in memory, never the group
+                frames.append(
+                    key_slice(
+                        t.select(cols)
+                        .cast(table_schema)
+                        .to_pandas(types_mapper=pd.ArrowDtype)
+                    )
+                )
+            if not frames:
+                return pa.Table.from_pylist([], schema=table_schema).to_pandas(
+                    types_mapper=pd.ArrowDtype
+                )
+            return pd.concat(frames, ignore_index=True)
 
         pre = load(partition.pre)
         post = load(partition.post)
