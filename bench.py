@@ -316,6 +316,11 @@ def main():
         # query r5's drift analysis wanted solo-tracked across rounds
         top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "12"))
         top = sorted(per_query, key=per_query.get, reverse=True)[:top_n]
+        # forced watch entries (r6 verdict item 7): loop-tail drifters
+        # under observation get a solo number regardless of rank
+        for watched in ("llm_substring_span_dedup",):
+            if watched in per_query and watched not in top:
+                top.append(watched)
         for name in top:
             times = []
             for _ in range(3):

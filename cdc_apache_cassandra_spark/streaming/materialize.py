@@ -57,6 +57,16 @@ MANIFEST = "_MANIFEST.json"
 DEFAULT_BUCKETS = 16
 
 
+
+def _dl():
+    """delta_log's URI-capable driver-IO helpers (_io_*). Lazy: delta_log
+    imports THIS module at top level, so the reference resolves at call
+    time — by which point both modules exist."""
+    from cdc_apache_cassandra_spark.streaming import delta_log
+
+    return delta_log
+
+
 @contextlib.contextmanager
 def manifest_lock(path: str, attempts: int = 1000):
     """O_EXCL lock-file critical section shared by every local-manifest
@@ -482,7 +492,7 @@ def merge_into(
         # unmoved manifest propagates untouched.
         current, _ = store.load(path)
         if current is not None and current["version"] != manifest["version"]:
-            shutil.rmtree(out_dir, ignore_errors=True)
+            _dl()._io_rmtree(out_dir)
             raise CommitConflict(
                 f"manifest moved from {manifest['version']} to "
                 f"{current['version']} during the merge job (superseded "
@@ -528,7 +538,7 @@ def merge_into(
     try:
         store.commit(path, manifest, tag)
     except CommitConflict:
-        shutil.rmtree(out_dir, ignore_errors=True)  # only OUR staging
+        _dl()._io_rmtree(out_dir)  # only OUR staging
         raise
     _prune_superseded(path, old_dirs, _live_dirs(manifest))
 
@@ -628,7 +638,7 @@ def _prune_superseded(path: str, old_dirs: set[str], new_dirs: set[str]) -> None
     cleanly. Crashed writers' never-referenced staging is reclaimed by
     :func:`gc_orphan_dirs` (age-gated maintenance) instead."""
     for name in old_dirs - new_dirs:
-        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        _dl()._io_rmtree(os.path.join(path, name))
 
 
 def gc_orphan_dirs(
@@ -644,25 +654,42 @@ def gc_orphan_dirs(
     Returns the deleted directory names."""
     import time
 
+    dl = _dl()
     manifest, _ = store.load(path)
     live = _live_dirs(manifest) if manifest else set()
     horizon = time.time() - older_than_seconds
     deleted = []
-    for name in sorted(os.listdir(path)):
+    for name in sorted(dl._io_listdir(path)):
         if not name.startswith("__ver=") or name in live:
             continue
         full = os.path.join(path, name)
-        newest = os.path.getmtime(full)
-        for root, _dirs, files in os.walk(full):
-            for f in files:
-                try:
-                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
-                except FileNotFoundError:
-                    pass
+        newest = _tree_newest_mtime(full)
         if newest < horizon:
-            shutil.rmtree(full, ignore_errors=True)
+            dl._io_rmtree(full)
             deleted.append(name)
     return deleted
+
+
+def _tree_newest_mtime(root: str) -> float:
+    """Newest mtime in a directory tree, through the URI seam."""
+    dl = _dl()
+    fs, p = dl._fs(root)
+    if fs is None:
+        newest = os.path.getmtime(p)
+        for r, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(r, f)))
+                except FileNotFoundError:
+                    pass
+        return newest
+    import pyarrow.fs as pafs
+
+    newest = 0.0
+    for i in fs.get_file_info(pafs.FileSelector(p, recursive=True)):
+        if i.mtime is not None:
+            newest = max(newest, i.mtime.timestamp())
+    return newest
 
 
 def expired_tombstone_buckets(manifest: dict, tombstone_horizon: int) -> list[int]:
@@ -796,7 +823,7 @@ def compact(
     try:
         store.commit(path, new_manifest, tag)
     except CommitConflict:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        _dl()._io_rmtree(out_dir)
         raise
     _prune_superseded(path, old_dirs, _live_dirs(new_manifest))
 
@@ -978,7 +1005,7 @@ def import_state(
     each row becomes a synthetic INSERT at ``writetime`` (default -1,
     the backfill convention: any live event outranks it). One
     :func:`merge_into` commit; later CDC merges converge on top."""
-    os.makedirs(path, exist_ok=True)
+    _dl()._io_mkdirs(path)
     batch = (
         table.withColumn("op", F.lit("INSERT"))
         .withColumn("writetime", F.lit(writetime).cast("long"))
@@ -1079,7 +1106,7 @@ def materialize_stream(
     ``reducer=operators.lww.compound_reduce`` for partition-range
     tombstone semantics. ``delta_path`` mirrors every commit into a
     native Delta log (see :func:`foreach_batch_upsert`)."""
-    os.makedirs(path, exist_ok=True)
+    _dl()._io_mkdirs(path)
     return (
         events.writeStream.foreachBatch(
             foreach_batch_upsert(

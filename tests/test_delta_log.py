@@ -1268,10 +1268,12 @@ def test_uri_table_root_reads_through_pyarrow_fs(spark, tmp_path):
     assert sorted(map(tuple, ch_uri.collect())) == sorted(
         map(tuple, ch_loc.collect())
     )
-    with pytest.raises(NotImplementedError, match="local table root"):
+    # a genuinely remote scheme is refused UP FRONT (before any network
+    # IO) while the default POSIX-link commit store is active; with a
+    # conditional-PUT store the same call is the supported remote path
+    # (tests/test_remote_data_plane.py)
+    with pytest.raises(NotImplementedError, match="conditional-PUT"):
         delta_export(spark, store, "s3://bucket/table")
-    with pytest.raises(NotImplementedError, match="local table root"):
-        write_checkpoint("s3://bucket/table")
 
 
 def test_io_read_bytes_probes_existence_not_error_text(monkeypatch, tmp_path):

@@ -1,0 +1,341 @@
+"""VERDICT r7 item 1+4: the table LIVES in a bucket, not just commits
+through one.
+
+Full bucket-store + Delta-export lifecycle against a ``file://`` table
+root treated as REMOTE: every driver-side byte must move through the
+pyarrow.fs seam (``delta_log._io_*``) — a monkeypatched os-audit fails
+the test on ANY Python-level ``os``/``open``/``shutil`` call that
+touches the root's local path — with commits routed through the HTTP
+conditional-write adapters and NO local manifest mirror. Plus the
+no-mirror LOG shape: replay resolved entirely through the commit
+store's reader half (``list_dir``/``read_bytes``), closing the
+object_store caveat that a fully remote log 'needs the replay reader
+pointed at the store'.
+"""
+
+import builtins
+import contextlib
+import json
+import os
+import shutil
+import threading
+
+import pytest
+
+import cdc_apache_cassandra_spark.streaming.delta_log as dl
+from cdc_apache_cassandra_spark.streaming.materialize import (
+    active_view,
+    compact,
+    gc_orphan_dirs,
+    merge_into,
+    merge_into_retrying,
+    point_read,
+    read_state,
+)
+from cdc_apache_cassandra_spark.streaming.object_store import (
+    ConditionalPutServer,
+    HttpLogCommitStore,
+    HttpManifestStore,
+)
+
+SCHEMA = (
+    "op string, pk long, writetime long, v string, w string, "
+    "segment long, position long"
+)
+BASE = [("INSERT", i, 10, f"v{i}", "x", 0, i) for i in range(12)]
+BATCH_A = [("UPDATE", 1, 20, "a1", "x", 1, 0), ("UPDATE", 2, 20, "a2", "x", 1, 1)]
+BATCH_B = [("UPDATE", 2, 30, "b2", "x", 2, 0), ("DELETE", 3, 30, None, None, 2, 1)]
+
+
+@pytest.fixture()
+def server():
+    s = ConditionalPutServer()
+    url = s.start()
+    yield s, url
+    s.stop()
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@contextlib.contextmanager
+def os_audit(forbidden_local_prefix: str):
+    """Fail on any Python-level filesystem call that touches the audited
+    tree directly — the proof that the data plane goes through the
+    pyarrow.fs seam (whose C++ syscalls do not pass through these
+    functions) and the commit plane through the HTTP stores. Spark's JVM
+    IO is likewise out of process; anything Python-side that reaches the
+    root is a seam violation by construction."""
+    violations: list[tuple[str, str]] = []
+
+    def guard(mod, name):
+        orig = getattr(mod, name)
+
+        def wrapped(*a, **k):
+            for arg in a[:2]:
+                try:
+                    sp = os.fspath(arg)
+                except TypeError:
+                    continue
+                if isinstance(sp, bytes):
+                    sp = sp.decode(errors="replace")
+                if isinstance(sp, str) and sp.startswith(forbidden_local_prefix):
+                    violations.append((f"{mod.__name__}.{name}", sp))
+            return orig(*a, **k)
+
+        setattr(mod, name, wrapped)
+        return mod, name, orig
+
+    targets = [
+        (os, "listdir"), (os, "replace"), (os, "rename"), (os, "makedirs"),
+        (os, "mkdir"), (os, "unlink"), (os, "remove"), (os, "link"),
+        (os, "stat"), (os, "open"), (os, "scandir"), (os, "walk"),
+        (os.path, "getsize"), (os.path, "getmtime"),
+        (shutil, "rmtree"), (builtins, "open"),
+    ]
+    restore = [guard(m, n) for m, n in targets]
+    try:
+        yield violations
+    finally:
+        for mod, name, orig in restore:
+            setattr(mod, name, orig)
+    assert not violations, f"direct os IO on the remote-shaped root: {violations[:8]}"
+
+
+def _state_rows(df):
+    return sorted(
+        (r.pk, r.op, r.writetime, r.v) for r in df.collect()
+    )
+
+
+def _oracle(spark, tmp_path):
+    """Same batches through the default local store = the expected state."""
+    path = str(tmp_path / "oracle_store")
+    os.makedirs(path)
+    for rows in (BASE, BATCH_A, BATCH_B):
+        merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+    return _state_rows(read_state(spark, path))
+
+
+def test_full_lifecycle_on_remote_root_passes_os_audit(spark, tmp_path, server):
+    """merge ×3, read, point_read, compact, delta_export, read_delta,
+    delta_changes, checkpoint, cleanup, vacuum, orphan GC — all against
+    a file:// root under the os-audit, manifests in the HTTP store with
+    NO local mirror, Delta commits conditional-PUT + fs-mirrored into
+    the remote root."""
+    _, url = server
+    want = _oracle(spark, tmp_path)
+
+    local_root = str(tmp_path / "remote_store")
+    local_out = str(tmp_path / "remote_delta")
+    os.makedirs(local_root)
+    os.makedirs(local_out)
+    root = f"file://{local_root}"
+    out = f"file://{local_out}"
+    mstore = HttpManifestStore(url, mirror_local=False)
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+    try:
+        with os_audit(local_root + "/"), os_audit(local_out + "/"):
+            for rows in (BASE, BATCH_A, BATCH_B):
+                merge_into(
+                    spark, root, _batch(spark, rows), ["pk"],
+                    n_buckets=4, store=mstore,
+                )
+            st = read_state(spark, root, store=mstore)
+            assert _state_rows(st) == want
+
+            pr = point_read(spark, root, ["pk"], [1, 2, 3], store=mstore)
+            assert sorted((r.pk, r.op, r.v) for r in pr.collect()) == [
+                (1, "UPDATE", "a1"), (2, "UPDATE", "b2"), (3, "DELETE", None),
+            ]
+
+            # Delta export: staging + content-addressed renames through
+            # the fs seam, commit via conditional PUT, mirrored into the
+            # remote root so URI replay readers see the log
+            assert dl.delta_export(
+                spark, root, out, manifest_store=mstore,
+                checkpoint_interval=None,
+            ) == 0
+            got = sorted(
+                (r.pk, r.v) for r in dl.read_delta(spark, out).collect()
+            )
+            assert got == sorted(
+                (pk, v) for pk, op, _wt, v in want if op != "DELETE"
+            )
+
+            # incremental export + change feed over the remote root
+            merge_into(
+                spark, root,
+                _batch(spark, [("UPDATE", 5, 40, "z5", "x", 3, 0)]),
+                ["pk"], n_buckets=4, store=mstore,
+            )
+            assert dl.delta_export(
+                spark, root, out, manifest_store=mstore,
+                checkpoint_interval=None,
+            ) == 1
+            ch = dl.delta_changes(spark, out, 0, 1, ["pk"])
+            chg = {(r.pk, r["_change_type"]) for r in ch.collect()}
+            assert chg == {(5, "update_preimage"), (5, "update_postimage")}
+
+            # maintenance surfaces, all through the seam
+            cp = dl.write_checkpoint(out)
+            assert cp.startswith("file://")
+            assert dl.delta_log_cleanup(out, respect_consumers=False) == [
+                f"{0:020d}.json"
+            ]
+            # vacuum reclaims exactly the files v1's export superseded
+            deleted = dl.delta_vacuum(out, retain_ms=-60_000)
+            _, live_files, _ = dl.delta_log_replay(out)
+            assert deleted and not (set(deleted) & set(live_files))
+            assert sorted(
+                (r.pk, r.v) for r in dl.read_delta(spark, out).collect()
+            ) == sorted([(pk, v) for pk, v in got if pk != 5] + [(5, "z5")])
+            compact(spark, root, ["pk"], store=mstore)
+            assert _state_rows(read_state(spark, root, store=mstore)) == sorted(
+                r if r[0] != 5 else r for r in
+                [t for t in want if t[0] != 5] + [(5, "UPDATE", 40, "z5")]
+            )
+            assert gc_orphan_dirs(root, older_than_seconds=10**6, store=mstore) == []
+    finally:
+        dl.set_log_commit_store(prev)
+
+    # nothing leaked a local manifest or lock next to the data
+    assert not os.path.exists(os.path.join(local_root, "_MANIFEST.json"))
+    assert not os.path.exists(os.path.join(local_root, "_MANIFEST.json.lock"))
+    # but the data and the mirrored log DID land in the 'bucket'
+    assert any(n.startswith("__ver=") for n in os.listdir(local_root))
+    assert os.path.isdir(os.path.join(local_out, "_delta_log"))
+
+
+def test_remote_root_race_exactly_one_wins(spark, tmp_path, server):
+    """The ConditionalPutServer race suite over the remote-shaped path:
+    4 threads merge disjoint keys through the HTTP CAS against the
+    file:// root; every commit lands, the final state equals the
+    sequential result."""
+    _, url = server
+    local_root = str(tmp_path / "race_store")
+    os.makedirs(local_root)
+    root = f"file://{local_root}"
+    store = HttpManifestStore(url, mirror_local=False)
+    merge_into(spark, root, _batch(spark, BASE), ["pk"], n_buckets=4, store=store)
+
+    errs = []
+
+    def worker(w):
+        rows = [
+            ("UPDATE", pk, 20 + w, f"w{w}", "x", 10 + w, pk)
+            for pk in range(12) if pk % 4 == w
+        ]
+        try:
+            merge_into_retrying(
+                spark, root, _batch(spark, rows), ["pk"],
+                n_buckets=4, store=store, max_attempts=8,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    got = {
+        r.pk: (r.v, r.writetime)
+        for r in read_state(spark, root, store=store).collect()
+    }
+    for pk in range(12):
+        w = pk % 4
+        assert got[pk] == (f"w{w}", 20 + w), (pk, got[pk])
+
+
+def test_no_mirror_log_replays_through_the_store(spark, tmp_path, server):
+    """mirror_local=False on the LOG store: zero filesystem copy of
+    _delta_log anywhere — listing and reading commits resolve through
+    the store's reader half; export, read, CDF, consumer offsets and
+    idempotent re-publish all work; a reader session replaying via the
+    store matches the oracle."""
+    _, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    for rows in (BASE, BATCH_A):
+        merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url, mirror_local=False))
+    try:
+        assert dl.delta_export(spark, path, out) == 0
+        # the log exists ONLY in the store
+        assert not os.path.exists(os.path.join(out, "_delta_log"))
+        last, files, meta = dl.delta_log_replay(out)
+        assert last == 0 and files and meta is not None
+
+        got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+        want = sorted(
+            (r.pk, r.v)
+            for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got == want
+
+        # incremental second version + net CDF between them
+        merge_into(spark, path, _batch(spark, BATCH_B), ["pk"], n_buckets=4)
+        assert dl.delta_export(spark, path, out) == 1
+        ch = dl.delta_changes(spark, out, 0, 1, ["pk"])
+        types = {(r.pk, r["_change_type"]) for r in ch.collect()}
+        assert (3, "delete") in types and (2, "update_postimage") in types
+
+        # consumer cursor rides the store-resident log
+        v = dl.record_consumer_offset(out, "remote-job", 1)
+        assert v == 2
+        assert dl.consumer_offset(out, "remote-job") == 1
+
+        # racing republication of an existing version loses cleanly
+        from cdc_apache_cassandra_spark.streaming.materialize import (
+            CommitConflict,
+        )
+
+        with pytest.raises(CommitConflict):
+            dl._write_commit(out, 0, [{"commitInfo": {"timestamp": 1}}])
+
+        # a FRESH 'session' (new store instance, same URL) replays the
+        # same state — the cross-machine reader shape
+        prev2 = dl.set_log_commit_store(
+            HttpLogCommitStore(url, mirror_local=False)
+        )
+        try:
+            last2, files2, _ = dl.delta_log_replay(out)
+            want_files = set(dl._replay(out, 1).files)
+            assert (last2, set(files2)) == (2, want_files)
+            got2 = sorted(
+                (r.pk, r.v) for r in dl.read_delta(spark, out).collect()
+            )
+            want2 = sorted(
+                (r.pk, r.v)
+                for r in active_view(read_state(spark, path)).collect()
+            )
+            assert got2 == want2
+        finally:
+            dl.set_log_commit_store(prev2)
+    finally:
+        dl.set_log_commit_store(prev)
+
+
+def test_no_mirror_ambiguous_500_still_absorbed(spark, tmp_path, server):
+    """The applied-then-500 fault with NO mirror: publish verifies by
+    content through the store and the exporter proceeds; replay (also
+    through the store) sees the landed commit."""
+    srv, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=4)
+
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url, mirror_local=False))
+    try:
+        srv.fail_after_commit(srv.puts + 1)  # commit v0: applied, then 500
+        assert dl.delta_export(spark, path, out) == 0
+        last, files, _ = dl.delta_log_replay(out)
+        assert last == 0 and len(files) > 0
+    finally:
+        dl.set_log_commit_store(prev)
