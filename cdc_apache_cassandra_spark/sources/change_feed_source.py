@@ -11,6 +11,8 @@ consume → process → acknowledge cursor).
                                            # (-1 = initial snapshot as inserts)
         .option("maxVersionsPerBatch", 10) # rate limit (optional)
         .option("consumerId", "train-job") # durable cursor (optional)
+        .option("logStoreUrl", url)        # replay a log that lives ONLY
+                                           # in an HTTP commit store
         .load()
 
 Offsets ARE Delta versions: a micro-batch covers the net row-level change
@@ -53,6 +55,7 @@ recording after data-free ranges, so the cursor can never self-feed.
 
 from __future__ import annotations
 
+import contextlib
 import json
 
 from pyspark.sql import types as T
@@ -68,10 +71,35 @@ CDF_FIELDS = [
 ]
 
 
-def _table_schema(path: str) -> T.StructType:
+@contextlib.contextmanager
+def _routed_log_store(url: str | None):
+    """Temporarily resolve delta_log replay through an HTTP commit store
+    (option ``logStoreUrl``) — the reader shape for logs that exist ONLY
+    in the store (HttpLogCommitStore(mirror_local=False) writers). The
+    swap is scoped to the call: each Python streaming source runs in its
+    own worker process, so no concurrent planner shares the global."""
+    if not url:
+        yield
+        return
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        set_log_commit_store,
+    )
+    from cdc_apache_cassandra_spark.streaming.object_store import (
+        HttpLogCommitStore,
+    )
+
+    prev = set_log_commit_store(HttpLogCommitStore(url, mirror_local=False))
+    try:
+        yield
+    finally:
+        set_log_commit_store(prev)
+
+
+def _table_schema(path: str, log_store_url: str | None = None) -> T.StructType:
     from cdc_apache_cassandra_spark.streaming.delta_log import _replay
 
-    meta = _replay(path).meta
+    with _routed_log_store(log_store_url):
+        meta = _replay(path).meta
     if meta is None:
         raise ValueError(f"cdc_delta_changes: no Delta log at {path!r}")
     return T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -142,12 +170,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         mb = options.get("maxbytesperpartition")
         self.max_bytes = int(mb) if mb else 512 << 20
         self.consumer_id = options.get("consumerid")
-        # cursor txn commits need a WRITABLE log: plain local paths and
-        # file:// only. Decided by scheme up front — a remote root would
-        # otherwise pay a full remote log replay per commit cycle just
-        # to discard the result.
-        self._cursor_writable = "://" not in self.path or self.path.startswith(
-            "file://"
+        self.log_store_url = options.get("logstoreurl")
+        # cursor txn commits need a WRITABLE log: plain local paths,
+        # file://, or a routed conditional-PUT store. Decided by scheme
+        # up front — a read-only remote root would otherwise pay a full
+        # remote log replay per commit cycle just to discard the result.
+        self._cursor_writable = (
+            self.log_store_url is not None
+            or "://" not in self.path
+            or self.path.startswith("file://")
         )
         # driver-side trackers: rate-limit base + data-bearing watermark.
         # _primed: the base is authoritative only once we've seen a real
@@ -171,7 +202,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             consumer_offset,
         )
 
-        last = _replay(self.path).last
+        with _routed_log_store(self.log_store_url):
+            last = _replay(self.path).last
         if self.max_versions is None:
             return {"version": max(self._pos, last)}
         if self._primed:
@@ -190,11 +222,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # take a capped unprimed offer (no partitions() call in
             # between — the would-be-stall signature on an exotic restart
             # path), the next offer is uncapped so progress is guaranteed.
-            cursor = (
-                consumer_offset(self.path, self.consumer_id)
-                if self.consumer_id
-                else -1
-            )
+            with _routed_log_store(self.log_store_url):
+                cursor = (
+                    consumer_offset(self.path, self.consumer_id)
+                    if self.consumer_id
+                    else -1
+                )
             if cursor >= 0 or self._unprimed_offers > 0:
                 return {"version": max(self._pos, cursor, last)}
             base = self.start_version
@@ -205,7 +238,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def _state_at(self, version: int):
         from cdc_apache_cassandra_spark.streaming.delta_log import _replay
 
-        return _replay(self.path, version) if version >= 0 else None
+        with _routed_log_store(self.log_store_url):
+            return _replay(self.path, version) if version >= 0 else None
 
     def _check_schema(self, meta: dict | None, to_v: int) -> None:
         """Stop loudly when the range's newest metaData WIDENS or retypes
@@ -410,8 +444,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         )
 
         try:
-            if consumer_offset(self.path, self.consumer_id) < v:
-                record_consumer_offset(self.path, self.consumer_id, v)
+            with _routed_log_store(self.log_store_url):
+                if consumer_offset(self.path, self.consumer_id) < v:
+                    record_consumer_offset(self.path, self.consumer_id, v)
         except CommitConflict:
             # lost every version race to a busy exporter — the cursor is
             # retention bookkeeping, never the resume mechanism (Spark's
@@ -432,7 +467,12 @@ class ChangeFeedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("cdc_delta_changes requires option 'path'")
-        return T.StructType(list(_table_schema(path).fields) + CDF_FIELDS)
+        return T.StructType(
+            list(
+                _table_schema(path, self.options.get("logstoreurl")).fields
+            )
+            + CDF_FIELDS
+        )
 
     def streamReader(self, schema) -> ChangeFeedStreamReader:
         return ChangeFeedStreamReader(self.options, schema)

@@ -43,6 +43,12 @@ can't give a declarative reader:
 Everything is arrow-batched (``read`` yields RecordBatches; no per-row
 Python), one InputPartition per live parquet file, so parallelism follows
 the file layout like any parquet scan.
+
+Remote stores: ``path`` may be a URI root (file://, s3://, ... — listing
+and footer IO resolve through pyarrow.fs), and ``manifestUrl`` resolves
+the manifest pointer through an HTTP conditional-write store — the
+cross-machine reader shape for stores committed with
+HttpManifestStore(mirror_local=False).
 """
 
 from __future__ import annotations
@@ -65,10 +71,27 @@ from cdc_apache_cassandra_spark.functions.xxhash64_py import spark_bucket
 MANIFEST = "_MANIFEST.json"
 
 
-def _load_manifest(path: str) -> dict:
+def _load_manifest(path: str, manifest_url: str | None = None) -> dict:
+    """Resolve the manifest pointer. ``manifest_url`` (scan option
+    ``manifestUrl``) reads it from an HTTP conditional-write store — the
+    cross-machine reader shape for stores committed with NO local mirror
+    (HttpManifestStore(mirror_local=False)); otherwise the local file,
+    through the pyarrow.fs seam for URI table roots."""
+    if manifest_url is not None:
+        from cdc_apache_cassandra_spark.streaming.object_store import (
+            HttpManifestStore,
+        )
+
+        manifest, _ = HttpManifestStore(manifest_url, mirror_local=False).load(path)
+        if manifest is None:
+            raise ValueError(
+                f"cdc_store: no manifest for {path!r} at {manifest_url!r}"
+            )
+        return manifest
+    from cdc_apache_cassandra_spark.streaming.delta_log import _io_read_bytes
+
     try:
-        with open(os.path.join(path, MANIFEST)) as f:
-            return json.load(f)
+        return json.loads(_io_read_bytes(os.path.join(path, MANIFEST)))
     except FileNotFoundError:
         raise ValueError(
             f"cdc_store: no {MANIFEST} under {path!r} — not a bucket store "
@@ -89,6 +112,14 @@ def _bucket_dirs(path: str, manifest: dict) -> dict[str, str]:
 
 
 def _bucket_files(bucket_dir: str) -> list[str]:
+    if "://" in bucket_dir:
+        from cdc_apache_cassandra_spark.streaming.delta_log import _io_listdir
+
+        return sorted(
+            os.path.join(bucket_dir, n)
+            for n in _io_listdir(bucket_dir)
+            if n.endswith(".parquet")
+        )
     return sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
 
 
@@ -129,9 +160,11 @@ def _spark_table_schema(path: str, manifest: dict) -> T.StructType:
             "full-coverage rewrite records the table schema in the "
             "manifest) instead of unbounded plan-time footer reads"
         )
+    from cdc_apache_cassandra_spark.streaming.delta_log import _io_parquet_file
+
     schemas, seen = [], set()
     for f in files:
-        s = pq.ParquetFile(f).schema_arrow
+        s = _io_parquet_file(f).schema_arrow
         key = tuple(zip(s.names, (str(t) for t in s.types)))
         if key not in seen:
             seen.add(key)
@@ -158,7 +191,7 @@ class StoreScanReader(DataSourceReader):
         self.mode = (options.get("mode") or "active").lower()
         if self.mode not in ("active", "state"):
             raise ValueError(f"cdc_store: mode must be active|state, got {self.mode!r}")
-        self.manifest = _load_manifest(self.path)
+        self.manifest = _load_manifest(self.path, options.get("manifesturl"))
         # 'active' = per-row tombstone filter, sound ONLY for plain LWW
         # stores. Compound/custom reducers have cross-row read semantics
         # (range-tombstone dominance, static resolution) that a per-file
@@ -256,9 +289,12 @@ class StoreScanReader(DataSourceReader):
             return
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file)
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _io_read_parquet,
+        )
+
+        table = _io_read_parquet(partition.file)
         if self.mode == "active":
             table = table.filter(pc.not_equal(pc.field("op"), "DELETE"))
         present = set(table.column_names)
@@ -280,7 +316,7 @@ class StoreDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("cdc_store requires a path")
-        manifest = _load_manifest(path)
+        manifest = _load_manifest(path, self.options.get("manifesturl"))
         return _spark_table_schema(path, manifest)
 
     def reader(self, schema) -> StoreScanReader:

@@ -339,3 +339,94 @@ def test_no_mirror_ambiguous_500_still_absorbed(spark, tmp_path, server):
         assert last == 0 and len(files) > 0
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_cdc_store_scan_resolves_manifest_through_http(spark, tmp_path, server):
+    """Cross-machine DECLARATIVE reads: a store committed with NO local
+    manifest mirror scans via spark.read.format('cdc_store') with the
+    manifestUrl option — schema, bucket routing (pushdown) and rows all
+    resolved through the HTTP store, against a file:// (remote-shaped)
+    root."""
+    from cdc_apache_cassandra_spark.sources.store_source import register
+
+    _, url = server
+    local_root = str(tmp_path / "scan_store")
+    os.makedirs(local_root)
+    root = f"file://{local_root}"
+    mstore = HttpManifestStore(url, mirror_local=False)
+    for rows in (BASE, BATCH_A, BATCH_B):
+        merge_into(spark, root, _batch(spark, rows), ["pk"], n_buckets=4, store=mstore)
+    assert not os.path.exists(os.path.join(local_root, "_MANIFEST.json"))
+
+    register(spark)
+    scan = (
+        spark.read.format("cdc_store")
+        .option("path", root)
+        .option("manifestUrl", url)
+        .option("mode", "state")
+        .load()
+    )
+    assert _state_rows(scan) == _state_rows(read_state(spark, root, store=mstore))
+    # pushdown routing still prunes buckets through the HTTP manifest
+    got = (
+        spark.read.format("cdc_store")
+        .option("path", root)
+        .option("manifestUrl", url)
+        .load()
+        .filter("pk = 2")
+        .collect()
+    )
+    assert [(r.pk, r.v) for r in got] == [(2, "b2")]
+
+
+def test_change_feed_stream_resolves_log_through_http(spark, tmp_path, server):
+    """cdc_delta_changes with logStoreUrl: the streaming source's worker
+    process replays a log that exists ONLY in the HTTP store (no
+    _delta_log anywhere on disk) and the tail matches the batch CDF;
+    the consumer cursor commits back through the same store."""
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register,
+    )
+
+    _, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    log_store = HttpLogCommitStore(url, mirror_local=False)
+    prev = dl.set_log_commit_store(log_store)
+    try:
+        for rows in (BASE, BATCH_A, BATCH_B):
+            merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+            dl.delta_export(spark, path, out)
+        assert not os.path.exists(os.path.join(out, "_delta_log"))
+
+        register(spark)
+        name = "cdf_remote_" + _uuid.uuid4().hex[:8]
+        q = (
+            spark.readStream.format("cdc_delta_changes")
+            .option("path", out)
+            .option("pkCols", "pk")
+            .option("startingVersion", 0)
+            .option("maxVersionsPerBatch", 1)
+            .option("consumerId", "remote-tail")
+            .option("logStoreUrl", url)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(name)
+        want = dl.delta_changes(spark, out, 0, 1, ["pk"]).unionByName(
+            dl.delta_changes(spark, out, 1, 2, ["pk"])
+        )
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # cursor rode the HTTP-resident log
+        assert dl.consumer_offset(out, "remote-tail") >= 1
+    finally:
+        dl.set_log_commit_store(prev)
