@@ -171,6 +171,26 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.max_bytes = int(mb) if mb else 512 << 20
         self.consumer_id = options.get("consumerid")
         self.log_store_url = options.get("logstoreurl")
+        # the log version the pinned schema was read at: the DDL check
+        # applies only to ranges ENDING PAST it — schema differences at
+        # or before the pin are history (columns later dropped, types
+        # later changed) and read under Delta's own rule: the request's
+        # end-schema wins, so a restart can never wedge on them. Verify
+        # the pin is actually current so the (schema(), reader()) gap
+        # cannot hide a DDL: a mismatch at construction restarts clean.
+        from cdc_apache_cassandra_spark.streaming.delta_log import _replay
+
+        with _routed_log_store(self.log_store_url):
+            head = _replay(self.path)
+        self._pinned_at = head.last
+        drift = self._schema_drift(head.meta)
+        if drift:
+            raise RuntimeError(
+                f"cdc_delta_changes: the provided schema is stale for "
+                f"{self.path!r} (log columns {drift} differ at version "
+                f"{head.last}); re-plan the stream so it pins the "
+                "current table schema"
+            )
         # cursor txn commits need a WRITABLE log: plain local paths,
         # file://, or a routed conditional-PUT store. Decided by scheme
         # up front — a read-only remote root would otherwise pay a full
@@ -241,30 +261,42 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         with _routed_log_store(self.log_store_url):
             return _replay(self.path, version) if version >= 0 else None
 
-    def _check_schema(self, meta: dict | None, to_v: int) -> None:
-        """Stop loudly when the range's newest metaData WIDENS or retypes
-        columns relative to the pinned stream schema. Narrower (pre-DDL)
-        schemas inside the range are fine — their files read with typed
-        nulls, same as the batch CDF. Raising fails the query with a
-        restart instruction; a restarted stream re-pins the new schema
-        from the log and loses nothing (offsets are Delta versions)."""
+    def _schema_drift(self, meta: dict | None) -> list[str]:
+        """Column names whose presence/type in ``meta`` differs from the
+        pinned stream schema (recursive via canonical type JSON)."""
         if meta is None:
-            return
-        drift = [
-            f"{f['name']}"
+            return []
+        return [
+            f["name"]
             for f in json.loads(meta["schemaString"])["fields"]
             if f["name"] not in self._pinned_types
             or json.dumps(f["type"], sort_keys=True)
-            != json.dumps(json.loads(self._pinned_types[f["name"]]), sort_keys=True)
+            != json.dumps(
+                json.loads(self._pinned_types[f["name"]]), sort_keys=True
+            )
         ]
+
+    def _check_schema(self, meta: dict | None, to_v: int) -> None:
+        """Stop loudly when a range ending PAST the pin sees metaData
+        that widens or retypes columns — a mid-STREAM DDL. Ranges ending
+        at or before ``_pinned_at`` are history: their schema
+        differences (columns later dropped, types later reverted) read
+        under Delta's own rule — the pinned (newest) schema wins, typed
+        nulls for columns a file lacks — so a restarted stream can
+        never wedge on them (it re-pins at the new head and the same
+        range replans as historical). Raising fails the query with a
+        restart instruction; the checkpointed offset loses nothing."""
+        if to_v <= self._pinned_at:
+            return
+        drift = self._schema_drift(meta)
         if drift:
             raise RuntimeError(
                 f"cdc_delta_changes: table schema at {self.path!r} changed "
-                f"at or before version {to_v} (new/retyped columns: "
-                f"{drift}); a streaming source cannot widen its schema "
-                "mid-stream — restart the stream to pick up the new schema "
-                "(the checkpointed offset resumes exactly where this batch "
-                "would have started; no rows are lost)"
+                f"after version {self._pinned_at} (new/retyped columns at "
+                f"version <= {to_v}: {drift}); a streaming source cannot "
+                "widen its schema mid-stream — restart the stream to pick "
+                "up the new schema (the checkpointed offset resumes exactly "
+                "where this batch would have started; no rows are lost)"
             )
 
     def partitions(self, start: dict, end: dict):

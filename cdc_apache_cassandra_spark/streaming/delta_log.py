@@ -219,11 +219,16 @@ def _io_mkdirs(path: str) -> None:
 def _io_write_bytes(path: str, data: bytes) -> None:
     """Plain (non-atomic, non-conditional) write — staging/tmp files
     only; anything commit-like goes through the LogCommitStore or a
-    tmp-write + :func:`_io_move`."""
+    tmp-write + :func:`_io_move`. The local branch fsyncs: these tmp
+    files become pointers via rename, and rename-without-fsync can
+    surface a zero-length file after power loss (ext4 delayed
+    allocation)."""
     fs, p = _fs(path)
     if fs is None:
         with open(p, "wb") as f:
             f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
     else:
         with fs.open_output_stream(p) as f:
             f.write(data)
@@ -295,7 +300,10 @@ def _io_file_infos(dir_path: str) -> list[tuple[str, int, float]]:
         return []
     for i in infos:
         if i.type == pafs.FileType.File:
-            mtime = i.mtime.timestamp() if i.mtime is not None else 0.0
+            # a store that reports no mtime must read as FRESH, never
+            # ancient: age-gated deleters (vacuum, orphan GC) otherwise
+            # reap files an in-flight export staged seconds ago
+            mtime = i.mtime.timestamp() if i.mtime is not None else time.time()
             out.append((i.base_name, i.size, mtime))
     return out
 
@@ -330,13 +338,24 @@ class _LogState:
 def _read_last_checkpoint(out_path: str) -> dict | None:
     """Parse ``_delta_log/_last_checkpoint`` — the spec's pointer file
     ``{"version": V, "size": n, ...}`` (extra fields tolerated; this
-    writer stashes its empty-bucket memo there)."""
+    writer stashes its empty-bucket memo there). A TORN pointer (crash
+    between rename and fsync on filesystems with delayed allocation)
+    falls back to scanning the log dir for the newest complete
+    single-part checkpoint — delta-spark tolerates a corrupt pointer
+    the same way — and to pure-JSON replay when none exists."""
+    log_dir = os.path.join(out_path, LOG_DIR)
     try:
-        return json.loads(
-            _log_read_bytes(os.path.join(out_path, LOG_DIR, LAST_CHECKPOINT))
-        )
+        return json.loads(_log_read_bytes(os.path.join(log_dir, LAST_CHECKPOINT)))
     except FileNotFoundError:
         return None
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        suffix = ".checkpoint.parquet"
+        versions = [
+            int(n[: -len(suffix)])
+            for n in _log_listdir(log_dir)
+            if n.endswith(suffix) and n[: -len(suffix)].isdigit()
+        ]
+        return {"version": max(versions)} if versions else None
 
 
 def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:
@@ -359,11 +378,11 @@ def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:
         ]
     else:
         files = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
-    missing = [p for p in files if not _io_exists(p)]
+    missing = [p for p in files if not _log_exists(p)]
     if missing:
         v2 = [
             n
-            for n in _io_listdir(log_dir)
+            for n in _log_listdir(log_dir)
             if n.startswith(f"{v:020d}.checkpoint.") and n.endswith(".parquet")
         ]
         if v2:
@@ -434,7 +453,7 @@ def _load_checkpoint_state(out_path: str, last_cp: dict) -> "_LogState":
     state = _LogState()
     state.last = int(last_cp["version"])
     for path in _checkpoint_files(out_path, last_cp):
-        tbl = _io_read_parquet(path)
+        tbl = _log_read_parquet(path)
         cols = set(tbl.column_names)
         rows = tbl.to_pylist()
         for row in rows:
@@ -594,6 +613,31 @@ def _log_read_bytes(path: str) -> bytes:
     if _log_reads_via_store():
         return _LOG_COMMIT_STORE.read_bytes(path)
     return _io_read_bytes(path)
+
+
+def _log_exists(path: str) -> bool:
+    if _log_reads_via_store():
+        head, base = os.path.split(path)
+        return base in _LOG_COMMIT_STORE.list_dir(head)
+    return _io_exists(path)
+
+
+def _log_delete(path: str) -> None:
+    if _log_reads_via_store():
+        _LOG_COMMIT_STORE.delete(path)
+    else:
+        _io_delete(path)
+
+
+def _log_read_parquet(path: str):
+    """Checkpoint parquet through the log seam (store-resident bytes
+    read via pa.BufferReader — checkpoints are metadata-sized)."""
+    if _log_reads_via_store():
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        return pq.read_table(pa.BufferReader(_LOG_COMMIT_STORE.read_bytes(path)))
+    return _io_read_parquet(path)
 
 
 def _write_commit(out_path: str, version: int, actions: list[dict]) -> None:
@@ -814,25 +858,34 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
     schema = _checkpoint_arrow_schema()
     table = pa.Table.from_pylist(rows, schema=schema)
     log_dir = os.path.join(out_path, LOG_DIR)
-    _io_mkdirs(log_dir)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    # serialize driver-side (checkpoints are metadata-sized) and publish
-    # tmp-name + move through the URI seam: atomic rename on POSIX, and
-    # on object stores the final single-key PUT is itself atomic
+    lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
+    # serialize driver-side — checkpoints are metadata-sized
     sink = pa.BufferOutputStream()
     pq.write_table(table, sink)
-    tmp = f"{cp_path}.{uuid.uuid4().hex}.tmp"
-    _io_write_bytes(tmp, sink.getvalue().to_pybytes())
-    _io_move(tmp, cp_path)
-
+    cp_bytes = sink.getvalue().to_pybytes()
     pointer = {"version": version, "size": table.num_rows}
     if state.empty_buckets:
         pointer["emptyBuckets"] = {
             str(b): v for b, v in state.empty_buckets.items()
         }
-    lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
+    lc_bytes = json.dumps(pointer, separators=(",", ":")).encode()
+    if _log_reads_via_store():
+        # store-authoritative logs: checkpoint + pointer are DERIVED
+        # artifacts (recomputable from the create-only commits), so a
+        # last-writer-wins CAS overwrite is sound — this is what keeps
+        # a no-mirror deployment's replay O(tail), not O(all versions)
+        _LOG_COMMIT_STORE.put_overwrite(cp_path, cp_bytes)
+        _LOG_COMMIT_STORE.put_overwrite(lc_path, lc_bytes)
+        return cp_path
+    _io_mkdirs(log_dir)
+    # tmp-name + move through the URI seam: atomic rename on POSIX, and
+    # on object stores the final single-key PUT is itself atomic
+    tmp = f"{cp_path}.{uuid.uuid4().hex}.tmp"
+    _io_write_bytes(tmp, cp_bytes)
+    _io_move(tmp, cp_path)
     tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
-    _io_write_bytes(tmp, json.dumps(pointer, separators=(",", ":")).encode())
+    _io_write_bytes(tmp, lc_bytes)
     _io_move(tmp, lc_path)
     return cp_path
 
@@ -870,11 +923,11 @@ def delta_log_cleanup(
             return []
     log_dir = os.path.join(out_path, LOG_DIR)
     deleted = []
-    for name in sorted(_io_listdir(log_dir)):
+    for name in sorted(_log_listdir(log_dir)):
         if not (name.endswith(".json") and name[0].isdigit()):
             continue
         if int(name[: -len(".json")]) < cp_version:
-            _io_delete(os.path.join(log_dir, name))
+            _log_delete(os.path.join(log_dir, name))
             deleted.append(name)
     return deleted
 
@@ -1159,9 +1212,6 @@ def delta_export(
         checkpoint_interval is not None
         and version > 0
         and version % checkpoint_interval == 0
-        # no-mirror store-authoritative logs have no file-side log dir
-        # for a checkpoint to land in; readers replay via the store
-        and not _log_reads_via_store()
     ):
         write_checkpoint(out_path, version)
     return version

@@ -45,7 +45,6 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -671,7 +670,13 @@ def gc_orphan_dirs(
 
 
 def _tree_newest_mtime(root: str) -> float:
-    """Newest mtime in a directory tree, through the URI seam."""
+    """Newest mtime in a directory tree, through the URI seam. The tree
+    must read as FRESH when nothing reports an mtime (empty just-created
+    staging, stores without LastModified): the caller is an age-gated
+    deleter, and 'unknown age' treated as 'ancient' would reap an ACTIVE
+    writer's staging directory seconds after creation."""
+    import time
+
     dl = _dl()
     fs, p = dl._fs(root)
     if fs is None:
@@ -685,11 +690,14 @@ def _tree_newest_mtime(root: str) -> float:
         return newest
     import pyarrow.fs as pafs
 
-    newest = 0.0
+    mtimes = []
+    own = fs.get_file_info(p)
+    if own.mtime is not None:
+        mtimes.append(own.mtime.timestamp())
     for i in fs.get_file_info(pafs.FileSelector(p, recursive=True)):
         if i.mtime is not None:
-            newest = max(newest, i.mtime.timestamp())
-    return newest
+            mtimes.append(i.mtime.timestamp())
+    return max(mtimes) if mtimes else time.time()
 
 
 def expired_tombstone_buckets(manifest: dict, tombstone_horizon: int) -> list[int]:

@@ -235,6 +235,7 @@ class HttpLogCommitStore:
                 body, _ = http_get(url)
                 if body == data:
                     break  # idempotent retry of our own landed commit
+                self._adopt_remote(path, body)
                 raise
             except urllib.error.HTTPError as e:
                 if e.code < 500:
@@ -244,6 +245,7 @@ class HttpLogCommitStore:
                 if body == data:
                     break  # it landed; treat as success
                 if body is not None:
+                    self._adopt_remote(path, body)
                     raise CommitConflict(
                         f"conditional PUT of {url} returned HTTP {e.code} "
                         "and the stored commit is not ours: another writer "
@@ -254,6 +256,21 @@ class HttpLogCommitStore:
             raise last_err  # type: ignore[misc]
         if self.mirror_local:
             self._mirror(path, data)
+
+    def _adopt_remote(self, path: str, body: bytes | None) -> None:
+        """On a LOST race in mirror mode, mirror the store's (winning)
+        bytes before raising — the remote commit is create-only and
+        authoritative, so local replay must see it or the loser's
+        re-diff recomputes the SAME version forever. This also recovers
+        a crashed PREVIOUS RUN of this writer: its PUT landed, its
+        mirror never ran, and this run's recomputed bytes differ only
+        by timestamps/uuid — adopting the remote copy lets the re-diff
+        find version N published and converge instead of livelocking."""
+        if self.mirror_local and body is not None:
+            try:
+                self._mirror(path, body)
+            except OSError:
+                pass  # mirror is best-effort; the conflict still raises
 
     def _mirror(self, path: str, data: bytes) -> None:
         import uuid
@@ -304,6 +321,39 @@ class HttpLogCommitStore:
                 out.append(rest)
         return sorted(out)
 
+    def put_overwrite(self, path: str, data: bytes, max_attempts: int = 5) -> None:
+        """Last-writer-wins overwrite via ETag CAS loop — for DERIVED
+        log artifacts only (checkpoint parquet, the _last_checkpoint
+        pointer: both recomputable from the commits, which stay
+        create-only). S3's unconditional PUT has these semantics; the
+        emulator refuses blind writes, so the loop does GET-etag →
+        If-Match (If-None-Match:* when absent), retrying lost races."""
+        url = self._url(path)
+        for _ in range(max_attempts):
+            _, etag = http_get(url)
+            try:
+                if etag is None:
+                    http_put_conditional(url, data, if_none_match=True)
+                else:
+                    http_put_conditional(url, data, if_match=str(etag))
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"put_overwrite of {url} lost {max_attempts} CAS races"
+        )
+
+    def delete(self, path: str) -> None:
+        """Delete a key (log cleanup of checkpointed JSON). Missing key
+        raises FileNotFoundError, matching the POSIX unlink contract."""
+        try:
+            with _request(self._url(path), "DELETE"):
+                pass
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(path)
+            raise
+
 
 # ---------------------------------------------------------------------------
 # In-process conditional-PUT emulator (S3 semantics) for tests/dev
@@ -321,6 +371,8 @@ class ConditionalPutServer:
       PUT unconditional      -> refused (400): this engine must never
                                 blind-write a commit point
       GET                    -> 200 body+ETag | 404
+      GET /?prefix=<quoted>  -> JSON array of matching key paths (LIST)
+      DELETE                 -> 204 | 404 (log cleanup)
 
     ETags are monotone integers per key. ``fail_after_commit(n)`` makes
     the n-th successful PUT return HTTP 500 AFTER applying the write —
@@ -369,6 +421,12 @@ class ConditionalPutServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_DELETE(self):
+                with outer._lock:
+                    existed = outer._blobs.pop(self.path, None)
+                self.send_response(204 if existed is not None else 404)
+                self.end_headers()
 
             def do_PUT(self):
                 n = int(self.headers.get("Content-Length", 0))

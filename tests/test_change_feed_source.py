@@ -418,3 +418,48 @@ def test_oversized_untagged_group_splits_by_key_hash(spark, tmp_path):
     cols = [f.name for f in full.fields]
     want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
     assert rowsN == want_rows
+
+
+def test_historical_schema_narrowing_does_not_wedge(spark, tmp_path):
+    """Review fix (r7): a column added and later DROPPED (foreign
+    writer) must not wedge the stream — a restart pins the CURRENT
+    (post-drop) schema, and ranges ending at or before the pin read
+    under Delta's rule (end-schema wins, dropped column omitted)
+    instead of raising forever. Only DDL AFTER the pin stops the
+    stream."""
+    store, table = _build(spark, tmp_path)  # v0..v2, schema A
+    # v3: ALTER-ADD w (schema B)
+    wide = SCHEMA + ", w string"
+    merge_into(
+        spark, store,
+        spark.createDataFrame([("UPDATE", 2, 40, "u2", 3, 0, "wide")], wide),
+        ["pk"], n_buckets=4,
+    )
+    delta_export(spark, store, table)
+    # v4: a FOREIGN writer narrows metaData back to schema A (drop w)
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _replay,
+        _write_commit,
+    )
+
+    st = _replay(table)
+    assert st.last == 3
+    meta = dict(st.meta)
+    fields = json.loads(meta["schemaString"])
+    fields["fields"] = [f for f in fields["fields"] if f["name"] != "w"]
+    meta["schemaString"] = json.dumps(fields)
+    _write_commit(table, 4, [
+        {"metaData": meta},
+        {"commitInfo": {"timestamp": 1, "operation": "DROP COLUMN"}},
+    ])
+
+    # a stream pinned NOW (post-drop) replays history 0..4 without
+    # wedging: the v3 range's wider metaData is historical
+    got = _tail(spark, table, startingVersion=0, maxVersionsPerBatch=1)
+    assert "w" not in got.columns
+    assert sorted({r["_commit_version"] for r in got.collect()}) == [1, 2, 3]
+    v3 = got.filter("_commit_version = 3")
+    assert {(r["pk"], r["_change_type"], r["v"]) for r in v3.collect()} == {
+        (2, "update_preimage", "v2"),
+        (2, "update_postimage", "u2"),
+    }

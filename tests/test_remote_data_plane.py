@@ -430,3 +430,110 @@ def test_change_feed_stream_resolves_log_through_http(spark, tmp_path, server):
         assert dl.consumer_offset(out, "remote-tail") >= 1
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_lost_mirror_recovers_by_adopting_remote_commit(spark, tmp_path, server):
+    """Review fix (r7): a crash between a landed PUT and the local
+    mirror must not livelock the exporter. On a conflict, publish()
+    adopts the store's authoritative bytes into the mirror, so the
+    caller's retry replays a log that includes the landed version and
+    converges instead of recomputing the same version forever."""
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        CommitConflict,
+    )
+
+    _, url = server
+    store = HttpLogCommitStore(url)
+
+    # unit: conflict adopts remote bytes into the mirror
+    p = str(tmp_path / "log" / ("0" * 20 + ".json"))
+    os.makedirs(os.path.dirname(p))
+    store.publish(p, b'{"v":"first"}\n')
+    os.remove(p)  # crash-before-mirror simulation
+    with pytest.raises(CommitConflict):
+        store.publish(p, b'{"v":"recomputed"}\n')
+    assert open(p, "rb").read() == b'{"v":"first"}\n'  # adopted
+
+    # integration: exporter converges after the crash
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=4)
+    prev = dl.set_log_commit_store(store)
+    try:
+        assert dl.delta_export(spark, path, out) == 0
+        os.remove(dl._commit_path(out, 0))  # the mirror never happened
+        merge_into(spark, path, _batch(spark, BATCH_A), ["pk"], n_buckets=4)
+        # first attempt replays an empty local log, recomputes v0,
+        # loses to the store — and adopts v0 into the mirror
+        with pytest.raises(CommitConflict):
+            dl.delta_export(spark, path, out)
+        # the retry (exactly what foreach_batch_upsert does) converges
+        assert dl.delta_export(spark, path, out) == 1
+        got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+        want = sorted(
+            (r.pk, r.v) for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got == want
+    finally:
+        dl.set_log_commit_store(prev)
+
+
+def test_torn_last_checkpoint_pointer_recovers(spark, tmp_path):
+    """Review fix (r7): a torn/empty _last_checkpoint (crash between
+    rename and durability) must not make the table unreadable — the
+    reader falls back to the newest complete checkpoint parquet, or to
+    pure-JSON replay when none exists."""
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    for rows in (BASE, BATCH_A, BATCH_B):
+        merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+        dl.delta_export(spark, path, out, checkpoint_interval=None)
+    dl.write_checkpoint(out)
+    want = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+
+    lc = os.path.join(out, "_delta_log", "_last_checkpoint")
+    open(lc, "wb").write(b"")  # torn: zero-length after power loss
+    assert dl._read_last_checkpoint(out) == {"version": 2}
+    assert sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect()) == want
+
+    # no checkpoint parquet at all -> pure-JSON replay
+    os.remove(os.path.join(out, "_delta_log", f"{2:020d}.checkpoint.parquet"))
+    assert dl._read_last_checkpoint(out) is None
+    assert sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect()) == want
+
+
+def test_store_authoritative_log_checkpoints_and_cleans(spark, tmp_path, server):
+    """Review fix (r7): a no-mirror (store-authoritative) log must not
+    replay O(all versions) forever — write_checkpoint publishes the
+    checkpoint parquet + pointer INTO the store (LWW CAS overwrite:
+    derived artifacts), cleanup DELETEs covered JSON from the store,
+    and replay restores from the store-resident checkpoint."""
+    _, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    store = HttpLogCommitStore(url, mirror_local=False)
+    prev = dl.set_log_commit_store(store)
+    try:
+        for i, rows in enumerate((BASE, BATCH_A, BATCH_B)):
+            merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+            assert dl.delta_export(
+                spark, path, out, checkpoint_interval=2
+            ) == i
+        # version 2 crossed the cadence: checkpoint lives in the store
+        assert dl._read_last_checkpoint(out)["version"] == 2
+        assert not os.path.exists(os.path.join(out, "_delta_log"))
+        deleted = dl.delta_log_cleanup(out, respect_consumers=False)
+        assert deleted == [f"{0:020d}.json", f"{1:020d}.json"]
+        names = store.list_dir(os.path.join(out, "_delta_log"))
+        assert f"{0:020d}.json" not in names and f"{2:020d}.json" in names
+        # replay now restores from the store-resident checkpoint + tail
+        got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+        want = sorted(
+            (r.pk, r.v) for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got == want
+    finally:
+        dl.set_log_commit_store(prev)
