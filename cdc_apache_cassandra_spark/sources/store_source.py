@@ -182,7 +182,7 @@ class _FilePartition(InputPartition):
 
 
 class StoreScanReader(DataSourceReader):
-    def __init__(self, options, schema: T.StructType):
+    def __init__(self, options, schema: T.StructType, manifest: dict | None = None):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.path = options.get("path")
@@ -191,7 +191,14 @@ class StoreScanReader(DataSourceReader):
         self.mode = (options.get("mode") or "active").lower()
         if self.mode not in ("active", "state"):
             raise ValueError(f"cdc_store: mode must be active|state, got {self.mode!r}")
-        self.manifest = _load_manifest(self.path, options.get("manifesturl"))
+        # one manifest load per SCAN: the DataSource passes the manifest
+        # its schema() call already resolved, so schema, bucket routing
+        # and kind all come from the SAME pointer read (a commit landing
+        # between two loads would otherwise skew routing vs schema —
+        # and over manifestUrl each load is an HTTP round trip)
+        self.manifest = manifest if manifest is not None else _load_manifest(
+            self.path, options.get("manifesturl")
+        )
         # 'active' = per-row tombstone filter, sound ONLY for plain LWW
         # stores. Compound/custom reducers have cross-row read semantics
         # (range-tombstone dominance, static resolution) that a per-file
@@ -312,15 +319,21 @@ class StoreDataSource(DataSource):
     def name(cls) -> str:
         return "cdc_store"
 
+    def _manifest(self) -> dict:
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is None:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("cdc_store requires a path")
+            cached = _load_manifest(path, self.options.get("manifesturl"))
+            self._manifest_cache = cached
+        return cached
+
     def schema(self):
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("cdc_store requires a path")
-        manifest = _load_manifest(path, self.options.get("manifesturl"))
-        return _spark_table_schema(path, manifest)
+        return _spark_table_schema(self.options.get("path"), self._manifest())
 
     def reader(self, schema) -> StoreScanReader:
-        return StoreScanReader(self.options, schema)
+        return StoreScanReader(self.options, schema, manifest=self._manifest())
 
 
 def register(spark) -> None:

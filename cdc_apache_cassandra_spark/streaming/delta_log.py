@@ -873,10 +873,22 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
     if _log_reads_via_store():
         # store-authoritative logs: checkpoint + pointer are DERIVED
         # artifacts (recomputable from the create-only commits), so a
-        # last-writer-wins CAS overwrite is sound — this is what keeps
-        # a no-mirror deployment's replay O(tail), not O(all versions)
+        # CAS overwrite is sound — this is what keeps a no-mirror
+        # deployment's replay O(tail), not O(all versions). The POINTER
+        # must be MONOTONIC: a stalled checkpointer swapping it back
+        # below JSON that cleanup already deleted would make the table
+        # unreadable (non-contiguous replay) — the guard runs against
+        # the stored value inside the CAS, so backwards never lands.
+        def _newer(current: bytes | None) -> bool:
+            if current is None:
+                return True
+            try:
+                return int(json.loads(current)["version"]) < version
+            except (ValueError, KeyError, TypeError):
+                return True  # torn/foreign pointer: ours repairs it
+
         _LOG_COMMIT_STORE.put_overwrite(cp_path, cp_bytes)
-        _LOG_COMMIT_STORE.put_overwrite(lc_path, lc_bytes)
+        _LOG_COMMIT_STORE.put_overwrite(lc_path, lc_bytes, should_replace=_newer)
         return cp_path
     _io_mkdirs(log_dir)
     # tmp-name + move through the URI seam: atomic rename on POSIX, and
@@ -927,7 +939,10 @@ def delta_log_cleanup(
         if not (name.endswith(".json") and name[0].isdigit()):
             continue
         if int(name[: -len(".json")]) < cp_version:
-            _log_delete(os.path.join(log_dir, name))
+            try:
+                _log_delete(os.path.join(log_dir, name))
+            except FileNotFoundError:
+                pass  # a concurrent cleaner got there first — same outcome
             deleted.append(name)
     return deleted
 
@@ -1478,6 +1493,19 @@ def record_consumer_offset(
         if s.last < 0:
             raise FileNotFoundError(f"no Delta log at {out_path}")
         now = _now_ms()
+        info = {
+            "timestamp": now,
+            "operation": "SET TRANSACTION",
+            "operationParameters": {"appId": app_id},
+        }
+        # carry the exporter's empty-bucket memo forward ONLY when it
+        # holds something: a replay degraded by a torn checkpoint
+        # pointer sees {} — persisting that would durably wipe the memo
+        # (an absent key leaves the previous memo in force on replay)
+        if s.empty_buckets:
+            info["emptyBuckets"] = {
+                str(b): v for b, v in s.empty_buckets.items()
+            }
         actions = [
             {
                 "txn": {
@@ -1486,16 +1514,7 @@ def record_consumer_offset(
                     "lastUpdated": now,
                 }
             },
-            {
-                "commitInfo": {
-                    "timestamp": now,
-                    "operation": "SET TRANSACTION",
-                    "operationParameters": {"appId": app_id},
-                    "emptyBuckets": {
-                        str(b): v for b, v in s.empty_buckets.items()
-                    },
-                }
-            },
+            {"commitInfo": info},
         ]
         try:
             _write_commit(out_path, s.last + 1, actions)

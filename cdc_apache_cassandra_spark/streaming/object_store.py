@@ -321,24 +321,52 @@ class HttpLogCommitStore:
                 out.append(rest)
         return sorted(out)
 
-    def put_overwrite(self, path: str, data: bytes, max_attempts: int = 5) -> None:
-        """Last-writer-wins overwrite via ETag CAS loop — for DERIVED
-        log artifacts only (checkpoint parquet, the _last_checkpoint
-        pointer: both recomputable from the commits, which stay
-        create-only). S3's unconditional PUT has these semantics; the
-        emulator refuses blind writes, so the loop does GET-etag →
-        If-Match (If-None-Match:* when absent), retrying lost races."""
+    def put_overwrite(
+        self,
+        path: str,
+        data: bytes,
+        max_attempts: int = 5,
+        should_replace=None,
+    ) -> bool:
+        """Overwrite via ETag CAS loop — for DERIVED log artifacts only
+        (checkpoint parquet, the _last_checkpoint pointer: both
+        recomputable from the commits, which stay create-only). S3's
+        unconditional PUT has these semantics; the emulator refuses
+        blind writes, so the loop does GET → If-Match (If-None-Match:*
+        when absent), retrying lost races.
+
+        ``should_replace(current_body) -> bool`` guards each attempt
+        against the CURRENT stored value (None when absent) — the
+        monotonic-pointer hook: a stalled checkpointer must never swap
+        the pointer BACKWARDS over a newer one (the CAS makes the
+        check-then-put atomic). Returns False when the guard declined.
+
+        Ambiguous faults absorb like publish(): a 5xx may have applied —
+        verify by content before retrying."""
         url = self._url(path)
+        last_err: Exception | None = None
         for _ in range(max_attempts):
-            _, etag = http_get(url)
+            body, etag = http_get(url)
+            if body == data:
+                return True  # already ours (earlier ambiguous success)
+            if should_replace is not None and not should_replace(body):
+                return False
             try:
                 if etag is None:
                     http_put_conditional(url, data, if_none_match=True)
                 else:
                     http_put_conditional(url, data, if_match=str(etag))
-                return
+                return True
             except CommitConflict:
+                last_err = None
                 continue
+            except urllib.error.HTTPError as e:
+                if e.code < 500:
+                    raise
+                last_err = e  # ambiguous — the re-GET next loop decides
+                continue
+        if last_err is not None:
+            raise last_err
         raise CommitConflict(
             f"put_overwrite of {url} lost {max_attempts} CAS races"
         )

@@ -537,3 +537,79 @@ def test_store_authoritative_log_checkpoints_and_cleans(spark, tmp_path, server)
         assert got == want
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_put_overwrite_guards_absorbs_and_never_regresses(spark, tmp_path, server):
+    """Review fixes (r7, second pass): put_overwrite absorbs the
+    applied-then-500 fault by content; the checkpoint POINTER never
+    moves backwards (a stalled checkpointer must not point below JSON
+    that cleanup already removed); cleanup tolerates a concurrently
+    deleted key; consumer commits never persist an empty memo."""
+    srv, url = server
+    store = HttpLogCommitStore(url, mirror_local=False)
+
+    # ambiguous 500 absorbed by content on the overwrite path
+    key = str(tmp_path / "artifact")
+    srv.fail_after_commit(srv.puts + 1)
+    assert store.put_overwrite(key, b"v1") is True
+    assert store.read_bytes(key) == b"v1"
+    # LWW without a guard replaces; a declining guard returns False
+    assert store.put_overwrite(key, b"v2") is True
+    assert store.put_overwrite(key, b"v0", should_replace=lambda b: False) is False
+    assert store.read_bytes(key) == b"v2"
+
+    # end-to-end: stalled checkpointer cannot regress the pointer
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    prev = dl.set_log_commit_store(store)
+    try:
+        for rows in (BASE, BATCH_A, BATCH_B):
+            merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+            dl.delta_export(spark, path, out, checkpoint_interval=None)
+        dl.write_checkpoint(out)  # pointer -> 2
+        assert dl._read_last_checkpoint(out)["version"] == 2
+        dl.write_checkpoint(out, version=1)  # the stalled older attempt
+        assert dl._read_last_checkpoint(out)["version"] == 2  # not regressed
+
+        # cleanup tolerates a concurrently-deleted key
+        log_dir = os.path.join(out, "_delta_log")
+        store.delete(os.path.join(log_dir, f"{0:020d}.json"))
+        deleted = dl.delta_log_cleanup(out, respect_consumers=False)
+        assert f"{1:020d}.json" in deleted  # run completed past the 404
+        got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+        want = sorted(
+            (r.pk, r.v) for r in active_view(read_state(spark, path)).collect()
+        )
+        assert got == want
+
+        # consumer commit with an EMPTY memo omits the key entirely
+        v = dl.record_consumer_offset(out, "memo-job", 2)
+        commit = json.loads(
+            store.read_bytes(dl._commit_path(out, v)).decode().splitlines()[1]
+        )
+        assert "emptyBuckets" not in commit["commitInfo"]
+    finally:
+        dl.set_log_commit_store(prev)
+
+
+def test_store_scan_reader_reuses_resolved_manifest():
+    """One manifest load per scan: the reader must honor the manifest
+    the DataSource's schema() call resolved instead of re-loading (two
+    loads = two HTTP round trips + a routing-vs-schema skew window)."""
+    from pyspark.sql import types as T
+
+    from cdc_apache_cassandra_spark.sources.store_source import (
+        StoreScanReader,
+    )
+
+    manifest = {
+        "version": 1,
+        "n_buckets": 4,
+        "buckets": {},
+        "bucket_cols": ["pk"],
+        "kind": "lww",
+    }
+    schema = T.StructType([T.StructField("pk", T.LongType())])
+    r = StoreScanReader({"path": "/nonexistent/store"}, schema, manifest=manifest)
+    assert r.manifest is manifest  # no _load_manifest call (would raise)
