@@ -613,3 +613,102 @@ def test_store_scan_reader_reuses_resolved_manifest():
     schema = T.StructType([T.StructField("pk", T.LongType())])
     r = StoreScanReader({"path": "/nonexistent/store"}, schema, manifest=manifest)
     assert r.manifest is manifest  # no _load_manifest call (would raise)
+
+
+# ---------------------------------------------------------------------------
+# Property: remoteness must not change one row, under random batching
+# ---------------------------------------------------------------------------
+
+import shutil as _shutil
+import tempfile as _tempfile
+
+from hypothesis import HealthCheck, example, given, seed, settings
+from hypothesis import strategies as st
+
+_ops = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE", "DELETE"]), st.integers(0, 9)
+)
+_histories = st.tuples(
+    st.lists(st.lists(_ops, min_size=1, max_size=5), min_size=1, max_size=4),
+    st.booleans(),  # compact the remote store at the end
+    st.sampled_from([2, 4]),  # n_buckets
+)
+
+_PINNED = ([[("INSERT", 1)], [("DELETE", 1), ("INSERT", 2)]], True, 2)
+
+
+@seed(20260815)
+@example(_PINNED)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_histories)
+def test_remote_lifecycle_equals_local_under_random_batching(spark, scenario):
+    """The round-7 claim as a property: the SAME random batch history
+    through (a) the default local store and (b) a file:// root with
+    HTTP manifest CAS (no mirror) + HTTP commit publication must
+    produce identical state rows and identical Delta-export read-backs
+    — compaction on the remote side included."""
+    history, do_compact, n_buckets = scenario
+    root = _tempfile.mkdtemp(prefix="t_remote_prop_")
+    server = ConditionalPutServer()
+    url = server.start()
+    try:
+        local_store = os.path.join(root, "local")
+        remote_local = os.path.join(root, "remote")
+        local_out = os.path.join(root, "local_delta")
+        remote_out_local = os.path.join(root, "remote_delta")
+        os.makedirs(local_store)
+        os.makedirs(remote_local)
+        os.makedirs(remote_out_local)
+        remote_store = f"file://{remote_local}"
+        remote_out = f"file://{remote_out_local}"
+        mstore = HttpManifestStore(url, mirror_local=False)
+        prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+        try:
+            wt = 0
+            for seg, batch in enumerate(history):
+                rows = []
+                for pos, (kind, pk) in enumerate(batch):
+                    wt += 1
+                    rows.append((
+                        kind, pk, wt,
+                        None if kind == "DELETE" else f"v{wt}",
+                        "x", seg, pos,
+                    ))
+                df = _batch(spark, rows)
+                merge_into(spark, local_store, df, ["pk"], n_buckets=n_buckets)
+                merge_into(
+                    spark, remote_store, df, ["pk"],
+                    n_buckets=n_buckets, store=mstore,
+                )
+            if do_compact:
+                compact(spark, remote_store, ["pk"], store=mstore)
+            lhs = _state_rows(read_state(spark, local_store))
+            rhs = _state_rows(read_state(spark, remote_store, store=mstore))
+            assert lhs == rhs
+
+            # the LOCAL side commits through plain POSIX link, so the
+            # comparison really is local-vs-remote, not HTTP-vs-HTTP
+            prev2 = dl.set_log_commit_store(dl.LocalLogCommitStore())
+            try:
+                dl.delta_export(spark, local_store, local_out)
+            finally:
+                dl.set_log_commit_store(prev2)
+            dl.delta_export(
+                spark, remote_store, remote_out, manifest_store=mstore
+            )
+            l_rows = sorted(
+                map(tuple, dl.read_delta(spark, local_out).collect())
+            )
+            r_rows = sorted(
+                map(tuple, dl.read_delta(spark, remote_out).collect())
+            )
+            assert l_rows == r_rows
+        finally:
+            dl.set_log_commit_store(prev)
+    finally:
+        server.stop()
+        _shutil.rmtree(root, ignore_errors=True)
