@@ -1032,6 +1032,7 @@ def foreach_batch_upsert(
     delta_path: str | None = None,
     delta_active_view_fn=None,
     kind: str | None = None,
+    store: ManifestStore = _DEFAULT_STORE,
 ):
     """foreachBatch hook: incremental bucket MERGE per micro-batch.
 
@@ -1054,6 +1055,11 @@ def foreach_batch_upsert(
     content, flagged dataChange, exactly the at-least-once surface a
     Delta MERGE writer has after a crash."""
 
+    # the txn appId must be a STABLE identity for this store across
+    # restarts: abspath canonicalizes local relative paths; URI roots
+    # are already canonical (abspath would mangle the scheme)
+    app_path = path if "://" in path else os.path.abspath(path)
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         merge_into(
             batch.sparkSession,
@@ -1064,6 +1070,7 @@ def foreach_batch_upsert(
             bucket_cols=bucket_cols,
             reducer=reducer,
             kind=kind,
+            store=store,
         )
         if delta_path is not None:
             from cdc_apache_cassandra_spark.streaming.delta_log import (
@@ -1075,23 +1082,26 @@ def foreach_batch_upsert(
             # this store state already, the retry is a no-op (txn memo /
             # identical diff); a second conflict propagates and fails the
             # batch, which Structured Streaming replays idempotently.
+            manifest_store = None if store is _DEFAULT_STORE else store
             try:
                 delta_export(
                     batch.sparkSession,
                     path,
                     delta_path,
-                    txn_app=f"materialize::{os.path.abspath(path)}",
+                    txn_app=f"materialize::{app_path}",
                     txn_version=batch_id,
                     active_view_fn=delta_active_view_fn,
+                    manifest_store=manifest_store,
                 )
             except CommitConflict:
                 delta_export(
                     batch.sparkSession,
                     path,
                     delta_path,
-                    txn_app=f"materialize::{os.path.abspath(path)}",
+                    txn_app=f"materialize::{app_path}",
                     txn_version=batch_id,
                     active_view_fn=delta_active_view_fn,
+                    manifest_store=manifest_store,
                 )
 
     return apply
@@ -1108,12 +1118,16 @@ def materialize_stream(
     delta_path: str | None = None,
     delta_active_view_fn=None,
     kind: str | None = None,
+    store: ManifestStore = _DEFAULT_STORE,
 ):
     """Wire a mutation-event stream into the materialized table.
     Compound tables pass ``bucket_cols=[partition_key]`` and
     ``reducer=operators.lww.compound_reduce`` for partition-range
     tombstone semantics. ``delta_path`` mirrors every commit into a
-    native Delta log (see :func:`foreach_batch_upsert`)."""
+    native Delta log (see :func:`foreach_batch_upsert`). ``store``
+    routes the manifest CAS — a stream can materialize straight into a
+    remote (URI) table root with an HTTP store, the same shape the
+    batch lifecycle gate runs."""
     _dl()._io_mkdirs(path)
     return (
         events.writeStream.foreachBatch(
@@ -1122,6 +1136,7 @@ def materialize_stream(
                 delta_path=delta_path,
                 delta_active_view_fn=delta_active_view_fn,
                 kind=kind,
+                store=store,
             )
         )
         .option("checkpointLocation", checkpoint)

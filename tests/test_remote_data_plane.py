@@ -712,3 +712,53 @@ def test_remote_lifecycle_equals_local_under_random_batching(spark, scenario):
     finally:
         server.stop()
         _shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_materialization_into_remote_root(spark, tmp_path, server):
+    """The STREAMING leg of the remote data plane: materialize_stream
+    writes micro-batches straight into a file:// root with the HTTP
+    manifest CAS (no mirror) and mirrors every commit into a remote
+    Delta log — the same shape the batch lifecycle gate pins, driven by
+    a real writeStream."""
+    _, url = server
+    src = str(tmp_path / "events_src")
+    local_root = str(tmp_path / "stream_store")
+    local_out = str(tmp_path / "stream_delta")
+    os.makedirs(local_root)
+    os.makedirs(local_out)
+    root = f"file://{local_root}"
+    out = f"file://{local_out}"
+    mstore = HttpManifestStore(url, mirror_local=False)
+
+    rows = BASE + BATCH_A + BATCH_B
+    spark.createDataFrame(rows, SCHEMA).repartition(3).write.parquet(src)
+    events = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        materialize_stream,
+    )
+
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+    try:
+        q = materialize_stream(
+            events,
+            root,
+            str(tmp_path / "ckpt"),
+            ["pk"],
+            n_buckets=4,
+            delta_path=out,
+            store=mstore,
+        )
+        q.processAllAvailable()
+        q.stop()
+        want = _oracle(spark, tmp_path)
+        assert _state_rows(read_state(spark, root, store=mstore)) == want
+        got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+        assert got == sorted(
+            (pk, v) for pk, op, _wt, v in want if op != "DELETE"
+        )
+        assert not os.path.exists(os.path.join(local_root, "_MANIFEST.json"))
+    finally:
+        dl.set_log_commit_store(prev)
