@@ -98,6 +98,21 @@ def _bucket_expr(pk_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*pk_cols), F.lit(n_buckets)).cast("int")
 
 
+def _check_store_for_path(path: str, store: "ManifestStore | None") -> None:
+    """URI table roots have no local manifest file EVER (the HTTP
+    mirror skips them by design), so the local-filesystem CAS can
+    neither read nor commit one — refuse UP FRONT, before any
+    distributed work, instead of silently treating an existing remote
+    table as empty and failing later on a mangled lock path (the same
+    guard class delta_export applies to its commit store)."""
+    if "://" in path and isinstance(store or _DEFAULT_STORE, LocalManifestStore):
+        raise ValueError(
+            f"{path}: a URI table root needs a conditional-write "
+            "ManifestStore (e.g. HttpManifestStore) — the local "
+            "filesystem CAS cannot address it; pass store="
+        )
+
+
 class CommitConflict(RuntimeError):
     """The manifest moved between load and commit — another writer (or a
     replayed attempt of an already-committed batch) got there first. The
@@ -319,6 +334,7 @@ def read_state(
     ``v=/b=`` directories are listed at all. ``store`` overrides the
     module-default manifest resolution (cross-machine readers of an
     HTTP-committed store pass their HttpManifestStore here)."""
+    _check_store_for_path(path, store)
     manifest = (store or _DEFAULT_STORE).load(path)[0]
     if manifest is None or not manifest["buckets"]:
         return None
@@ -403,6 +419,7 @@ def merge_into(
     ``reducer`` INHERITS the recorded kind (incremental re-merges never
     restate it); omitting BOTH implies "lww" — merging the default LWW
     reducer into a compound store raises rather than corrupting it."""
+    _check_store_for_path(path, store)
     manifest, tag = store.load(path)
     bucket_cols = bucket_cols or pk_cols
     # what this call asserts about the store's semantics: the explicit
@@ -654,6 +671,11 @@ def gc_orphan_dirs(
     import time
 
     dl = _dl()
+    # the guard matters MOST here: a URI root read through the local
+    # default store yields manifest=None, which would make every
+    # version directory look unreferenced — an age-gated deleter one
+    # retention window away from reaping the whole table
+    _check_store_for_path(path, store)
     manifest, _ = store.load(path)
     live = _live_dirs(manifest) if manifest else set()
     horizon = time.time() - older_than_seconds
@@ -741,6 +763,7 @@ def compact(
     key): the full rewrite recomputes bucket ids, and re-bucketing on the
     wrong columns would strand every row where later merges and
     ``point_read`` cannot find it."""
+    _check_store_for_path(path, store)
     manifest, tag = store.load(path)
     if manifest is None or not manifest["buckets"]:
         return
@@ -757,7 +780,12 @@ def compact(
             spark.read.option("basePath", path).option("mergeSchema", "true").parquet(*paths).drop("__ver")
         )
     else:
-        state = read_state(spark, path)
+        # read through the SAME store whose tag this compaction will
+        # commit with: the default-store fallback would read a stale
+        # (or absent) local mirror while committing against the fresh
+        # HTTP tag — publishing a rewrite that silently drops rows
+        # newer commits added
+        state = read_state(spark, path, store=store)
         if state is None:
             return
         targets = None
@@ -859,6 +887,7 @@ def point_read(
     semi-join, nothing row-sized on the driver."""
     from pyspark.sql import types as T
 
+    _check_store_for_path(path, store)
     manifest = (store or _DEFAULT_STORE).load(path)[0]
     if manifest is None or not manifest["buckets"]:
         return None
@@ -1082,7 +1111,6 @@ def foreach_batch_upsert(
             # this store state already, the retry is a no-op (txn memo /
             # identical diff); a second conflict propagates and fails the
             # batch, which Structured Streaming replays idempotently.
-            manifest_store = None if store is _DEFAULT_STORE else store
             try:
                 delta_export(
                     batch.sparkSession,
@@ -1091,7 +1119,7 @@ def foreach_batch_upsert(
                     txn_app=f"materialize::{app_path}",
                     txn_version=batch_id,
                     active_view_fn=delta_active_view_fn,
-                    manifest_store=manifest_store,
+                    manifest_store=store,
                 )
             except CommitConflict:
                 delta_export(
@@ -1101,7 +1129,7 @@ def foreach_batch_upsert(
                     txn_app=f"materialize::{app_path}",
                     txn_version=batch_id,
                     active_view_fn=delta_active_view_fn,
-                    manifest_store=manifest_store,
+                    manifest_store=store,
                 )
 
     return apply

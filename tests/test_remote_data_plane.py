@@ -762,3 +762,45 @@ def test_streaming_materialization_into_remote_root(spark, tmp_path, server):
         assert not os.path.exists(os.path.join(local_root, "_MANIFEST.json"))
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_uri_root_with_local_store_refused_up_front(spark, tmp_path):
+    """Review fix (r7, third pass): a URI table root combined with the
+    local-filesystem ManifestStore has no valid configuration (URI
+    roots never have a local manifest) — writers AND readers refuse
+    before any distributed work, instead of treating an existing
+    remote table as empty or reaping 'unreferenced' directories."""
+    root = f"file://{tmp_path}/t"
+    df = _batch(spark, BASE)
+    with pytest.raises(ValueError, match="ManifestStore"):
+        merge_into(spark, root, df, ["pk"])
+    with pytest.raises(ValueError, match="ManifestStore"):
+        read_state(spark, root)
+    with pytest.raises(ValueError, match="ManifestStore"):
+        point_read(spark, root, ["pk"], [1])
+    with pytest.raises(ValueError, match="ManifestStore"):
+        compact(spark, root, ["pk"])
+    with pytest.raises(ValueError, match="ManifestStore"):
+        gc_orphan_dirs(root)
+
+
+def test_compact_remote_no_mirror_actually_compacts(spark, tmp_path, server):
+    """Review fix (r7, third pass): compact() must read through the
+    SAME store it commits with — previously the full-rewrite path read
+    the (absent) local mirror and silently no-op'd on no-mirror remote
+    stores."""
+    _, url = server
+    local_root = str(tmp_path / "c_store")
+    os.makedirs(local_root)
+    root = f"file://{local_root}"
+    store = HttpManifestStore(url, mirror_local=False)
+    for rows in (BASE, BATCH_A, BATCH_B):
+        merge_into(spark, root, _batch(spark, rows), ["pk"], n_buckets=4, store=store)
+    before, _ = store.load(root)
+    compact(spark, root, ["pk"], tombstone_horizon=100, store=store)
+    after, _ = store.load(root)
+    assert after["version"] == before["version"] + 1  # NOT a silent no-op
+    rows = _state_rows(read_state(spark, root, store=store))
+    # the pk=3 tombstone (writetime 30 < horizon) is gone; live rows kept
+    assert all(op != "DELETE" for _pk, op, _wt, _v in rows)
+    assert (2, "UPDATE", 30, "b2") in rows and (1, "UPDATE", 20, "a1") in rows
