@@ -58,6 +58,12 @@ class CdcEngine:
         self, spark: SparkSession, config: CdcPipelineConfig | None = None
     ):
         self.spark = spark
+        # object-store deployment wiring (use_object_store): a manifest
+        # CAS adapter the store methods pass through, and the base URL
+        # the declarative sources resolve manifests/logs from
+        self._manifest_store = None
+        self._store_url: str | None = None
+        self._log_reads_via_store = False
         self.config = (config or CdcPipelineConfig()).validate()
         self.config.apply(spark)
 
@@ -199,6 +205,8 @@ class CdcEngine:
             materialize_stream,
         )
 
+        if self._manifest_store is not None:
+            kwargs.setdefault("store", self._manifest_store)
         return materialize_stream(
             events, path, checkpoint, pk_cols or ["pk"],
             delta_path=delta_path, **kwargs,
@@ -216,12 +224,14 @@ class CdcEngine:
         from cdc_apache_cassandra_spark.sources.store_source import register
 
         register(self.spark)
-        return (
+        reader = (
             self.spark.read.format("cdc_store")
             .option("path", path)
             .option("mode", mode)
-            .load()
         )
+        if self._manifest_store is not None and not self._manifest_store.mirror_local:
+            reader = reader.option("manifestUrl", self._store_url)
+        return reader.load()
 
     def point_read(
         self,
@@ -239,7 +249,8 @@ class CdcEngine:
         )
 
         return point_read(
-            self.spark, path, pk_cols or ["pk"], keys, bucket_cols=bucket_cols
+            self.spark, path, pk_cols or ["pk"], keys,
+            bucket_cols=bucket_cols, store=self._manifest_store,
         )
 
     def stream_changes(
@@ -271,7 +282,46 @@ class CdcEngine:
             reader = reader.option("maxVersionsPerBatch", max_versions_per_batch)
         if consumer_id is not None:
             reader = reader.option("consumerId", consumer_id)
+        if self._log_reads_via_store and self._store_url is not None:
+            # no-mirror deployment: the source's WORKER process must
+            # resolve the log through the store (a driver-side
+            # set_log_commit_store never reaches it)
+            reader = reader.option("logStoreUrl", self._store_url)
         return reader.load()
+
+    def use_object_store(self, base_url: str, mirror_local: bool = False):
+        """ONE call wires this engine for the object-store deployment
+        (the 100 TB shape): the bucket-store manifest CAS and every
+        Delta commit route through HTTP conditional writes against
+        ``base_url`` (S3/GCS/Azure header semantics, or the in-process
+        :class:`ConditionalPutServer` in dev), and the engine's store
+        methods (materialize / point_read / read_store / export_delta /
+        stream_changes) pass the adapters automatically — so URI table
+        roots work end to end with no per-call ``store=`` plumbing.
+
+        ``mirror_local=False`` (default) is the cross-machine shape:
+        no filesystem copy of manifests or logs anywhere; reads resolve
+        through the stores' reader halves. Note: this sets the
+        PROCESS-GLOBAL Delta commit store (``set_log_commit_store``);
+        the previous one is returned alongside the manifest store so a
+        caller can restore it."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            set_log_commit_store,
+        )
+        from cdc_apache_cassandra_spark.streaming.object_store import (
+            HttpLogCommitStore,
+            HttpManifestStore,
+        )
+
+        self._manifest_store = HttpManifestStore(
+            base_url, mirror_local=mirror_local
+        )
+        self._store_url = base_url
+        self._log_reads_via_store = not mirror_local
+        prev_log = set_log_commit_store(
+            HttpLogCommitStore(base_url, mirror_local=mirror_local)
+        )
+        return self._manifest_store, prev_log
 
     def export_delta(self, store_path: str, out_path: str, **kwargs):
         """Publish the store's active view as a native Delta table
@@ -279,6 +329,8 @@ class CdcEngine:
         committed version or None when already current."""
         from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
 
+        if self._manifest_store is not None:
+            kwargs.setdefault("manifest_store", self._manifest_store)
         return delta_export(self.spark, store_path, out_path, **kwargs)
 
     def read_table(self, out_path: str, **kwargs) -> DataFrame:

@@ -804,3 +804,61 @@ def test_compact_remote_no_mirror_actually_compacts(spark, tmp_path, server):
     # the pk=3 tombstone (writetime 30 < horizon) is gone; live rows kept
     assert all(op != "DELETE" for _pk, op, _wt, _v in rows)
     assert (2, "UPDATE", 30, "b2") in rows and (1, "UPDATE", 20, "a1") in rows
+
+
+def test_facade_use_object_store_wires_everything(spark, tmp_path, server):
+    """CdcEngine.use_object_store: one call routes the manifest CAS and
+    Delta commit publication through the HTTP endpoint (no mirror) and
+    every facade surface — materialize-adjacent store methods,
+    read_store (manifestUrl), point_read, export_delta, read_table,
+    stream_changes (logStoreUrl) — works against URI roots with zero
+    per-call store plumbing."""
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+
+    _, url = server
+    local_root = str(tmp_path / "fac_store")
+    local_out = str(tmp_path / "fac_delta")
+    os.makedirs(local_root)
+    os.makedirs(local_out)
+    root = f"file://{local_root}"
+    out = f"file://{local_out}"
+
+    eng = CdcEngine(spark)
+    mstore, prev_log = eng.use_object_store(url)  # mirror_local=False
+    try:
+        for rows in (BASE, BATCH_A, BATCH_B):
+            merge_into(spark, root, _batch(spark, rows), ["pk"], n_buckets=4, store=mstore)
+
+        scan = eng.read_store(root, mode="state")
+        assert _state_rows(scan) == _state_rows(read_state(spark, root, store=mstore))
+        pr = eng.point_read(root, [2])
+        assert [(r.pk, r.v) for r in pr.collect()] == [(2, "b2")]
+
+        assert eng.export_delta(root, out) == 0
+        got = sorted((r.pk, r.v) for r in eng.read_table(out).collect())
+        assert got == sorted(
+            (r.pk, r.v)
+            for r in active_view(read_state(spark, root, store=mstore)).collect()
+        )
+        # zero filesystem copies of any commit artifact
+        assert not os.path.exists(os.path.join(local_root, "_MANIFEST.json"))
+        assert not os.path.exists(os.path.join(local_out, "_delta_log"))
+
+        # the streaming tail resolves the store-resident log via
+        # logStoreUrl injected by the facade
+        import uuid as _uuid
+
+        name = "fac_" + _uuid.uuid4().hex[:8]
+        q = (
+            eng.stream_changes(out, starting_version=-1)
+            .writeStream.format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        snap = spark.table(name)
+        assert snap.count() == len(got)
+        assert {r["_change_type"] for r in snap.collect()} == {"insert"}
+    finally:
+        dl.set_log_commit_store(prev_log)
