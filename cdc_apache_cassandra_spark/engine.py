@@ -58,12 +58,12 @@ class CdcEngine:
         self, spark: SparkSession, config: CdcPipelineConfig | None = None
     ):
         self.spark = spark
-        # object-store deployment wiring (use_object_store): a manifest
-        # CAS adapter the store methods pass through, and the base URL
-        # the declarative sources resolve manifests/logs from
+        # object-store deployment wiring (use_object_store): the
+        # manifest CAS adapter every store method passes through (its
+        # base_url/mirror_local drive the declarative sources' options)
+        # and the commit store to restore on detach
         self._manifest_store = None
-        self._store_url: str | None = None
-        self._log_reads_via_store = False
+        self._prev_log_store = None
         self.config = (config or CdcPipelineConfig()).validate()
         self.config.apply(spark)
 
@@ -229,8 +229,12 @@ class CdcEngine:
             .option("path", path)
             .option("mode", mode)
         )
-        if self._manifest_store is not None and not self._manifest_store.mirror_local:
-            reader = reader.option("manifestUrl", self._store_url)
+        if self._manifest_store is not None:
+            # the HTTP store is authoritative in BOTH mirror modes (URI
+            # roots never have a local mirror at all) — and an unwired
+            # (local-manifest-only) table fails loudly here instead of
+            # reading through a stale or absent mirror
+            reader = reader.option("manifestUrl", self._manifest_store.base_url)
         return reader.load()
 
     def point_read(
@@ -248,10 +252,24 @@ class CdcEngine:
             point_read,
         )
 
-        return point_read(
+        result = point_read(
             self.spark, path, pk_cols or ["pk"], keys,
             bucket_cols=bucket_cols, store=self._manifest_store,
         )
+        if result is None and self._manifest_store is not None:
+            import os as _os
+
+            if "://" not in path and _os.path.exists(
+                _os.path.join(path, "_MANIFEST.json")
+            ):
+                # the table EXISTS but was committed outside the wired
+                # store — silent None would read live data as absent
+                raise ValueError(
+                    f"{path}: table has a local manifest but none in the "
+                    "wired object store; detach_object_store() to read "
+                    "locally-committed tables"
+                )
+        return result
 
     def stream_changes(
         self,
@@ -282,11 +300,11 @@ class CdcEngine:
             reader = reader.option("maxVersionsPerBatch", max_versions_per_batch)
         if consumer_id is not None:
             reader = reader.option("consumerId", consumer_id)
-        if self._log_reads_via_store and self._store_url is not None:
+        if self._manifest_store is not None and not self._manifest_store.mirror_local:
             # no-mirror deployment: the source's WORKER process must
             # resolve the log through the store (a driver-side
             # set_log_commit_store never reaches it)
-            reader = reader.option("logStoreUrl", self._store_url)
+            reader = reader.option("logStoreUrl", self._manifest_store.base_url)
         return reader.load()
 
     def use_object_store(self, base_url: str, mirror_local: bool = False):
@@ -301,10 +319,13 @@ class CdcEngine:
 
         ``mirror_local=False`` (default) is the cross-machine shape:
         no filesystem copy of manifests or logs anywhere; reads resolve
-        through the stores' reader halves. Note: this sets the
-        PROCESS-GLOBAL Delta commit store (``set_log_commit_store``);
-        the previous one is returned alongside the manifest store so a
-        caller can restore it."""
+        through the stores' reader halves. A wired engine reads ONLY
+        through the store — tables committed OUTSIDE it (a pre-wiring
+        local manifest) are refused loudly, never silently read as
+        empty. This sets the PROCESS-GLOBAL Delta commit store; undo
+        the whole wiring with :meth:`detach_object_store` (re-wiring
+        without detaching keeps the ORIGINAL store as the restore
+        target). Returns (manifest_store, previous_log_store)."""
         from cdc_apache_cassandra_spark.streaming.delta_log import (
             set_log_commit_store,
         )
@@ -316,12 +337,28 @@ class CdcEngine:
         self._manifest_store = HttpManifestStore(
             base_url, mirror_local=mirror_local
         )
-        self._store_url = base_url
-        self._log_reads_via_store = not mirror_local
         prev_log = set_log_commit_store(
             HttpLogCommitStore(base_url, mirror_local=mirror_local)
         )
+        if self._prev_log_store is None:
+            self._prev_log_store = prev_log
         return self._manifest_store, prev_log
+
+    def detach_object_store(self) -> None:
+        """Undo :meth:`use_object_store` COMPLETELY: restore the
+        original Delta commit store and stop injecting the HTTP
+        adapters — partial restores (only ``set_log_commit_store``)
+        would split-brain the engine: commits landing locally while
+        ``stream_changes`` still replays the HTTP log and silently sees
+        no new versions."""
+        if self._prev_log_store is not None:
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                set_log_commit_store,
+            )
+
+            set_log_commit_store(self._prev_log_store)
+        self._manifest_store = None
+        self._prev_log_store = None
 
     def export_delta(self, store_path: str, out_path: str, **kwargs):
         """Publish the store's active view as a native Delta table

@@ -862,3 +862,46 @@ def test_facade_use_object_store_wires_everything(spark, tmp_path, server):
         assert {r["_change_type"] for r in snap.collect()} == {"insert"}
     finally:
         dl.set_log_commit_store(prev_log)
+
+
+def test_facade_detach_and_unwired_table_guards(spark, tmp_path, server):
+    """Facade review fixes: detach_object_store restores the original
+    commit store and stops option injection (no split-brain); a wired
+    engine refuses a table committed OUTSIDE the store loudly (both
+    point_read and read_store) instead of reading live data as absent;
+    read_store injects manifestUrl in BOTH mirror modes (URI roots
+    never mirror manifests)."""
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+
+    _, url = server
+    # a table committed BEFORE wiring, through the local default store
+    local_tbl = str(tmp_path / "pre_store")
+    os.makedirs(local_tbl)
+    merge_into(spark, local_tbl, _batch(spark, BASE), ["pk"], n_buckets=4)
+
+    eng = CdcEngine(spark)
+    orig_log = dl._LOG_COMMIT_STORE
+    eng.use_object_store(url, mirror_local=True)
+    try:
+        with pytest.raises(ValueError, match="wired object store"):
+            eng.point_read(local_tbl, [1])
+        with pytest.raises(Exception, match="no manifest"):
+            # ValueError surfaces wrapped in Spark's AnalysisException
+            eng.read_store(local_tbl, mode="state").collect()
+
+        # mirror_local=True + URI root: read_store must STILL resolve
+        # through the store (URI roots never carry a local manifest)
+        uri_local = str(tmp_path / "uri_store")
+        os.makedirs(uri_local)
+        uri_root = f"file://{uri_local}"
+        merge_into(
+            spark, uri_root, _batch(spark, BASE), ["pk"],
+            n_buckets=4, store=eng._manifest_store,
+        )
+        got = eng.read_store(uri_root, mode="state")
+        assert got.count() == len(BASE)
+    finally:
+        eng.detach_object_store()
+    assert dl._LOG_COMMIT_STORE is orig_log  # fully restored
+    # unwired again: the local table reads normally
+    assert eng.point_read(local_tbl, [1]).count() == 1
