@@ -905,3 +905,51 @@ def test_facade_detach_and_unwired_table_guards(spark, tmp_path, server):
     assert dl._LOG_COMMIT_STORE is orig_log  # fully restored
     # unwired again: the local table reads normally
     assert eng.point_read(local_tbl, [1]).count() == 1
+
+
+def test_change_feed_stream_over_uri_table_root(spark, tmp_path, server):
+    """The streaming tail end-to-end on a URI root: offsets replay the
+    log through pyarrow.fs, partitions read data files via file:// URIs
+    inside the worker, output matches the batch CDF over the same
+    root."""
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register,
+    )
+
+    _, url = server
+    local_root = str(tmp_path / "u_store")
+    local_out = str(tmp_path / "u_delta")
+    os.makedirs(local_root)
+    os.makedirs(local_out)
+    root = f"file://{local_root}"
+    out = f"file://{local_out}"
+    mstore = HttpManifestStore(url, mirror_local=False)
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+    try:
+        for rows in (BASE, BATCH_A, BATCH_B):
+            merge_into(spark, root, _batch(spark, rows), ["pk"], n_buckets=4, store=mstore)
+            dl.delta_export(spark, root, out, manifest_store=mstore,
+                            checkpoint_interval=None)
+        register(spark)
+        name = "uri_cdf_" + _uuid.uuid4().hex[:8]
+        q = (
+            spark.readStream.format("cdc_delta_changes")
+            .option("path", out)
+            .option("pkCols", "pk")
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(name)
+        want = dl.delta_changes(spark, out, 0, 2, ["pk"])
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        dl.set_log_commit_store(prev)
