@@ -59,10 +59,17 @@ def main():
         "cdc_delta_checkpoint_state",
         "cdc_delta_change_feed",
     }
+    # SPARK_GRAFT_SECTIONS: comma list of {queries, slices, store, solo}
+    # (default all) — lets a drift investigation time ONE section solo
+    # on an idle machine without paying the full loop (r7 item 4).
+    sections = set(
+        os.environ.get("SPARK_GRAFT_SECTIONS", "queries,slices,store,solo")
+        .split(",")
+    )
     per_query: dict[str, float] = {}
     t_all = time.time()
     errors: dict[str, str] = {}
-    for name, q in QUERIES.items():
+    for name, q in QUERIES.items() if "queries" in sections else ():
         times = []
         try:
             for _ in range(1 if name in single_rep else reps):
@@ -101,16 +108,10 @@ def main():
     )
     from cdc_apache_cassandra_spark.sources.registry import load_table
 
+    slices: dict[str, float | int] = {}
     n_events = mutation_events(spark, sf_dir).count()
     snap = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "pk"
-    )
-    recs = key_value_records(
-        read_after_event(
-            dedup_mutations(mutation_events(spark, sf_dir)),
-            snap, ["pk"], list(VALUE_COLS),
-        ),
-        ["pk"], list(VALUE_COLS),
     )
 
     def best_of(action, n=reps):
@@ -123,202 +124,249 @@ def main():
             times.append(time.time() - t0)
         return min(times)
 
-    cdc_sec = best_of(
-        lambda: recs.write.format("noop").mode("overwrite").save()
-    )
+    if "slices" in sections:
+        recs = key_value_records(
+            read_after_event(
+                dedup_mutations(mutation_events(spark, sf_dir)),
+                snap, ["pk"], list(VALUE_COLS),
+            ),
+            ["pk"], list(VALUE_COLS),
+        )
+        cdc_sec = best_of(
+            lambda: recs.write.format("noop").mode("overwrite").save()
+        )
 
-    # Compound-PK CDC slice: partition/row classification + three-branch
-    # read-after-event (full-PK lookup / static projection / tombstone).
-    from cdc_apache_cassandra_spark.sources.compound_event_source import (
-        compound_events,
-    )
+        # Compound-PK CDC slice: partition/row classification + three-
+        # branch read-after-event (full-PK / static proj / tombstone).
+        from cdc_apache_cassandra_spark.sources.compound_event_source import (
+            compound_events,
+        )
 
-    n_compound = compound_events(spark, sf_dir).count()
-    compound_sec = best_of(
-        lambda: QUERIES["cdc_compound_read_after_event"]
-        .fn(spark, sf_dir)
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+        n_compound = compound_events(spark, sf_dir).count()
+        compound_sec = best_of(
+            lambda: QUERIES["cdc_compound_read_after_event"]
+            .fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
-    # Wire-codec slice: Avro encode -> decode roundtrip through the
-    # vectorized mapInArrow batch codec (the active default; every event
-    # crosses this boundary twice between agent and connector). noop
-    # write forces full evaluation — mapInArrow stages can't be pruned.
-    from pyspark.sql import types as TY
-    from cdc_apache_cassandra_spark.sources.wire_format import (
-        from_wire_records,
-        to_wire_records,
-    )
+        # Wire-codec slice: Avro encode -> decode roundtrip through the
+        # vectorized mapInArrow batch codec (the active default; every
+        # event crosses this boundary twice between agent and connector).
+        # noop write forces full evaluation — mapInArrow can't be pruned.
+        from pyspark.sql import types as TY
+        from cdc_apache_cassandra_spark.sources.wire_format import (
+            from_wire_records,
+            to_wire_records,
+        )
 
-    key_schema = TY.StructType([TY.StructField("pk", TY.LongType())])
-    value_schema = TY.StructType(
-        [snap.schema[c] for c in VALUE_COLS]
-    )
-    wire_rt = from_wire_records(
-        to_wire_records(
-            mutation_events(spark, sf_dir), ["pk"], list(VALUE_COLS),
+        key_schema = TY.StructType([TY.StructField("pk", TY.LongType())])
+        value_schema = TY.StructType(
+            [snap.schema[c] for c in VALUE_COLS]
+        )
+        wire_rt = from_wire_records(
+            to_wire_records(
+                mutation_events(spark, sf_dir), ["pk"], list(VALUE_COLS),
+                codec="avro",
+            ),
+            key_schema,
+            value_schema,
             codec="avro",
-        ),
-        key_schema,
-        value_schema,
-        codec="avro",
-    )
-    wire_sec = best_of(
-        lambda: wire_rt.write.format("noop").mode("overwrite").save()
-    )
+        )
+        wire_sec = best_of(
+            lambda: wire_rt.write.format("noop").mode("overwrite").save()
+        )
+        slices.update(
+            cdc_events=n_events,
+            cdc_pipeline_sec=round(cdc_sec, 3),
+            cdc_events_per_sec=round(n_events / cdc_sec, 1),
+            cdc_compound_events=n_compound,
+            cdc_compound_pipeline_sec=round(compound_sec, 3),
+            cdc_compound_events_per_sec=round(n_compound / compound_sec, 1),
+            wire_avro_roundtrip_sec=round(wire_sec, 3),
+            wire_avro_events_per_sec=round(n_events / wire_sec, 1),
+        )
 
-    # Bucket-store scale proof (round-3 verdict item): drive the
-    # merge-on-write table through micro-batch commits at n_buckets=256
-    # and report bytes-rewritten-per-commit vs table size. Batches are
-    # sliced by the same key hash the store buckets on, so each commit
-    # names its touched-bucket set exactly — the recorded
-    # rewrite_fraction must track touched/total buckets, proving
-    # per-commit IO is proportional to touched buckets, not table size.
-    import glob
-    import shutil
-    import tempfile
+    bucket_store = None
+    if "store" in sections:
+        # Bucket-store scale proof (round-3 verdict item): drive the
+        # merge-on-write table through micro-batch commits at n_buckets=256
+        # and report bytes-rewritten-per-commit vs table size. Batches are
+        # sliced by the same key hash the store buckets on, so each commit
+        # names its touched-bucket set exactly — the recorded
+        # rewrite_fraction must track touched/total buckets, proving
+        # per-commit IO is proportional to touched buckets, not table size.
+        import glob
+        import shutil
+        import tempfile
 
-    from cdc_apache_cassandra_spark.streaming.materialize import (
-        LocalManifestStore,
-        merge_into,
-        version_dir,
-    )
+        from cdc_apache_cassandra_spark.streaming.materialize import (
+            LocalManifestStore,
+            merge_into,
+            version_dir,
+        )
 
-    bs_dir = tempfile.mkdtemp(prefix="bucket_store_bench_")
-    try:
         NB, SLICES = 256, 8
-        store = LocalManifestStore()
         ev = mutation_events(spark, sf_dir)
-        sliced = ev.withColumn(
-            "__slice", F.pmod(F.xxhash64("pk"), F.lit(NB))
-        )
+        sliced = ev.withColumn("__slice", F.pmod(F.xxhash64("pk"), F.lit(NB)))
 
-        def table_bytes(manifest):
-            return sum(
-                os.path.getsize(f)
-                for b, v in manifest["buckets"].items()
-                for f in glob.glob(
-                    os.path.join(bs_dir, version_dir(manifest, v), f"__bucket={b}", "*")
+        def run_store_cycle() -> dict:
+            """One full fill → incremental-commit → delta-export → checkpoint
+            cycle in fresh temp dirs. Run SPARK_GRAFT_STORE_REPS times (r7
+            verdict item 4: loop-tail drift on these numbers needs a
+            solo-equivalent best-of-N basis to be actionable)."""
+            bs_dir = tempfile.mkdtemp(prefix="bucket_store_bench_")
+            try:
+                store = LocalManifestStore()
+
+                def table_bytes(manifest):
+                    return sum(
+                        os.path.getsize(f)
+                        for b, v in manifest["buckets"].items()
+                        for f in glob.glob(
+                            os.path.join(
+                                bs_dir, version_dir(manifest, v), f"__bucket={b}", "*"
+                            )
+                        )
+                    )
+
+                t0 = time.time()
+                per_slice = NB // SLICES
+                for i in range(SLICES):  # fill: 8 commits cover all buckets
+                    batch = sliced.filter(
+                        (F.col("__slice") >= i * per_slice)
+                        & (F.col("__slice") < (i + 1) * per_slice)
+                    ).drop("__slice")
+                    merge_into(spark, bs_dir, batch, ["pk"], n_buckets=NB)
+                fill_sec = time.time() - t0
+                m_full = store.load(bs_dir)[0]
+                t_full = table_bytes(m_full)
+
+                # incremental phase: one narrow commit (8 of 256 buckets)
+                upd = (
+                    sliced.filter(F.col("__slice") < 8)
+                    .drop("__slice")
+                    .withColumn("writetime", F.col("writetime") + F.lit(10**9))
                 )
-            )
-
-        t0 = time.time()
-        per_slice = NB // SLICES
-        for i in range(SLICES):  # fill phase: 8 commits cover all buckets
-            batch = sliced.filter(
-                (F.col("__slice") >= i * per_slice)
-                & (F.col("__slice") < (i + 1) * per_slice)
-            ).drop("__slice")
-            merge_into(spark, bs_dir, batch, ["pk"], n_buckets=NB)
-        fill_sec = time.time() - t0
-        m_full = store.load(bs_dir)[0]
-        t_full = table_bytes(m_full)
-
-        # incremental phase: one narrow commit (8 of 256 buckets)
-        upd = (
-            sliced.filter(F.col("__slice") < 8)
-            .drop("__slice")
-            .withColumn("writetime", F.col("writetime") + F.lit(10**9))
-        )
-        t0 = time.time()
-        merge_into(spark, bs_dir, upd, ["pk"], n_buckets=NB)
-        inc_sec = time.time() - t0
-        m_inc = store.load(bs_dir)[0]
-        touched = [
-            b
-            for b in m_inc["buckets"]
-            if m_inc["buckets"][b] != m_full["buckets"][b]
-        ]
-        rewritten = sum(
-            os.path.getsize(f)
-            for b in touched
-            for f in glob.glob(
-                os.path.join(
-                    bs_dir,
-                    version_dir(m_inc, m_inc["version"]),
-                    f"__bucket={b}",
-                    "*",
+                t0 = time.time()
+                merge_into(spark, bs_dir, upd, ["pk"], n_buckets=NB)
+                inc_sec = time.time() - t0
+                m_inc = store.load(bs_dir)[0]
+                touched = [
+                    b
+                    for b in m_inc["buckets"]
+                    if m_inc["buckets"][b] != m_full["buckets"][b]
+                ]
+                rewritten = sum(
+                    os.path.getsize(f)
+                    for b in touched
+                    for f in glob.glob(
+                        os.path.join(
+                            bs_dir,
+                            version_dir(m_inc, m_inc["version"]),
+                            f"__bucket={b}",
+                            "*",
+                        )
+                    )
                 )
-            )
-        )
-        # delta interop: full publish after fill, then the incremental
-        # export of the narrow commit — its add/remove count must track
-        # touched buckets, and its wall cost is the external-feed price
-        from cdc_apache_cassandra_spark.streaming.delta_log import (
-            delta_export,
-            delta_log_replay,
-        )
+                # delta interop: full publish after fill, then the incremental
+                # export of the narrow commit — its add/remove count must track
+                # touched buckets, and its wall cost is the external-feed price
+                from cdc_apache_cassandra_spark.streaming.delta_log import (
+                    delta_export,
+                    delta_log_replay,
+                    write_checkpoint,
+                )
 
-        dt_dir = tempfile.mkdtemp(prefix="delta_export_bench_")
-        try:
-            t0 = time.time()
-            delta_export(spark, bs_dir, dt_dir)  # full first publish
-            full_export_sec = time.time() - t0
-            n_files_full = len(delta_log_replay(dt_dir)[1])
-            upd2 = (
-                sliced.filter(F.col("__slice") < 8)
-                .drop("__slice")
-                .withColumn("writetime", F.col("writetime") + F.lit(2 * 10**9))
-            )
-            merge_into(spark, bs_dir, upd2, ["pk"], n_buckets=NB)
-            t0 = time.time()
-            delta_export(spark, bs_dir, dt_dir)
-            inc_export_sec = time.time() - t0
-            # checkpoint cost at this bucket count: write compacts the
-            # whole log into one parquet (one row per live file) and
-            # restore replays it — both metadata-sized, the numbers that
-            # bound a foreign reader's open cost on a long-lived export
-            from cdc_apache_cassandra_spark.streaming.delta_log import (
-                write_checkpoint,
-            )
+                dt_dir = tempfile.mkdtemp(prefix="delta_export_bench_")
+                try:
+                    t0 = time.time()
+                    delta_export(spark, bs_dir, dt_dir)  # full first publish
+                    full_export_sec = time.time() - t0
+                    n_files_full = len(delta_log_replay(dt_dir)[1])
+                    upd2 = (
+                        sliced.filter(F.col("__slice") < 8)
+                        .drop("__slice")
+                        .withColumn(
+                            "writetime", F.col("writetime") + F.lit(2 * 10**9)
+                        )
+                    )
+                    merge_into(spark, bs_dir, upd2, ["pk"], n_buckets=NB)
+                    t0 = time.time()
+                    delta_export(spark, bs_dir, dt_dir)
+                    inc_export_sec = time.time() - t0
+                    # checkpoint cost at this bucket count: write compacts the
+                    # whole log into one parquet (one row per live file) and
+                    # restore replays it — both metadata-sized, the numbers that
+                    # bound a foreign reader's open cost on a long-lived export
+                    t0 = time.time()
+                    write_checkpoint(dt_dir)
+                    cp_write_sec = time.time() - t0
+                    t0 = time.time()
+                    n_files_cp = len(delta_log_replay(dt_dir)[1])
+                    cp_replay_sec = time.time() - t0
+                    delta_export_stats = {
+                        "full_export_sec": round(full_export_sec, 3),
+                        "data_files": n_files_full,
+                        "incremental_export_sec": round(inc_export_sec, 3),
+                        "checkpoint_write_sec": round(cp_write_sec, 3),
+                        "checkpoint_replay_sec": round(cp_replay_sec, 3),
+                        "checkpoint_files": n_files_cp,
+                    }
+                finally:
+                    shutil.rmtree(dt_dir, ignore_errors=True)
 
-            t0 = time.time()
-            write_checkpoint(dt_dir)
-            cp_write_sec = time.time() - t0
-            t0 = time.time()
-            n_files_cp = len(delta_log_replay(dt_dir)[1])
-            cp_replay_sec = time.time() - t0
-            delta_export_stats = {
-                "full_export_sec": round(full_export_sec, 3),
-                "data_files": n_files_full,
-                "incremental_export_sec": round(inc_export_sec, 3),
-                "checkpoint_write_sec": round(cp_write_sec, 3),
-                "checkpoint_replay_sec": round(cp_replay_sec, 3),
-                "checkpoint_files": n_files_cp,
-            }
-        finally:
-            shutil.rmtree(dt_dir, ignore_errors=True)
+                return {
+                    "n_buckets": NB,
+                    "fill_commits": SLICES,
+                    "fill_sec": round(fill_sec, 3),
+                    "table_bytes": t_full,
+                    "incremental_commit_sec": round(inc_sec, 3),
+                    "touched_buckets": len(touched),
+                    "bytes_rewritten": rewritten,
+                    "rewrite_fraction": round(rewritten / t_full, 4),
+                    "touched_fraction": round(len(touched) / NB, 4),
+                    "delta_export": delta_export_stats,
+                }
+            finally:
+                shutil.rmtree(bs_dir, ignore_errors=True)
 
-        bucket_store = {
-            "n_buckets": NB,
-            "fill_commits": SLICES,
-            "fill_sec": round(fill_sec, 3),
-            "table_bytes": t_full,
-            "incremental_commit_sec": round(inc_sec, 3),
-            "touched_buckets": len(touched),
-            "bytes_rewritten": rewritten,
-            "rewrite_fraction": round(rewritten / t_full, 4),
-            "touched_fraction": round(len(touched) / NB, 4),
-            "delta_export": delta_export_stats,
-        }
-    finally:
-        shutil.rmtree(bs_dir, ignore_errors=True)
+        store_reps = max(1, int(os.environ.get("SPARK_GRAFT_STORE_REPS", "3")))
+        cycles = [run_store_cycle() for _ in range(store_reps)]
+        # best-of-N on every timing; structural facts from the first cycle
+        bucket_store = dict(cycles[0])
+        bucket_store["delta_export"] = dict(cycles[0]["delta_export"])
+        for c in cycles[1:]:
+            for k in ("fill_sec", "incremental_commit_sec"):
+                bucket_store[k] = min(bucket_store[k], c[k])
+            for k in (
+                "full_export_sec",
+                "incremental_export_sec",
+                "checkpoint_write_sec",
+                "checkpoint_replay_sec",
+            ):
+                bucket_store["delta_export"][k] = min(
+                    bucket_store["delta_export"][k], c["delta_export"][k]
+                )
+        bucket_store["reps"] = store_reps
 
     # Solo best-of-3 for the most expensive queries (r4 verdict item 7):
     # cross-round regression checks compare THESE numbers, not the tail
     # ratios of the main loop, whose single-digit-percent swings are
     # JVM/GC noise. Flag a regression only when solo-vs-solo moves >1.5x.
     solo: dict[str, dict] = {}
-    if os.environ.get("SPARK_GRAFT_SOLO", "1") != "0":
+    if "solo" in sections and os.environ.get("SPARK_GRAFT_SOLO", "1") != "0":
         # 12 (was 10): llm_bpe_train_merges ranked 11th and was the one
         # query r5's drift analysis wanted solo-tracked across rounds
         top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "12"))
         top = sorted(per_query, key=per_query.get, reverse=True)[:top_n]
-        # forced watch entries (r6 verdict item 7): loop-tail drifters
-        # under observation get a solo number regardless of rank
-        for watched in ("llm_substring_span_dedup",):
+        # forced watch entries (r6 item 7, r7 item 5): loop-tail
+        # drifters under observation get a solo number regardless of rank
+        for watched in (
+            "llm_substring_span_dedup",
+            "cdc_compound_delta_export_state",
+        ):
             if watched in per_query and watched not in top:
                 top.append(watched)
         for name in top:
@@ -342,18 +390,12 @@ def main():
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cdc_events": n_events,
-        "cdc_pipeline_sec": round(cdc_sec, 3),
-        "cdc_events_per_sec": round(n_events / cdc_sec, 1),
-        "cdc_compound_events": n_compound,
-        "cdc_compound_pipeline_sec": round(compound_sec, 3),
-        "cdc_compound_events_per_sec": round(n_compound / compound_sec, 1),
-        "wire_avro_roundtrip_sec": round(wire_sec, 3),
-        "wire_avro_events_per_sec": round(n_events / wire_sec, 1),
-        "bucket_store": bucket_store,
+        **slices,
         "reps": reps,
         "loop_wall_seconds": loop_wall,
     }
+    if bucket_store is not None:
+        payload["bucket_store"] = bucket_store
     if solo:
         payload["solo"] = solo
     if errors:

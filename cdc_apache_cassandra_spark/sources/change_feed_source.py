@@ -11,8 +11,13 @@ consume → process → acknowledge cursor).
                                            # (-1 = initial snapshot as inserts)
         .option("maxVersionsPerBatch", 10) # rate limit (optional)
         .option("consumerId", "train-job") # durable cursor (optional)
-        .option("logStoreUrl", url)        # replay a log that lives ONLY
-                                           # in an HTTP commit store
+        .option("logStoreUrl", url)        # route the log through an HTTP
+                                           # commit store (replay when the
+                                           # log lives ONLY there; cursor
+                                           # publication in both modes)
+        .option("logStoreMirror", "true")  # match a mirror_local=True
+                                           # deployment (reads stay local,
+                                           # cursor commits PUT-then-mirror)
         .load()
 
 Offsets ARE Delta versions: a micro-batch covers the net row-level change
@@ -72,12 +77,17 @@ CDF_FIELDS = [
 
 
 @contextlib.contextmanager
-def _routed_log_store(url: str | None):
-    """Temporarily resolve delta_log replay through an HTTP commit store
-    (option ``logStoreUrl``) — the reader shape for logs that exist ONLY
-    in the store (HttpLogCommitStore(mirror_local=False) writers). The
-    swap is scoped to the call: each Python streaming source runs in its
-    own worker process, so no concurrent planner shares the global."""
+def _routed_log_store(url: str | None, mirror: bool = False):
+    """Temporarily resolve delta_log commits through an HTTP commit
+    store (option ``logStoreUrl``). ``mirror=False`` is the reader
+    shape for logs that exist ONLY in the store (no-mirror writers:
+    reads resolve through the store's reader half). ``mirror=True``
+    matches a ``mirror_local=True`` deployment: reads stay local, but
+    cursor COMMITS still publish through the conditional PUT first and
+    mirror after — a worker committing only locally would leave a hole
+    in the authoritative create-only HTTP sequence. The swap is scoped
+    to the call: each Python streaming source runs in its own worker
+    process, so no concurrent planner shares the global."""
     if not url:
         yield
         return
@@ -88,17 +98,21 @@ def _routed_log_store(url: str | None):
         HttpLogCommitStore,
     )
 
-    prev = set_log_commit_store(HttpLogCommitStore(url, mirror_local=False))
+    prev = set_log_commit_store(HttpLogCommitStore(url, mirror_local=mirror))
     try:
         yield
     finally:
         set_log_commit_store(prev)
 
 
-def _table_schema(path: str, log_store_url: str | None = None) -> T.StructType:
+def _table_schema(
+    path: str,
+    log_store_url: str | None = None,
+    log_store_mirror: bool = False,
+) -> T.StructType:
     from cdc_apache_cassandra_spark.streaming.delta_log import _replay
 
-    with _routed_log_store(log_store_url):
+    with _routed_log_store(log_store_url, log_store_mirror):
         meta = _replay(path).meta
     if meta is None:
         raise ValueError(f"cdc_delta_changes: no Delta log at {path!r}")
@@ -171,6 +185,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.max_bytes = int(mb) if mb else 512 << 20
         self.consumer_id = options.get("consumerid")
         self.log_store_url = options.get("logstoreurl")
+        self.log_store_mirror = (
+            str(options.get("logstoremirror", "false")).lower() == "true"
+        )
         # the log version the pinned schema was read at: the DDL check
         # applies only to ranges ENDING PAST it — schema differences at
         # or before the pin are history (columns later dropped, types
@@ -180,7 +197,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # cannot hide a DDL: a mismatch at construction restarts clean.
         from cdc_apache_cassandra_spark.streaming.delta_log import _replay
 
-        with _routed_log_store(self.log_store_url):
+        with _routed_log_store(self.log_store_url, self.log_store_mirror):
             head = _replay(self.path)
         self._pinned_at = head.last
         drift = self._schema_drift(head.meta)
@@ -222,7 +239,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             consumer_offset,
         )
 
-        with _routed_log_store(self.log_store_url):
+        with _routed_log_store(self.log_store_url, self.log_store_mirror):
             last = _replay(self.path).last
         if self.max_versions is None:
             return {"version": max(self._pos, last)}
@@ -242,7 +259,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # take a capped unprimed offer (no partitions() call in
             # between — the would-be-stall signature on an exotic restart
             # path), the next offer is uncapped so progress is guaranteed.
-            with _routed_log_store(self.log_store_url):
+            with _routed_log_store(self.log_store_url, self.log_store_mirror):
                 cursor = (
                     consumer_offset(self.path, self.consumer_id)
                     if self.consumer_id
@@ -258,27 +275,37 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def _state_at(self, version: int):
         from cdc_apache_cassandra_spark.streaming.delta_log import _replay
 
-        with _routed_log_store(self.log_store_url):
+        with _routed_log_store(self.log_store_url, self.log_store_mirror):
             return _replay(self.path, version) if version >= 0 else None
 
     def _schema_drift(self, meta: dict | None) -> list[str]:
         """Column names whose presence/type in ``meta`` differs from the
-        pinned stream schema (recursive via canonical type JSON)."""
+        pinned stream schema (recursive via canonical type JSON) — in
+        EITHER direction: new/retyped columns AND pinned columns absent
+        from the new metaData. A mid-stream DROP COLUMN must stop the
+        stream as loudly as an ADD: post-DDL files would otherwise read
+        the dropped column as typed nulls, emitting value→null update
+        pairs for every changed row — Delta CDF fails the stream on any
+        schema change, and so do we."""
         if meta is None:
             return []
-        return [
+        new_fields = json.loads(meta["schemaString"])["fields"]
+        drift = [
             f["name"]
-            for f in json.loads(meta["schemaString"])["fields"]
+            for f in new_fields
             if f["name"] not in self._pinned_types
             or json.dumps(f["type"], sort_keys=True)
             != json.dumps(
                 json.loads(self._pinned_types[f["name"]]), sort_keys=True
             )
         ]
+        present = {f["name"] for f in new_fields}
+        drift += [c for c in self._pinned_types if c not in present]
+        return drift
 
     def _check_schema(self, meta: dict | None, to_v: int) -> None:
         """Stop loudly when a range ending PAST the pin sees metaData
-        that widens or retypes columns — a mid-STREAM DDL. Ranges ending
+        that widens, retypes, or DROPS columns — a mid-STREAM DDL. Ranges ending
         at or before ``_pinned_at`` are history: their schema
         differences (columns later dropped, types later reverted) read
         under Delta's own rule — the pinned (newest) schema wins, typed
@@ -292,11 +319,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         if drift:
             raise RuntimeError(
                 f"cdc_delta_changes: table schema at {self.path!r} changed "
-                f"after version {self._pinned_at} (new/retyped columns at "
-                f"version <= {to_v}: {drift}); a streaming source cannot "
-                "widen its schema mid-stream — restart the stream to pick "
-                "up the new schema (the checkpointed offset resumes exactly "
-                "where this batch would have started; no rows are lost)"
+                f"after version {self._pinned_at} (new/retyped/dropped "
+                f"columns at version <= {to_v}: {drift}); a streaming "
+                "source cannot change its schema mid-stream — restart the "
+                "stream to pick up the new schema (the checkpointed offset "
+                "resumes exactly where this batch would have started; no "
+                "rows are lost)"
             )
 
     def partitions(self, start: dict, end: dict):
@@ -476,7 +504,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         )
 
         try:
-            with _routed_log_store(self.log_store_url):
+            with _routed_log_store(self.log_store_url, self.log_store_mirror):
                 if consumer_offset(self.path, self.consumer_id) < v:
                     record_consumer_offset(self.path, self.consumer_id, v)
         except CommitConflict:
@@ -501,7 +529,12 @@ class ChangeFeedDataSource(DataSource):
             raise ValueError("cdc_delta_changes requires option 'path'")
         return T.StructType(
             list(
-                _table_schema(path, self.options.get("logstoreurl")).fields
+                _table_schema(
+                path,
+                self.options.get("logstoreurl"),
+                str(self.options.get("logstoremirror", "false")).lower()
+                == "true",
+            ).fields
             )
             + CDF_FIELDS
         )

@@ -349,13 +349,44 @@ def _read_last_checkpoint(out_path: str) -> dict | None:
     except FileNotFoundError:
         return None
     except (json.JSONDecodeError, UnicodeDecodeError):
-        suffix = ".checkpoint.parquet"
-        versions = [
-            int(n[: -len(suffix)])
-            for n in _log_listdir(log_dir)
-            if n.endswith(suffix) and n[: -len(suffix)].isdigit()
-        ]
-        return {"version": max(versions)} if versions else None
+        return _newest_complete_checkpoint(_log_listdir(log_dir))
+
+
+def _newest_complete_checkpoint(names: list[str]) -> dict | None:
+    """Reconstruct a ``_last_checkpoint`` pointer from log dir names —
+    the torn-pointer fallback. Recognizes BOTH spec layouts: single-part
+    ``{v}.checkpoint.parquet`` and a foreign writer's multi-part
+    ``{v}.checkpoint.{i}.{n}.parquet`` (complete sets only — all n parts
+    present; a half-copied set must not be chosen over an older complete
+    one, since JSON commits before the newest checkpoint may already be
+    cleaned). Returns ``{"version": v}`` or ``{"version": v, "parts": n}``
+    for the newest complete checkpoint, None when there is none."""
+    single: set[int] = set()
+    multi: dict[tuple[int, int], set[int]] = {}
+    suffix = ".checkpoint.parquet"
+    for n in names:
+        if not n.endswith(".parquet"):
+            continue
+        if n.endswith(suffix) and n[: -len(suffix)].isdigit():
+            single.add(int(n[: -len(suffix)]))
+            continue
+        stem = n[: -len(".parquet")]
+        parts = stem.split(".checkpoint.")
+        if len(parts) == 2:
+            ver, rest = parts
+            bits = rest.split(".")
+            if ver.isdigit() and len(bits) == 2 and all(b.isdigit() for b in bits):
+                multi.setdefault((int(ver), int(bits[1])), set()).add(int(bits[0]))
+    candidates: list[dict] = [{"version": v} for v in single]
+    candidates += [
+        {"version": v, "parts": n}
+        for (v, n), have in multi.items()
+        if n > 0 and have == set(range(1, n + 1))
+    ]
+    if not candidates:
+        return None
+    # newest version wins; at a tie prefer the single-part form
+    return max(candidates, key=lambda c: (c["version"], "parts" not in c))
 
 
 def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:

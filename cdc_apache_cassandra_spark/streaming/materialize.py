@@ -702,7 +702,10 @@ def _tree_newest_mtime(root: str) -> float:
     dl = _dl()
     fs, p = dl._fs(root)
     if fs is None:
-        newest = os.path.getmtime(p)
+        try:
+            newest = os.path.getmtime(p)
+        except FileNotFoundError:
+            return time.time()  # tree vanished under us — read as fresh
         for r, _dirs, files in os.walk(p):
             for f in files:
                 try:
@@ -713,12 +716,19 @@ def _tree_newest_mtime(root: str) -> float:
     import pyarrow.fs as pafs
 
     mtimes = []
-    own = fs.get_file_info(p)
-    if own.mtime is not None:
-        mtimes.append(own.mtime.timestamp())
-    for i in fs.get_file_info(pafs.FileSelector(p, recursive=True)):
-        if i.mtime is not None:
-            mtimes.append(i.mtime.timestamp())
+    try:
+        own = fs.get_file_info(p)
+        if own.mtime is not None:
+            mtimes.append(own.mtime.timestamp())
+        for i in fs.get_file_info(pafs.FileSelector(p, recursive=True)):
+            if i.mtime is not None:
+                mtimes.append(i.mtime.timestamp())
+    except FileNotFoundError:
+        # the tree vanished between the caller's listdir and this stat
+        # (a concurrent prune/gc won the race) — read as FRESH, same
+        # no-mtime rule: an age-gated deleter must never reap on a
+        # vanished/unknown reading, and the next sweep sees truth
+        return time.time()
     return max(mtimes) if mtimes else time.time()
 
 

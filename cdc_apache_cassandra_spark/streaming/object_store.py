@@ -23,13 +23,21 @@ same exception, so ``merge_into_retrying`` / the exporters' re-diff
 retry loops work unchanged over HTTP.
 
 :class:`ConditionalPutServer` is an in-process emulator of the S3
-semantics (atomic check-and-set under one lock, monotone ETags) used by
+semantics (atomic check-and-set under one lock, monotone quoted ETags,
+ListObjectsV2 XML with max-keys pagination, idempotent DELETE) used by
 the contract tests (tests/test_manifest_http.py — the SAME
 exactly-one-wins suite the in-memory store runs) and usable as a
 single-node coordination point in dev. Against a real bucket, swap the
-base URL. Both adapters mirror the winning write locally by default so
-same-machine readers that resolve through the module-default store see
-committed state; cross-machine readers pass the HTTP store explicitly.
+base URL: every wire interaction the adapters make is the REAL S3
+dialect — slash-separated keys in the request path, conditional
+``If-Match``/``If-None-Match`` PUTs, ``GET /?list-type=2&prefix=&
+delimiter=/`` answered by ``ListBucketResult`` XML with
+``NextContinuationToken`` pagination (treated opaquely), DELETE that
+returns 204 whether or not the key existed. ETags round-trip verbatim
+(S3's are quoted strings). Both adapters mirror the winning write
+locally by default so same-machine readers that resolve through the
+module-default store see committed state; cross-machine readers pass
+the HTTP store explicitly.
 
 Scale note: manifests and commit files are metadata-sized (KBs); every
 data byte still moves through distributed parquet IO. The HTTP hop per
@@ -55,6 +63,37 @@ from cdc_apache_cassandra_spark.streaming.materialize import (
     ManifestStore,
     manifest_lock,
 )
+
+
+def _parse_xml(body: bytes):
+    import xml.etree.ElementTree as ET
+
+    return ET.fromstring(body)
+
+
+def _local(tag: str) -> str:
+    """Tag name without its xmlns — S3 stamps
+    ``http://s3.amazonaws.com/doc/2006-03-01/`` on every element, other
+    stores' XML APIs don't; match on the local name only."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xml_findall(root, container: str, child: str) -> list[str]:
+    out = []
+    for el in root:
+        if _local(el.tag) != container:
+            continue
+        for c in el:
+            if _local(c.tag) == child and c.text is not None:
+                out.append(c.text)
+    return out
+
+
+def _xml_text(root, tag: str) -> str | None:
+    for el in root:
+        if _local(el.tag) == tag:
+            return el.text
+    return None
 
 
 def _request(
@@ -137,7 +176,9 @@ class HttpManifestStore(ManifestStore):
         self.on_commit = None
 
     def _url(self, path: str) -> str:
-        key = urllib.parse.quote(path.strip("/"), safe="")
+        # slash-separated object key, path-encoded per segment — the
+        # request shape a real S3/GCS/Azure endpoint expects
+        key = urllib.parse.quote(path.strip("/"), safe="/")
         return f"{self.base_url}/{key}/{MANIFEST}"
 
     def load(self, path: str) -> tuple[dict | None, object]:
@@ -218,9 +259,13 @@ class HttpLogCommitStore:
     def __init__(self, base_url: str, mirror_local: bool = True):
         self.base_url = base_url.rstrip("/")
         self.mirror_local = mirror_local
+        # LIST page size (S3 caps at 1,000; the client paginates via
+        # NextContinuationToken regardless, so smaller values only add
+        # round trips — tests shrink it to force multi-page listings)
+        self.list_max_keys = 1000
 
     def _url(self, path: str) -> str:
-        return f"{self.base_url}/{urllib.parse.quote(path.strip('/'), safe='')}"
+        return f"{self.base_url}/{urllib.parse.quote(path.strip('/'), safe='/')}"
 
     def publish(self, path: str, data: bytes) -> None:
         url = self._url(path)
@@ -306,20 +351,42 @@ class HttpLogCommitStore:
         return body
 
     def list_dir(self, dir_path: str) -> list[str]:
-        """Base names of the keys directly under ``dir_path`` — an
-        S3-style prefix LIST (quote() is per-character, so the quoted
-        form of a path prefix is a string prefix of its children's
-        keys)."""
-        prefix = urllib.parse.quote(dir_path.strip("/") + "/", safe="")
-        url = f"{self.base_url}/?prefix={prefix}"
-        with _request(url) as resp:
-            keys = json.loads(resp.read())
-        out = []
-        for k in keys:  # raw (unquoted) key paths
-            rest = k[len(dir_path.strip("/")) + 1 :]
-            if rest and "/" not in rest:
-                out.append(rest)
-        return sorted(out)
+        """Base names of the keys directly under ``dir_path`` — a real
+        ListObjectsV2 request: ``GET /?list-type=2&prefix=<dir>/&
+        delimiter=/``, parsed from the ``ListBucketResult`` XML
+        (namespace-agnostic — S3 stamps the 2006-03-01 xmlns, GCS's XML
+        API doesn't always), paginated through ``NextContinuationToken``
+        treated as an opaque string, the way S3 defines it. ``Contents``
+        keys are the files; ``CommonPrefixes`` (delimiter roll-ups) are
+        the immediate subdirectories, returned without the trailing
+        slash — the ``os.listdir`` shape the log seam expects."""
+        prefix = dir_path.strip("/") + "/"
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            params = {
+                "list-type": "2",
+                "prefix": prefix,
+                "delimiter": "/",
+                "max-keys": str(self.list_max_keys),
+            }
+            if token:
+                params["continuation-token"] = token
+            url = f"{self.base_url}/?{urllib.parse.urlencode(params)}"
+            with _request(url) as resp:
+                root = _parse_xml(resp.read())
+            for key in _xml_findall(root, "Contents", "Key"):
+                rest = key[len(prefix):]
+                if rest:
+                    out.append(rest)
+            for sub in _xml_findall(root, "CommonPrefixes", "Prefix"):
+                rest = sub[len(prefix):].rstrip("/")
+                if rest:
+                    out.append(rest)
+            truncated = (_xml_text(root, "IsTruncated") or "").lower()
+            token = _xml_text(root, "NextContinuationToken")
+            if truncated != "true" or not token:
+                return sorted(out)
 
     def put_overwrite(
         self,
@@ -372,8 +439,12 @@ class HttpLogCommitStore:
         )
 
     def delete(self, path: str) -> None:
-        """Delete a key (log cleanup of checkpointed JSON). Missing key
-        raises FileNotFoundError, matching the POSIX unlink contract."""
+        """Delete a key (log cleanup of checkpointed JSON). S3's DELETE
+        is idempotent — 204 whether or not the key existed — so a
+        concurrently-deleted key is indistinguishable from our own
+        successful delete and both return quietly (the one caller,
+        ``delta_log_cleanup``, treats them the same anyway). A 404 from
+        a store that does distinguish maps to FileNotFoundError."""
         try:
             with _request(self._url(path), "DELETE"):
                 pass
@@ -389,23 +460,32 @@ class HttpLogCommitStore:
 
 
 class ConditionalPutServer:
-    """Minimal object store speaking GET / conditional PUT with ETags.
-
-    Semantics (what S3 conditional writes guarantee, enforced atomically
-    under one lock — the property the contract tests exercise):
+    """Minimal object store speaking the REAL S3 dialect the adapters
+    use (atomic check-and-set under one lock — the property the
+    contract tests exercise):
 
       PUT + If-None-Match:*  -> 412 if the key exists
       PUT + If-Match:<etag>  -> 412 unless the stored ETag matches
+                                (quoted or bare form accepted, like S3)
       PUT unconditional      -> refused (400): this engine must never
                                 blind-write a commit point
-      GET                    -> 200 body+ETag | 404
-      GET /?prefix=<quoted>  -> JSON array of matching key paths (LIST)
-      DELETE                 -> 204 | 404 (log cleanup)
+      GET <key>              -> 200 body+ETag | 404
+      GET /?list-type=2&prefix=&delimiter=&max-keys=&continuation-token=
+                             -> ListObjectsV2: ``ListBucketResult`` XML
+                                (Contents/Key, CommonPrefixes/Prefix,
+                                IsTruncated, NextContinuationToken),
+                                lexicographic order, max-keys capped at
+                                1,000 — S3's pagination contract
+      DELETE                 -> 204 whether or not the key existed
+                                (S3's idempotent delete)
 
-    ETags are monotone integers per key. ``fail_after_commit(n)`` makes
-    the n-th successful PUT return HTTP 500 AFTER applying the write —
-    the ambiguous-outcome fault real object stores exhibit (the write
-    landed, the writer saw an error), used to test retry idempotence."""
+    Keys are the decoded request path (slash-separated, no leading
+    slash). ETags are monotone integers per key, served QUOTED the way
+    S3 quotes them — clients must round-trip them opaquely.
+    ``fail_after_commit(n)`` makes the n-th successful PUT return HTTP
+    500 AFTER applying the write — the ambiguous-outcome fault real
+    object stores exhibit (the write landed, the writer saw an error),
+    used to test retry idempotence."""
 
     def __init__(self):
         import http.server
@@ -413,47 +493,114 @@ class ConditionalPutServer:
         self._blobs: dict[str, tuple[int, bytes]] = {}
         self._lock = threading.Lock()
         self.puts = 0
+        self.lists = 0  # LIST request counter (pagination tests)
         self._fail_puts: set[int] = set()
         outer = self
+
+        def key_of(raw_path: str) -> str:
+            return urllib.parse.unquote(
+                urllib.parse.urlsplit(raw_path).path
+            ).lstrip("/")
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
+            def _list_objects_v2(self, query: str):
+                import base64
+                from xml.sax.saxutils import escape
+
+                q = urllib.parse.parse_qs(query)
+                prefix = q.get("prefix", [""])[0]
+                delimiter = q.get("delimiter", [""])[0]
+                max_keys = min(int(q.get("max-keys", ["1000"])[0]), 1000)
+                token = q.get("continuation-token", [None])[0]
+                after = (
+                    base64.urlsafe_b64decode(token.encode()).decode()
+                    if token
+                    else ""
+                )
+                outer.lists += 1
+                with outer._lock:
+                    keys = sorted(k for k in outer._blobs if k.startswith(prefix))
+                # delimiter roll-up: keys with the delimiter after the
+                # prefix collapse into one CommonPrefixes entry
+                rolled: list[tuple[str, bool]] = []  # (name, is_prefix)
+                seen_prefixes: set[str] = set()
+                for k in keys:
+                    if delimiter:
+                        i = k.find(delimiter, len(prefix))
+                        if i >= 0:
+                            cp = k[: i + len(delimiter)]
+                            if cp not in seen_prefixes:
+                                seen_prefixes.add(cp)
+                                rolled.append((cp, True))
+                            continue
+                    rolled.append((k, False))
+                start = 0
+                if after:
+                    while start < len(rolled) and rolled[start][0] <= after:
+                        start += 1
+                page = rolled[start : start + max_keys]
+                truncated = start + max_keys < len(rolled)
+                parts = [
+                    '<?xml version="1.0" encoding="UTF-8"?>',
+                    '<ListBucketResult '
+                    'xmlns="http://s3.amazonaws.com/doc/2006-03-01/">',
+                    "<Name>emulator</Name>",
+                    f"<Prefix>{escape(prefix)}</Prefix>",
+                    f"<MaxKeys>{max_keys}</MaxKeys>",
+                    f"<KeyCount>{len(page)}</KeyCount>",
+                    f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>",
+                ]
+                if truncated and page:
+                    nxt = base64.urlsafe_b64encode(
+                        page[-1][0].encode()
+                    ).decode()
+                    parts.append(
+                        f"<NextContinuationToken>{nxt}</NextContinuationToken>"
+                    )
+                for name, is_prefix in page:
+                    if is_prefix:
+                        parts.append(
+                            "<CommonPrefixes>"
+                            f"<Prefix>{escape(name)}</Prefix>"
+                            "</CommonPrefixes>"
+                        )
+                    else:
+                        parts.append(
+                            f"<Contents><Key>{escape(name)}</Key></Contents>"
+                        )
+                parts.append("</ListBucketResult>")
+                body = "".join(parts).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
-                if self.path.startswith("/?prefix="):
-                    # S3-style prefix LIST: JSON array of the matching
-                    # keys' raw (unquoted) paths
-                    prefix = self.path[len("/?prefix=") :]
-                    with outer._lock:
-                        keys = [
-                            urllib.parse.unquote(k[1:])
-                            for k in outer._blobs
-                            if k[1:].startswith(prefix)
-                        ]
-                    body = json.dumps(sorted(keys)).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                split = urllib.parse.urlsplit(self.path)
+                if "list-type=2" in split.query:
+                    self._list_objects_v2(split.query)
                     return
                 with outer._lock:
-                    item = outer._blobs.get(self.path)
+                    item = outer._blobs.get(key_of(self.path))
                 if item is None:
                     self.send_response(404)
                     self.end_headers()
                     return
                 gen, body = item
                 self.send_response(200)
-                self.send_header("ETag", str(gen))
+                self.send_header("ETag", f'"{gen}"')
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
             def do_DELETE(self):
                 with outer._lock:
-                    existed = outer._blobs.pop(self.path, None)
-                self.send_response(204 if existed is not None else 404)
+                    outer._blobs.pop(key_of(self.path), None)
+                self.send_response(204)  # idempotent, like S3
                 self.end_headers()
 
             def do_PUT(self):
@@ -461,8 +608,9 @@ class ConditionalPutServer:
                 body = self.rfile.read(n)
                 if_match = self.headers.get("If-Match")
                 if_none = self.headers.get("If-None-Match")
+                key = key_of(self.path)
                 with outer._lock:
-                    cur = outer._blobs.get(self.path)
+                    cur = outer._blobs.get(key)
                     if if_none == "*":
                         if cur is not None:
                             self.send_response(412)
@@ -470,7 +618,9 @@ class ConditionalPutServer:
                             return
                         new_gen = 1
                     elif if_match is not None:
-                        if cur is None or str(cur[0]) != if_match:
+                        # S3 accepts the ETag quoted or bare
+                        want = if_match.strip('"')
+                        if cur is None or str(cur[0]) != want:
                             self.send_response(412)
                             self.end_headers()
                             return
@@ -479,11 +629,11 @@ class ConditionalPutServer:
                         self.send_response(400)  # blind writes refused
                         self.end_headers()
                         return
-                    outer._blobs[self.path] = (new_gen, body)
+                    outer._blobs[key] = (new_gen, body)
                     outer.puts += 1
                     fail = outer.puts in outer._fail_puts
                 self.send_response(500 if fail else 200)
-                self.send_header("ETag", str(new_gen))
+                self.send_header("ETag", f'"{new_gen}"')
                 self.end_headers()
 
         self._handler = Handler

