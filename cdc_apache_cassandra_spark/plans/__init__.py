@@ -30,3 +30,34 @@ from cdc_apache_cassandra_spark.plans import kmeans_srp_queries  # noqa: E402,F4
 from cdc_apache_cassandra_spark.plans import llm_substring_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_bpe_queries  # noqa: E402,F401
 from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-gate rotation (VERDICT r7 item 2, third ask): the driver's
+# correctness gate samples the FIRST 50 registry entries, so ordering IS
+# the gate roster. Swap five never-driver-gated entries — one from each
+# LLM-pipeline family (near-dup graph, n-gram Jaccard, ANN recall, BPE,
+# multimodal decode) — into the window, trading out five late TPC-H
+# shapes that stay judge-sweep-green via the full oracle run and carry
+# no SURVEY §2 anchor (tpch_q10 anchors O4 and stays). Swapping in
+# place keeps every other position, and the full registry, unchanged.
+# ---------------------------------------------------------------------------
+_GATE_ROTATION_R8 = [
+    ("tpch_q4_order_priority", "llm_semdedup"),
+    ("tpch_q7_volume_shipping", "llm_dedup_ngram_jaccard"),
+    ("tpch_q8_market_share", "llm_ann_ivf_kmeans_recall"),
+    ("tpch_q9_product_profit", "llm_bpe_train_merges"),
+    ("tpch_q12_late_shipments", "multimodal_bmp_decode"),
+]
+
+
+def _rotate_gate(swaps) -> None:
+    names = list(QUERIES)
+    for out_name, in_name in swaps:
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
+    reordered = {n: QUERIES[n] for n in names}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_rotate_gate(_GATE_ROTATION_R8)

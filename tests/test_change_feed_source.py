@@ -357,9 +357,10 @@ def test_mid_stream_ddl_stops_loudly_and_restart_recovers(spark, tmp_path):
     assert both.filter(F.col("_commit_version") <= 2).count() == first.count()
 
 
-def test_oversized_untagged_group_splits_by_key_hash(spark, tmp_path):
-    """VERDICT r6 item 3: an untagged (foreign) table collapses to one
-    GROUP, but over maxBytesPerPartition it must split into key-hash
+def test_oversized_untagged_group_splits_by_key_range(spark, tmp_path):
+    """VERDICT r6 item 3 + r7 item 8: an untagged (foreign) table
+    collapses to one GROUP, but over maxBytesPerPartition it must
+    split — by key RANGE when the adds carry numeric stats — into
     sub-partitions whose concatenated output is identical to the
     unsplit classification."""
     import glob
@@ -406,12 +407,16 @@ def test_oversized_untagged_group_splits_by_key_hash(spark, tmp_path):
 
     parts1, rows1 = run({})  # default threshold: one partition
     assert len(parts1) == 1 and parts1[0].split_count == 1
-    # threshold below the group's bytes -> a handful of key-hash splits
+    assert parts1[0].key_range is None
+    # threshold below the group's bytes -> key-RANGE splits (the adds
+    # carry numeric pk stats): contiguous [None, ...) .. [.., None)
+    # cover, each side pruned to the files overlapping its range
     partsN, rowsN = run({"maxbytesperpartition": "4000"})
     assert 1 < len(partsN) <= 64
-    assert {(p.split_idx, p.split_count) for p in partsN} == {
-        (i, len(partsN)) for i in range(len(partsN))
-    }
+    bounds = [p.key_range for p in partsN]
+    assert all(b is not None for b in bounds)
+    assert bounds[0][0] is None and bounds[-1][1] is None
+    assert all(bounds[i][1] == bounds[i + 1][0] for i in range(len(bounds) - 1))
     assert rowsN == rows1  # byte-identical union
     # and the split output still matches the batch CDF oracle
     want = delta_changes(spark, table, 0, 2, ["pk"])
@@ -519,3 +524,204 @@ def test_mid_stream_drop_column_stops_loudly(spark, tmp_path):
         r["_commit_version"] for r in spark.read.parquet(out).collect()
     }
     assert consumed == {1, 2}  # nothing emitted under the stale schema
+
+
+def test_oversized_group_hash_fallback_without_stats(spark, tmp_path):
+    """When adds carry NO usable stats (foreign writer), the oversized
+    split falls back to key-hash sub-partitions — byte-identical union,
+    every (idx, count) slice present."""
+    import glob
+
+    _, table = _build(spark, tmp_path)
+    for f in glob.glob(os.path.join(table, "_delta_log", "*.json")):
+        lines = []
+        for line in open(f):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                a["add"].pop("tags", None)
+                a["add"].pop("stats", None)
+            lines.append(json.dumps(a))
+        open(f, "w").write("\n".join(lines) + "\n")
+
+    schema = read_delta(spark, table).schema
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+
+    def run(opts):
+        r = ChangeFeedStreamReader(
+            {"path": table, "pkcols": "pk", "startingversion": "0", **opts},
+            full,
+        )
+        parts = r.partitions({"version": 0}, {"version": 2})
+        rows = sorted(
+            tuple(row.values())
+            for p in parts
+            for b in r.read(p)
+            for row in b.to_pylist()
+        )
+        return parts, rows
+
+    _, rows1 = run({})
+    partsN, rowsN = run({"maxbytesperpartition": "4000"})
+    assert 1 < len(partsN) <= 64
+    assert all(p.key_range is None for p in partsN)
+    assert {(p.split_idx, p.split_count) for p in partsN} == {
+        (i, len(partsN)) for i in range(len(partsN))
+    }
+    assert rowsN == rows1
+
+
+def test_range_split_single_file_group_prunes_row_groups(spark, tmp_path):
+    """VERDICT r7 item 8: a group of FEW HUGE files (here one pre + one
+    post) splits by row-group-derived key ranges — per-split IO is the
+    range's bytes, and the union across splits reads each row group
+    exactly once (vs N× full-group re-reads under the hash fallback).
+    Output is byte-identical to the batch CDF oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _write_commit,
+        delta_changes,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    N = 2000
+
+    def write(name, vs):
+        t = pa.table(
+            {
+                "pk": pa.array(range(N), pa.int64()),
+                "v": pa.array(vs, pa.string()),
+            }
+        )
+        p = os.path.join(table, "data", name)
+        pq.write_table(t, p, row_group_size=100)  # 20 row groups
+        return os.path.getsize(p)
+
+    s0 = write("f0.parquet", [f"v{i}" for i in range(N)])
+    s1 = write(
+        "f1.parquet",
+        [("u%d" % i) if i % 500 == 0 else f"v{i}" for i in range(N)],
+    )
+
+    meta = {
+        "id": "t-range", "name": None, "description": None,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "pk", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }),
+        "partitionColumns": [], "configuration": {}, "createdTime": 0,
+    }
+
+    def add(name, size):
+        return {"add": {
+            "path": f"data/{name}", "size": size, "modificationTime": 0,
+            "dataChange": True, "partitionValues": {},
+            "stats": json.dumps({
+                "numRecords": N,
+                "minValues": {"pk": 0}, "maxValues": {"pk": N - 1},
+                "nullCount": {"pk": 0},
+            }),
+        }}
+
+    _write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        add("f0.parquet", s0),
+    ])
+    _write_commit(table, 1, [
+        {"remove": {"path": "data/f0.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        add("f1.parquet", s1),
+    ])
+
+    from pyspark.sql import types as T
+
+    full = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+    ])
+    r = ChangeFeedStreamReader(
+        {
+            "path": table, "pkcols": "pk", "startingversion": "0",
+            "maxbytesperpartition": str(max(1, (s0 + s1) // 5)),
+        },
+        full,
+    )
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert len(parts) >= 4
+    assert all(p.key_range is not None for p in parts)
+
+    rows = sorted(
+        tuple(row.values())
+        for p in parts
+        for b in r.read(p)
+        for row in b.to_pylist()
+    )
+    want = delta_changes(spark, table, 0, 1, ["pk"])
+    cols = [f.name for f in full.fields]
+    assert rows == sorted(tuple(x[c] for c in cols) for x in want.collect())
+    # the changed keys are exactly the i % 500 == 0 ones
+    assert {x[0] for x in rows} == {0, 500, 1000, 1500}
+
+    # IO bound: the union of splits decodes each row group ~once —
+    # nowhere near the hash fallback's len(parts) x full-group re-read
+    loaded = sum(p.rows_loaded for p in parts)
+    group_rows = 2 * N
+    assert loaded <= 1.2 * group_rows
+    assert max(p.rows_loaded for p in parts) < group_rows  # < full group
+
+
+def test_range_split_unit_edge_cases():
+    """Planner-side range-split edges, no Spark: contiguous bounds,
+    null-bearing files land in the first range, string/bool/missing
+    stats refuse (truncated string stats could LOSE rows), and
+    degenerate same-min groups return None (a cut at the global min
+    would yield one range carrying the whole group — worse than the
+    hash fallback)."""
+    r = ChangeFeedStreamReader.__new__(ChangeFeedStreamReader)
+    r.pk_cols = ["pk"]
+
+    def add(mn, mx, size, nulls=0):
+        return {"size": size, "stats": json.dumps({
+            "numRecords": 1, "minValues": {"pk": mn},
+            "maxValues": {"pk": mx}, "nullCount": {"pk": nulls},
+        })}
+
+    entries = [(f"/x/{i}", add(i * 100, i * 100 + 99, 1000)) for i in range(4)]
+    rs = r._range_splits(entries, 4)
+    assert rs == [(None, 100), (100, 200), (200, 300), (300, None)]
+    assert r._stats_overlap(entries[0][1], None, rs[0][1])
+    assert not r._stats_overlap(entries[0][1], rs[-1][0], None)
+    # nulls belong to the FIRST range regardless of the file's min/max
+    assert r._stats_overlap(add(900, 999, 10, nulls=3), None, 100)
+    bad = {"size": 10, "stats": json.dumps({
+        "minValues": {"pk": "a"}, "maxValues": {"pk": "z"},
+        "nullCount": {"pk": 0},
+    })}
+    assert r._range_splits([("/x/s", bad)], 4) is None
+    assert r._range_splits([("/x/n", {"size": 10})], 4) is None
+    same = [(f"/nope/{i}", add(0, 999, 1000)) for i in range(3)]
+    assert r._range_splits(same, 4) is None  # unrefinable same-min group
+    b2 = {"size": 10, "stats": json.dumps({
+        "minValues": {"pk": True}, "maxValues": {"pk": True},
+        "nullCount": {"pk": 0},
+    })}
+    assert r._file_stats(b2) is None
