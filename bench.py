@@ -21,6 +21,25 @@ from cdc_apache_cassandra_spark.session import get_spark
 
 
 def main():
+    # SPARK_GRAFT_SECTIONS: comma list of {queries, slices, store, solo}
+    # (default all) — lets a drift investigation time ONE section solo
+    # on an idle machine without paying the full loop (r7 item 4).
+    # Tokens are stripped and validated: a typo or stray space must
+    # fail loudly, not silently drop a section from the payload.
+    _KNOWN_SECTIONS = {"queries", "slices", "store", "solo"}
+    sections = {
+        t.strip()
+        for t in os.environ.get(
+            "SPARK_GRAFT_SECTIONS", "queries,slices,store,solo"
+        ).split(",")
+        if t.strip()
+    }
+    unknown = sections - _KNOWN_SECTIONS
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_SECTIONS: unknown section(s) {sorted(unknown)}; "
+            f"valid: {sorted(_KNOWN_SECTIONS)}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cdc-bench")
@@ -59,13 +78,6 @@ def main():
         "cdc_delta_checkpoint_state",
         "cdc_delta_change_feed",
     }
-    # SPARK_GRAFT_SECTIONS: comma list of {queries, slices, store, solo}
-    # (default all) — lets a drift investigation time ONE section solo
-    # on an idle machine without paying the full loop (r7 item 4).
-    sections = set(
-        os.environ.get("SPARK_GRAFT_SECTIONS", "queries,slices,store,solo")
-        .split(",")
-    )
     per_query: dict[str, float] = {}
     t_all = time.time()
     errors: dict[str, str] = {}
@@ -109,10 +121,6 @@ def main():
     from cdc_apache_cassandra_spark.sources.registry import load_table
 
     slices: dict[str, float | int] = {}
-    n_events = mutation_events(spark, sf_dir).count()
-    snap = load_table(spark, sf_dir, "customer").withColumnRenamed(
-        "c_custkey", "pk"
-    )
 
     def best_of(action, n=reps):
         # same policy as per-query timing: the warm rep measures the
@@ -125,6 +133,13 @@ def main():
         return min(times)
 
     if "slices" in sections:
+        # n_events/snap are consumed only by this section — computing
+        # them outside it would charge a Spark count job to every
+        # sections-scoped run (the cost the knob exists to avoid)
+        n_events = mutation_events(spark, sf_dir).count()
+        snap = load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "pk"
+        )
         recs = key_value_records(
             read_after_event(
                 dedup_mutations(mutation_events(spark, sf_dir)),
@@ -363,11 +378,21 @@ def main():
         top = sorted(per_query, key=per_query.get, reverse=True)[:top_n]
         # forced watch entries (r6 item 7, r7 item 5): loop-tail
         # drifters under observation get a solo number regardless of rank
-        for watched in (
+        watch = [
             "llm_substring_span_dedup",
             "cdc_compound_delta_export_state",
-        ):
-            if watched in per_query and watched not in top:
+        ]
+        # SPARK_GRAFT_SOLO_QUERIES: explicit roster additions — with
+        # SECTIONS=solo (no query loop ran) per_query is empty and the
+        # rank-based roster has nothing to rank, so the watch list and
+        # this env var ARE the roster in that mode.
+        watch += [
+            t.strip()
+            for t in os.environ.get("SPARK_GRAFT_SOLO_QUERIES", "").split(",")
+            if t.strip()
+        ]
+        for watched in watch:
+            if watched in QUERIES and watched not in top:
                 top.append(watched)
         for name in top:
             times = []
@@ -400,7 +425,19 @@ def main():
         payload["solo"] = solo
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    # Durable copy next to the script: the driver's stdout capture has
+    # truncated this (long) line in past rounds (BENCH_r6/r7 "parsed":
+    # null) — the file is the parseable artifact of record either way.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the line
+    print(line)
 
 
 if __name__ == "__main__":

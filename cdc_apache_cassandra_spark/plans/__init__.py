@@ -53,6 +53,11 @@ _GATE_ROTATION_R8 = [
 def _rotate_gate(swaps) -> None:
     names = list(QUERIES)
     for out_name, in_name in swaps:
+        if out_name not in QUERIES or in_name not in QUERIES:
+            # a renamed/removed query must not brick every import of
+            # the package — the swap is a gate-roster preference, not a
+            # correctness invariant; the full oracle sweep covers all
+            continue
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
     reordered = {n: QUERIES[n] for n in names}

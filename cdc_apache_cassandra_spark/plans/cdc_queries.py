@@ -973,6 +973,89 @@ def cdc_delta_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("cdc_change_feed_range_split", sql=_CDF_SQL)
+def cdc_change_feed_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed under the FOREIGN-TABLE worst case (r8): bucket
+    tags stripped from the log (any key may pair across files, so all
+    files collapse to ONE group) and ``maxBytesPerPartition`` forced
+    below the group's bytes — the source must split the group into
+    key-RANGE sub-partitions cut from the adds' numeric stats (refined
+    by parquet row-group mins), each reading only its overlapping
+    files/row groups, and the UNION across splits must classify
+    byte-identically to the batch CDF oracle. Same oracle SQL as
+    cdc_delta_change_feed: splitting is an execution detail, never a
+    semantics change."""
+    import json as _json
+    import tempfile
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register as register_feed,
+    )
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    cut = 1_600_000_000_000_000 + 300_000_000
+    ev = (
+        dedup_mutations(mutation_events(spark, sf_dir))
+        .select("pk", "op", "writetime", "segment", "position", *VALUE_COLS)
+        .transform(persist_scoped)
+    )
+    root = tempfile.mkdtemp(prefix="cdc_cdf_range_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import glob as _glob
+    import os
+
+    os.makedirs(store)
+    for batch in (
+        ev.filter(F.col("writetime") <= cut),
+        ev.filter(F.col("writetime") > cut),
+    ):
+        merge_into(spark, store, batch, ["pk"], n_buckets=8)
+        delta_export(spark, store, table)
+    ev.unpersist()
+
+    # foreign-writer shape: strip the exporter's bucket tags (stats stay
+    # — real engines write them; they are what the range split cuts on)
+    for f in _glob.glob(os.path.join(table, "_delta_log", "*.json")):
+        lines = []
+        for line in open(f):
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "add" in a:
+                a["add"].pop("tags", None)
+            lines.append(_json.dumps(a))
+        open(f, "w").write("\n".join(lines) + "\n")
+
+    register_feed(spark)
+    # threshold = a quarter of the table's data bytes: forces ~4-6
+    # range splits at EVERY scale factor (a fixed byte threshold would
+    # plan up to 64 Python partitions at larger SFs — per-partition
+    # worker overhead dominating a correctness gate measures nothing)
+    data_bytes = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(table, "data", "*.parquet"))
+    )
+    name = "cdf_range_" + _uuid.uuid4().hex[:10]
+    stream = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", table)
+        .option("pkCols", "pk")
+        .option("startingVersion", 0)
+        .option("maxVersionsPerBatch", 1)
+        .option("maxBytesPerPartition", max(4000, data_bytes // 8))
+        .load()
+    )
+    q = stream.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""

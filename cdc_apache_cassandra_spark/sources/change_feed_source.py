@@ -506,12 +506,16 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def _row_group_units(self, path: str, file_size: int) -> list[tuple]:
         """(min, bytes) per row group of ``path`` from its footer; []
         when the footer or its stats are unusable (the caller then keeps
-        file-level units). Metadata-sized read — the footer, not data."""
-        import pyarrow.parquet as pq
+        file-level units). Metadata-sized read — the footer, not data —
+        through the delta_log URI seam, so URI table roots resolve the
+        same way every other footer read does."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _io_parquet_file,
+        )
 
         col = self.pk_cols[0]
         try:
-            md = pq.ParquetFile(path).metadata
+            md = _io_parquet_file(path).metadata
         except Exception:
             return []
         idx = next(
@@ -736,11 +740,16 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             with _routed_log_store(self.log_store_url, self.log_store_mirror):
                 if consumer_offset(self.path, self.consumer_id) < v:
                     record_consumer_offset(self.path, self.consumer_id, v)
-        except CommitConflict:
-            # lost every version race to a busy exporter — the cursor is
-            # retention bookkeeping, never the resume mechanism (Spark's
-            # checkpoint is), so a missed recording must not fail the
-            # stream; the next data-carrying commit retries
+        except (CommitConflict, OSError):
+            # lost every version race to a busy exporter, OR the routed
+            # HTTP store was transiently unreachable (URLError/HTTPError
+            # are OSError subclasses) — the cursor is retention
+            # bookkeeping, never the resume mechanism (Spark's checkpoint
+            # is), so a missed recording must not fail the stream; the
+            # next data-carrying commit retries. Data reads are
+            # unaffected: in mirror mode they are local, and in no-mirror
+            # mode an unreachable store fails the NEXT offset/plan call
+            # loudly where it belongs.
             pass
 
     def stop(self) -> None:

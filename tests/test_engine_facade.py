@@ -249,10 +249,12 @@ def test_facade_store_scan_point_read_and_stream_changes(spark, tmp_path):
 def test_facade_maintain_runs_safe_order(spark, tmp_path):
     """VERDICT r7 item 3: maintain() is the ONE scheduled maintenance
     entry point, running compact(only_expired) → gc_orphan_dirs →
-    write_checkpoint → delta_log_cleanup → delta_vacuum with the
-    built-in guards: checkpoint BEFORE cleanup, a lagging consumer
-    blocks cleanup, vacuum respects retention, and a second run is an
-    idempotent no-op."""
+    delta_log_cleanup → write_checkpoint → delta_vacuum with the
+    built-in guards: cleanup runs UNDER THE PREVIOUS checkpoint before
+    the checkpoint advances (checkpoint-first would raise the consumer
+    bar every run and deadlock consumer-gated cleanup — see the engine
+    docstring), a lagging consumer blocks cleanup, vacuum respects
+    retention, and a second run is an idempotent no-op."""
     import os
     import time
 

@@ -1120,3 +1120,53 @@ def test_list_objects_v2_dialect_pagination_and_rollup(server):
     assert store.put_overwrite("/t/artifact", b"v1") is True
     assert store.put_overwrite("/t/artifact", b"v2") is True
     assert store.read_bytes("/t/artifact") == b"v2"
+
+
+def test_facade_maintain_over_object_store(spark, tmp_path, server):
+    """maintain() against the wired object-store deployment (r8): the
+    whole five-step loop runs over a URI table root + HTTP manifest/log
+    stores — compact commits through the CAS, orphan GC reads the
+    HTTP manifest, checkpoint/cleanup ride the no-mirror log store —
+    and a second run is an idempotent no-op."""
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+
+    _, url = server
+    local_root = str(tmp_path / "m_store")
+    local_out = str(tmp_path / "m_delta")
+    os.makedirs(local_root)
+    os.makedirs(local_out)
+    root = f"file://{local_root}"
+    out = f"file://{local_out}"
+
+    eng = CdcEngine(spark)
+    mstore, prev_log = eng.use_object_store(url)  # mirror_local=False
+    try:
+        for rows in (BASE, BATCH_A, BATCH_B):
+            merge_into(
+                spark, root, _batch(spark, rows), ["pk"],
+                n_buckets=4, store=mstore,
+            )
+            eng.export_delta(root, out, checkpoint_interval=None)
+        assert not os.path.exists(os.path.join(local_out, "_delta_log"))
+
+        # expired tombstone: BATCH_B's DELETE at writetime 30 < horizon
+        m1 = eng.maintain(
+            root, out, pk_cols=["pk"], tombstone_horizon=100, retain_ms=0,
+        )
+        assert m1["compacted"] is True
+        assert m1["checkpoint"] == 2
+        assert m1["cleaned"] == []  # no previous checkpoint to clean under
+        state = eng.read_store(root, mode="state")
+        assert state.filter("op = 'DELETE'").count() == 0
+
+        m2 = eng.maintain(root, out, retain_ms=0)
+        assert m2["cleaned"] == [f"{v:020d}.json" for v in (0, 1)]
+        # compact bumps the STORE manifest, not the Delta log — the
+        # head stays at the checkpointed 2, so no new checkpoint
+        assert m2["checkpoint"] is None
+        # the store-resident log replays from its checkpoint + tail
+        got = sorted((r.pk, r.v) for r in eng.read_table(out).collect())
+        assert (2, "b2") in got and all(pk != 3 for pk, _ in got)
+    finally:
+        dl.set_log_commit_store(prev_log)
+        eng.detach_object_store()
