@@ -479,9 +479,23 @@ class ConditionalPutServer:
       DELETE                 -> 204 whether or not the key existed
                                 (S3's idempotent delete)
 
+    Plus the DATA-PLANE subset the real AWS SDK issues (r8 — pyarrow's
+    S3FileSystem with endpoint_override drives the engine's ``_io_*``
+    seam against this emulator in tests/test_remote_data_plane.py):
+    HEAD object, ranged GET (parquet footer reads), multipart upload
+    (CreateMultipartUpload / UploadPart / Complete / Abort — the SDK
+    writes EVERY object this way), CopyObject (fs.move), DeleteObjects
+    batch (delete_dir), and LIST Contents carry Size + LastModified
+    (FileSelector stat). Unconditional single PUT remains refused for
+    real object keys (only the SDK's directory markers and bucket
+    creation pass) — this engine must never blind-write a commit point,
+    and its own data plane writes via multipart.
+
     Keys are the decoded request path (slash-separated, no leading
-    slash). ETags are monotone integers per key, served QUOTED the way
-    S3 quotes them — clients must round-trip them opaquely.
+    slash; path-style bucket addressing — LIST scopes keys to the
+    bucket segment like S3 does). ETags are monotone integers per key,
+    served QUOTED the way S3 quotes them — clients must round-trip
+    them opaquely.
     ``fail_after_commit(n)`` makes the n-th successful PUT return HTTP
     500 AFTER applying the write — the ambiguous-outcome fault real
     object stores exhibit (the write landed, the writer saw an error),
@@ -489,8 +503,12 @@ class ConditionalPutServer:
 
     def __init__(self):
         import http.server
+        import time as _time
 
-        self._blobs: dict[str, tuple[int, bytes]] = {}
+        # key -> (generation, bytes, mtime_epoch_seconds)
+        self._blobs: dict[str, tuple[int, bytes, float]] = {}
+        # uploadId -> (key, {part_number: bytes})
+        self._uploads: dict[str, tuple[str, dict[int, bytes]]] = {}
         self._lock = threading.Lock()
         self.puts = 0
         self.lists = 0  # LIST request counter (pagination tests)
@@ -502,16 +520,36 @@ class ConditionalPutServer:
                 urllib.parse.urlsplit(raw_path).path
             ).lstrip("/")
 
+        def iso(ts: float) -> str:
+            return _time.strftime("%Y-%m-%dT%H:%M:%S.000Z", _time.gmtime(ts))
+
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
-            def _list_objects_v2(self, query: str):
+            def _xml(self, body: str, code: int = 200, headers=None):
+                raw = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(raw)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def _list_objects_v2(self, base: str, query: str):
+                """ListObjectsV2 in BOTH addressing forms: the engine's
+                commit clients list at the root (``GET /?prefix=<full
+                key>``) and the AWS SDK lists path-style (``GET
+                /<bucket>?prefix=<relative key>``) — ``base`` is the
+                bucket path segment ('' at the root); emitted names are
+                relative to it, the way S3 scopes keys to the bucket."""
                 import base64
                 from xml.sax.saxutils import escape
 
                 q = urllib.parse.parse_qs(query)
-                prefix = q.get("prefix", [""])[0]
+                rel_prefix = q.get("prefix", [""])[0]
+                prefix = (base + "/" + rel_prefix) if base else rel_prefix
                 delimiter = q.get("delimiter", [""])[0]
                 max_keys = min(int(q.get("max-keys", ["1000"])[0]), 1000)
                 token = q.get("continuation-token", [None])[0]
@@ -522,33 +560,38 @@ class ConditionalPutServer:
                 )
                 outer.lists += 1
                 with outer._lock:
-                    keys = sorted(k for k in outer._blobs if k.startswith(prefix))
+                    keys = sorted(
+                        (k, len(v[1]), v[2])
+                        for k, v in outer._blobs.items()
+                        if k.startswith(prefix)
+                    )
                 # delimiter roll-up: keys with the delimiter after the
                 # prefix collapse into one CommonPrefixes entry
-                rolled: list[tuple[str, bool]] = []  # (name, is_prefix)
+                rolled: list[tuple] = []  # (name, is_prefix, size, mtime)
                 seen_prefixes: set[str] = set()
-                for k in keys:
+                for k, size, mtime in keys:
                     if delimiter:
                         i = k.find(delimiter, len(prefix))
                         if i >= 0:
                             cp = k[: i + len(delimiter)]
                             if cp not in seen_prefixes:
                                 seen_prefixes.add(cp)
-                                rolled.append((cp, True))
+                                rolled.append((cp, True, 0, 0.0))
                             continue
-                    rolled.append((k, False))
+                    rolled.append((k, False, size, mtime))
                 start = 0
                 if after:
                     while start < len(rolled) and rolled[start][0] <= after:
                         start += 1
                 page = rolled[start : start + max_keys]
                 truncated = start + max_keys < len(rolled)
+                strip = len(base) + 1 if base else 0
                 parts = [
                     '<?xml version="1.0" encoding="UTF-8"?>',
                     '<ListBucketResult '
                     'xmlns="http://s3.amazonaws.com/doc/2006-03-01/">',
-                    "<Name>emulator</Name>",
-                    f"<Prefix>{escape(prefix)}</Prefix>",
+                    f"<Name>{escape(base) if base else 'emulator'}</Name>",
+                    f"<Prefix>{escape(rel_prefix)}</Prefix>",
                     f"<MaxKeys>{max_keys}</MaxKeys>",
                     f"<KeyCount>{len(page)}</KeyCount>",
                     f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>",
@@ -560,29 +603,28 @@ class ConditionalPutServer:
                     parts.append(
                         f"<NextContinuationToken>{nxt}</NextContinuationToken>"
                     )
-                for name, is_prefix in page:
+                for name, is_prefix, size, mtime in page:
+                    rel = name[strip:]
                     if is_prefix:
                         parts.append(
                             "<CommonPrefixes>"
-                            f"<Prefix>{escape(name)}</Prefix>"
+                            f"<Prefix>{escape(rel)}</Prefix>"
                             "</CommonPrefixes>"
                         )
                     else:
                         parts.append(
-                            f"<Contents><Key>{escape(name)}</Key></Contents>"
+                            f"<Contents><Key>{escape(rel)}</Key>"
+                            f"<Size>{size}</Size>"
+                            f"<LastModified>{iso(mtime)}</LastModified>"
+                            "</Contents>"
                         )
                 parts.append("</ListBucketResult>")
-                body = "".join(parts).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/xml")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._xml("".join(parts))
 
             def do_GET(self):
                 split = urllib.parse.urlsplit(self.path)
                 if "list-type=2" in split.query:
-                    self._list_objects_v2(split.query)
+                    self._list_objects_v2(key_of(self.path), split.query)
                     return
                 with outer._lock:
                     item = outer._blobs.get(key_of(self.path))
@@ -590,25 +632,182 @@ class ConditionalPutServer:
                     self.send_response(404)
                     self.end_headers()
                     return
-                gen, body = item
-                self.send_response(200)
+                gen, body, mtime = item
+                rng = self.headers.get("Range")
+                code = 200
+                extra = {}
+                if rng and rng.startswith("bytes="):
+                    # ranged GET — how the AWS SDK reads parquet footers
+                    a, _, b = rng[len("bytes="):].partition("-")
+                    lo = int(a) if a else max(0, len(body) - int(b))
+                    hi = min(int(b), len(body) - 1) if b and a else len(body) - 1
+                    extra["Content-Range"] = f"bytes {lo}-{hi}/{len(body)}"
+                    body = body[lo : hi + 1]
+                    code = 206
+                self.send_response(code)
                 self.send_header("ETag", f'"{gen}"')
+                self.send_header("Last-Modified", self.date_time_string(int(mtime)))
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in extra.items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
-            def do_DELETE(self):
+            def do_HEAD(self):
                 with outer._lock:
-                    outer._blobs.pop(key_of(self.path), None)
+                    item = outer._blobs.get(key_of(self.path))
+                if item is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                gen, body, mtime = item
+                self.send_response(200)
+                self.send_header("ETag", f'"{gen}"')
+                self.send_header("Last-Modified", self.date_time_string(int(mtime)))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+
+            def do_POST(self):
+                split = urllib.parse.urlsplit(self.path)
+                q = urllib.parse.parse_qs(split.query)
+                key = key_of(self.path)
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                body = self.rfile.read(n)
+                if "uploads" in split.query.split("&") or "uploads" in q:
+                    # CreateMultipartUpload — how the SDK starts EVERY
+                    # open_output_stream write (even tiny objects)
+                    import uuid as _uuid
+
+                    uid = _uuid.uuid4().hex
+                    with outer._lock:
+                        outer._uploads[uid] = (key, {})
+                    self._xml(
+                        '<?xml version="1.0" encoding="UTF-8"?>'
+                        "<InitiateMultipartUploadResult>"
+                        f"<Key>{key}</Key><UploadId>{uid}</UploadId>"
+                        "</InitiateMultipartUploadResult>"
+                    )
+                    return
+                if "uploadId" in q:
+                    # CompleteMultipartUpload: assemble parts in order
+                    uid = q["uploadId"][0]
+                    with outer._lock:
+                        up = outer._uploads.pop(uid, None)
+                        if up is None or up[0] != key:
+                            self.send_response(404)
+                            self.end_headers()
+                            return
+                        data = b"".join(
+                            up[1][i] for i in sorted(up[1])
+                        )
+                        gen = outer._blobs.get(key, (0,))[0] + 1
+                        outer._blobs[key] = (gen, data, _time.time())
+                    self._xml(
+                        '<?xml version="1.0" encoding="UTF-8"?>'
+                        "<CompleteMultipartUploadResult>"
+                        f"<Key>{key}</Key><ETag>\"{gen}\"</ETag>"
+                        "</CompleteMultipartUploadResult>"
+                    )
+                    return
+                if "delete" in q or split.query == "delete":
+                    # DeleteObjects batch (how delete_dir empties a tree)
+                    import xml.etree.ElementTree as ET
+                    from xml.sax.saxutils import escape
+
+                    root = ET.fromstring(body)
+                    deleted = []
+                    with outer._lock:
+                        for el in root.iter():
+                            if _local(el.tag) == "Key" and el.text:
+                                full = (
+                                    (key + "/" + el.text) if key else el.text
+                                )
+                                outer._blobs.pop(full, None)
+                                deleted.append(el.text)
+                    self._xml(
+                        '<?xml version="1.0" encoding="UTF-8"?>'
+                        "<DeleteResult>"
+                        + "".join(
+                            f"<Deleted><Key>{escape(k)}</Key></Deleted>"
+                            for k in deleted
+                        )
+                        + "</DeleteResult>"
+                    )
+                    return
+                self.send_response(400)
+                self.end_headers()
+
+            def do_DELETE(self):
+                split = urllib.parse.urlsplit(self.path)
+                q = urllib.parse.parse_qs(split.query)
+                with outer._lock:
+                    if "uploadId" in q:  # AbortMultipartUpload
+                        outer._uploads.pop(q["uploadId"][0], None)
+                    else:
+                        outer._blobs.pop(key_of(self.path), None)
                 self.send_response(204)  # idempotent, like S3
                 self.end_headers()
 
             def do_PUT(self):
-                n = int(self.headers.get("Content-Length", 0))
+                split = urllib.parse.urlsplit(self.path)
+                q = urllib.parse.parse_qs(split.query)
+                n = int(self.headers.get("Content-Length", 0) or 0)
                 body = self.rfile.read(n)
+                key = key_of(self.path)
+                if "partNumber" in q and "uploadId" in q:
+                    # UploadPart (data plane)
+                    uid, pno = q["uploadId"][0], int(q["partNumber"][0])
+                    with outer._lock:
+                        up = outer._uploads.get(uid)
+                        if up is None or up[0] != key:
+                            self.send_response(404)
+                            self.end_headers()
+                            return
+                        up[1][pno] = body
+                    self.send_response(200)
+                    self.send_header("ETag", f'"part{pno}"')
+                    self.end_headers()
+                    return
+                src = self.headers.get("x-amz-copy-source")
+                if src is not None:
+                    # CopyObject (data plane: how fs.move copies)
+                    skey = urllib.parse.unquote(src).lstrip("/")
+                    with outer._lock:
+                        item = outer._blobs.get(skey)
+                        if item is None:
+                            self.send_response(404)
+                            self.end_headers()
+                            return
+                        gen = outer._blobs.get(key, (0,))[0] + 1
+                        outer._blobs[key] = (gen, item[1], _time.time())
+                    self._xml(
+                        '<?xml version="1.0" encoding="UTF-8"?>'
+                        "<CopyObjectResult>"
+                        f"<ETag>\"{gen}\"</ETag>"
+                        f"<LastModified>{iso(_time.time())}</LastModified>"
+                        "</CopyObjectResult>"
+                    )
+                    return
                 if_match = self.headers.get("If-Match")
                 if_none = self.headers.get("If-None-Match")
-                key = key_of(self.path)
+                if if_match is None and if_none is None:
+                    # unconditional PUT: allowed ONLY for the SDK's
+                    # directory markers / bucket creation (keys ending
+                    # '/' or bare bucket names). Blind writes of real
+                    # object keys stay refused — this engine must never
+                    # blind-write a commit point, and its own data plane
+                    # writes via multipart.
+                    if key.endswith("/") or "/" not in key:
+                        with outer._lock:
+                            gen = outer._blobs.get(key, (0,))[0] + 1
+                            outer._blobs[key] = (gen, body, _time.time())
+                        self.send_response(200)
+                        self.send_header("ETag", f'"{gen}"')
+                        self.end_headers()
+                        return
+                    self.send_response(400)  # blind writes refused
+                    self.end_headers()
+                    return
                 with outer._lock:
                     cur = outer._blobs.get(key)
                     if if_none == "*":
@@ -617,7 +816,7 @@ class ConditionalPutServer:
                             self.end_headers()
                             return
                         new_gen = 1
-                    elif if_match is not None:
+                    else:
                         # S3 accepts the ETag quoted or bare
                         want = if_match.strip('"')
                         if cur is None or str(cur[0]) != want:
@@ -625,11 +824,7 @@ class ConditionalPutServer:
                             self.end_headers()
                             return
                         new_gen = cur[0] + 1
-                    else:
-                        self.send_response(400)  # blind writes refused
-                        self.end_headers()
-                        return
-                    outer._blobs[key] = (new_gen, body)
+                    outer._blobs[key] = (new_gen, body, _time.time())
                     outer.puts += 1
                     fail = outer.puts in outer._fail_puts
                 self.send_response(500 if fail else 200)

@@ -93,11 +93,20 @@ def test_conditional_put_primitive(server):
 
 
 def test_blind_put_is_refused(server):
+    """Unconditional PUT of a real OBJECT key (anything nested) is
+    refused — this engine must never blind-write a commit point. The
+    AWS SDK's bucket-creation / directory-marker PUTs (bare names,
+    trailing slash) are the only unconditional writes allowed (r8
+    data-plane subset)."""
     import urllib.error
 
     _, url = server
     with pytest.raises(urllib.error.HTTPError):
-        http_put_conditional(f"{url}/k2", b"x")  # no precondition header
+        # no precondition header on a nested (object) key
+        http_put_conditional(f"{url}/t/_delta_log/k2", b"x")
+    # the SDK's markers pass: bare bucket name and trailing-slash dir
+    http_put_conditional(f"{url}/bkt", b"")
+    http_put_conditional(f"{url}/bkt/dir/", b"")
 
 
 # ---------------------------------------------------------------------------

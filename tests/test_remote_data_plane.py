@@ -1170,3 +1170,103 @@ def test_facade_maintain_over_object_store(spark, tmp_path, server):
     finally:
         dl.set_log_commit_store(prev_log)
         eng.detach_object_store()
+
+
+def test_dialect_keys_with_spaces_and_unicode(server):
+    """Object keys containing spaces and non-ASCII must round-trip
+    through the URL-encoded request path — publish, GET, LIST (the
+    ListObjectsV2 prefix is query-encoded), DELETE."""
+    _, url = server
+    store = HttpLogCommitStore(url, mirror_local=False)
+    key = "/t tables/üñï code/00000000000000000000.json"
+    store.publish(key, b"{}")
+    assert store.read_bytes(key) == b"{}"
+    assert store.list_dir("/t tables/üñï code") == [
+        "00000000000000000000.json"
+    ]
+    # parent listing rolls the subdirectory up as a CommonPrefix
+    assert store.list_dir("/t tables") == ["üñï code"]
+    store.delete(key)
+    assert store.list_dir("/t tables/üñï code") == []
+
+
+def test_io_seam_over_real_s3_wire(server, monkeypatch):
+    """The last inference gap in 'real-bucket true' (r8): every _io_*
+    primitive the driver-side data plane uses — multipart writes,
+    ranged-GET parquet footer/content reads, CopyObject+DELETE moves,
+    ListObjectsV2 with Size/LastModified, batch delete, vacuum-grade
+    mtimes — exercised through pyarrow's REAL AWS SDK S3 client
+    (S3FileSystem + endpoint_override) against the emulator, not
+    through LocalFileSystem. Spark's distributed reads would need the
+    hadoop-aws jars (absent in this env, documented); the driver-side
+    seam is fully provable."""
+    import io
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pafs = pytest.importorskip("pyarrow.fs")
+    if not hasattr(pafs, "S3FileSystem"):
+        pytest.skip("pyarrow built without S3")
+
+    _, url = server
+    fs = pafs.S3FileSystem(
+        access_key="k", secret_key="s", endpoint_override=url,
+        scheme="http", allow_bucket_creation=True,
+        request_timeout=10, connect_timeout=10,
+    )
+
+    def fake_fs_cached(authority_uri: str):
+        assert authority_uri == "s3://bkt/", authority_uri
+        return fs, "bkt/"
+
+    monkeypatch.setattr(dl, "_fs_cached", fake_fs_cached)
+    root = "s3://bkt/table"
+
+    dl._io_mkdirs(root + "/data")
+    dl._io_write_bytes(root + "/data/x.tmp", b"hello")  # multipart PUT
+    dl._io_move(root + "/data/x.tmp", root + "/data/x.bin")  # Copy+DELETE
+    assert dl._io_exists(root + "/data/x.bin")
+    assert not dl._io_exists(root + "/data/x.tmp")
+    assert dl._io_read_bytes(root + "/data/x.bin") == b"hello"
+    assert dl._io_size(root + "/data/x.bin") == 5
+    assert dl._io_listdir(root + "/data") == ["x.bin"]
+    infos = dl._io_file_infos(root + "/data")
+    assert [(n, s) for n, s, _m in infos] == [("x.bin", 5)]
+    assert infos[0][2] > 0  # LastModified flowed through the XML
+
+    # parquet: footer via ranged GETs, then full content
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"pk": pa.array(range(100), pa.int64())}),
+        buf, row_group_size=10,
+    )
+    dl._io_write_bytes(root + "/data/t.parquet", buf.getvalue())
+    pf = dl._io_parquet_file(root + "/data/t.parquet")
+    assert pf.metadata.num_row_groups == 10
+    assert dl._io_read_parquet(root + "/data/t.parquet").num_rows == 100
+
+    # the change-feed range split's footer refinement over the same wire
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    r = ChangeFeedStreamReader.__new__(ChangeFeedStreamReader)
+    r.pk_cols = ["pk"]
+    units = r._row_group_units(root + "/data/t.parquet", 1)
+    assert [mn for mn, _ in units] == list(range(0, 100, 10))
+
+    # vacuum/GC mtimes through the wire; a vanished tree reads FRESH
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        _tree_newest_mtime,
+    )
+
+    assert _tree_newest_mtime(root + "/data") > 0
+    t0 = time.time()
+    assert _tree_newest_mtime(root + "/never-existed") >= t0
+
+    dl._io_delete(root + "/data/x.bin")
+    assert not dl._io_exists(root + "/data/x.bin")
+    dl._io_rmtree(root + "/data")  # batch DeleteObjects
+    assert dl._io_listdir(root + "/data") == []
