@@ -846,24 +846,44 @@ def _checkpoint_arrow_schema():
     )
 
 
-def write_checkpoint(out_path: str, version: int | None = None) -> str:
+#: actions per checkpoint part before the writer goes MULTI-PART
+#: (``{v}.checkpoint.{i}.{n}.parquet``) — one driver-side parquet
+#: serialization per part. 50k actions ≈ tens of MB of metadata; real
+#: delta-spark splits at a similar per-part action budget so no single
+#: checkpoint file grows unboundedly with the table's file count.
+CHECKPOINT_PART_ACTIONS = 50_000
+
+
+def write_checkpoint(
+    out_path: str, version: int | None = None, parts: int | None = None
+) -> str:
     """Compact the log at ``version`` (default: current last) into a
-    spec parquet checkpoint ``{v}.checkpoint.parquet`` and point
-    ``_last_checkpoint`` at it. External readers then replay one parquet
-    file plus the JSON tail instead of the whole history, and
-    :func:`delta_log_cleanup` may drop the checkpointed JSON. The
-    checkpoint holds the full reconstructed state: protocol, newest
-    metaData, txn watermarks, and every live ``add`` (``dataChange``
-    false, per spec — a checkpoint repeats known data). ``remove``
-    tombstones are only VACUUM hints and this writer's vacuum works off
-    the live set, so none are carried. The exporter's empty-bucket memo
-    rides ``_last_checkpoint`` (extra JSON fields are spec-tolerated).
+    spec parquet checkpoint and point ``_last_checkpoint`` at it.
+    External readers then replay one checkpoint plus the JSON tail
+    instead of the whole history, and :func:`delta_log_cleanup` may
+    drop the checkpointed JSON. The checkpoint holds the full
+    reconstructed state: protocol, newest metaData, txn watermarks, and
+    every live ``add`` (``dataChange`` false, per spec — a checkpoint
+    repeats known data). ``remove`` tombstones are only VACUUM hints
+    and this writer's vacuum works off the live set, so none are
+    carried. The exporter's empty-bucket memo rides ``_last_checkpoint``
+    (extra JSON fields are spec-tolerated).
+
+    Layout: single-part ``{v}.checkpoint.parquet`` below
+    :data:`CHECKPOINT_PART_ACTIONS` actions; MULTI-PART
+    ``{v}.checkpoint.{i:010d}.{n:010d}.parquet`` above it (or when
+    ``parts`` forces a count) — the same spec layout delta-spark writes
+    for large tables and this reader already restores
+    (:func:`_checkpoint_files`), so both directions interoperate.
+    ``_last_checkpoint`` then carries ``"parts": n``; every part is
+    published BEFORE the pointer swings, so a reader can never resolve
+    a half-written set.
 
     Driver-side pyarrow write — a checkpoint is metadata-sized (one row
-    per live file; 4096 buckets → 4096 rows). Both files publish
-    atomically (temp + ``os.replace``): ``_last_checkpoint`` is the spec's
-    single mutable pointer, and a torn checkpoint parquet is never
-    observable under its final name."""
+    per live file; 4096 buckets → 4096 rows). Files publish atomically
+    (temp + ``os.replace``): ``_last_checkpoint`` is the spec's single
+    mutable pointer, and a torn checkpoint parquet is never observable
+    under its final name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -887,20 +907,44 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
         rows.append({"add": add})
 
     schema = _checkpoint_arrow_schema()
-    table = pa.Table.from_pylist(rows, schema=schema)
     log_dir = os.path.join(out_path, LOG_DIR)
-    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
-    # serialize driver-side — checkpoints are metadata-sized
-    sink = pa.BufferOutputStream()
-    pq.write_table(table, sink)
-    cp_bytes = sink.getvalue().to_pybytes()
-    pointer = {"version": version, "size": table.num_rows}
+    n_parts = parts if parts else -(-len(rows) // CHECKPOINT_PART_ACTIONS)
+    n_parts = max(1, min(n_parts, len(rows)))
+    if n_parts <= 1:
+        part_files = [
+            (os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"), rows)
+        ]
+    else:
+        # near-even slices; any distribution of actions across parts is
+        # spec-valid (readers concatenate all parts before replay)
+        per = -(-len(rows) // n_parts)
+        part_files = [
+            (
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint.{i + 1:010d}."
+                    f"{n_parts:010d}.parquet",
+                ),
+                rows[i * per : (i + 1) * per],
+            )
+            for i in range(n_parts)
+        ]
+
+    def _serialize(chunk: list[dict]) -> bytes:
+        sink = pa.BufferOutputStream()
+        pq.write_table(pa.Table.from_pylist(chunk, schema=schema), sink)
+        return sink.getvalue().to_pybytes()
+
+    pointer = {"version": version, "size": len(rows)}
+    if n_parts > 1:
+        pointer["parts"] = n_parts
     if state.empty_buckets:
         pointer["emptyBuckets"] = {
             str(b): v for b, v in state.empty_buckets.items()
         }
     lc_bytes = json.dumps(pointer, separators=(",", ":")).encode()
+    cp_path = part_files[-1][0]
     if _log_reads_via_store():
         # store-authoritative logs: checkpoint + pointer are DERIVED
         # artifacts (recomputable from the create-only commits), so a
@@ -918,15 +962,18 @@ def write_checkpoint(out_path: str, version: int | None = None) -> str:
             except (ValueError, KeyError, TypeError):
                 return True  # torn/foreign pointer: ours repairs it
 
-        _LOG_COMMIT_STORE.put_overwrite(cp_path, cp_bytes)
+        for p, chunk in part_files:
+            _LOG_COMMIT_STORE.put_overwrite(p, _serialize(chunk))
         _LOG_COMMIT_STORE.put_overwrite(lc_path, lc_bytes, should_replace=_newer)
         return cp_path
     _io_mkdirs(log_dir)
     # tmp-name + move through the URI seam: atomic rename on POSIX, and
-    # on object stores the final single-key PUT is itself atomic
-    tmp = f"{cp_path}.{uuid.uuid4().hex}.tmp"
-    _io_write_bytes(tmp, cp_bytes)
-    _io_move(tmp, cp_path)
+    # on object stores the final single-key PUT is itself atomic; every
+    # part lands before the pointer swings
+    for p, chunk in part_files:
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+        _io_write_bytes(tmp, _serialize(chunk))
+        _io_move(tmp, p)
     tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
     _io_write_bytes(tmp, lc_bytes)
     _io_move(tmp, lc_path)

@@ -1270,3 +1270,80 @@ def test_io_seam_over_real_s3_wire(server, monkeypatch):
     assert not dl._io_exists(root + "/data/x.bin")
     dl._io_rmtree(root + "/data")  # batch DeleteObjects
     assert dl._io_listdir(root + "/data") == []
+
+
+def test_multipart_checkpoint_write_and_restore(spark, tmp_path, server):
+    """r9-candidate closed early (r8): write_checkpoint goes MULTI-PART
+    (V.checkpoint.i.n.parquet + parts in _last_checkpoint) when forced
+    or past CHECKPOINT_PART_ACTIONS — we already READ that layout, so
+    both directions interoperate. Restore works after cleanup (JSON
+    prefix gone), the torn-pointer fallback resolves the set, and the
+    store-authoritative (no-mirror) log writes the same layout through
+    put_overwrite."""
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    for rows in (BASE, BATCH_A, BATCH_B):
+        merge_into(spark, path, _batch(spark, rows), ["pk"], n_buckets=4)
+        dl.delta_export(spark, path, out, checkpoint_interval=None)
+    want = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+
+    cp = dl.write_checkpoint(out, parts=3)
+    log_dir = os.path.join(out, "_delta_log")
+    names = sorted(os.listdir(log_dir))
+    part_names = [
+        f"{2:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    assert [n for n in names if ".checkpoint." in n] == part_names
+    assert cp.endswith(part_names[-1])
+    ptr = dl._read_last_checkpoint(out)
+    assert ptr["version"] == 2 and ptr["parts"] == 3
+
+    # cleanup drops the covered JSON; replay restores from the parts
+    assert dl.delta_log_cleanup(out, respect_consumers=False) == [
+        f"{0:020d}.json", f"{1:020d}.json"
+    ]
+    got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+    assert got == want
+
+    # torn pointer: the fallback reconstructs {version, parts}
+    open(os.path.join(log_dir, "_last_checkpoint"), "wb").write(b"")
+    assert dl._read_last_checkpoint(out) == {"version": 2, "parts": 3}
+    got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+    assert got == want
+
+    # store-authoritative log: same layout through the CAS overwrite
+    _, url = server
+    path2 = str(tmp_path / "store2")
+    out2 = str(tmp_path / "delta2")
+    os.makedirs(path2)
+    store = HttpLogCommitStore(url, mirror_local=False)
+    prev = dl.set_log_commit_store(store)
+    try:
+        for rows in (BASE, BATCH_A):
+            merge_into(spark, path2, _batch(spark, rows), ["pk"], n_buckets=4)
+            dl.delta_export(spark, path2, out2, checkpoint_interval=None)
+        dl.write_checkpoint(out2, parts=2)
+        ptr2 = dl._read_last_checkpoint(out2)
+        assert ptr2["version"] == 1 and ptr2["parts"] == 2
+        remote = store.list_dir(os.path.join(out2, "_delta_log"))
+        assert f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet" in remote
+        assert dl.delta_log_cleanup(out2, respect_consumers=False) == [
+            f"{0:020d}.json"
+        ]
+        got2 = sorted((r.pk, r.v) for r in dl.read_delta(spark, out2).collect())
+        want2 = sorted(
+            (r.pk, r.v)
+            for r in active_view(read_state(spark, path2)).collect()
+        )
+        assert got2 == want2
+        # auto threshold: an unforced checkpoint of this tiny log stays
+        # single-part (rows << CHECKPOINT_PART_ACTIONS) and the pointer
+        # advances past the forced multi-part one without a parts field
+        merge_into(spark, path2, _batch(spark, BATCH_B), ["pk"], n_buckets=4)
+        dl.delta_export(spark, path2, out2, checkpoint_interval=None)
+        dl.write_checkpoint(out2)
+        ptr3 = dl._read_last_checkpoint(out2)
+        assert ptr3["version"] == 2 and "parts" not in ptr3
+    finally:
+        dl.set_log_commit_store(prev)
