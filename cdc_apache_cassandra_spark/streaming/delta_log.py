@@ -916,20 +916,28 @@ def write_checkpoint(
             (os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"), rows)
         ]
     else:
-        # near-even slices; any distribution of actions across parts is
-        # spec-valid (readers concatenate all parts before replay)
-        per = -(-len(rows) // n_parts)
-        part_files = [
-            (
-                os.path.join(
-                    log_dir,
-                    f"{version:020d}.checkpoint.{i + 1:010d}."
-                    f"{n_parts:010d}.parquet",
-                ),
-                rows[i * per : (i + 1) * per],
+        # BALANCED slices (sizes differ by at most one): any
+        # distribution of actions across parts is spec-valid (readers
+        # concatenate all parts before replay), but ceil-bunching into
+        # the early parts would leave zero-row trailing files when a
+        # forced count doesn't divide evenly — nonstandard territory a
+        # strict foreign reader never sees from delta-spark
+        base_n, rem = divmod(len(rows), n_parts)
+        part_files = []
+        pos = 0
+        for i in range(n_parts):
+            take = base_n + (1 if i < rem else 0)
+            part_files.append(
+                (
+                    os.path.join(
+                        log_dir,
+                        f"{version:020d}.checkpoint.{i + 1:010d}."
+                        f"{n_parts:010d}.parquet",
+                    ),
+                    rows[pos : pos + take],
+                )
             )
-            for i in range(n_parts)
-        ]
+            pos += take
 
     def _serialize(chunk: list[dict]) -> bytes:
         sink = pa.BufferOutputStream()

@@ -641,6 +641,12 @@ class ConditionalPutServer:
                     a, _, b = rng[len("bytes="):].partition("-")
                     lo = int(a) if a else max(0, len(body) - int(b))
                     hi = min(int(b), len(body) - 1) if b and a else len(body) - 1
+                    if lo >= len(body):
+                        # past EOF: S3 answers 416, never a fake 206
+                        self.send_response(416)
+                        self.send_header("Content-Range", f"bytes */{len(body)}")
+                        self.end_headers()
+                        return
                     extra["Content-Range"] = f"bytes {lo}-{hi}/{len(body)}"
                     body = body[lo : hi + 1]
                     code = 206
@@ -700,6 +706,10 @@ class ConditionalPutServer:
                         data = b"".join(
                             up[1][i] for i in sorted(up[1])
                         )
+                        if outer._commit_clobber(key, data):
+                            self.send_response(403)
+                            self.end_headers()
+                            return
                         gen = outer._blobs.get(key, (0,))[0] + 1
                         outer._blobs[key] = (gen, data, _time.time())
                     self._xml(
@@ -711,10 +721,9 @@ class ConditionalPutServer:
                     return
                 if "delete" in q or split.query == "delete":
                     # DeleteObjects batch (how delete_dir empties a tree)
-                    import xml.etree.ElementTree as ET
                     from xml.sax.saxutils import escape
 
-                    root = ET.fromstring(body)
+                    root = _parse_xml(body)
                     deleted = []
                     with outer._lock:
                         for el in root.iter():
@@ -778,6 +787,10 @@ class ConditionalPutServer:
                             self.send_response(404)
                             self.end_headers()
                             return
+                        if outer._commit_clobber(key, item[1]):
+                            self.send_response(403)
+                            self.end_headers()
+                            return
                         gen = outer._blobs.get(key, (0,))[0] + 1
                         outer._blobs[key] = (gen, item[1], _time.time())
                     self._xml(
@@ -790,6 +803,11 @@ class ConditionalPutServer:
                     return
                 if_match = self.headers.get("If-Match")
                 if_none = self.headers.get("If-None-Match")
+                if if_none is not None and if_none != "*":
+                    # S3 conditional writes define only If-None-Match: *
+                    self.send_response(400)
+                    self.end_headers()
+                    return
                 if if_match is None and if_none is None:
                     # unconditional PUT: allowed ONLY for the SDK's
                     # directory markers / bucket creation (keys ending
@@ -832,6 +850,21 @@ class ConditionalPutServer:
                 self.end_headers()
 
         self._handler = Handler
+
+    def _commit_clobber(self, key: str, data: bytes) -> bool:
+        """Tripwire (call under self._lock): True when a DATA-plane
+        write (multipart complete / CopyObject) would OVERWRITE an
+        existing Delta COMMIT key with different bytes — an engine
+        regression writing commit points through _io_* instead of the
+        create-only publish must fail tests loudly, not silently
+        clobber a concurrent writer. Same-bytes rewrites pass (a mirror
+        copy after the conditional PUT already won the race)."""
+        import re
+
+        if not re.search(r"_delta_log/\d{20}\.json$", key):
+            return False
+        cur = self._blobs.get(key)
+        return cur is not None and cur[1] != data
 
     def fail_after_commit(self, nth_put: int) -> None:
         self._fail_puts.add(nth_put)

@@ -1327,7 +1327,9 @@ def test_multipart_checkpoint_write_and_restore(spark, tmp_path, server):
         ptr2 = dl._read_last_checkpoint(out2)
         assert ptr2["version"] == 1 and ptr2["parts"] == 2
         remote = store.list_dir(os.path.join(out2, "_delta_log"))
-        assert f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet" in remote
+        assert [n for n in remote if ".checkpoint." in n] == [
+            f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet" for i in (1, 2)
+        ]  # BOTH parts published, never a half set
         assert dl.delta_log_cleanup(out2, respect_consumers=False) == [
             f"{0:020d}.json"
         ]
@@ -1347,3 +1349,82 @@ def test_multipart_checkpoint_write_and_restore(spark, tmp_path, server):
         assert ptr3["version"] == 2 and "parts" not in ptr3
     finally:
         dl.set_log_commit_store(prev)
+
+
+def test_dialect_guards_range_416_tripwire_and_if_none_match(server):
+    """Review fixes (r8, second pass): past-EOF Range answers S3's 416
+    (never a fake 206); a data-plane write (multipart / CopyObject)
+    that would OVERWRITE a Delta commit key with DIFFERENT bytes is
+    refused 403 (the blind-write tripwire holds through the data plane;
+    same-bytes mirror copies pass); If-None-Match with anything but '*'
+    is a clean 400, not a handler crash."""
+    import urllib.error
+    import urllib.request
+
+    import pyarrow.fs as pafs
+
+    srv, url = server
+    store = HttpLogCommitStore(url, mirror_local=False)
+    commit_key = "bkt/t/_delta_log/" + f"{7:020d}.json"
+    store.publish("/" + commit_key, b'{"v":1}\n')
+
+    fs = pafs.S3FileSystem(
+        access_key="k", secret_key="s", endpoint_override=url,
+        scheme="http", allow_bucket_creation=True,
+    )
+    # 416 past EOF
+    f = fs.open_input_file("bkt/t/_delta_log/" + f"{7:020d}.json")
+    with pytest.raises(Exception):
+        f.read_at(10, 500)  # offset past the 8-byte object
+
+    # multipart overwrite of the commit key with DIFFERENT bytes -> 403
+    with pytest.raises(OSError):
+        with fs.open_output_stream("bkt/t/_delta_log/" + f"{7:020d}.json") as o:
+            o.write(b"clobber!")
+    assert store.read_bytes("/" + commit_key) == b'{"v":1}\n'
+    # ... but the SAME bytes (a mirror copy) pass
+    with fs.open_output_stream("bkt/t/_delta_log/" + f"{7:020d}.json") as o:
+        o.write(b'{"v":1}\n')
+    # CopyObject onto the commit key with different bytes -> 403 too
+    with fs.open_output_stream("bkt/t/other.bin") as o:
+        o.write(b"different")
+    with pytest.raises(OSError):
+        fs.copy_file("bkt/t/other.bin", "bkt/t/_delta_log/" + f"{7:020d}.json")
+    assert store.read_bytes("/" + commit_key) == b'{"v":1}\n'
+
+    # If-None-Match: <etag> (not '*') -> clean 400
+    req = urllib.request.Request(
+        f"{url}/bkt/t/_delta_log/{8:020d}.json", data=b"x", method="PUT"
+    )
+    req.add_header("If-None-Match", '"123"')
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 400
+
+
+def test_multipart_checkpoint_forced_uneven_has_no_empty_parts(spark, tmp_path):
+    """Review fix (r8, second pass): a forced part count that doesn't
+    divide the action count evenly must write BALANCED parts (sizes
+    differ by ≤1), never zero-row trailing files a strict foreign
+    reader could choke on."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=4)
+    dl.delta_export(spark, path, out, checkpoint_interval=None)
+    # state: protocol + metaData + 4 adds = 6 actions; parts=4 -> 2,2,1,1
+    dl.write_checkpoint(out, parts=4)
+    log_dir = os.path.join(out, "_delta_log")
+    sizes = [
+        pq.read_table(
+            os.path.join(
+                log_dir, f"{0:020d}.checkpoint.{i:010d}.{4:010d}.parquet"
+            )
+        ).num_rows
+        for i in (1, 2, 3, 4)
+    ]
+    assert sum(sizes) == 6 and min(sizes) >= 1 and max(sizes) - min(sizes) <= 1
+    got = sorted((r.pk, r.v) for r in dl.read_delta(spark, out).collect())
+    assert len(got) == len(BASE)
