@@ -151,8 +151,11 @@ class _ChangePartition(InputPartition):
         # row groups by footer stats — per-split IO tracks the range's
         # bytes instead of N× full-group re-reads (VERDICT r7 item 8).
         self.key_range = key_range
-        # rows decoded from parquet before range filtering — the
-        # observable the IO-bound tests assert on (set by read())
+        # rows decoded from parquet before range filtering — an
+        # IN-PROCESS TEST OBSERVABLE ONLY (set by read()): under real
+        # Spark execution partitions are pickled to worker processes,
+        # so a driver-side reference never sees this increment. Do not
+        # build driver-side metrics on it.
         self.rows_loaded = 0
 
 
@@ -740,17 +743,34 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             with _routed_log_store(self.log_store_url, self.log_store_mirror):
                 if consumer_offset(self.path, self.consumer_id) < v:
                     record_consumer_offset(self.path, self.consumer_id, v)
-        except (CommitConflict, OSError):
-            # lost every version race to a busy exporter, OR the routed
-            # HTTP store was transiently unreachable (URLError/HTTPError
-            # are OSError subclasses) — the cursor is retention
-            # bookkeeping, never the resume mechanism (Spark's checkpoint
-            # is), so a missed recording must not fail the stream; the
-            # next data-carrying commit retries. Data reads are
-            # unaffected: in mirror mode they are local, and in no-mirror
-            # mode an unreachable store fails the NEXT offset/plan call
-            # loudly where it belongs.
+        except CommitConflict:
+            # lost every version race to a busy exporter — benign and
+            # expected under concurrency; the next data-carrying commit
+            # retries. No signal needed.
             pass
+        except OSError as exc:
+            # the routed HTTP store was transiently unreachable
+            # (URLError/HTTPError are OSError subclasses) — the cursor
+            # is retention bookkeeping, never the resume mechanism
+            # (Spark's checkpoint is), so a missed recording must not
+            # fail the stream. But a PERSISTENTLY unreachable store
+            # leaves the cursor stale forever, silently blocking
+            # delta_log_cleanup(respect_consumers=True) — so surface a
+            # warning each time (ADVICE r8). Data reads are unaffected:
+            # in mirror mode they are local, and in no-mirror mode an
+            # unreachable store fails the NEXT offset/plan call loudly
+            # where it belongs.
+            import warnings
+
+            warnings.warn(
+                f"consumer-cursor recording skipped for "
+                f"{self.consumer_id!r} at version {v} "
+                f"({type(exc).__name__}: {exc}); retention cleanup "
+                f"gated on this consumer will not advance until a "
+                f"later commit succeeds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def stop(self) -> None:
         pass

@@ -811,18 +811,28 @@ class ConditionalPutServer:
                 if if_match is None and if_none is None:
                     # unconditional PUT: allowed ONLY for the SDK's
                     # directory markers / bucket creation (keys ending
-                    # '/' or bare bucket names). Blind writes of real
-                    # object keys stay refused — this engine must never
-                    # blind-write a commit point, and its own data plane
-                    # writes via multipart.
-                    if key.endswith("/") or "/" not in key:
-                        with outer._lock:
+                    # '/' or bare bucket names) — and for bare names
+                    # only CREATE-ONLY with an empty body, so the
+                    # blind-write tripwire stays tight: a regression
+                    # blind-writing a real root-level object key (or
+                    # re-writing an existing one) is refused, not
+                    # silently accepted (ADVICE r8). Blind writes of
+                    # real object keys stay refused — this engine must
+                    # never blind-write a commit point, and its own
+                    # data plane writes via multipart.
+                    with outer._lock:
+                        bare_create = (
+                            "/" not in key
+                            and not body
+                            and key not in outer._blobs
+                        )
+                        if key.endswith("/") or bare_create:
                             gen = outer._blobs.get(key, (0,))[0] + 1
                             outer._blobs[key] = (gen, body, _time.time())
-                        self.send_response(200)
-                        self.send_header("ETag", f'"{gen}"')
-                        self.end_headers()
-                        return
+                            self.send_response(200)
+                            self.send_header("ETag", f'"{gen}"')
+                            self.end_headers()
+                            return
                     self.send_response(400)  # blind writes refused
                     self.end_headers()
                     return
