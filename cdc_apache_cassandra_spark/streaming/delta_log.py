@@ -57,6 +57,8 @@ import shutil
 import time
 import uuid
 
+import pandas as pd  # type hints of the DV-filter pandas UDF resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -454,19 +456,33 @@ def _list_commits(
     return commits
 
 
+#: reader features this module actually implements (VERDICT r8 items
+#: 1+2): deletion vectors (streaming/deletion_vectors.py + the
+#: _scan_adds row-index filter) and NAME-mode column mapping
+#: (_column_mapping; id mode and anything else stays a loud refusal).
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+}
+
+
 def _check_protocol(proto: dict, out_path: str) -> None:
-    """This reader implements the base protocol only (reader version 1:
-    plain add/remove replay). Column mapping, deletion vectors, and V2
-    checkpoints all raise minReaderVersion / readerFeatures — refuse
-    rather than silently misread such a table."""
-    if int(proto.get("minReaderVersion", 1)) > 1 and not proto.get(
-        "readerFeatures"
-    ):
+    """Refuse reader requirements this module does not implement —
+    loudly, never a silent misread. Implemented: base protocol
+    (version 1), column mapping (version 2 legacy, or the
+    ``columnMapping`` reader feature — NAME mode only, enforced where
+    the metaData is interpreted), and deletion vectors (the
+    ``deletionVectors`` feature). V2 checkpoints and every other
+    feature still raise."""
+    min_reader = int(proto.get("minReaderVersion", 1))
+    features = set(proto.get("readerFeatures") or [])
+    if min_reader > 3 or (min_reader == 3 and not features):
         raise NotImplementedError(
-            f"{out_path}: table requires minReaderVersion="
-            f"{proto['minReaderVersion']}; this reader implements version 1."
+            f"{out_path}: table requires minReaderVersion={min_reader}; "
+            "read it with a full Delta client."
         )
-    unsupported = set(proto.get("readerFeatures") or []) - {"timestampNtz"}
+    unsupported = features - _SUPPORTED_READER_FEATURES
     if unsupported:
         raise NotImplementedError(
             f"{out_path}: table requires reader features {sorted(unsupported)}; "
@@ -541,15 +557,22 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
     for version, path in _list_commits(out_path, after=state.last):
         if max_version is not None and version > max_version:
             break
+        # one commit may carry remove(p) AND add(p) for the SAME path —
+        # the shape delta-spark writes when it attaches a deletion
+        # vector to an existing file. Within a commit the add wins
+        # regardless of line order, so removes apply first, adds after.
+        adds_in_commit: dict[str, dict] = {}
         for line in _log_read_bytes(path).decode().splitlines():
             line = line.strip()
             if not line:
                 continue
             action = json.loads(line)
             if "add" in action:
-                state.files[action["add"]["path"]] = action["add"]
+                adds_in_commit[action["add"]["path"]] = action["add"]
             elif "remove" in action:
-                state.files.pop(action["remove"]["path"], None)
+                rp = action["remove"]["path"]
+                if rp not in adds_in_commit:
+                    state.files.pop(rp, None)
             elif "metaData" in action:
                 state.meta = action["metaData"]
             elif "txn" in action:
@@ -565,6 +588,7 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
                     state.empty_buckets = {
                         int(b): int(v) for b, v in empties.items()
                     }
+        state.files.update(adds_in_commit)
         state.last = version
     if max_version is not None and state.last < max_version:
         raise FileNotFoundError(
@@ -1367,6 +1391,199 @@ def prune_files_by_stats(
     return sorted(kept)
 
 
+# --- reader features: column mapping (name mode) + deletion vectors ---------
+# (VERDICT r8 items 1+2: a modern delta-spark table — the most likely
+# foreign input — commonly carries both; refusal stays for id-mode
+# mapping, V2 checkpoints and all writer paths.)
+
+
+def _column_mapping_mode(meta: dict | None) -> str:
+    mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    return mode or "none"
+
+
+def _phys_type_json(tp):
+    if isinstance(tp, dict):
+        t = tp.get("type")
+        if t == "struct":
+            return {**tp, "fields": [_phys_field_json(f) for f in tp["fields"]]}
+        if t == "array":
+            return {**tp, "elementType": _phys_type_json(tp["elementType"])}
+        if t == "map":
+            return {
+                **tp,
+                "keyType": _phys_type_json(tp["keyType"]),
+                "valueType": _phys_type_json(tp["valueType"]),
+            }
+    return tp
+
+
+def _phys_field_json(f: dict) -> dict:
+    phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+    if not phys:
+        raise NotImplementedError(
+            f"column-mapping mode=name but field {f.get('name')!r} carries "
+            "no delta.columnMapping.physicalName; read this table with a "
+            "full Delta client."
+        )
+    return {
+        "name": phys,
+        "type": _phys_type_json(f["type"]),
+        "nullable": f.get("nullable", True),
+        "metadata": {},
+    }
+
+
+def _mapping_plan(meta: dict):
+    """``(read_schema, restore, phys_of)`` for the table's column-mapping
+    mode: the PHYSICAL schema parquet files must be read with, a
+    ``df -> df`` projection renaming every level back to logical names
+    (struct casts rename positionally — types are unchanged, only names
+    differ), and the logical→physical top-level name map (what stats
+    pruning keys on: add.stats use physical names under mapping).
+    ``restore``/``phys_of`` are None / identity when the table has no
+    mapping; id mode and unknown modes refuse loudly."""
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = _column_mapping_mode(meta)
+    if mode in ("none",):
+        return logical, None, {f.name: f.name for f in logical.fields}
+    if mode != "name":
+        raise NotImplementedError(
+            f"column-mapping mode {mode!r} is not supported (name mode "
+            "only); read this table with a full Delta client."
+        )
+    fields_json = json.loads(meta["schemaString"])["fields"]
+    read_schema = T.StructType.fromJson(
+        {"type": "struct", "fields": [_phys_field_json(f) for f in fields_json]}
+    )
+
+    def restore(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(read_schema.fields, logical.fields)
+            ]
+        )
+
+    phys_of = {
+        lf.name: pf.name for lf, pf in zip(logical.fields, read_schema.fields)
+    }
+    return read_schema, restore, phys_of
+
+
+@functools.lru_cache(maxsize=128)
+def _dv_decode_cached(data: bytes):
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        deserialize_dv,
+    )
+
+    return deserialize_dv(data)
+
+
+def _dv_deleted_udf(bc):
+    """Vectorized membership test against broadcast DV bitmaps: the
+    scan stays one map-side filter — no shuffle, no driver-side rows;
+    the broadcast carries only the compressed bitmaps (metadata-sized:
+    roaring over deleted row indexes), decoded once per worker via the
+    lru cache. ``_metadata.file_path`` is matched to the add's relative
+    path by '/'-anchored suffix, so same-named files in different
+    table subdirectories cannot collide."""
+
+    @F.pandas_udf("boolean")
+    def deleted(fp: pd.Series, ri: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _dv_decode_cached,
+        )
+
+        dv_map = bc.value
+        out = np.zeros(len(fp), dtype=bool)
+        if not len(fp):
+            return pd.Series(out)
+        riv = ri.to_numpy()
+        fpv = fp.to_numpy()
+        for u in pd.unique(fp):
+            rel = next(
+                (k for k in dv_map if u == k or u.endswith("/" + k)), None
+            )
+            if rel is None:
+                continue
+            idx = _dv_decode_cached(dv_map[rel])
+            if not len(idx):
+                continue
+            m = fpv == u
+            vals = riv[m]
+            pos = np.minimum(np.searchsorted(idx, vals), len(idx) - 1)
+            out[m] = idx[pos] == vals
+        return pd.Series(out)
+
+    return deleted
+
+
+def _scan_adds(
+    spark: SparkSession,
+    out_path: str,
+    entries: list[tuple[str, dict]],
+    meta: dict,
+) -> DataFrame:
+    """Read the given ``(relative_path, add_action)`` entries into the
+    table's LOGICAL schema — the one scan used by every snapshot/CDF
+    surface: schema comes from the log (pre-DDL files read with typed
+    nulls), column-mapped tables read under their physical schema and
+    rename back, and rows masked by a deletion vector are filtered by
+    ``_metadata.row_index`` against the broadcast bitmap (map-side — a
+    DV never causes a shuffle or a driver-side row)."""
+    read_schema, restore, _ = _mapping_plan(meta)
+    plain = [
+        os.path.join(out_path, rel)
+        for rel, add in entries
+        if not add.get("deletionVector")
+    ]
+    dved = [
+        (rel, add["deletionVector"])
+        for rel, add in entries
+        if add.get("deletionVector")
+    ]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(spark.read.schema(read_schema).parquet(*plain))
+    if dved:
+        from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+            load_dv_bytes,
+        )
+
+        dv_bytes = {
+            rel: load_dv_bytes(out_path, dv, _io_read_bytes)
+            for rel, dv in dved
+        }
+        bc = spark.sparkContext.broadcast(dv_bytes)
+        deleted = _dv_deleted_udf(bc)
+        df = (
+            spark.read.schema(read_schema)
+            .parquet(*[os.path.join(out_path, rel) for rel, _ in dved])
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+        )
+        parts.append(
+            df.filter(~deleted(F.col("__dv_fp"), F.col("__dv_ri"))).drop(
+                "__dv_fp", "__dv_ri"
+            )
+        )
+    if not parts:
+        out = spark.createDataFrame([], schema=read_schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return restore(out) if restore is not None else out
+
+
 def read_delta(
     spark: SparkSession,
     out_path: str,
@@ -1397,22 +1614,21 @@ def read_delta(
     s = _replay(out_path, version)
     if s.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")
-    schema = T.StructType.fromJson(json.loads(s.meta["schemaString"]))
     paths = sorted(s.files)
     if prune is not None:
         # ``prune=(col, lo, hi)``: Delta-style data skipping — candidate
         # files chosen from log stats ONLY (no footer IO); the caller
         # still applies its row filter, this just bounds which files the
         # scan lists at all. The gate for correctness is in
-        # prune_files_by_stats: stat-less files are never skipped.
-        paths = prune_files_by_stats(s.files, *prune)
-    if not paths:
-        return spark.createDataFrame([], schema=schema)
+        # prune_files_by_stats: stat-less files are never skipped. Under
+        # column mapping, add.stats key on PHYSICAL names — translate.
+        col, lo, hi = prune
+        _, _, phys_of = _mapping_plan(s.meta)
+        paths = prune_files_by_stats(s.files, phys_of.get(col, col), lo, hi)
     # schema comes from the LOG, not file footers — the Delta reader
-    # contract; files predating a schema widening read with typed nulls
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(out_path, p) for p in paths]
-    )
+    # contract; files predating a schema widening read with typed
+    # nulls; DV-masked and column-mapped files handled in _scan_adds
+    return _scan_adds(spark, out_path, [(p, s.files[p]) for p in paths], s.meta)
 
 
 def delta_changes(
@@ -1456,15 +1672,29 @@ def delta_changes(
     if s_to.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")
     schema = T.StructType.fromJson(json.loads(s_to.meta["schemaString"]))
-    removed = sorted(set(s_from.files) - set(s_to.files))
-    added = sorted(set(s_to.files) - set(s_from.files))
+    # the diff identity is (path, deletion vector), not path alone: a
+    # delta-spark DELETE/UPDATE with DVs re-adds the SAME parquet path
+    # with a different DV — under a path-only diff that version would
+    # look like no change at all. A file whose DV changed contributes
+    # its from-state (old DV mask) to the pre image and its to-state to
+    # the post image; unchanged rows cancel in the null-safe join like
+    # any bucket-rewrite neighbor.
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        dv_unique_id,
+    )
 
-    def read(paths):
-        if not paths:
-            return spark.createDataFrame([], schema=schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(out_path, p) for p in paths]
-        )
+    def identity(files: dict) -> dict:
+        return {
+            (p, dv_unique_id(a.get("deletionVector"))): (p, a)
+            for p, a in files.items()
+        }
+
+    id_from, id_to = identity(s_from.files), identity(s_to.files)
+    removed = [id_from[k] for k in sorted(id_from.keys() - id_to.keys(), key=repr)]
+    added = [id_to[k] for k in sorted(id_to.keys() - id_from.keys(), key=repr)]
+
+    def read(entries):
+        return _scan_adds(spark, out_path, entries, s_to.meta)
 
     cols = schema.names
     # explicit presence markers: inferring existence from pk nullability
@@ -1529,12 +1759,24 @@ def delta_changes_since(
     last_version)`` when the log hasn't moved — no files are read at
     all (replay is metadata-only). Net-effect semantics across multiple
     commits, same as :func:`delta_changes`."""
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        dv_unique_id,
+    )
+
+    def file_ids(files: dict) -> set:
+        # (path, deletion vector) — a DV-only commit (delta-spark row
+        # delete) changes rows without changing any path
+        return {
+            (p, dv_unique_id(a.get("deletionVector")))
+            for p, a in files.items()
+        }
+
     s = _replay(out_path)
     if s.last <= last_version:
         return None, last_version
-    if last_version >= 0 and set(
+    if last_version >= 0 and file_ids(
         _replay(out_path, last_version).files
-    ) == set(s.files):
+    ) == file_ids(s.files):
         # the log advanced but only with data-free commits (consumer
         # txn watermarks, metadata): no change rows exist — advance the
         # cursor without running any Spark job

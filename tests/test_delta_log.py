@@ -412,25 +412,43 @@ def test_dangling_last_checkpoint_is_refused(spark, tmp_path):
         read_delta(spark, out)
 
 
-def test_reader_version_2_table_is_refused(spark, tmp_path):
-    """Base-protocol reader: a table whose protocol demands
-    minReaderVersion > 1 (column mapping / deletion vectors) must be
-    refused loudly, never misread."""
+def test_unsupported_reader_requirements_are_refused(spark, tmp_path):
+    """A table whose protocol demands features this reader does not
+    implement must be refused loudly, never misread. Since r9 the
+    supported set includes column mapping (name mode; minReaderVersion
+    2 or the columnMapping feature) and deletionVectors — so version 2
+    with mode=none READS, while v2Checkpoint / unknown features and
+    bare minReaderVersion=3 still raise."""
     store = _store(spark, tmp_path, n=8, n_buckets=2)
     out = str(tmp_path / "delta")
     delta_export(spark, store, out)
     commit0 = os.path.join(out, LOG_DIR, f"{0:020d}.json")
     actions = [json.loads(line) for line in open(commit0)]
-    for a in actions:
-        if "protocol" in a:
-            a["protocol"]["minReaderVersion"] = 2
-    with open(commit0, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        read_delta(spark, out)
+    def rewrite(proto_patch):
+        patched = []
+        for a in actions:
+            a = dict(a)
+            if "protocol" in a:
+                a["protocol"] = {**a["protocol"], **proto_patch}
+            patched.append(a)
+        with open(commit0, "w") as f:
+            for a in patched:
+                f.write(json.dumps(a) + "\n")
+
+    # column-mapping protocol version, no mapping configured: supported
+    rewrite({"minReaderVersion": 2})
+    assert read_delta(spark, out).count() == 8
+
+    for patch in (
+        {"minReaderVersion": 3},  # features-required version, none named
+        {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]},
+        {"minReaderVersion": 3, "readerFeatures": ["someFutureFeature"]},
+    ):
+        rewrite(patch)
+        with pytest.raises(NotImplementedError):
+            read_delta(spark, out)
 
 
 def _incremental_store_and_exports(spark, tmp_path, n_commits=12):

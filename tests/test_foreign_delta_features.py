@@ -1,0 +1,234 @@
+"""Foreign-table reader features: deletion vectors + column mapping
+(VERDICT r8 items 1+2).
+
+Fixtures are hand-built spec-layout tables (streaming/foreign_delta.py)
+because no delta-spark jar exists in this environment; the DV blobs are
+written by streaming/deletion_vectors.write_dv_file, whose byte layout
+is pinned against the spec in test_deletion_vector_codec.py.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from cdc_apache_cassandra_spark.streaming import foreign_delta as fx
+from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+    inline_dv_descriptor,
+    write_dv_file,
+)
+from cdc_apache_cassandra_spark.streaming.delta_log import (
+    delta_changes,
+    delta_changes_since,
+    read_delta,
+)
+
+def _dv_table(tmp_path, dv_rows, inline=False, n=10):
+    """A 1-file foreign table: v0 = n rows (pk 0..n-1, v = 10*pk),
+    v1 = same file re-added with a DV masking ``dv_rows`` (row index i
+    holds pk i). Returns (root, add0)."""
+    root = str(tmp_path / "ftable")
+    os.makedirs(root)
+    data = pa.table({"pk": list(range(n)), "v": [10 * i for i in range(n)]})
+    add0 = fx.write_data_file(root, "part-000.parquet", data, stats_cols=["pk"])
+    fx.write_commit(
+        root,
+        0,
+        [
+            fx.protocol_action(3, 7, reader_features=["deletionVectors"]),
+            fx.metadata_action(
+                [fx.field("pk", "long"), fx.field("v", "long")]
+            ),
+            add0,
+        ],
+    )
+    if inline:
+        dv = inline_dv_descriptor(dv_rows)
+    else:
+        dv = write_dv_file(None, [dv_rows], table_root=root)[0]
+    fx.write_commit(root, 1, [fx.remove_action(add0), fx.with_dv(add0, dv)])
+    return root, add0
+
+
+@pytest.mark.parametrize("inline", [False, True], ids=["dv-file", "inline"])
+def test_dv_masked_snapshot_read(spark, tmp_path, inline):
+    root, _ = _dv_table(tmp_path, [2, 5, 7], inline=inline)
+    assert read_delta(spark, root, version=0).count() == 10
+    got = sorted(r.pk for r in read_delta(spark, root).collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_dv_only_commit_feeds_deletes(spark, tmp_path):
+    """delta-spark DELETE: remove(p)+add(p, dv) in one commit — the
+    path set is unchanged, so a path-only diff would emit nothing. The
+    feed must emit exactly the masked rows as deletes."""
+    root, _ = _dv_table(tmp_path, [0, 9])
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type) for r in feed) == [
+        (0, "delete"),
+        (9, "delete"),
+    ]
+    # and the incremental tail must not classify the commit as data-free
+    changes, new_v = delta_changes_since(spark, root, 0, ["pk"])
+    assert new_v == 1 and changes is not None
+    assert sorted(r.pk for r in changes.collect()) == [0, 9]
+
+
+def test_dv_grows_feeds_incremental_deletes(spark, tmp_path):
+    """A second DV on the same file (more rows deleted) must feed only
+    the NEWLY masked rows."""
+    root, add0 = _dv_table(tmp_path, [2])
+    dv2 = write_dv_file(None, [[2, 4, 6]], table_root=root)[0]
+    fx.write_commit(root, 2, [fx.remove_action(add0), fx.with_dv(add0, dv2)])
+    feed = delta_changes(spark, root, 1, 2, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type) for r in feed) == [
+        (4, "delete"),
+        (6, "delete"),
+    ]
+
+
+def test_dv_crc_corruption_raises(spark, tmp_path):
+    root, _ = _dv_table(tmp_path, [1])
+    dv_file = next(
+        f for f in os.listdir(root) if f.startswith("deletion_vector_")
+    )
+    p = os.path.join(root, dv_file)
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF  # flip a checksum byte
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="checksum|corrupt"):
+        read_delta(spark, root).count()
+
+
+def _mapped_table(tmp_path):
+    """Column-mapped (name mode) table: logical (pk, payload, meta)
+    stored under physical names (col-xyz…), including a nested struct
+    whose inner field is also renamed."""
+    root = str(tmp_path / "mtable")
+    os.makedirs(root)
+    data = pa.table(
+        {
+            "col-a1": [1, 2, 3],
+            "col-b2": ["x", "y", "z"],
+            "col-c3": pa.array(
+                [{"col-d4": 10}, {"col-d4": 20}, {"col-d4": 30}],
+                type=pa.struct([pa.field("col-d4", pa.int64())]),
+            ),
+        }
+    )
+    add = fx.write_data_file(root, "part-000.parquet", data, stats_cols=["col-a1"])
+    meta = fx.metadata_action(
+        [
+            fx.field("pk", "long", physical="col-a1"),
+            fx.field("payload", "string", physical="col-b2"),
+            {
+                "name": "meta",
+                "type": {
+                    "type": "struct",
+                    "fields": [fx.field("depth", "long", physical="col-d4")],
+                },
+                "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": "col-c3"},
+            },
+        ],
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "4",
+        },
+    )
+    fx.write_commit(
+        root,
+        0,
+        [fx.protocol_action(2, 5), meta, add],
+    )
+    return root, add
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    root, _ = _mapped_table(tmp_path)
+    df = read_delta(spark, root)
+    assert df.columns == ["pk", "payload", "meta"]
+    assert df.schema["meta"].dataType.fieldNames() == ["depth"]
+    rows = sorted(df.collect(), key=lambda r: r.pk)
+    assert [(r.pk, r.payload, r.meta.depth) for r in rows] == [
+        (1, "x", 10),
+        (2, "y", 20),
+        (3, "z", 30),
+    ]
+
+
+def test_column_mapping_stats_prune_translates_names(spark, tmp_path):
+    """add.stats key on PHYSICAL names under mapping — pruning on the
+    logical name must still skip files."""
+    root, _ = _mapped_table(tmp_path)
+    # second file, pk 100..102, to give pruning something to skip
+    data = pa.table(
+        {
+            "col-a1": [100, 101, 102],
+            "col-b2": ["q", "r", "s"],
+            "col-c3": pa.array(
+                [{"col-d4": 0}] * 3,
+                type=pa.struct([pa.field("col-d4", pa.int64())]),
+            ),
+        }
+    )
+    add2 = fx.write_data_file(root, "part-001.parquet", data, stats_cols=["col-a1"])
+    fx.write_commit(root, 1, [add2])
+    df = read_delta(spark, root, prune=("pk", None, 50))
+    # pruned scan lists one file: all three low-pk rows, none of the high
+    assert sorted(r.pk for r in df.collect()) == [1, 2, 3]
+    scan_files = [
+        f for f in df.inputFiles() if f.endswith(".parquet")
+    ]
+    assert len(scan_files) == 1 and scan_files[0].endswith("part-000.parquet")
+
+
+def test_column_mapping_change_feed(spark, tmp_path):
+    root, add = _mapped_table(tmp_path)
+    # v1 rewrites the file: pk 2's payload changes, pk 3 deleted
+    data = pa.table(
+        {
+            "col-a1": [1, 2],
+            "col-b2": ["x", "Y2"],
+            "col-c3": pa.array(
+                [{"col-d4": 10}, {"col-d4": 20}],
+                type=pa.struct([pa.field("col-d4", pa.int64())]),
+            ),
+        }
+    )
+    add2 = fx.write_data_file(root, "part-001.parquet", data, stats_cols=["col-a1"])
+    fx.write_commit(root, 1, [fx.remove_action(add), add2])
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    got = sorted((r.pk, r._change_type, r.payload) for r in feed)
+    assert got == [
+        (2, "update_postimage", "Y2"),
+        (2, "update_preimage", "y"),
+        (3, "delete", "z"),
+    ]
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    root, _ = _mapped_table(tmp_path)
+    # rewrite configuration to id mode
+    log = os.path.join(root, fx.LOG_DIR, f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log)]
+    for a in actions:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(log, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="id"):
+        read_delta(spark, root)
+
+
+def test_dv_plus_mapping_compose(spark, tmp_path):
+    """Both features on one table: physical names AND a DV mask."""
+    root, add = _mapped_table(tmp_path)
+    dv = write_dv_file(None, [[1]], table_root=root)[0]  # masks pk=2
+    fx.write_commit(root, 1, [fx.remove_action(add), fx.with_dv(add, dv)])
+    got = sorted(r.pk for r in read_delta(spark, root).collect())
+    assert got == [1, 3]
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type) for r in feed) == [(2, "delete")]
