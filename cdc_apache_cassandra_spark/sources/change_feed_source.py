@@ -38,14 +38,19 @@ from foreign writers without bucket tags fall back to one GROUP (any
 key may pair across them) — but any group whose file bytes exceed
 ``maxBytesPerPartition`` (default 512 MiB) splits into N
 sub-partitions, each classifying its own key slice of both sides.
-Preferred split: key RANGES cut from the adds' file-level numeric
-min/max stats — each sub-partition opens only the files overlapping
-its range and prunes row groups by footer stats, so per-split IO
-tracks the range's bytes. When stats are missing or non-numeric
-(string stats may be truncated — pruning on them could lose rows),
-the split falls back to key-hash slices, which re-read the group per
-slice (capped at 64×). Either way the union is byte-identical to the
-unsplit output and no single task carries the group.
+Preferred split: key RANGES cut from the adds' file-level min/max
+stats — numeric values as-is; fixed-width ISO-8601 timestamp/date
+strings (the form Delta stats JSON uses, and among the most common
+Cassandra clustering keys) normalized to epoch micros/days, with a
+max padded up by its precision gap so a millisecond-floored foreign
+max can never lose rows. Each sub-partition opens only the files
+overlapping its range and prunes row groups by footer stats, so
+per-split IO tracks the range's bytes. When stats are missing or
+free-form strings (those may be truncated — pruning on them could
+lose rows), the split falls back to key-hash slices, which re-read
+the group per slice (capped at 64×). Either way the union is
+byte-identical to the unsplit output and no single task carries the
+group.
 
 Exact-type classification: partitions convert Arrow → pandas with
 ``ArrowDtype`` (int64 keys stay int64 — no float64 round-trip that would
@@ -80,6 +85,108 @@ CDF_FIELDS = [
     T.StructField("_change_type", T.StringType(), True),
     T.StructField("_commit_version", T.LongType(), True),
 ]
+
+# Fixed-width ISO-8601 forms Delta stats JSON uses for timestamp/date
+# min/max (delta-spark writes millisecond precision with a Z suffix; our
+# own exporter matches it — delta_log._file_stats_json). Fixed width ⇒
+# lexicographic order == chronological order, so the string-TRUNCATION
+# hazard that forbids free-form string stats does not apply; the
+# sub-second PRECISION hazard does, and _stat_key handles it by padding
+# a max up by its precision gap (see below).
+import re as _re
+
+_ISO_TS_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.(\d{3}|\d{6}))?"
+    r"(Z|\+00:00)?$"
+)
+_ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _stat_key(v, ceil: bool = False):
+    """Normalize ONE stats min/max value into the numeric key space the
+    range planner cuts in: ``(number, kind)`` with kind ∈ {'num'
+    (value as-is), 'ts' (epoch MICROS), 'date' (epoch DAYS)} — or None
+    when the value can't soundly bound a key range. Strings are
+    accepted ONLY when they match a fixed-width ISO-8601 timestamp or
+    date (VERDICT r8 item 4): ISO timestamps are among the most common
+    Cassandra clustering keys (SURVEY §1.2) and are exempt from the
+    free-form-string refusal because fixed width makes lexicographic
+    order == value order. Sub-second truncation is still real — a
+    writer that FLOORS a max to milliseconds under-reports the file's
+    range, so with ``ceil=True`` a parsed max is padded up by its
+    precision gap (+999 µs for ms-precision, +999999 µs for
+    second-precision): pruning stays conservative (may read an extra
+    file, never loses a row). Mins floor naturally — already safe for
+    overlap checks."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return (v, "num")
+    if not isinstance(v, str):
+        return None
+    if _ISO_DATE_RE.match(v):
+        try:
+            d = datetime.date.fromisoformat(v)
+        except ValueError:
+            return None
+        return ((d - datetime.date(1970, 1, 1)).days, "date")
+    m = _ISO_TS_RE.match(v)
+    if not m:
+        return None
+    frac = m.group(2) or ""
+    body = v[:19].replace(" ", "T")
+    try:
+        dt = datetime.datetime.fromisoformat(body).replace(
+            tzinfo=datetime.timezone.utc
+        )
+    except ValueError:
+        return None
+    # exact integer micros via timedelta floor-div (float .timestamp()
+    # truncates toward zero for pre-1970 values)
+    micros = (
+        dt - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    ) // datetime.timedelta(microseconds=1)
+    if len(frac) == 6:
+        micros += int(frac)
+        pad = 0
+    elif len(frac) == 3:
+        micros += int(frac) * 1000
+        pad = 999
+    else:
+        pad = 999_999
+    return (micros + (pad if ceil else 0), "ts")
+
+
+def _footer_key(v, kind: str):
+    """Normalize a parquet FOOTER statistics min/max (exact values —
+    pyarrow decodes timestamp/date logical types to datetime objects,
+    no string truncation) into the same numeric key space as
+    ``_stat_key``. Returns the number, or None when the footer value's
+    kind doesn't match the group's (caller must then refuse to prune
+    on it)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if kind == "num":
+        return v if isinstance(v, (int, float)) else None
+    if kind == "ts":
+        if not isinstance(v, datetime.datetime):
+            return None
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return (
+            v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        ) // datetime.timedelta(microseconds=1)
+    if kind == "date":
+        if isinstance(v, datetime.datetime) or not isinstance(
+            v, datetime.date
+        ):
+            return None
+        return (v - datetime.date(1970, 1, 1)).days
+    return None
 
 
 @contextlib.contextmanager
@@ -134,6 +241,7 @@ class _ChangePartition(InputPartition):
         split_idx: int = 0,
         split_count: int = 1,
         key_range: tuple | None = None,
+        key_kind: str = "num",
     ):
         self.pre = pre
         self.post = post
@@ -150,7 +258,12 @@ class _ChangePartition(InputPartition):
         # to the files whose stats overlap the range, and read() prunes
         # row groups by footer stats — per-split IO tracks the range's
         # bytes instead of N× full-group re-reads (VERDICT r7 item 8).
+        # key_kind names the normalized key space the bounds live in
+        # ('num' = values as-is, 'ts' = epoch micros, 'date' = epoch
+        # days — VERDICT r8 item 4); read() casts the pk column to the
+        # same space (Arrow cast, no Python loop) before slicing.
         self.key_range = key_range
+        self.key_kind = key_kind
         # rows decoded from parquet before range filtering — an
         # IN-PROCESS TEST OBSERVABLE ONLY (set by read()): under real
         # Spark execution partitions are pickled to worker processes,
@@ -406,8 +519,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # the same reason the hash split is: both sides slice by
             # the SAME key predicate, so a key's pre and post rows land
             # together and the union is byte-identical.
-            ranges = self._range_splits(pre_e + post_e, n)
-            if ranges is not None:
+            split = self._range_splits(pre_e + post_e, n)
+            if split is not None:
+                ranges, kind = split
                 for lo, hi in ranges:
                     r_pre = [
                         p for p, a in pre_e if self._stats_overlap(a, lo, hi)
@@ -418,7 +532,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     if r_pre or r_post:
                         parts.append(
                             _ChangePartition(
-                                r_pre, r_post, to_v, key_range=(lo, hi)
+                                r_pre, r_post, to_v,
+                                key_range=(lo, hi), key_kind=kind,
                             )
                         )
                 continue
@@ -430,11 +545,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return parts or [_ChangePartition([], [], to_v)]
 
     def _file_stats(self, add: dict):
-        """(min, max, may_have_nulls) of the LEADING pk column from the
-        add action's stats, or None when unusable. Strings are refused:
-        engines may truncate string min/max in stats, and a truncated
-        max under-reports the file's range — pruning on it would LOSE
-        rows. Numeric stats are exact."""
+        """(min, max, may_have_nulls, kind) of the LEADING pk column
+        from the add action's stats in ``_stat_key``'s normalized key
+        space, or None when unusable. Free-form strings are refused
+        (engines may truncate string min/max, and a truncated max
+        under-reports the file's range — pruning on it would LOSE
+        rows); fixed-width ISO-8601 timestamps/dates are accepted with
+        the max padded up by its precision gap (VERDICT r8 item 4).
+        Numeric stats are exact."""
         col = self.pk_cols[0]
         raw = add.get("stats")
         if not raw:
@@ -443,14 +561,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             s = json.loads(raw) if isinstance(raw, str) else raw
         except (TypeError, ValueError):
             return None
-        mn = (s.get("minValues") or {}).get(col)
-        mx = (s.get("maxValues") or {}).get(col)
-        if isinstance(mn, bool) or isinstance(mx, bool):
-            return None
-        if not isinstance(mn, (int, float)) or not isinstance(mx, (int, float)):
+        lo = _stat_key((s.get("minValues") or {}).get(col))
+        hi = _stat_key((s.get("maxValues") or {}).get(col), ceil=True)
+        if lo is None or hi is None or lo[1] != hi[1]:
             return None
         nc = (s.get("nullCount") or {}).get(col)
-        return mn, mx, (nc is None or bool(nc))
+        return lo[0], hi[0], (nc is None or bool(nc)), lo[1]
 
     # max files whose parquet FOOTERS the planner may read to refine cut
     # points (metadata-sized IO, driver/planner-side): file-level
@@ -465,21 +581,26 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         cut at byte quantiles over (min, bytes) units — files from the
         adds' stats, refined to ROW GROUPS from parquet footers when
         the file mins alone cannot yield enough distinct cuts. Returns
-        None when ANY file of the group lacks usable numeric stats (a
-        single opaque file could hold any key, so every range would
-        have to read it and the split degenerates to the hash path)."""
+        ``(ranges, kind)`` with kind ∈ {'num','ts','date'} (the key
+        space the bounds live in — read() casts the pk column to match),
+        or None when ANY file of the group lacks usable stats or the
+        group mixes kinds (a single opaque file could hold any key, so
+        every range would have to read it and the split degenerates to
+        the hash path)."""
         units: list[tuple] = []  # (min_value, bytes)
         files: list[tuple] = []  # (path, size) for footer refinement
+        kind = None
         for path, add in entries:
             st = self._file_stats(add)
-            if st is None:
+            if st is None or (kind is not None and st[3] != kind):
                 return None
+            kind = st[3]
             units.append((st[0], int(add.get("size") or 0)))
             files.append((path, int(add.get("size") or 0)))
         if len({mn for mn, _ in units}) < n and len(files) <= self._FOOTER_BUDGET:
             refined: list[tuple] = []
             for (path, size), file_unit in zip(files, units):
-                rg = self._row_group_units(path, size)
+                rg = self._row_group_units(path, size, kind)
                 # a file whose footer can't refine keeps its file-level
                 # unit — its bytes must still weight the quantiles
                 refined.extend(rg if rg else [file_unit])
@@ -504,9 +625,11 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         if not cuts:
             return None  # degenerate stats (e.g. all units share one min)
         bounds = [None, *cuts, None]
-        return list(zip(bounds, bounds[1:]))
+        return list(zip(bounds, bounds[1:])), kind
 
-    def _row_group_units(self, path: str, file_size: int) -> list[tuple]:
+    def _row_group_units(
+        self, path: str, file_size: int, kind: str = "num"
+    ) -> list[tuple]:
         """(min, bytes) per row group of ``path`` from its footer; []
         when the footer or its stats are unusable (the caller then keeps
         file-level units). Metadata-sized read — the footer, not data —
@@ -536,8 +659,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             st = md.row_group(g).column(idx).statistics
             if st is None or not st.has_min_max:
                 return []
-            mn = st.min
-            if isinstance(mn, bool) or not isinstance(mn, (int, float)):
+            mn = _footer_key(st.min, kind)
+            if mn is None:
                 return []
             # total_byte_size ~ uncompressed; proportionality is all the
             # quantile cut needs, and it never divides by file count
@@ -548,7 +671,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         st = self._file_stats(add)
         if st is None:
             return True  # unreachable on the range path; keep safe
-        mn, mx, may_null = st
+        mn, mx, may_null, _ = st
         if lo is None and may_null:
             return True  # null keys belong to the first range
         return (hi is None or mn < hi) and (lo is None or mx >= lo)
@@ -572,6 +695,27 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
         col0 = self.pk_cols[0]
 
+        def key_numeric(series: pd.Series) -> pd.Series:
+            """The pk column in the partition's normalized key space
+            ('ts' → epoch micros, 'date' → epoch days) — a single Arrow
+            cast, nulls preserved as NaN. Timestamps store epoch micros
+            regardless of tz, matching _stat_key's UTC normalization."""
+            if partition.key_kind == "num":
+                return series
+            arr = pa.chunked_array([pa.Array.from_pandas(series)])
+            if pa.types.is_timestamp(arr.type):
+                if arr.type.unit != "us":
+                    arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))
+                arr = arr.cast(pa.int64())
+            elif pa.types.is_date(arr.type):
+                arr = arr.cast(pa.date32()).cast(pa.int32())
+            # ArrowDtype keeps int64 exact (a float64 round-trip would
+            # blur micros past 2^53) and nulls as pd.NA — the existing
+            # masks fillna(False), so NA rows fall to the null branch
+            out = arr.to_pandas(types_mapper=pd.ArrowDtype)
+            out.index = series.index
+            return out
+
         def key_slice(frame: pd.DataFrame) -> pd.DataFrame:
             """Keep only this sub-partition's key slice — range mode
             (lo <= pk[0] < hi; null keys in the first range) or hash
@@ -583,7 +727,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 lo, hi = partition.key_range
                 if lo is None and hi is None:
                     return frame
-                v = frame[col0]
+                v = key_numeric(frame[col0])
                 if lo is None:
                     m = v.isna() | (v < hi).fillna(False)
                 elif hi is None:
@@ -628,9 +772,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 if lo is None and nulls:
                     keep.append(g)
                     continue
-                mn, mx = st.min, st.max
-                if not isinstance(mn, (int, float)) or isinstance(mn, bool):
-                    keep.append(g)  # non-numeric stats: never prune on them
+                mn = _footer_key(st.min, partition.key_kind)
+                mx = _footer_key(st.max, partition.key_kind)
+                if mn is None or mx is None:
+                    keep.append(g)  # unusable stats: never prune on them
                     continue
                 if (hi is None or mn < hi) and (lo is None or mx >= lo):
                     keep.append(g)

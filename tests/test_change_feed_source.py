@@ -706,7 +706,8 @@ def test_range_split_unit_edge_cases():
         })}
 
     entries = [(f"/x/{i}", add(i * 100, i * 100 + 99, 1000)) for i in range(4)]
-    rs = r._range_splits(entries, 4)
+    rs, kind = r._range_splits(entries, 4)
+    assert kind == "num"
     assert rs == [(None, 100), (100, 200), (200, 300), (300, None)]
     assert r._stats_overlap(entries[0][1], None, rs[0][1])
     assert not r._stats_overlap(entries[0][1], rs[-1][0], None)
@@ -725,3 +726,207 @@ def test_range_split_unit_edge_cases():
         "nullCount": {"pk": 0},
     })}
     assert r._file_stats(b2) is None
+
+
+def test_range_split_timestamp_pk_end_to_end(spark, tmp_path):
+    """VERDICT r8 item 4: a timestamp-keyed table (ISO-8601 string
+    stats, the delta-spark encoding) range-splits instead of silently
+    degrading to the 64x-IO hash fallback. Stats mins/maxs are
+    millisecond-FLOORED here (the foreign-writer worst case); the
+    planner's precision padding must keep every row. Output is
+    byte-identical to the batch CDF oracle and per-split IO is bounded
+    by the range's bytes."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _write_commit,
+        delta_changes,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    N = 2000
+    base = datetime.datetime(2021, 1, 1)
+    # sub-millisecond tails so ms-floored stats actually under-report
+    keys = [base + datetime.timedelta(seconds=i, microseconds=777) for i in range(N)]
+
+    def write(name, vs):
+        t = pa.table(
+            {
+                "ts": pa.array(keys, pa.timestamp("us")),
+                "v": pa.array(vs, pa.string()),
+            }
+        )
+        p = os.path.join(table, "data", name)
+        pq.write_table(t, p, row_group_size=100)  # 20 row groups
+        return os.path.getsize(p)
+
+    s0 = write("f0.parquet", [f"v{i}" for i in range(N)])
+    s1 = write(
+        "f1.parquet",
+        [("u%d" % i) if i % 500 == 0 else f"v{i}" for i in range(N)],
+    )
+
+    meta = {
+        "id": "t-ts-range", "name": None, "description": None,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "ts", "type": "timestamp", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }),
+        "partitionColumns": [], "configuration": {}, "createdTime": 0,
+    }
+
+    def iso_ms_floor(dt):
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+
+    def add(name, size):
+        return {"add": {
+            "path": f"data/{name}", "size": size, "modificationTime": 0,
+            "dataChange": True, "partitionValues": {},
+            "stats": json.dumps({
+                "numRecords": N,
+                "minValues": {"ts": iso_ms_floor(keys[0])},
+                "maxValues": {"ts": iso_ms_floor(keys[-1])},  # FLOORED
+                "nullCount": {"ts": 0},
+            }),
+        }}
+
+    _write_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        add("f0.parquet", s0),
+    ])
+    _write_commit(table, 1, [
+        {"remove": {"path": "data/f0.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        add("f1.parquet", s1),
+    ])
+
+    from pyspark.sql import types as T
+
+    full = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+    ])
+    r = ChangeFeedStreamReader(
+        {
+            "path": table, "pkcols": "ts", "startingversion": "0",
+            "maxbytesperpartition": str(max(1, (s0 + s1) // 5)),
+        },
+        full,
+    )
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert len(parts) >= 4
+    assert all(p.key_range is not None for p in parts), "hash fallback hit"
+    assert all(p.key_kind == "ts" for p in parts)
+
+    def naive(v):
+        # arrow to_pylist yields tz-aware UTC; Spark collect yields naive
+        return (
+            v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if isinstance(v, datetime.datetime) and v.tzinfo
+            else v
+        )
+
+    rows = sorted(
+        tuple(naive(x) for x in row.values())
+        for p in parts
+        for b in r.read(p)
+        for row in b.to_pylist()
+    )
+    want = delta_changes(spark, table, 0, 1, ["ts"])
+    cols = [f.name for f in full.fields]
+    assert rows == sorted(
+        tuple(naive(x[c]) for c in cols) for x in want.collect()
+    )
+    # the changed keys are exactly base + {0, 500, 1000, 1500} seconds
+    assert {x[0] for x in rows} == {
+        base + datetime.timedelta(seconds=i, microseconds=777)
+        for i in (0, 500, 1000, 1500)
+    }
+
+    # IO bound: the union of splits decodes each row group ~once
+    loaded = sum(p.rows_loaded for p in parts)
+    assert loaded <= 1.2 * (2 * N)
+    assert max(p.rows_loaded for p in parts) < 2 * N
+
+
+def test_stat_key_normalization_and_padding():
+    """_stat_key: ISO timestamps/dates normalize to epoch micros/days;
+    a ceiled max pads UP by its precision gap (ms -> +999us, seconds ->
+    +999999us, full micros -> exact) so a floored foreign max never
+    prunes away real rows; free-form strings, bools, and mixed-kind
+    groups refuse."""
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        _footer_key,
+        _stat_key,
+    )
+    import datetime
+
+    day_us = 86_400_000_000
+    base = (datetime.date(2021, 1, 1) - datetime.date(1970, 1, 1)).days
+    v, k = _stat_key("2021-01-01T00:00:00.123Z")
+    assert (v, k) == (base * day_us + 123_000, "ts")
+    assert _stat_key("2021-01-01T00:00:00.123Z", ceil=True)[0] == \
+        base * day_us + 123_999
+    assert _stat_key("2021-01-01T00:00:00.123456Z", ceil=True)[0] == \
+        base * day_us + 123_456
+    assert _stat_key("2021-01-01T00:00:00", ceil=True)[0] == \
+        base * day_us + 999_999
+    assert _stat_key("2021-01-01 00:00:00.123Z")[0] == base * day_us + 123_000
+    assert _stat_key("2021-01-01") == (base, "date")
+    assert _stat_key("2021-01-01", ceil=True) == (base, "date")  # exact
+    assert _stat_key(42) == (42, "num")
+    assert _stat_key(4.5) == (4.5, "num")
+    assert _stat_key(True) is None
+    assert _stat_key("hello") is None
+    assert _stat_key("2021-13-45T99:99:99.000Z") is None  # non-calendar
+    assert _stat_key("2021-01-01T00:00:00.12Z") is None  # odd precision
+    assert _stat_key(None) is None
+
+    # footer stats: exact datetimes/dates; kind mismatch refuses
+    dt = datetime.datetime(2021, 1, 1, microsecond=777)
+    assert _footer_key(dt, "ts") == base * day_us + 777
+    assert _footer_key(
+        dt.replace(tzinfo=datetime.timezone.utc), "ts"
+    ) == base * day_us + 777
+    assert _footer_key(datetime.date(1970, 1, 2), "date") == 1
+    assert _footer_key(dt, "date") is None  # datetime is not a date key
+    assert _footer_key(7, "num") == 7
+    assert _footer_key(7, "ts") is None
+    assert _footer_key(True, "num") is None
+
+    # group-level: mixed kinds refuse -> hash fallback
+    r = ChangeFeedStreamReader.__new__(ChangeFeedStreamReader)
+    r.pk_cols = ["pk"]
+
+    def add(mn, mx):
+        return {"size": 1000, "stats": json.dumps({
+            "numRecords": 1, "minValues": {"pk": mn},
+            "maxValues": {"pk": mx}, "nullCount": {"pk": 0},
+        })}
+
+    mixed = [("/x/0", add(0, 9)), ("/x/1", add("2021-01-01", "2021-01-02"))]
+    assert r._range_splits(mixed, 2) is None
+    dates = [
+        ("/x/a", add("2021-01-01", "2021-01-02")),
+        ("/x/b", add("2021-02-01", "2021-02-02")),
+    ]
+    rs, kind = r._range_splits(dates, 2)
+    assert kind == "date"
+    assert len(rs) == 2
+    # a ms-floored max still overlaps a range starting just above it
+    floored = add("2021-01-01T00:00:00.000Z", "2021-01-01T00:00:00.123Z")
+    lo = _stat_key("2021-01-01T00:00:00.123Z")[0] + 500  # inside the gap
+    assert r._stats_overlap(floored, lo, None)
