@@ -49,6 +49,10 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # multimodal_wav_frames rotate in; tpch_q10_returned_items (O4 also
 # anchored by window_topk_orders_per_customer), setop_nations_with_both
 # and agg_distinct_customers_per_status rotate out to the judge-sweep.
+# r9 mid-round: cdc_delta_dv_import (deletion vectors + name-mode
+# column mapping through read_delta, r8 verdict items 1+2) rotates in
+# for tpch_q6_forecast_revenue (a filter-agg judge-sweep-green since
+# r1, its shape also anchored by tpch_q1).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_dedup_events",
@@ -87,7 +91,7 @@ GATE_ROSTER = [
     "cdc_backfill_token_splits",
     "cdc_dedup_events_tws",
     "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
+    "cdc_delta_dv_import",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "join_semi_orders_with_late_items",

@@ -1056,6 +1056,112 @@ def cdc_change_feed_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# --- foreign Delta import: deletion vectors + column mapping (r8 items 1+2) -
+
+_DV_IMPORT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey % 20 = 0 AND NOT o_orderkey % 120 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("cdc_delta_dv_import", sql=_DV_IMPORT_SQL)
+def cdc_delta_dv_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import of a MODERN foreign Delta table — the migrating-user
+    shape a 2024-era delta-spark writer produces (VERDICT r8 items
+    1+2): reader version 3 with the ``deletionVectors`` and
+    ``columnMapping`` (name mode) features, parquet files under
+    PHYSICAL column names, and a delta-spark-style DELETE commit
+    (remove(p) + add(p, dv) re-pointing the same file at a roaring-
+    bitmap DV). The fixture holds orders with o_orderkey % 20 = 0 in
+    two files (keys % 40 = 0 and the rest); the DV masks the first
+    file's rows with o_orderkey % 3 = 0 (i.e. % 120 = 0 overall).
+    ``read_delta`` must translate physical->logical names, apply the
+    DV mask, and aggregate to exactly the oracle's surviving set.
+    Reference bar: the connector consumes whatever schema the live
+    registry serves (CassandraSource.java:666-698) — the lakehouse
+    import matches that tolerance for the two most common reader
+    features."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming import foreign_delta as fx
+    from cdc_apache_cassandra_spark.streaming.delta_log import read_delta
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        write_dv_file,
+    )
+
+    # fixture construction (driver-side, bounded: 1/20th of orders,
+    # sorted for deterministic row positions — DV indexes are ordinal)
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.take(np.nonzero(keys % 20 == 0)[0]).sort_by("o_orderkey")
+    keys = t.column("o_orderkey").to_numpy()
+    in_a = keys % 40 == 0
+    phys = {"o_orderkey": "col-9f3a", "o_orderstatus": "col-10bd",
+            "o_totalprice": "col-55e0"}
+    root = tempfile.mkdtemp(prefix="cdc_dv_import_")
+
+    def physical(tbl):
+        return tbl.rename_columns([phys[c] for c in tbl.column_names])
+
+    add_a = fx.write_data_file(
+        root, "part-a.parquet",
+        physical(t.take(np.nonzero(in_a)[0])), stats_cols=[phys["o_orderkey"]],
+    )
+    add_b = fx.write_data_file(
+        root, "part-b.parquet",
+        physical(t.take(np.nonzero(~in_a)[0])), stats_cols=[phys["o_orderkey"]],
+    )
+    fx.write_commit(root, 0, [
+        fx.protocol_action(
+            3, 7,
+            reader_features=["deletionVectors", "columnMapping"],
+            writer_features=["deletionVectors", "columnMapping"],
+        ),
+        fx.metadata_action(
+            [
+                fx.field("o_orderkey", "long", physical=phys["o_orderkey"]),
+                fx.field("o_orderstatus", "string",
+                         physical=phys["o_orderstatus"]),
+                fx.field("o_totalprice", "double",
+                         physical=phys["o_totalprice"]),
+            ],
+            configuration={
+                "delta.columnMapping.mode": "name",
+                "delta.enableDeletionVectors": "true",
+            },
+        ),
+        add_a,
+        add_b,
+    ])
+    keys_a = keys[in_a]
+    dv_rows = np.nonzero(keys_a % 3 == 0)[0].tolist()
+    dv = write_dv_file(None, [dv_rows], table_root=root)[0]
+    fx.write_commit(root, 1, [fx.remove_action(add_a), fx.with_dv(add_a, dv)])
+
+    df = read_delta(spark, root)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""
