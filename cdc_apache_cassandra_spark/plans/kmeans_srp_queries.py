@@ -225,3 +225,131 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cs >= _SRP_COS_MIN)
         .select("vec_a", "vec_b", F.round(cs, 6).alias("cos_sim_r"))
     )
+
+
+# --- persisted IVF index + incremental batch probe (VERDICT r8 item 5) ------
+
+_INC_MOD = 25      # vec_id % 25 == 7 -> the incoming batch (4% of corpus)
+_INC_RES = 7       # disjoint from the strided kmeans init (% 50 == 0)
+_NPROBE = 2
+
+_INC_KM_CTES, _INC_KCENT = kmeans_cte(_STRIDE, _ITERS)
+
+_IVF_INCR_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id % {_INC_MOD} != {_INC_RES}),
+{_INC_KM_CTES},
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM n CROSS JOIN {_INC_KCENT} c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % {_INC_MOD} = {_INC_RES}),
+probe AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM q CROSS JOIN {_INC_KCENT} c
+  ) WHERE rn <= {_NPROBE}
+)
+SELECT qid, nid, CAST(ROUND(cos_sim, 6) AS DOUBLE) AS cos_sim_r FROM (
+  SELECT p.qid, m.vec_id AS nid,
+         list_dot_product(p.qv, m.v) /
+           (sqrt(list_dot_product(p.qv, p.qv)) *
+            sqrt(list_dot_product(m.v, m.v))) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+             list_dot_product(p.qv, m.v) /
+               (sqrt(list_dot_product(p.qv, p.qv)) *
+                sqrt(list_dot_product(m.v, m.v))) DESC, m.vec_id) AS rk
+  FROM probe p JOIN asg m ON m.cid = p.cid
+) WHERE rk <= {_TOPK}
+"""
+
+
+@register("llm_ann_ivf_incremental", sql=_IVF_INCR_SQL)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN over a PERSISTED IVF index (VERDICT r8 item 5):
+    the index — k-means-lite centroids and per-cell membership — is
+    built once over the corpus and STORED as two bucket-store tables
+    (members bucketed BY CELL via bucket_cols=['cid']); a fresh batch
+    then probes the STORED index only: assignment against the read-back
+    centroids, nprobe={_NPROBE} cells per query, and the member scan
+    routes through the ``cdc_store`` DataSource's In-filter bucket
+    pruning, so the probe reads ONLY the probed cells' buckets — the
+    100 TB shape (mirrors llm_dedup_incremental: never corpus x corpus,
+    index cost amortized across batches). The oracle replays the same
+    deterministic build+probe from scratch, so any drift through the
+    persist/read-back seam (or a wrong bucket pruned) fails the gate.
+    Driver exchange is metadata-sized: the probed cid list (bounded by
+    the centroid count, = corpus/{_STRIDE})."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from cdc_apache_cassandra_spark.operators.vectors import ivf_probe_topn
+    from cdc_apache_cassandra_spark.sources.store_source import (
+        register as register_store,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    corpus = n.filter(F.col("vec_id") % _INC_MOD != _INC_RES)
+    incoming = n.filter(F.col("vec_id") % _INC_MOD == _INC_RES)
+
+    # ---- build + PERSIST the index (one-time cost, amortized) ----
+    cent = kmeans_lite(corpus, _DIM, _STRIDE, _ITERS, "vec")
+    asg = ivf_assign(corpus, cent, "vec")
+    root = tempfile.mkdtemp(prefix="llm_ivf_index_")
+    merge_into(
+        spark, f"{root}/centroids",
+        cent.select(F.col("cid"), F.col("cvec")),
+        ["cid"], n_buckets=4,
+        reducer=lambda df: df.dropDuplicates(["cid"]), kind="ann_index",
+    )
+    merge_into(
+        spark, f"{root}/cells",
+        asg.select("vec_id", "cid", "vec"),
+        ["vec_id"], n_buckets=8, bucket_cols=["cid"],
+        reducer=lambda df: df.dropDuplicates(["vec_id"]), kind="ann_index",
+    )
+
+    # ---- probe the STORED index with the incoming batch ----
+    register_store(spark)
+    stored_cent = (
+        spark.read.format("cdc_store")
+        .option("path", f"{root}/centroids").option("mode", "state")
+        .load().select("cid", "cvec")
+    )
+    probed = ivf_probe_topn(incoming, stored_cent, "vec", _NPROBE).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"), "cid"
+    ).transform(persist_scoped)
+    # metadata-sized driver exchange: WHICH cells to open (<= n centroids)
+    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    members = (
+        spark.read.format("cdc_store")
+        .option("path", f"{root}/cells").option("mode", "state")
+        .load()
+        # In-filter over bucket_cols -> pushFilters routes to only the
+        # probed cells' buckets; row-level cid equality stays with Spark
+        .filter(F.col("cid").isin(cids))
+        .select(F.col("vec_id").alias("nid"), F.col("vec").alias("nv"), "cid")
+    )
+    cs = cosine(F.col("qv"), F.col("nv"))
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        probed.join(members, "cid")
+        .select("qid", "nid", cs.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim_r"))
+    )

@@ -622,15 +622,24 @@ def _bucket_stats(spark: SparkSession, base: str, ver_dir: str) -> dict:
         if "infer schema" in str(e).lower():
             return {}
         raise
+    # custom-reducer tables (e.g. a persisted ANN index) carry no
+    # op/writetime columns — no tombstone concept, so the GC stats are
+    # identically empty rather than an unresolved-column failure
+    has_ops = "op" in df.columns
+    has_wt = has_ops and "writetime" in df.columns
     rows = (
         df.groupBy("__bucket")
         .agg(
             F.count("*").alias("rows"),
-            F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias(
-                "tombstones"
-            ),
-            F.min(
-                F.when(F.col("op") == "DELETE", F.col("writetime"))
+            (
+                F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0))
+                if has_ops
+                else F.lit(0)
+            ).alias("tombstones"),
+            (
+                F.min(F.when(F.col("op") == "DELETE", F.col("writetime")))
+                if has_wt
+                else F.lit(None).cast("long")
             ).alias("min_del_wt"),
         )
         .collect()

@@ -566,3 +566,51 @@ def test_point_read_unmapped_key_type_falls_back_to_jvm(spark):
     keys = [datetime.datetime(1970, 1, 1, 3, 0, 0)]  # id=3's timestamp
     got = point_read(spark, path, ["pk"], keys)
     assert [r["writetime"] for r in got.collect()] == [3]
+
+
+def test_custom_index_store_without_op_columns_routes_by_cell(spark):
+    """The persisted-ANN-index shape (VERDICT r8 item 5): a custom-kind
+    store whose rows carry NO op/writetime columns commits cleanly
+    (bucket stats degrade to rows-only), buckets on a NON-pk column
+    (bucket_cols=['cid'] co-locates each cell), and a probe's
+    cid-IN filter routes the scan to only the probed cells' buckets."""
+    register(spark)
+    root = tempfile.mkdtemp(prefix="ann_index_store_")
+    rows = [Row(vec_id=i, cid=i % 5, payload=f"m{i}") for i in range(50)]
+    merge_into(
+        spark, root, spark.createDataFrame(rows), ["vec_id"],
+        n_buckets=8, bucket_cols=["cid"],
+        reducer=lambda df: df.dropDuplicates(["vec_id"]), kind="ann_index",
+    )
+    # state scan sees everything; active mode must REFUSE (kind != lww)
+    scan = (
+        spark.read.format("cdc_store").option("path", root)
+        .option("mode", "state").load()
+    )
+    assert scan.count() == 50
+    with pytest.raises(Exception, match="ann_index|active"):
+        spark.read.format("cdc_store").option("path", root).load().collect()
+    # probe: IN over the bucket column routes to only those buckets
+    r = _reader(root, spark)
+    all_parts = len(r.partitions())
+    r2 = _reader(root, spark)
+    r2.pushFilters([In(("cid",), (1, 3))])
+    expect = {str(spark_bucket([c], [T.LongType()], 8)) for c in (1, 3)}
+    assert r2.routed == expect
+    assert len(r2.partitions()) < all_parts
+    got = (
+        spark.read.format("cdc_store").option("path", root)
+        .option("mode", "state").load()
+        .filter(F.col("cid").isin(1, 3))
+    )
+    assert sorted(row["vec_id"] for row in got.collect()) == sorted(
+        i for i in range(50) if i % 5 in (1, 3)
+    )
+    # a second incremental batch merges without disturbing semantics
+    more = [Row(vec_id=100 + i, cid=i % 5, payload=f"n{i}") for i in range(10)]
+    merge_into(
+        spark, root, spark.createDataFrame(more), ["vec_id"],
+        n_buckets=8, bucket_cols=["cid"],
+        reducer=lambda df: df.dropDuplicates(["vec_id"]), kind="ann_index",
+    )
+    assert read_state(spark, root).count() == 60
