@@ -682,7 +682,6 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             return
         import pandas as pd
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         out_schema = to_arrow_schema(self.schema)
@@ -782,12 +781,21 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             return keep
 
         def load(paths) -> pd.DataFrame:
+            # every data byte goes through the _io_* pyarrow seam (NOT
+            # pq.read_table's own per-path URI resolution, and never a
+            # JVM parquet scan): URI table roots resolve one cached
+            # filesystem client per authority — the same seam the
+            # planner's footer reads already use
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                _io_parquet_file,
+            )
+
             frames = []
             for p in paths:
+                pf = _io_parquet_file(p)
                 if partition.key_range is None:
-                    t = pq.read_table(p)
+                    t = pf.read()
                 else:
-                    pf = pq.ParquetFile(p)
                     keep = row_groups_in_range(pf)
                     if keep is None:
                         t = pf.read()
