@@ -159,6 +159,48 @@ def _stat_key(v, ceil: bool = False):
     return (micros + (pad if ceil else 0), "ts")
 
 
+def _renamed_type(source, target):
+    """``source`` arrow type with ``target``'s FIELD NAMES grafted on
+    positionally wherever the shapes align (struct/list/map recursion) —
+    the zero-copy ``Array.view`` target for a column-mapped file: only
+    names differ between a physical parquet type and its logical form,
+    so the view is metadata-only; scalar type PROMOTIONS (pre-DDL
+    widenings) keep the source type here and the subsequent cast — now
+    seeing matching names — handles them (or refuses loudly on a real
+    shape mismatch)."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(source) and pa.types.is_struct(target):
+        if source.num_fields != target.num_fields:
+            return source
+        return pa.struct(
+            [
+                pa.field(
+                    target.field(i).name,
+                    _renamed_type(source.field(i).type, target.field(i).type),
+                    nullable=source.field(i).nullable,
+                )
+                for i in range(source.num_fields)
+            ]
+        )
+    if (
+        pa.types.is_list(source)
+        or pa.types.is_large_list(source)
+    ) and (pa.types.is_list(target) or pa.types.is_large_list(target)):
+        inner = _renamed_type(source.value_type, target.value_type)
+        return (
+            pa.large_list(inner)
+            if pa.types.is_large_list(source)
+            else pa.list_(inner)
+        )
+    if pa.types.is_map(source) and pa.types.is_map(target):
+        return pa.map_(
+            _renamed_type(source.key_type, target.key_type),
+            _renamed_type(source.item_type, target.item_type),
+        )
+    return source
+
+
 def _footer_key(v, kind: str):
     """Normalize a parquet FOOTER statistics min/max (exact values —
     pyarrow decodes timestamp/date logical types to datetime objects,
@@ -233,15 +275,20 @@ def _table_schema(
 
 
 class _ChangePartition(InputPartition):
+    # pre/post: (absolute file path, deletionVector descriptor | None)
+    # per side — read() filters DV-masked rows by file ordinal, so a
+    # file re-added under a new DV classifies as exactly the newly
+    # masked rows' deletes (batch-CDF parity).
     def __init__(
         self,
-        pre: list[str],
-        post: list[str],
+        pre: list[tuple],
+        post: list[tuple],
         to_version: int,
         split_idx: int = 0,
         split_count: int = 1,
         key_range: tuple | None = None,
         key_kind: str = "num",
+        phys: dict | None = None,
     ):
         self.pre = pre
         self.post = post
@@ -264,6 +311,10 @@ class _ChangePartition(InputPartition):
         # same space (Arrow cast, no Python loop) before slicing.
         self.key_range = key_range
         self.key_kind = key_kind
+        # logical -> PHYSICAL top-level name map when the table uses
+        # column mapping (name mode); None = identity. read() selects
+        # by physical name and grafts logical names back zero-copy.
+        self.phys = phys
         # rows decoded from parquet before range filtering — an
         # IN-PROCESS TEST OBSERVABLE ONLY (set by read()): under real
         # Spark execution partitions are pickled to worker processes,
@@ -471,10 +522,45 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         st_from = self._state_at(from_v)
         st_to = self._state_at(to_v)
         self._check_schema(st_to.meta if st_to else None, to_v)
+        # column-mapping (name mode): files carry PHYSICAL names; stats
+        # and footers key on them, and read() grafts the logical names
+        # back on (zero-copy view). Unknown/id modes refuse loudly via
+        # _mapping_plan — same posture as read_delta. The to-side meta
+        # rules: on a mapping upgrade existing columns get physicalName
+        # == their logical name, so pre-upgrade files read unchanged.
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _mapping_plan,
+        )
+
+        meta = (st_to.meta if st_to else None) or (
+            st_from.meta if st_from else None
+        )
+        phys_of = _mapping_plan(meta)[2] if meta else None
+        self._phys = (
+            None
+            if not phys_of or all(k == v for k, v in phys_of.items())
+            else phys_of
+        )
         f_from = st_from.files if st_from else {}
         f_to = st_to.files if st_to else {}
-        removed = sorted(set(f_from) - set(f_to))
-        added = sorted(set(f_to) - set(f_from))
+        # the file-diff identity is (path, dv_unique_id) — a delta-spark
+        # DELETE re-adds the SAME parquet path pointed at a (new)
+        # deletion vector, so a path-only diff would classify the commit
+        # as data-free and silently drop the deletes (batch parity:
+        # delta_log.delta_changes keys its diff identically)
+        from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+            dv_unique_id,
+        )
+
+        def keyed(files: dict) -> dict:
+            return {
+                (p, dv_unique_id(a.get("deletionVector"))): p
+                for p, a in files.items()
+            }
+
+        k_from, k_to = keyed(f_from), keyed(f_to)
+        removed = sorted(set(k_from) - set(k_to), key=lambda k: k[0])
+        added = sorted(set(k_to) - set(k_from), key=lambda k: k[0])
         if removed or added:
             self._last_data_version = max(self._last_data_version, to_v)
         import os
@@ -485,11 +571,11 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
         # group -> [pre (path, add) entries, post entries, total bytes]
         groups: dict[str | None, list] = {}
-        for p in removed:
+        for p, _dv in removed:
             g = groups.setdefault(bucket_of(p, f_from), [[], [], 0])
             g[0].append((os.path.join(self.path, p), f_from[p]))
             g[2] += int(f_from[p].get("size") or 0)
-        for p in added:
+        for p, _dv in added:
             g = groups.setdefault(bucket_of(p, f_to), [[], [], 0])
             g[1].append((os.path.join(self.path, p), f_to[p]))
             g[2] += int(f_to[p].get("size") or 0)
@@ -505,10 +591,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             groups.items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
             n = min(64, max(1, -(-size // self.max_bytes))) if size else 1
-            pre = [p for p, _ in pre_e]
-            post = [p for p, _ in post_e]
+            # partition entries carry the DV descriptor: read() filters
+            # the masked rows out of whichever side the file is on
+            pre = [(p, a.get("deletionVector")) for p, a in pre_e]
+            post = [(p, a.get("deletionVector")) for p, a in post_e]
             if n <= 1:
-                parts.append(_ChangePartition(pre, post, to_v))
+                parts.append(
+                    _ChangePartition(pre, post, to_v, phys=self._phys)
+                )
                 continue
             # oversized group (pathological bucket / untagged fallback).
             # Preferred split: key RANGES from the adds' file-level
@@ -524,16 +614,21 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 ranges, kind = split
                 for lo, hi in ranges:
                     r_pre = [
-                        p for p, a in pre_e if self._stats_overlap(a, lo, hi)
+                        (p, a.get("deletionVector"))
+                        for p, a in pre_e
+                        if self._stats_overlap(a, lo, hi)
                     ]
                     r_post = [
-                        p for p, a in post_e if self._stats_overlap(a, lo, hi)
+                        (p, a.get("deletionVector"))
+                        for p, a in post_e
+                        if self._stats_overlap(a, lo, hi)
                     ]
                     if r_pre or r_post:
                         parts.append(
                             _ChangePartition(
                                 r_pre, r_post, to_v,
                                 key_range=(lo, hi), key_kind=kind,
+                                phys=self._phys,
                             )
                         )
                 continue
@@ -541,7 +636,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # slice happens after decode, so N× splits cost N× IO; 64
             # bounds that at two orders of magnitude parallelism.
             for i in range(n):
-                parts.append(_ChangePartition(pre, post, to_v, i, n))
+                parts.append(
+                    _ChangePartition(pre, post, to_v, i, n, phys=self._phys)
+                )
         return parts or [_ChangePartition([], [], to_v)]
 
     def _file_stats(self, add: dict):
@@ -552,8 +649,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         under-reports the file's range — pruning on it would LOSE
         rows); fixed-width ISO-8601 timestamps/dates are accepted with
         the max padded up by its precision gap (VERDICT r8 item 4).
-        Numeric stats are exact."""
-        col = self.pk_cols[0]
+        Numeric stats are exact. Under column mapping, stats key on
+        PHYSICAL names — translate."""
+        phys = getattr(self, "_phys", None) or {}
+        col = phys.get(self.pk_cols[0], self.pk_cols[0])
         raw = add.get("stats")
         if not raw:
             return None
@@ -639,7 +738,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             _io_parquet_file,
         )
 
-        col = self.pk_cols[0]
+        phys = getattr(self, "_phys", None) or {}
+        col = phys.get(self.pk_cols[0], self.pk_cols[0])
         try:
             md = _io_parquet_file(path).metadata
         except Exception:
@@ -751,11 +851,13 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 return None
             lo, hi = partition.key_range
             md = pf.metadata
+            # footers carry PHYSICAL names under column mapping
+            pcol0 = (partition.phys or {}).get(col0, col0)
             idx = next(
                 (
                     i
                     for i in range(md.num_columns)
-                    if md.schema.column(i).name == col0
+                    if md.schema.column(i).name == pcol0
                 ),
                 None,
             )
@@ -791,31 +893,70 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             )
 
             frames = []
-            for p in paths:
+            for p, dv in paths:
                 pf = _io_parquet_file(p)
-                if partition.key_range is None:
+                keep = (
+                    None
+                    if partition.key_range is None
+                    else row_groups_in_range(pf)
+                )
+                if keep is None:
                     t = pf.read()
+                elif keep:
+                    t = pf.read_row_groups(keep)
                 else:
-                    keep = row_groups_in_range(pf)
-                    if keep is None:
-                        t = pf.read()
-                    elif keep:
-                        t = pf.read_row_groups(keep)
-                    else:
-                        t = pf.schema_arrow.empty_table()
+                    t = pf.schema_arrow.empty_table()
                 partition.rows_loaded += t.num_rows
+                if dv is not None and t.num_rows:
+                    # rows masked by the file's deletion vector are not
+                    # part of this side's logical state — filter by FILE
+                    # ordinal (offset by the skipped row groups' counts
+                    # when footer pruning kept a subset)
+                    import numpy as np
+
+                    from cdc_apache_cassandra_spark.streaming.delta_log import (
+                        _io_read_bytes,
+                    )
+                    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+                        load_dv_indexes,
+                    )
+
+                    idx = load_dv_indexes(self.path, dv, _io_read_bytes)
+                    md = pf.metadata
+                    counts = [
+                        md.row_group(g).num_rows
+                        for g in range(md.num_row_groups)
+                    ]
+                    offsets = np.concatenate(([0], np.cumsum(counts)))
+                    groups = (
+                        range(md.num_row_groups) if keep is None else keep
+                    )
+                    positions = np.concatenate(
+                        [np.arange(offsets[g], offsets[g + 1]) for g in groups]
+                    )
+                    t = t.filter(pa.array(~np.isin(positions, idx)))
                 present = set(t.column_names)
-                for f in table_fields:  # pre-DDL files: typed nulls
-                    if f.name not in present:
-                        t = t.append_column(
-                            f.name, pa.nulls(t.num_rows, type=f.type)
-                        )
+                arrays = []
+                for f in table_fields:
+                    pn = (partition.phys or {}).get(f.name, f.name)
+                    if pn not in present:
+                        # pre-DDL files: typed nulls
+                        arrays.append(pa.nulls(t.num_rows, type=f.type))
+                        continue
+                    col = t.column(pn).combine_chunks()
+                    # column-mapped files: graft the LOGICAL names onto
+                    # the physical type (zero-copy, names only); type
+                    # promotions stay with the cast below
+                    nt = _renamed_type(col.type, f.type)
+                    arrays.append(col.view(nt) if nt != col.type else col)
+                t = pa.table(
+                    {f.name: a for f, a in zip(table_fields, arrays)}
+                )
                 # slice PER FILE: a split partition holds at most one
                 # file plus its own key slice in memory, never the group
                 frames.append(
                     key_slice(
-                        t.select(cols)
-                        .cast(table_schema)
+                        t.cast(table_schema)
                         .to_pandas(types_mapper=pd.ArrowDtype)
                     )
                 )
@@ -839,7 +980,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             same = None
             for c in value_cols:
                 a, b = m[f"{c}__pre"], m[f"{c}__post"]
-                eq = (a == b).fillna(False) | (a.isna() & b.isna())
+                try:
+                    eq = a == b
+                except Exception:
+                    # nested types (struct/list/map): Arrow has no
+                    # 'equal' kernel — compare as Python objects (dict/
+                    # list __eq__ is deep), still vectorized by pandas
+                    # over the partition's rows only
+                    eq = a.astype(object) == b.astype(object)
+                eq = eq.fillna(False) | (a.isna() & b.isna())
                 same = eq if same is None else (same & eq)
         else:
             same = pd.Series(True, index=m.index)

@@ -232,3 +232,91 @@ def test_dv_plus_mapping_compose(spark, tmp_path):
     assert got == [1, 3]
     feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
     assert sorted((r.pk, r._change_type) for r in feed) == [(2, "delete")]
+
+
+# --- the STREAMING change feed over reader-feature tables --------------------
+
+def _stream_feed(spark, root, pk="pk", start=0):
+    """Drain cdc_delta_changes over ``root`` and return the rows (the
+    stream must match the batch CDF over DV'd / column-mapped tables)."""
+    import uuid
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register as register_feed,
+    )
+
+    register_feed(spark)
+    name = "ff_" + uuid.uuid4().hex[:10]
+    q = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", root)
+        .option("pkCols", pk)
+        .option("startingVersion", start)
+        .option("maxVersionsPerBatch", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).collect()
+
+
+def test_stream_feed_dv_only_commit_emits_deletes(spark, tmp_path):
+    """The delta-spark DELETE (remove(p) + add(p, dv), path set
+    UNCHANGED) through the STREAMING source: a path-only diff would
+    classify the commit as data-free and silently drop the deletes —
+    the diff must key on (path, dv_unique_id), batch-CDF parity."""
+    root, _ = _dv_table(tmp_path, [0, 9])
+    got = _stream_feed(spark, root)
+    assert sorted((r.pk, r._change_type, r._commit_version) for r in got) \
+        == [(0, "delete", 1), (9, "delete", 1)]
+
+
+def test_stream_feed_dv_grows_incremental_deletes(spark, tmp_path):
+    root, add0 = _dv_table(tmp_path, [2])
+    dv2 = write_dv_file(None, [[2, 4, 6]], table_root=root)[0]
+    fx.write_commit(root, 2, [fx.remove_action(add0), fx.with_dv(add0, dv2)])
+    got = _stream_feed(spark, root)
+    assert sorted((r.pk, r._change_type, r._commit_version) for r in got) \
+        == [(2, "delete", 1), (4, "delete", 2), (6, "delete", 2)]
+
+
+def test_stream_feed_column_mapping(spark, tmp_path):
+    """Column-mapped (name mode) table through the STREAMING source:
+    physical parquet names (incl. the nested struct rename) graft back
+    to logical names; emitted rows match the batch CDF exactly."""
+    root, add = _mapped_table(tmp_path)
+    data = pa.table(
+        {
+            "col-a1": [1, 2],
+            "col-b2": ["x", "Y2"],
+            "col-c3": pa.array(
+                [{"col-d4": 10}, {"col-d4": 20}],
+                type=pa.struct([pa.field("col-d4", pa.int64())]),
+            ),
+        }
+    )
+    add2 = fx.write_data_file(root, "part-001.parquet", data, stats_cols=["col-a1"])
+    fx.write_commit(root, 1, [fx.remove_action(add), add2])
+    got = _stream_feed(spark, root)
+    rows = sorted(
+        (r.pk, r._change_type, r.payload, r.meta["depth"] if r.meta else None)
+        for r in got
+    )
+    assert rows == [
+        (2, "update_postimage", "Y2", 20),
+        (2, "update_preimage", "y", 20),
+        (3, "delete", "z", 30),
+    ]
+
+
+def test_stream_feed_dv_plus_mapping_compose(spark, tmp_path):
+    root, add = _mapped_table(tmp_path)
+    dv = write_dv_file(None, [[1]], table_root=root)[0]  # masks pk=2
+    fx.write_commit(root, 1, [fx.remove_action(add), fx.with_dv(add, dv)])
+    got = _stream_feed(spark, root)
+    assert sorted((r.pk, r._change_type) for r in got) == [(2, "delete")]
