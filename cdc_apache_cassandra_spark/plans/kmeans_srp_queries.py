@@ -353,3 +353,105 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim_r"))
     )
+
+
+# --- incremental INDEX UPDATE: merge a new batch into the stored cells ------
+
+_IVF_UPDATE_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id % {_INC_MOD} != {_INC_RES}),
+{_INC_KM_CTES},
+asg_all AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (CAST(e.embedding AS DOUBLE[])[i] - c.cv[i])
+                    * (CAST(e.embedding AS DOUBLE[])[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {_INC_KCENT} c
+  ) WHERE rn = 1
+)
+SELECT cid,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN vec_id % {_INC_MOD} = {_INC_RES}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       MIN(vec_id) AS min_vec,
+       MAX(vec_id) AS max_vec
+FROM asg_all
+GROUP BY cid
+"""
+
+
+@register("llm_ann_ivf_index_update", sql=_IVF_UPDATE_SQL)
+def ann_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-MAINTENANCE half of the persisted-IVF lifecycle
+    (completes VERDICT r8 item 5): the corpus index is built and stored
+    once (centroids + cell-bucketed members); an incoming batch is then
+    assigned against the READ-BACK centroids and MERGED into the cell
+    store as a second incremental commit — only the touched cells'
+    buckets rewrite, the amortized shape of keeping an ANN index fresh
+    under streaming ingest at 100 TB (centroids drift-free by design
+    here; re-clustering cadence is an operator policy, not an engine
+    step). The audit reads the UPDATED store per cell (member count,
+    how many came from the new batch, id extremes); the oracle derives
+    the same per-cell state from a from-scratch assignment of corpus
+    union batch over the corpus-trained centroids, so a lost/misrouted
+    member or a wrong bucket rewrite fails the gate."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.sources.store_source import (
+        register as register_store,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        merge_into,
+        read_state,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+    corpus = n.filter(F.col("vec_id") % _INC_MOD != _INC_RES)
+    incoming = n.filter(F.col("vec_id") % _INC_MOD == _INC_RES)
+
+    cent = kmeans_lite(corpus, _DIM, _STRIDE, _ITERS, "vec")
+    root = tempfile.mkdtemp(prefix="llm_ivf_update_")
+    dedup_vec = lambda df: df.dropDuplicates(["vec_id"])  # noqa: E731
+    merge_into(
+        spark, f"{root}/centroids", cent.select("cid", "cvec"),
+        ["cid"], n_buckets=4,
+        reducer=lambda df: df.dropDuplicates(["cid"]), kind="ann_index",
+    )
+    merge_into(
+        spark, f"{root}/cells",
+        ivf_assign(corpus, cent, "vec")
+        .select("vec_id", "cid", F.lit(0).alias("is_new")),
+        ["vec_id"], n_buckets=8, bucket_cols=["cid"],
+        reducer=dedup_vec, kind="ann_index",
+    )
+
+    # ---- the UPDATE: assign the batch to the STORED centroids, merge ----
+    register_store(spark)
+    stored_cent = (
+        spark.read.format("cdc_store")
+        .option("path", f"{root}/centroids").option("mode", "state")
+        .load().select("cid", "cvec")
+    )
+    merge_into(
+        spark, f"{root}/cells",
+        ivf_assign(incoming, stored_cent, "vec")
+        .select("vec_id", "cid", F.lit(1).alias("is_new")),
+        ["vec_id"], n_buckets=8, bucket_cols=["cid"],
+        reducer=dedup_vec, kind="ann_index",
+    )
+
+    # ---- audit the updated index per cell ----
+    return (
+        read_state(spark, f"{root}/cells")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+    )
