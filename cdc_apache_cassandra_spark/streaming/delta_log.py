@@ -1385,7 +1385,17 @@ def prune_files_by_stats(
         if mins is None or maxs is None:
             kept.append(path)
             continue
-        if (hi is not None and mins > hi) or (lo is not None and maxs < lo):
+        try:
+            skip = (hi is not None and mins > hi) or (
+                lo is not None and maxs < lo
+            )
+        except TypeError:
+            # mixed-type comparison (e.g. a writer stored this column's
+            # stats as strings while the caller pruned with numbers) —
+            # stats are advisory; an un-comparable file is KEPT, never
+            # a crashed plan
+            skip = False
+        if skip:
             continue
         kept.append(path)
     return sorted(kept)
