@@ -201,6 +201,17 @@ def _renamed_type(source, target):
     return source
 
 
+def _overlaps(st, lo, hi) -> bool:
+    """File-vs-range overlap on a PARSED _file_stats tuple (None = no
+    usable stats — keep the file, pruning must never drop data)."""
+    if st is None:
+        return True
+    mn, mx, may_null, _ = st
+    if lo is None and may_null:
+        return True  # null keys belong to the first range
+    return (hi is None or mn < hi) and (lo is None or mx >= lo)
+
+
 def _footer_key(v, kind: str):
     """Normalize a parquet FOOTER statistics min/max (exact values —
     pyarrow decodes timestamp/date logical types to datetime objects,
@@ -612,16 +623,20 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             split = self._range_splits(pre_e + post_e, n)
             if split is not None:
                 ranges, kind = split
+                # parse each add's stats ONCE (not once per range):
+                # driver-CPU on the hot planning path
+                pre_s = [(p, a, self._file_stats(a)) for p, a in pre_e]
+                post_s = [(p, a, self._file_stats(a)) for p, a in post_e]
                 for lo, hi in ranges:
                     r_pre = [
                         (p, a.get("deletionVector"))
-                        for p, a in pre_e
-                        if self._stats_overlap(a, lo, hi)
+                        for p, a, st in pre_s
+                        if _overlaps(st, lo, hi)
                     ]
                     r_post = [
                         (p, a.get("deletionVector"))
-                        for p, a in post_e
-                        if self._stats_overlap(a, lo, hi)
+                        for p, a, st in post_s
+                        if _overlaps(st, lo, hi)
                     ]
                     if r_pre or r_post:
                         parts.append(
@@ -640,6 +655,34 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     _ChangePartition(pre, post, to_v, i, n, phys=self._phys)
                 )
         return parts or [_ChangePartition([], [], to_v)]
+
+    def _schema_kind(self) -> str | None:
+        """The range-split key kind the LEADING pk column's declared
+        type admits — 'num' | 'ts' | 'date' | None (not splittable:
+        strings can hold anything, decimals/binary/complex have no
+        normalized key space here). Stats whose parsed kind disagrees
+        with the schema are refused in _range_splits."""
+        schema = getattr(self, "schema", None)
+        if schema is None:
+            return None
+        dt = schema[self.pk_cols[0]].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "ts"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(
+            dt,
+            (
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.FloatType,
+                T.DoubleType,
+            ),
+        ):
+            return "num"
+        return None
 
     def _file_stats(self, add: dict):
         """(min, max, may_have_nulls, kind) of the LEADING pk column
@@ -688,10 +731,18 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         the hash path)."""
         units: list[tuple] = []  # (min_value, bytes)
         files: list[tuple] = []  # (path, size) for footer refinement
+        # the kind must MATCH the pk column's declared type — stats text
+        # alone is ambiguous: a STRING column holding ISO-timestamp text
+        # would otherwise parse as kind='ts' and the reader's key cast
+        # (built from the real column type) would slice in a different
+        # key space than the planner pruned in (row loss / type errors).
+        allowed = self._schema_kind()
+        if allowed is None:
+            return None  # pk type is not range-splittable -> hash path
         kind = None
         for path, add in entries:
             st = self._file_stats(add)
-            if st is None or (kind is not None and st[3] != kind):
+            if st is None or st[3] != allowed:
                 return None
             kind = st[3]
             units.append((st[0], int(add.get("size") or 0)))
@@ -768,13 +819,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return out
 
     def _stats_overlap(self, add: dict, lo, hi) -> bool:
-        st = self._file_stats(add)
-        if st is None:
-            return True  # unreachable on the range path; keep safe
-        mn, mx, may_null, _ = st
-        if lo is None and may_null:
-            return True  # null keys belong to the first range
-        return (hi is None or mn < hi) and (lo is None or mx >= lo)
+        return _overlaps(self._file_stats(add), lo, hi)
 
     # -- execution ---------------------------------------------------------
     def read(self, partition: _ChangePartition):
@@ -984,10 +1029,18 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     eq = a == b
                 except Exception:
                     # nested types (struct/list/map): Arrow has no
-                    # 'equal' kernel — compare as Python objects (dict/
-                    # list __eq__ is deep), still vectorized by pandas
-                    # over the partition's rows only
-                    eq = a.astype(object) == b.astype(object)
+                    # 'equal' kernel — convert through to_pylist so
+                    # elements are plain dict/list/tuple (deep __eq__;
+                    # astype(object) would yield np.ndarray elements for
+                    # list columns, whose == raises). Bounded by the
+                    # partition's rows.
+                    def plain(s):
+                        arr = pa.chunked_array([pa.Array.from_pandas(s)])
+                        return pd.Series(
+                            arr.to_pylist(), index=s.index, dtype=object
+                        )
+
+                    eq = plain(a) == plain(b)
                 eq = eq.fillna(False) | (a.isna() & b.isna())
                 same = eq if same is None else (same & eq)
         else:

@@ -1516,11 +1516,21 @@ def _dv_deleted_udf(bc):
         riv = ri.to_numpy()
         fpv = fp.to_numpy()
         for u in pd.unique(fp):
-            rel = next(
-                (k for k in dv_map if u == k or u.endswith("/" + k)), None
-            )
-            if rel is None:
-                continue
+            # LONGEST '/'-anchored suffix wins: with DV'd files
+            # 'part-0.parquet' and 'sub/part-0.parquet' both live, the
+            # nested file's absolute path suffix-matches both keys —
+            # only the longest is the true relative path. A DV'd file
+            # that matches NOTHING is a correctness failure (silently
+            # skipping the filter would resurrect deleted rows).
+            matches = [
+                k for k in dv_map if u == k or u.endswith("/" + k)
+            ]
+            if not matches:
+                raise ValueError(
+                    f"deletion-vector scan: file path {u!r} matches no "
+                    "DV'd add path; refusing to read it unfiltered"
+                )
+            rel = max(matches, key=len)
             idx = _dv_decode_cached(dv_map[rel])
             if not len(idx):
                 continue

@@ -810,25 +810,24 @@ class ConditionalPutServer:
                     return
                 if if_match is None and if_none is None:
                     # unconditional PUT: allowed ONLY for the SDK's
-                    # directory markers / bucket creation (keys ending
-                    # '/' or bare bucket names) — and for bare names
-                    # only CREATE-ONLY with an empty body, so the
-                    # blind-write tripwire stays tight: a regression
-                    # blind-writing a real root-level object key (or
-                    # re-writing an existing one) is refused, not
-                    # silently accepted (ADVICE r8). Blind writes of
-                    # real object keys stay refused — this engine must
-                    # never blind-write a commit point, and its own
-                    # data plane writes via multipart.
+                    # directory markers (keys ending '/') and bucket
+                    # creation (bare names). A bare name IS S3's
+                    # CreateBucket — there is no root-level object key
+                    # without a bucket prefix in this model, the body is
+                    # a CreateBucketConfiguration document (sent by the
+                    # real SDK for every region except us-east-1, never
+                    # object data — discarded), and re-creating an
+                    # owned bucket is the idempotent 200
+                    # (BucketAlreadyOwnedByYou). The blind-write
+                    # tripwire stays tight where it matters: every real
+                    # object key contains '/' and stays refused — this
+                    # engine must never blind-write a commit point, and
+                    # its own data plane writes via multipart.
                     with outer._lock:
-                        bare_create = (
-                            "/" not in key
-                            and not body
-                            and key not in outer._blobs
-                        )
-                        if key.endswith("/") or bare_create:
+                        if key.endswith("/") or "/" not in key:
                             gen = outer._blobs.get(key, (0,))[0] + 1
-                            outer._blobs[key] = (gen, body, _time.time())
+                            stored = b"" if "/" not in key else body
+                            outer._blobs[key] = (gen, stored, _time.time())
                             self.send_response(200)
                             self.send_header("ETag", f'"{gen}"')
                             self.end_headers()

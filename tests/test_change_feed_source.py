@@ -696,8 +696,11 @@ def test_range_split_unit_edge_cases():
     degenerate same-min groups return None (a cut at the global min
     would yield one range carrying the whole group — worse than the
     hash fallback)."""
+    from pyspark.sql import types as T
+
     r = ChangeFeedStreamReader.__new__(ChangeFeedStreamReader)
     r.pk_cols = ["pk"]
+    r.schema = T.StructType([T.StructField("pk", T.LongType())])
 
     def add(mn, mx, size, nulls=0):
         return {"size": size, "stats": json.dumps({
@@ -908,8 +911,11 @@ def test_stat_key_normalization_and_padding():
     assert _footer_key(True, "num") is None
 
     # group-level: mixed kinds refuse -> hash fallback
+    from pyspark.sql import types as T
+
     r = ChangeFeedStreamReader.__new__(ChangeFeedStreamReader)
     r.pk_cols = ["pk"]
+    r.schema = T.StructType([T.StructField("pk", T.DateType())])
 
     def add(mn, mx):
         return {"size": 1000, "stats": json.dumps({
@@ -926,6 +932,19 @@ def test_stat_key_normalization_and_padding():
     rs, kind = r._range_splits(dates, 2)
     assert kind == "date"
     assert len(rs) == 2
+    # SCHEMA gates the kind: a STRING pk column whose stats happen to
+    # look like ISO timestamps must NOT range-split (the reader would
+    # slice strings in an epoch key space — refuse to the hash path)
+    r.schema = T.StructType([T.StructField("pk", T.StringType())])
+    ts_texts = [
+        ("/x/s1", add("2021-01-01T00:00:00.000Z", "2021-06-01T00:00:00.000Z")),
+        ("/x/s2", add("2022-01-01T00:00:00.000Z", "2022-06-01T00:00:00.000Z")),
+    ]
+    assert r._range_splits(ts_texts, 2) is None
+    # and a date column fed full-timestamp stats refuses too (epoch
+    # DAYS vs epoch MICROS would silently drop rows)
+    r.schema = T.StructType([T.StructField("pk", T.DateType())])
+    assert r._range_splits(ts_texts, 2) is None
     # a ms-floored max still overlaps a range starting just above it
     floored = add("2021-01-01T00:00:00.000Z", "2021-01-01T00:00:00.123Z")
     lo = _stat_key("2021-01-01T00:00:00.123Z")[0] + 500  # inside the gap

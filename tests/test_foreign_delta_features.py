@@ -320,3 +320,69 @@ def test_stream_feed_dv_plus_mapping_compose(spark, tmp_path):
     fx.write_commit(root, 1, [fx.remove_action(add), fx.with_dv(add, dv)])
     got = _stream_feed(spark, root)
     assert sorted((r.pk, r._change_type) for r in got) == [(2, "delete")]
+
+
+def test_dv_nested_same_basename_files_use_their_own_bitmaps(spark, tmp_path):
+    """Two DV'd files whose relative paths end in the SAME basename
+    ('part-0.parquet' and 'sub/part-0.parquet'): the scan must bind
+    each file to ITS bitmap — a first-suffix-match would filter the
+    nested file with the root file's DV (wrong rows deleted, deleted
+    rows resurrected)."""
+    root = str(tmp_path / "nested")
+    os.makedirs(root)
+    a = pa.table({"pk": list(range(0, 5)), "v": [1] * 5})
+    b = pa.table({"pk": list(range(10, 15)), "v": [2] * 5})
+    add_a = fx.write_data_file(root, "part-0.parquet", a, stats_cols=["pk"])
+    add_b = fx.write_data_file(root, "sub/part-0.parquet", b, stats_cols=["pk"])
+    fx.write_commit(root, 0, [
+        fx.protocol_action(3, 7, reader_features=["deletionVectors"]),
+        fx.metadata_action([fx.field("pk", "long"), fx.field("v", "long")]),
+        add_a, add_b,
+    ])
+    dv_a, dv_b = write_dv_file(None, [[0], [4]], table_root=root)
+    fx.write_commit(root, 1, [
+        fx.remove_action(add_a), fx.with_dv(add_a, dv_a),   # masks pk=0
+        fx.remove_action(add_b), fx.with_dv(add_b, dv_b),   # masks pk=14
+    ])
+    got = sorted(r.pk for r in read_delta(spark, root).collect())
+    assert got == [1, 2, 3, 4, 10, 11, 12, 13]
+
+
+def test_stream_feed_list_value_column(spark, tmp_path):
+    """A LIST value column through the stream classifier: Arrow has no
+    'equal' kernel for lists and astype(object) yields ndarrays whose
+    == raises — the fallback must deep-compare (to_pylist) so a changed
+    list emits an update pair and unchanged lists cancel."""
+    root = str(tmp_path / "lists")
+    os.makedirs(root)
+
+    def tbl(tags1):
+        return pa.table(
+            {
+                "pk": pa.array([1, 2], pa.int64()),
+                "tags": pa.array([tags1, ["keep"]], pa.list_(pa.string())),
+            }
+        )
+
+    add0 = fx.write_data_file(root, "f0.parquet", tbl(["a", "b"]),
+                              stats_cols=["pk"])
+    fx.write_commit(root, 0, [
+        fx.protocol_action(1, 2),
+        fx.metadata_action([
+            fx.field("pk", "long"),
+            {"name": "tags",
+             "type": {"type": "array", "elementType": "string",
+                      "containsNull": True},
+             "nullable": True, "metadata": {}},
+        ]),
+        add0,
+    ])
+    add1 = fx.write_data_file(root, "f1.parquet", tbl(["a", "CHANGED"]),
+                              stats_cols=["pk"])
+    fx.write_commit(root, 1, [fx.remove_action(add0), add1])
+    got = _stream_feed(spark, root)
+    rows = sorted((r.pk, r._change_type, tuple(r.tags)) for r in got)
+    assert rows == [
+        (1, "update_postimage", ("a", "CHANGED")),
+        (1, "update_preimage", ("a", "b")),
+    ]

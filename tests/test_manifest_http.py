@@ -107,6 +107,16 @@ def test_blind_put_is_refused(server):
     # the SDK's markers pass: bare bucket name and trailing-slash dir
     http_put_conditional(f"{url}/bkt", b"")
     http_put_conditional(f"{url}/bkt/dir/", b"")
+    # CreateBucket semantics (r9): the real SDK sends a
+    # CreateBucketConfiguration BODY for every region but us-east-1,
+    # and re-creating an owned bucket is the idempotent 200 — neither
+    # may be refused (the body is config, never object data)
+    http_put_conditional(
+        f"{url}/bkt2",
+        b"<CreateBucketConfiguration><LocationConstraint>eu-west-1"
+        b"</LocationConstraint></CreateBucketConfiguration>",
+    )
+    http_put_conditional(f"{url}/bkt2", b"")  # idempotent re-create
 
 
 # ---------------------------------------------------------------------------
