@@ -376,11 +376,13 @@ def main():
         # query r5's drift analysis wanted solo-tracked across rounds
         top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "12"))
         top = sorted(per_query, key=per_query.get, reverse=True)[:top_n]
-        # forced watch entries (r6 item 7, r7 item 5): loop-tail
-        # drifters under observation get a solo number regardless of rank
+        # forced watch entries (r6 item 7, r7 item 5, r8 item 7):
+        # loop-tail drifters under observation get a solo number
+        # regardless of rank
         watch = [
             "llm_substring_span_dedup",
             "cdc_compound_delta_export_state",
+            "cdc_change_feed_range_split",
         ]
         # SPARK_GRAFT_SOLO_QUERIES: explicit roster additions — with
         # SECTIONS=solo (no query loop ran) per_query is empty and the

@@ -1920,4 +1920,30 @@ def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
             continue  # inside the retention window — possibly in-flight
         _io_delete(os.path.join(data_dir, fname))
         deleted.append(rel)
+    # deletion-vector files: a foreign DELETE/UPDATE re-points a file at
+    # a NEW DV, stranding the old one — delta-spark's VACUUM removes
+    # those too. Live = every DV the current snapshot's adds reference;
+    # only root-level `deletion_vector_*.bin` are scanned (a prefixed
+    # DV simply isn't listed here — left alone, conservatively safe),
+    # and the same retention window covers in-flight DV publication.
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        dv_absolute_path,
+    )
+
+    live_dv = {
+        os.path.normpath(dv_absolute_path(out_path, add["deletionVector"]))
+        for add in s.files.values()
+        if add.get("deletionVector")
+        and add["deletionVector"].get("storageType") in ("u", "p")
+    }
+    for fname, _size, mtime in _io_file_infos(out_path):
+        if not (
+            fname.startswith("deletion_vector_") and fname.endswith(".bin")
+        ):
+            continue
+        full = os.path.normpath(os.path.join(out_path, fname))
+        if full in live_dv or int(mtime * 1000) > horizon:
+            continue
+        _io_delete(os.path.join(out_path, fname))
+        deleted.append(fname)
     return sorted(deleted)

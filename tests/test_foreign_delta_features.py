@@ -386,3 +386,31 @@ def test_stream_feed_list_value_column(spark, tmp_path):
         (1, "update_postimage", ("a", "CHANGED")),
         (1, "update_preimage", ("a", "b")),
     ]
+
+
+def test_vacuum_removes_stranded_dv_files_keeps_live(spark, tmp_path):
+    """A growing DV strands its predecessor file — VACUUM must delete
+    the unreferenced DV (delta-spark parity) and keep the live one; the
+    snapshot still reads correctly afterwards."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_vacuum
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        dv_absolute_path,
+    )
+
+    root, add0 = _dv_table(tmp_path, [2])
+    old_dv_path = None
+    for line in open(os.path.join(root, fx.LOG_DIR, f"{1:020d}.json")):
+        a = json.loads(line)
+        if "add" in a and a["add"].get("deletionVector"):
+            old_dv_path = dv_absolute_path(root, a["add"]["deletionVector"])
+    assert old_dv_path and os.path.exists(old_dv_path)
+    dv2 = write_dv_file(None, [[2, 4, 6]], table_root=root)[0]
+    fx.write_commit(root, 2, [fx.remove_action(add0), fx.with_dv(add0, dv2)])
+    live_dv_path = dv_absolute_path(root, dv2)
+
+    deleted = delta_vacuum(root, retain_ms=0)
+    assert os.path.basename(old_dv_path) in deleted
+    assert not os.path.exists(old_dv_path)
+    assert os.path.exists(live_dv_path)
+    got = sorted(r.pk for r in read_delta(spark, root).collect())
+    assert got == [0, 1, 3, 5, 7, 8, 9]
