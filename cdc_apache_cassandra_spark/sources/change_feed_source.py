@@ -9,6 +9,10 @@ consume → process → acknowledge cursor).
         .option("pkCols", "pk")            # classification key
         .option("startingVersion", 0)      # offset to tail from
                                            # (-1 = initial snapshot as inserts)
+        .option("startingTimestamp", ms)   # OR: resolve the last commit at
+                                           # or before this epoch-ms time
+                                           # (delta-spark CDF parity;
+                                           # mutually exclusive)
         .option("maxVersionsPerBatch", 10) # rate limit (optional)
         .option("consumerId", "train-job") # durable cursor (optional)
         .option("logStoreUrl", url)        # route the log through an HTTP
@@ -367,7 +371,29 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 f"cdc_delta_changes: pkCols {missing} not in table schema "
                 f"{[f.name for f in schema.fields]}"
             )
-        self.start_version = int(options.get("startingversion", -1))
+        st_ms = options.get("startingtimestamp")
+        if st_ms is not None and options.get("startingversion") is not None:
+            raise ValueError(
+                "cdc_delta_changes: pass startingVersion OR "
+                "startingTimestamp, not both"
+            )
+        if st_ms is not None:
+            # delta-spark CDF parity: resolve the last commit at or
+            # before the requested time; changes AFTER that version tail
+            # out (the resolved snapshot itself is history, not change)
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                version_at_timestamp,
+            )
+
+            with _routed_log_store(
+                options.get("logstoreurl"),
+                str(options.get("logstoremirror", "")).lower() == "true",
+            ):
+                self.start_version = version_at_timestamp(
+                    self.path, int(st_ms)
+                )
+        else:
+            self.start_version = int(options.get("startingversion", -1))
         mv = options.get("maxversionsperbatch")
         self.max_versions = int(mv) if mv else None
         # upper bound on the file bytes one partition classifies: groups

@@ -949,3 +949,27 @@ def test_stat_key_normalization_and_padding():
     floored = add("2021-01-01T00:00:00.000Z", "2021-01-01T00:00:00.123Z")
     lo = _stat_key("2021-01-01T00:00:00.123Z")[0] + 500  # inside the gap
     assert r._stats_overlap(floored, lo, None)
+
+
+def test_starting_timestamp_resolves_like_timestamp_as_of(spark, tmp_path):
+    """startingTimestamp (delta-spark CDF parity): resolve the last
+    commit at or before the requested time and tail the changes AFTER
+    it — the v2 export's changes arrive, v1's do not; passing both
+    start options is refused."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_history
+
+    _, table = _build(spark, tmp_path)
+    hist = delta_history(table)
+    ts_of = {h["version"]: h["timestamp"] for h in hist}
+    # start AT v1's commit time: v1 is the resolved snapshot (history),
+    # only v2's diff streams out
+    got = _tail(
+        spark, table,
+        startingTimestamp=str(ts_of[1]), maxVersionsPerBatch=1,
+    )
+    assert sorted({r["_commit_version"] for r in got.collect()}) == [2]
+    want = delta_changes(spark, table, 1, 2, ["pk"])
+    assert _rows(got) == _rows(want.select(*got.columns))
+
+    with pytest.raises(Exception, match="not both"):
+        _tail(spark, table, startingVersion=0, startingTimestamp=str(ts_of[1]))
