@@ -9,10 +9,12 @@ consume → process → acknowledge cursor).
         .option("pkCols", "pk")            # classification key
         .option("startingVersion", 0)      # offset to tail from
                                            # (-1 = initial snapshot as inserts)
-        .option("startingTimestamp", ms)   # OR: resolve the last commit at
-                                           # or before this epoch-ms time
-                                           # (delta-spark CDF parity;
-                                           # mutually exclusive)
+        .option("startingTimestamp", ms)   # OR: every change committed at
+                                           # or after this epoch-ms time,
+                                           # INCLUSIVE (delta-spark parity;
+                                           # mutually exclusive; before-
+                                           # earliest = snapshot replay,
+                                           # after-last = tail only)
         .option("maxVersionsPerBatch", 10) # rate limit (optional)
         .option("consumerId", "train-job") # durable cursor (optional)
         .option("logStoreUrl", url)        # route the log through an HTTP
@@ -371,6 +373,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 f"cdc_delta_changes: pkCols {missing} not in table schema "
                 f"{[f.name for f in schema.fields]}"
             )
+        self.log_store_url = options.get("logstoreurl")
+        self.log_store_mirror = (
+            str(options.get("logstoremirror", "false")).lower() == "true"
+        )
         st_ms = options.get("startingtimestamp")
         if st_ms is not None and options.get("startingversion") is not None:
             raise ValueError(
@@ -378,20 +384,37 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 "startingTimestamp, not both"
             )
         if st_ms is not None:
-            # delta-spark CDF parity: resolve the last commit at or
-            # before the requested time; changes AFTER that version tail
-            # out (the resolved snapshot itself is history, not change)
+            # delta-spark STREAMING parity (inclusive): emit every
+            # change committed at or after the requested time — the
+            # EARLIEST such version's own diff included (start offset =
+            # that version - 1). A time before the earliest surviving
+            # commit naturally resolves to -1 = the initial-snapshot
+            # replay (canReturnEarliestCommit); a time after the last
+            # commit starts at the head and tails only future commits.
+            # One history read at construction — __init__ already
+            # replays the head for the schema pin, so this is a
+            # proportional, not a new, startup cost.
             from cdc_apache_cassandra_spark.streaming.delta_log import (
-                version_at_timestamp,
+                delta_history,
             )
 
-            with _routed_log_store(
-                options.get("logstoreurl"),
-                str(options.get("logstoremirror", "")).lower() == "true",
-            ):
-                self.start_version = version_at_timestamp(
-                    self.path, int(st_ms)
+            with _routed_log_store(self.log_store_url, self.log_store_mirror):
+                hist = delta_history(self.path)
+            if not hist:
+                raise FileNotFoundError(
+                    f"cdc_delta_changes: no Delta log at {self.path!r}"
                 )
+            at_or_after = [
+                h["version"]
+                for h in hist
+                if h.get("timestamp") is not None
+                and h["timestamp"] >= int(st_ms)
+            ]
+            self.start_version = (
+                min(at_or_after) - 1
+                if at_or_after
+                else max(h["version"] for h in hist)
+            )
         else:
             self.start_version = int(options.get("startingversion", -1))
         mv = options.get("maxversionsperbatch")
@@ -406,10 +429,6 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         mb = options.get("maxbytesperpartition")
         self.max_bytes = int(mb) if mb else 512 << 20
         self.consumer_id = options.get("consumerid")
-        self.log_store_url = options.get("logstoreurl")
-        self.log_store_mirror = (
-            str(options.get("logstoremirror", "false")).lower() == "true"
-        )
         # the log version the pinned schema was read at: the DDL check
         # applies only to ranges ENDING PAST it — schema differences at
         # or before the pin are history (columns later dropped, types

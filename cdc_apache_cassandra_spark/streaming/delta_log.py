@@ -1930,8 +1930,14 @@ def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
         dv_absolute_path,
     )
 
+    # liveness by BASENAME: descriptors resolve through table-root
+    # joins ('u') or verbatim absolute payloads ('p'), so a path-form
+    # comparison against the caller's out_path spelling (relative,
+    # file:// URI) would miss a live file and DELETE it. Basenames are
+    # uuid-unique for 'u' files; a same-named live file elsewhere only
+    # makes the scan keep one extra root file — conservative.
     live_dv = {
-        os.path.normpath(dv_absolute_path(out_path, add["deletionVector"]))
+        os.path.basename(dv_absolute_path(out_path, add["deletionVector"]))
         for add in s.files.values()
         if add.get("deletionVector")
         and add["deletionVector"].get("storageType") in ("u", "p")
@@ -1941,8 +1947,7 @@ def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
             fname.startswith("deletion_vector_") and fname.endswith(".bin")
         ):
             continue
-        full = os.path.normpath(os.path.join(out_path, fname))
-        if full in live_dv or int(mtime * 1000) > horizon:
+        if fname in live_dv or int(mtime * 1000) > horizon:
             continue
         _io_delete(os.path.join(out_path, fname))
         deleted.append(fname)

@@ -951,25 +951,42 @@ def test_stat_key_normalization_and_padding():
     assert r._stats_overlap(floored, lo, None)
 
 
-def test_starting_timestamp_resolves_like_timestamp_as_of(spark, tmp_path):
-    """startingTimestamp (delta-spark CDF parity): resolve the last
-    commit at or before the requested time and tail the changes AFTER
-    it — the v2 export's changes arrive, v1's do not; passing both
-    start options is refused."""
+def test_starting_timestamp_inclusive_and_boundaries(spark, tmp_path):
+    """startingTimestamp (delta-spark streaming parity, INCLUSIVE):
+    every change committed at or after the requested time streams out —
+    a commit exactly AT the time is included; a time before the
+    earliest commit degrades to the initial-snapshot replay
+    (canReturnEarliestCommit); a time after the last commit tails only
+    future commits; passing both start options is refused."""
     from cdc_apache_cassandra_spark.streaming.delta_log import delta_history
 
     _, table = _build(spark, tmp_path)
     hist = delta_history(table)
     ts_of = {h["version"]: h["timestamp"] for h in hist}
-    # start AT v1's commit time: v1 is the resolved snapshot (history),
-    # only v2's diff streams out
+    # start exactly AT v1's commit time: v1's own diff is INCLUDED
     got = _tail(
         spark, table,
         startingTimestamp=str(ts_of[1]), maxVersionsPerBatch=1,
     )
-    assert sorted({r["_commit_version"] for r in got.collect()}) == [2]
-    want = delta_changes(spark, table, 1, 2, ["pk"])
+    assert sorted({r["_commit_version"] for r in got.collect()}) == [1, 2]
+    want = delta_changes(spark, table, 0, 1, ["pk"]).unionByName(
+        delta_changes(spark, table, 1, 2, ["pk"])
+    )
     assert _rows(got) == _rows(want.select(*got.columns))
+
+    # before the earliest commit -> everything, as the snapshot replay
+    early = _tail(
+        spark, table,
+        startingTimestamp=str(ts_of[0] - 10_000), maxVersionsPerBatch=1,
+    )
+    assert early.filter("_commit_version = 0").count() == 8
+
+    # after the last commit -> nothing yet (tail-only)
+    late = _tail(
+        spark, table,
+        startingTimestamp=str(ts_of[max(ts_of)] + 10_000),
+    )
+    assert late.count() == 0
 
     with pytest.raises(Exception, match="not both"):
         _tail(spark, table, startingVersion=0, startingTimestamp=str(ts_of[1]))

@@ -414,3 +414,17 @@ def test_vacuum_removes_stranded_dv_files_keeps_live(spark, tmp_path):
     assert os.path.exists(live_dv_path)
     got = sorted(r.pk for r in read_delta(spark, root).collect())
     assert got == [0, 1, 3, 5, 7, 8, 9]
+
+    # a LIVE absolute-path ('p') descriptor at the root must survive a
+    # second vacuum even though its payload spelling differs from the
+    # scan's out_path joins (liveness is by basename)
+    dv_p = write_dv_file(
+        os.path.join(root, "deletion_vector_pform.bin"), [[0, 8]]
+    )[0]
+    assert dv_p["storageType"] == "p"
+    fx.write_commit(root, 3, [fx.remove_action(add0), fx.with_dv(add0, dv_p)])
+    deleted2 = delta_vacuum(root, retain_ms=0)
+    assert os.path.exists(os.path.join(root, "deletion_vector_pform.bin"))
+    assert os.path.basename(live_dv_path) in deleted2  # now stranded
+    got2 = sorted(r.pk for r in read_delta(spark, root).collect())
+    assert got2 == [1, 2, 3, 4, 5, 6, 7, 9]
