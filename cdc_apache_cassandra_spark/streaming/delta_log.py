@@ -1766,6 +1766,39 @@ def delta_changes(
     )
 
 
+def delta_changes_by_time(
+    spark: SparkSession,
+    out_path: str,
+    start_ms: int,
+    end_ms: int,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Batch CDF by TIMESTAMPS — delta-spark's
+    ``table_changes(tbl, startingTimestamp, endingTimestamp)`` surface,
+    both bounds INCLUSIVE: every change committed in [start_ms, end_ms]
+    (the earliest commit at or after start through the last commit at
+    or before end). Raises when the window covers no commit (delta's
+    'no commits in range' posture), mirroring the stream source's
+    startingTimestamp resolution rule so batch and stream agree at the
+    boundaries."""
+    hist = delta_history(out_path)
+    if not hist:
+        raise FileNotFoundError(f"no Delta log at {out_path}")
+    stamped = [h for h in hist if h.get("timestamp") is not None]
+    first = [h["version"] for h in stamped if h["timestamp"] >= start_ms]
+    last = [h["version"] for h in stamped if h["timestamp"] <= end_ms]
+    if not first or not last or min(first) > max(last):
+        raise ValueError(
+            f"delta_changes_by_time: no commits in [{start_ms}, {end_ms}] "
+            f"at {out_path!r}"
+        )
+    # from = the version BEFORE the first in-window commit (the diff's
+    # from_version is exclusive). A window covering v0 passes from=-1 —
+    # the empty pre-table state, so v0's rows classify as inserts (the
+    # same resolution the stream source's startingTimestamp uses).
+    return delta_changes(spark, out_path, min(first) - 1, max(last), pk_cols)
+
+
 def delta_changes_since(
     spark: SparkSession,
     out_path: str,

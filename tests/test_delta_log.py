@@ -1343,3 +1343,54 @@ def test_io_read_bytes_probes_existence_not_error_text(monkeypatch, tmp_path):
     )
     with pytest.raises(OSError, match="connection reset"):
         dl._io_read_bytes("s3x://bucket/table/_delta_log/_last_checkpoint")
+
+
+def test_delta_changes_by_time_inclusive_window(spark, tmp_path):
+    """table_changes by TIMESTAMPS, both bounds inclusive: a window
+    starting exactly at v1's commit time includes v1's diff; a window
+    covering v0 includes the v0 rows as inserts (from=-1, the empty
+    pre-table state); an empty window raises."""
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes,
+        delta_changes_by_time,
+        delta_history,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    store = str(tmp_path / "s")
+    table = str(tmp_path / "t")
+    os.makedirs(store)
+    schema = (
+        "op string, pk long, writetime long, v string, "
+        "segment long, position long"
+    )
+    for i, b in enumerate((
+        [("INSERT", k, 10, f"v{k}", 0, k) for k in range(6)],
+        [("UPDATE", 1, 20, "u1", 1, 0)],
+        [("DELETE", 2, 30, None, 2, 0)],
+    )):
+        merge_into(spark, store, spark.createDataFrame(b, schema), ["pk"])
+        delta_export(spark, store, table)
+    ts_of = {h["version"]: h["timestamp"] for h in delta_history(table)}
+
+    got = delta_changes_by_time(spark, table, ts_of[1], ts_of[2], ["pk"])
+    want = delta_changes(spark, table, 0, 2, ["pk"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(*got.columns).collect())
+    )
+    # window covering v0: the NET diff from the empty pre-table state —
+    # pk=2 (inserted v0, deleted v2) cancels, the surviving 5 arrive as
+    # inserts carrying their final values (net-effect, as over any range)
+    all_ = delta_changes_by_time(
+        spark, table, ts_of[0] - 5_000, ts_of[2], ["pk"]
+    )
+    rows = all_.collect()
+    assert sorted(r["pk"] for r in rows) == [0, 1, 3, 4, 5]
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert next(r["v"] for r in rows if r["pk"] == 1) == "u1"
+    with _pytest.raises(ValueError, match="no commits"):
+        delta_changes_by_time(
+            spark, table, ts_of[2] + 60_000, ts_of[2] + 120_000, ["pk"]
+        )
