@@ -455,3 +455,60 @@ def ann_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec"),
         )
     )
+
+
+# --- semantic decontamination: embedding-space benchmark leaks ---------------
+
+_SEMDECON_BENCH_MOD = 100   # vec_id % 100 == 0 = the stand-in eval set
+_SEMDECON_COS_MIN = 0.25
+
+_SEMDECON_SQL = f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {_SRP_BITS_SQL} AS bucket FROM n
+)
+SELECT t.vec_id AS doc_vec, e.vec_id AS bench_vec,
+       CAST(ROUND(list_dot_product(t.v, e.v) /
+            (sqrt(list_dot_product(t.v, t.v)) *
+             sqrt(list_dot_product(e.v, e.v))), 6) AS DOUBLE) AS cos_sim_r
+FROM b t JOIN b e
+  ON t.bucket = e.bucket
+ AND t.vec_id % {_SEMDECON_BENCH_MOD} != 0
+ AND e.vec_id % {_SEMDECON_BENCH_MOD} = 0
+WHERE list_dot_product(t.v, e.v) /
+      (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(e.v, e.v)))
+      >= {_SEMDECON_COS_MIN}
+"""
+
+
+@register("llm_decontamination_semantic", sql=_SEMDECON_SQL)
+def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of the 4-gram sweep (llm_decontamination) and the span
+    excision (llm_decontamination_spans): a paraphrased eval item
+    shares no exact n-gram, but its embedding still lands near the
+    training copy. Shape: both sides bucket with the SAME seeded SRP
+    hyperplanes (map-side signature), ONE asymmetric bucket equi-join
+    (training x benchmark only — never corpus x corpus), exact cosine
+    verify on in-bucket pairs. At 100 TB the benchmark side is tiny and
+    bucketed, so the probe cost tracks collisions, exactly the
+    llm_dedup_incremental asymmetry. Emits the (training doc, benchmark
+    item) leak pairs with their cosine — the removal/audit list."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    bkt = n.select(
+        "vec_id", "v", srp_bucket(F.col("v"), _PLANES).alias("bucket")
+    )
+    is_bench = F.col("vec_id") % _SEMDECON_BENCH_MOD == 0
+    train = bkt.filter(~is_bench).select(
+        F.col("vec_id").alias("doc_vec"), F.col("v").alias("tv"), "bucket"
+    )
+    bench = bkt.filter(is_bench).select(
+        F.col("vec_id").alias("bench_vec"), F.col("v").alias("ev"), "bucket"
+    )
+    cs = cosine(F.col("tv"), F.col("ev"))
+    return (
+        train.join(F.broadcast(bench), "bucket")
+        .filter(cs >= _SEMDECON_COS_MIN)
+        .select("doc_vec", "bench_vec", F.round(cs, 6).alias("cos_sim_r"))
+    )
