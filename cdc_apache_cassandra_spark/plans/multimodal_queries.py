@@ -1027,3 +1027,129 @@ def multimodal_zip_code_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(synth_and_extract, out_schema)
+
+
+# --- perceptual near-dup: dHash over decoded BMP pixels ----------------------
+
+_DHASH_SQL = """
+WITH px AS (
+  SELECT d.doc_id, r.r, c.c,
+         SUM(((d.doc_id % 17 + r.r * 18 + c.c) * k.k) % 240
+             + (d.doc_id % 3) * 3) AS lum3
+  FROM documents d,
+       (SELECT unnest(range(0, 16)) AS r) r,
+       (SELECT unnest(range(0, 18)) AS c) c,
+       (SELECT unnest(range(1, 4)) AS k) k
+  GROUP BY 1, 2, 3
+),
+blk AS (
+  SELECT doc_id, r // 2 AS rb, c // 2 AS cb, SUM(lum3) AS bsum
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT doc_id, rb, cb, bsum,
+         LEAD(bsum) OVER (PARTITION BY doc_id, rb ORDER BY cb) AS nxt
+  FROM blk
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bsum > nxt
+                       THEN CAST(1 AS BIGINT) << (rb * 8 + cb)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits WHERE nxt IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT dhash,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT doc_id % 3) AS n_variants,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM hashes
+GROUP BY dhash
+"""
+
+
+@register("multimodal_image_dhash_dedup", sql=_DHASH_SQL)
+def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup — the difference-hash (dHash) sweep a
+    multimodal training pipeline runs before exact byte dedup can help:
+    synthesize a deterministic 18x16 24-bpp BMP per document where the
+    CONTENT is shared across docs (base pattern = doc_id % 17) but each
+    doc carries a brightness variant (+3 * (doc_id % 3) per channel, a
+    re-export/gamma stand-in), decode the actual BMP bytes back to the
+    pixel grid (stride-padded walk, numpy — no codec libs), block-
+    average to a 9x8 grid and hash the horizontal gradient signs.
+    A uniform brightness shift moves every block sum equally, so the
+    gradient SIGNS — and the hash — are invariant: variants of one base
+    pattern MUST collide (n_variants proves it), different patterns
+    separate. Exact-integer block sums both sides, so the oracle is
+    value-exact, not approximate. Scale shape: hash is map-side per
+    image; the only shuffle is the groupBy on the 64-bit hash — the
+    bucket-join near-dup topology, never pairwise image comparison.
+    The hash covers the generation grid (BMP file-row order), a fixed
+    vertical flip of the display image — irrelevant to dedup."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    W, H = 18, 16
+    stride = (W * 3 + 3) & ~3  # 56: rows pad to 4 bytes
+
+    def make_bmp(doc_id: int) -> bytes:
+        s = doc_id % 17
+        off = (doc_id % 3) * 3
+        pixels = bytearray()
+        for r in range(H):
+            row = bytearray(
+                ((s + r * W + c) * k) % 240 + off
+                for c in range(W)
+                for k in (1, 2, 3)
+            )
+            row += b"\x00" * (stride - len(row))
+            pixels += row
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+            + struct.pack(
+                "<iiiHHIIiiII", 40, W, H, 1, 24, 0,
+                len(pixels), 2835, 2835, 0, 0,
+            )
+            + bytes(pixels)
+        )
+
+    def dhash_of(payload: bytes) -> int:
+        # decode the BMP byte walk back to the pixel grid, then hash
+        arr = (
+            np.frombuffer(payload[54:], np.uint8)
+            .reshape(H, stride)[:, : W * 3]
+            .reshape(H, W, 3)
+            .astype(np.int64)
+        )
+        lum3 = arr.sum(axis=2)                      # 3-channel sum, exact
+        bsum = lum3.reshape(8, 2, 9, 2).sum(axis=(1, 3))
+        bits = bsum[:, :-1] > bsum[:, 1:]           # 8x8 gradient signs
+        weights = 1 << (
+            np.arange(8)[:, None] * 8 + np.arange(8)[None, :]
+        ).astype(np.int64)
+        return int((bits * weights).sum())
+
+    def synth_hash(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": [
+                        dhash_of(make_bmp(int(i))) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(synth_hash, "doc_id long, dhash long")
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col("doc_id") % 3).alias("n_variants"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
