@@ -1153,3 +1153,106 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# --- perceptual audio near-dup: L1 energy-envelope hash over WAV samples -----
+
+_AHASH_SQL = """
+WITH s AS (
+  SELECT d.doc_id, i.i // 64 AS b,
+         SUM(ABS((((d.doc_id % 13) * 31 + i.i * 7)
+                   % (97 + (d.doc_id % 13) * 8)
+                   - (97 + (d.doc_id % 13) * 8) // 2)
+                 * (1 + d.doc_id % 3))) AS bsum
+  FROM documents d, (SELECT unnest(range(0, 1024)) AS i) i
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, b, bsum,
+         LEAD(bsum) OVER (PARTITION BY doc_id ORDER BY b) AS nxt
+  FROM s
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bsum > nxt
+                       THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS ahash
+  FROM bits WHERE nxt IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT ahash,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT doc_id % 3) AS n_variants,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM hashes
+GROUP BY ahash
+"""
+
+
+@register("multimodal_audio_envelope_dedup", sql=_AHASH_SQL)
+def multimodal_audio_envelope_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual AUDIO near-dup — the energy-envelope fingerprint
+    (the 1-D sibling of the image dHash): synthesize a 1024-sample
+    16-bit PCM WAV per document whose WAVEFORM is shared across docs
+    (base pattern = doc_id % 13) at a per-doc gain (x1/x2/x3 — the
+    re-encode/normalization stand-in), decode the actual RIFF bytes
+    back to samples, L1 block energies over 16 x 64-sample windows,
+    hash the envelope's gradient signs. Gain scales every block energy
+    by the same positive factor, so the signs — and the hash — are
+    invariant: gain variants of one waveform MUST collide (n_variants
+    proves it), different waveforms separate. Exact integer energies
+    both sides. Map-side hash per clip; the only shuffle is the hash
+    groupBy — never pairwise audio comparison."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    N = 1024
+
+    def make_wav(doc_id: int) -> bytes:
+        s = doc_id % 13
+        g = 1 + doc_id % 3
+        m = 97 + s * 8  # per-pattern modulus: structurally distinct shapes
+        data = struct.pack(
+            f"<{N}h",
+            *(((s * 31 + i * 7) % m - m // 2) * g for i in range(N)),
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def ahash_of(payload: bytes) -> int:
+        # fixed-layout RIFF: samples start at byte 44
+        samples = np.frombuffer(payload[44 : 44 + 2 * N], "<i2").astype(
+            np.int64
+        )
+        bsum = np.abs(samples).reshape(16, 64).sum(axis=1)
+        bits = bsum[:-1] > bsum[1:]
+        return int((bits * (1 << np.arange(15, dtype=np.int64))).sum())
+
+    def synth_hash(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": [
+                        ahash_of(make_wav(int(i))) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(synth_hash, "doc_id long, ahash long")
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col("doc_id") % 3).alias("n_variants"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
