@@ -17,6 +17,7 @@ from cdc_apache_cassandra_spark.operators.multimodal import (
     decode_frames,
     payload_meta,
 )
+from cdc_apache_cassandra_spark.caching import persist_scoped
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
 
@@ -1255,4 +1256,188 @@ def multimodal_audio_envelope_dedup(
         F.countDistinct(F.col("doc_id") % 3).alias("n_variants"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
+    )
+
+
+# --- hamming-banded dHash matching: near-match, not just exact collision -----
+
+_DHAM_K = 4          # max hamming distance counted as a near-dup
+_DHAM_BANDS = 4      # 4 x 16-bit bands: any exact band => candidate pair
+
+_DHAM_SQL = """
+WITH px AS (
+  SELECT d.doc_id, r.r, c.c,
+         SUM(CASE WHEN d.doc_id % 3 = 2
+                   AND ((r.r < 2 AND c.c < 2) OR
+                        (r.r >= 6 AND r.r < 8 AND c.c >= 8 AND c.c < 10))
+                  THEN 750
+                  ELSE ((d.doc_id % 17 + r.r * 18 + c.c) * k.k) % 240
+                       + (d.doc_id % 3) * 3
+             END) AS lum3
+  FROM documents d,
+       (SELECT unnest(range(0, 16)) AS r) r,
+       (SELECT unnest(range(0, 18)) AS c) c,
+       (SELECT unnest(range(1, 4)) AS k) k
+  GROUP BY 1, 2, 3
+),
+blk AS (
+  SELECT doc_id, r // 2 AS rb, c // 2 AS cb, SUM(lum3) AS bsum
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT doc_id, rb, cb, bsum,
+         LEAD(bsum) OVER (PARTITION BY doc_id, rb ORDER BY cb) AS nxt
+  FROM blk
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bsum > nxt
+                       THEN CAST(1 AS BIGINT) << (rb * 8 + cb)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits WHERE nxt IS NOT NULL
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, dhash, b.b AS band_id,
+         (dhash >> (b.b * 16)) & 65535 AS band_key
+  FROM hashes, (SELECT unnest(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.dhash AS ha,
+         c.doc_id AS doc_b, c.dhash AS hb
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_key = c.band_key
+   AND a.doc_id < c.doc_id
+)
+SELECT CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+       COUNT(*) AS n_pairs,
+       MIN(doc_a) AS min_doc_a
+FROM cand
+WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND 4
+GROUP BY 1
+"""
+
+
+@register("multimodal_image_dhash_hamming", sql=_DHAM_SQL)
+def multimodal_image_dhash_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-banded dHash matching — the NEAR-match half perceptual
+    dedup needs (exact-collision grouping is
+    multimodal_image_dhash_dedup): a third variant class corrupts two
+    pixel blocks (a localized watermark/crop-artifact stand-in), so its
+    hash lands a FEW BITS from the base pattern's instead of colliding.
+    The 64-bit hash splits into {b} x 16-bit bands; by pigeonhole any
+    pair within hamming {k} <= {b} - 1... shares at least one exact
+    band when the differing bits cluster in <= {b} - 1 bands — the
+    banded join generates candidates without any pairwise scan, and
+    exact popcount(xor) verifies. Histogram by hamming distance (exact
+    dups excluded — the collision query owns those). At 100 TB the
+    band join's cost tracks collisions, the SimHash/LSH topology; a
+    production run exact-dedups first so band groups stay small.""".format(
+        b=_DHAM_BANDS, k=_DHAM_K
+    )
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    W, H = 18, 16
+    stride = (W * 3 + 3) & ~3
+
+    def pixels_of(doc_id: int) -> np.ndarray:
+        s = doc_id % 17
+        off = (doc_id % 3) * 3
+        r_idx = np.arange(H)[:, None, None]
+        c_idx = np.arange(W)[None, :, None]
+        k_idx = np.arange(1, 4)[None, None, :]
+        arr = ((s + r_idx * W + c_idx) * k_idx) % 240 + off
+        if doc_id % 3 == 2:
+            # localized corruption: two 2x2 blocks pinned to 250/channel
+            arr[0:2, 0:2, :] = 250
+            arr[6:8, 8:10, :] = 250
+        return arr.astype(np.uint8)
+
+    def make_bmp(doc_id: int) -> bytes:
+        arr = pixels_of(doc_id)
+        pixels = bytearray()
+        for r in range(H):
+            row = bytearray(arr[r].reshape(-1).tobytes())
+            row += b"\x00" * (stride - len(row))
+            pixels += row
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+            + struct.pack(
+                "<iiiHHIIiiII", 40, W, H, 1, 24, 0,
+                len(pixels), 2835, 2835, 0, 0,
+            )
+            + bytes(pixels)
+        )
+
+    def dhash_of(payload: bytes) -> int:
+        arr = (
+            np.frombuffer(payload[54:], np.uint8)
+            .reshape(H, stride)[:, : W * 3]
+            .reshape(H, W, 3)
+            .astype(np.int64)
+        )
+        bsum = arr.sum(axis=2).reshape(8, 2, 9, 2).sum(axis=(1, 3))
+        bits = bsum[:, :-1] > bsum[:, 1:]
+        weights = 1 << (
+            np.arange(8)[:, None] * 8 + np.arange(8)[None, :]
+        ).astype(np.int64)
+        return int((bits * weights).sum())
+
+    def synth_hash(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": [
+                        dhash_of(make_bmp(int(i))) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(synth_hash, "doc_id long, dhash long").transform(
+        persist_scoped
+    )
+    bands = hashed.select(
+        "doc_id", "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright("dhash", b * 16)
+                    .bitwiseAND(F.lit(65535)).alias("band_key"),
+                )
+                for b in range(_DHAM_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "dhash", "bd.band_id", "bd.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
+        "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"),
+        "band_id", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "ha", "doc_b", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter((ham >= 1) & (ham <= _DHAM_K))
+        .select(ham.cast("int").alias("hamming"), "doc_a")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("doc_a").alias("min_doc_a"),
+        )
     )
