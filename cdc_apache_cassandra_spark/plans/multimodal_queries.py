@@ -1327,16 +1327,15 @@ def multimodal_image_dhash_hamming(
     multimodal_image_dhash_dedup): a third variant class corrupts two
     pixel blocks (a localized watermark/crop-artifact stand-in), so its
     hash lands a FEW BITS from the base pattern's instead of colliding.
-    The 64-bit hash splits into {b} x 16-bit bands; by pigeonhole any
-    pair within hamming {k} <= {b} - 1... shares at least one exact
-    band when the differing bits cluster in <= {b} - 1 bands — the
-    banded join generates candidates without any pairwise scan, and
-    exact popcount(xor) verifies. Histogram by hamming distance (exact
-    dups excluded — the collision query owns those). At 100 TB the
-    band join's cost tracks collisions, the SimHash/LSH topology; a
-    production run exact-dedups first so band groups stay small.""".format(
-        b=_DHAM_BANDS, k=_DHAM_K
-    )
+    The 64-bit hash splits into 4 x 16-bit bands; by pigeonhole every
+    pair within hamming 3 shares at least one exact band (guaranteed
+    recall at distance < bands), and distance-4 pairs are found when
+    their differing bits cluster into <= 3 bands — the banded join
+    generates candidates without any pairwise scan, and exact
+    popcount(xor) verifies. Histogram by hamming distance (exact dups
+    excluded — the collision query owns those). At 100 TB the band
+    join's cost tracks collisions, the SimHash/LSH topology; a
+    production run exact-dedups first so band groups stay small."""
     import struct
 
     import numpy as np
