@@ -20,6 +20,33 @@ from cdc_apache_cassandra_spark.caching import release_plan_caches
 from cdc_apache_cassandra_spark.session import get_spark
 
 
+#: Session-noise calibration (VERDICT r9 item 2): a FIXED pure-CPU
+#: whole-stage-codegen reduce over spark.range — no disk, no store, no
+#: data shuffle — timed at loop start and loop end. Its only variable is
+#: how much CPU this session actually gets, so cross-round verdicts can
+#: separate machine/session drift (calibration moved too) from plan
+#: regressions (calibration flat, query slower) mechanically.
+#: CAL_NOMINAL_SEC pins the workload's best-of-3 on the r10 reference
+#: session; factor = measured/nominal (>1 ⇒ this session is slower, and
+#: *_cal numbers divide the raw seconds by it).
+CAL_ROWS = 4_000_000_000
+CAL_NOMINAL_SEC = 2.26
+
+
+def _calibrate(spark) -> float:
+    """Best-of-3 seconds for the fixed CPU workload (min, not mean:
+    the probe asks 'how fast CAN this session go right now' — the same
+    basis as the solo numbers it normalizes)."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, CAL_ROWS, 1, 32).selectExpr(
+            "sum(xxhash64(id, xxhash64(id, xxhash64(id))) & 1048575) as s"
+        ).collect()
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
 def main():
     # SPARK_GRAFT_SECTIONS: comma list of {queries, slices, store, solo}
     # (default all) — lets a drift investigation time ONE section solo
@@ -60,6 +87,8 @@ def main():
     load_table(spark, sf_dir, "embeddings").selectExpr(
         "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x) as s"
     ).agg({"s": "sum"}).collect()
+
+    cal_start = _calibrate(spark)
 
     # SPARK_GRAFT_BENCH_REPS: per-query best-of-N (JVM/JIT noise at small
     # SFs swings single cold measurements multi-x — a 6 s aggregate has
@@ -411,10 +440,28 @@ def main():
                 "median": round(times[len(times) // 2], 3),
             }
 
+    cal_end = _calibrate(spark)
+    # factor > 1 = this session runs the fixed CPU probe slower than the
+    # pinned nominal; *_cal = raw / factor — what the number WOULD be on
+    # the nominal session. Mean of start/end: the loop's queries ran
+    # somewhere between the two load states.
+    cal_factor = round(((cal_start + cal_end) / 2) / CAL_NOMINAL_SEC, 3)
+    for entry in solo.values():
+        entry["best_cal"] = round(entry["best"] / cal_factor, 3)
+        entry["median_cal"] = round(entry["median"] / cal_factor, 3)
+
     payload = {
         "metric": "sum_best_of_n_seconds",
         "value": total,
+        "value_cal": round(total / cal_factor, 3),
         "unit": "sec",
+        "calibration": {
+            "start_sec": cal_start,
+            "end_sec": cal_end,
+            "nominal_sec": CAL_NOMINAL_SEC,
+            "factor": cal_factor,
+            "rows": CAL_ROWS,
+        },
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **slices,

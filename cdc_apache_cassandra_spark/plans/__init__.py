@@ -53,13 +53,27 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # column mapping through read_delta, r8 verdict items 1+2) rotates in
 # for tpch_q6_forecast_revenue (a filter-agg judge-sweep-green since
 # r1, its shape also anchored by tpch_q1).
+# r10 rotation (VERDICT r9 item 3): in — llm_ann_ivf_incremental,
+# llm_ann_ivf_index_update, llm_decontamination_semantic,
+# multimodal_image_dhash_hamming (the four r9-new entries),
+# cql_collection_marshalling (clears its stale r01 `err` record — its
+# only driver row ever, from a since-fixed harness canonicalization
+# crash), multimodal_webdataset_shard (shards family never
+# driver-checked); out — six stable multi-covered entries:
+# tpch_q3_shipping_priority, tpch_q5_local_supplier_volume,
+# cdc_token_routing (the murmur3 twin stays),
+# cdc_compound_changes_between, cdc_pk_only_table,
+# cdc_schema_evolution_union.
+# r10 mid-round: cdc_delta_v2_checkpoint_import (V2 checkpoint read,
+# r9 item 4) rotates in for agg_rollup_returnflag_status (a stable
+# relational shape, judge-sweep-green since r2, grouping-set family
+# also anchored by the sweep).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_dedup_events",
     "cdc_lww_state",
     "cdc_read_after_event",
     "cdc_backfill_union",
-    "cdc_schema_evolution_union",
     "cdc_udt_evolution_union",
     "cdc_replica_divergence",
     "cdc_out_of_order_stats",
@@ -79,12 +93,9 @@ GATE_ROSTER = [
     "cdc_compound_lww_state",
     "cdc_compound_snapshot_asof",
     "cdc_compound_read_after_event",
-    "cdc_pk_only_table",
     "cdc_null_leading_snapshot",
-    "cdc_token_routing",
     "cdc_token_routing_murmur3",
     "cdc_replication_latency",
-    "cdc_compound_changes_between",
     "cdc_compound_materialized_state",
     "cdc_compound_delta_export_state",
     "cdc_compound_streaming_end_to_end",
@@ -92,12 +103,16 @@ GATE_ROSTER = [
     "cdc_dedup_events_tws",
     "tpch_q1_pricing_summary",
     "cdc_delta_dv_import",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
+    "cql_collection_marshalling",
+    "llm_ann_ivf_incremental",
+    "llm_ann_ivf_index_update",
+    "llm_decontamination_semantic",
+    "multimodal_image_dhash_hamming",
+    "multimodal_webdataset_shard",
     "join_semi_orders_with_late_items",
     "join_anti_customers_without_orders",
     "window_topk_orders_per_customer",
-    "agg_rollup_returnflag_status",
+    "cdc_delta_v2_checkpoint_import",
     "llm_substring_span_dedup",
     "multimodal_wav_frames",
     "llm_semdedup",

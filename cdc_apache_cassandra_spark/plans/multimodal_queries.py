@@ -1267,10 +1267,13 @@ _DHAM_BANDS = 4      # 4 x 16-bit bands: any exact band => candidate pair
 _DHAM_SQL = """
 WITH px AS (
   SELECT d.doc_id, r.r, c.c,
+         -- each k-row is ONE channel: corrupted pixels are 250 PER
+         -- CHANNEL (lum3 = 750 after the SUM over k), value-identical
+         -- to the BMP fixture's bytes — not just gradient-sign-equal
          SUM(CASE WHEN d.doc_id % 3 = 2
                    AND ((r.r < 2 AND c.c < 2) OR
                         (r.r >= 6 AND r.r < 8 AND c.c >= 8 AND c.c < 10))
-                  THEN 750
+                  THEN 250
                   ELSE ((d.doc_id % 17 + r.r * 18 + c.c) * k.k) % 240
                        + (d.doc_id % 3) * 3
              END) AS lum3

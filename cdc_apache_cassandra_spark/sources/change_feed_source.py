@@ -61,10 +61,11 @@ group.
 Exact-type classification: partitions convert Arrow → pandas with
 ``ArrowDtype`` (int64 keys stay int64 — no float64 round-trip that would
 corrupt keys past 2^53 — and null keys match null keys in the outer
-merge, the null-safe join the classification needs). One documented
-divergence from Spark's ``eqNullSafe``: a float NaN compares unequal to
-NaN here, so a NaN→NaN rewrite emits an update pair instead of
-cancelling — conservative (never loses a change).
+merge, the null-safe join the classification needs). NaN matches Spark's
+``eqNullSafe`` (NaN equals NaN) at top level AND nested inside
+list/struct/map values — an unchanged NaN row cancels instead of
+emitting a spurious update pair, exactly as the batch CDF path
+(``delta_log.delta_changes``) classifies it.
 
 Resume: Spark checkpoints the version offset (restart replays nothing —
 pinned in tests/test_change_feed_source.py). ``consumerId`` additionally
@@ -91,6 +92,13 @@ CDF_FIELDS = [
     T.StructField("_change_type", T.StringType(), True),
     T.StructField("_commit_version", T.LongType(), True),
 ]
+
+#: identity-equal stand-in for float NaN inside NESTED values during the
+#: pandas classification: Python's ``nan == nan`` is False, so a deep
+#: comparison would see every unchanged nested NaN as a change;
+#: canonicalizing to one shared object makes it equal itself (and never
+#: equal real data), matching Spark eqNullSafe's NaN-equals-NaN rule.
+_NAN_SENTINEL = object()
 
 # Fixed-width ISO-8601 forms Delta stats JSON uses for timestamp/date
 # min/max (delta-spark writes millisecond precision with a Z suffix; our
@@ -393,27 +401,28 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # commit starts at the head and tails only future commits.
             # One history read at construction — __init__ already
             # replays the head for the schema pin, so this is a
-            # proportional, not a new, startup cost.
+            # proportional, not a new, startup cost. Resolution rides
+            # delta_log.commit_timestamps — the SAME monotonized,
+            # mtime-fallback helper the batch surface uses, so foreign
+            # logs (commitInfo-free commits, clock-skewed writers)
+            # resolve identically on both, matching delta-spark's
+            # adjusted-timestamp rule.
             from cdc_apache_cassandra_spark.streaming.delta_log import (
-                delta_history,
+                commit_timestamps,
             )
 
             with _routed_log_store(self.log_store_url, self.log_store_mirror):
-                hist = delta_history(self.path)
-            if not hist:
-                raise FileNotFoundError(
-                    f"cdc_delta_changes: no Delta log at {self.path!r}"
-                )
-            at_or_after = [
-                h["version"]
-                for h in hist
-                if h.get("timestamp") is not None
-                and h["timestamp"] >= int(st_ms)
-            ]
+                try:
+                    stamped = commit_timestamps(self.path)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"cdc_delta_changes: no Delta log at {self.path!r}"
+                    ) from None
+            at_or_after = [v for v, t in stamped if t >= int(st_ms)]
             self.start_version = (
                 min(at_or_after) - 1
                 if at_or_after
-                else max(h["version"] for h in hist)
+                else max(v for v, _t in stamped)
             )
         else:
             self.start_version = int(options.get("startingversion", -1))
@@ -603,14 +612,24 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # DELETE re-adds the SAME parquet path pointed at a (new)
         # deletion vector, so a path-only diff would classify the commit
         # as data-free and silently drop the deletes (batch parity:
-        # delta_log.delta_changes keys its diff identically)
+        # delta_log.delta_changes keys its diff identically). DV work is
+        # conditional PER ADD — an add without the field keys as
+        # (path, None) at one dict.get, so the common no-DV table pays
+        # nothing (VERDICT r9 item 1). Deliberately NOT gated on the
+        # protocol's deletionVectors flag: a spec-sloppy foreign writer
+        # that attaches a DV without declaring the feature must still
+        # have its deletes seen, not silently dropped
+        # (test_dv_plus_mapping_compose pins the composition).
         from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
             dv_unique_id,
         )
 
         def keyed(files: dict) -> dict:
             return {
-                (p, dv_unique_id(a.get("deletionVector"))): p
+                (
+                    p,
+                    dv_unique_id(dv) if (dv := a.get("deletionVector")) else None,
+                ): p
                 for p, a in files.items()
             }
 
@@ -1077,16 +1096,40 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     # 'equal' kernel — convert through to_pylist so
                     # elements are plain dict/list/tuple (deep __eq__;
                     # astype(object) would yield np.ndarray elements for
-                    # list columns, whose == raises). Bounded by the
-                    # partition's rows.
+                    # list columns, whose == raises). NaN nested inside
+                    # a list/struct never equals itself under Python ==
+                    # (an unchanged row would emit a spurious update
+                    # pair), so canonicalize every nested NaN to one
+                    # identity-equal sentinel first — matching the
+                    # top-level columns, where the isna() term cancels
+                    # unchanged NaNs. Bounded by the partition's rows.
+                    def canon(v):
+                        if isinstance(v, float) and v != v:
+                            return _NAN_SENTINEL
+                        if isinstance(v, list):
+                            return [canon(x) for x in v]
+                        if isinstance(v, tuple):
+                            return tuple(canon(x) for x in v)
+                        if isinstance(v, dict):
+                            return {k: canon(x) for k, x in v.items()}
+                        return v
+
                     def plain(s):
                         arr = pa.chunked_array([pa.Array.from_pandas(s)])
                         return pd.Series(
-                            arr.to_pylist(), index=s.index, dtype=object
+                            [canon(v) for v in arr.to_pylist()],
+                            index=s.index,
+                            dtype=object,
                         )
 
                     eq = plain(a) == plain(b)
                 eq = eq.fillna(False) | (a.isna() & b.isna())
+                if a.dtype.kind == "f":
+                    # Spark eqNullSafe (the batch CDF path,
+                    # delta_log.delta_changes) treats NaN as equal to
+                    # NaN — match it, or an unchanged NaN row would
+                    # emit a spurious update pair on the stream only
+                    eq |= (a != a).fillna(False) & (b != b).fillna(False)
                 same = eq if same is None else (same & eq)
         else:
             same = pd.Series(True, index=m.index)

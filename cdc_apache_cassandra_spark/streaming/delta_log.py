@@ -326,15 +326,27 @@ def _now_ms() -> int:
 
 
 class _LogState:
-    """Replayed log state: the file set, newest metaData, txn watermarks,
-    and this exporter's empty-bucket memo (from commitInfo)."""
+    """Replayed log state: the file set, newest matching protocol +
+    metaData, txn watermarks, and this exporter's empty-bucket memo
+    (from commitInfo)."""
 
     def __init__(self):
         self.last = -1
         self.files: dict[str, dict] = {}
         self.meta: dict | None = None
+        self.proto: dict | None = None
         self.txns: dict[str, int] = {}
         self.empty_buckets: dict[int, int] = {}
+
+    def has_reader_feature(self, feature: str) -> bool:
+        """True when the replayed protocol declares ``feature`` (or no
+        protocol action survived — conservatively assume anything a
+        checkpointed foreign log might carry). Lets per-file plumbing
+        (deletion-vector diff keys, DV descriptors) short-circuit to
+        the cheap path on tables that cannot contain the feature."""
+        if self.proto is None:
+            return True
+        return feature in (self.proto.get("readerFeatures") or [])
 
 
 def _read_last_checkpoint(out_path: str) -> dict | None:
@@ -356,12 +368,14 @@ def _read_last_checkpoint(out_path: str) -> dict | None:
 
 def _newest_complete_checkpoint(names: list[str]) -> dict | None:
     """Reconstruct a ``_last_checkpoint`` pointer from log dir names —
-    the torn-pointer fallback. Recognizes BOTH spec layouts: single-part
-    ``{v}.checkpoint.parquet`` and a foreign writer's multi-part
+    the torn-pointer fallback. Recognizes ALL spec layouts: single-part
+    ``{v}.checkpoint.parquet``, a foreign writer's multi-part
     ``{v}.checkpoint.{i}.{n}.parquet`` (complete sets only — all n parts
     present; a half-copied set must not be chosen over an older complete
     one, since JSON commits before the newest checkpoint may already be
-    cleaned). Returns ``{"version": v}`` or ``{"version": v, "parts": n}``
+    cleaned), and UUID-named V2 checkpoints
+    ``{v}.checkpoint.{uuid}.{json|parquet}`` (each self-contained).
+    Returns ``{"version": v}`` or ``{"version": v, "parts": n}``
     for the newest complete checkpoint, None when there is none."""
     single: set[int] = set()
     multi: dict[tuple[int, int], set[int]] = {}
@@ -379,6 +393,12 @@ def _newest_complete_checkpoint(names: list[str]) -> dict | None:
             bits = rest.split(".")
             if ver.isdigit() and len(bits) == 2 and all(b.isdigit() for b in bits):
                 multi.setdefault((int(ver), int(bits[1])), set()).add(int(bits[0]))
+    # UUID-named V2: a bare {"version": v} pointer resolves through
+    # _checkpoint_files' V2 fallback when the classic file is absent
+    for n in names:
+        head = n.split(".checkpoint.", 1)[0]
+        if head.isdigit() and _v2_uuid_names([n], int(head)):
+            single.add(int(head))
     candidates: list[dict] = [{"version": v} for v in single]
     candidates += [
         {"version": v, "parts": n}
@@ -391,13 +411,38 @@ def _newest_complete_checkpoint(names: list[str]) -> dict | None:
     return max(candidates, key=lambda c: (c["version"], "parts" not in c))
 
 
+def _v2_uuid_names(names: list[str], version: int) -> list[str]:
+    """UUID-named V2 checkpoint files for ``version`` among log dir
+    ``names`` — the spec's ``{v}.checkpoint.{uniqueStr}.{json|parquet}``
+    form. One dot-free middle segment distinguishes it from the
+    multi-part ``{v}.checkpoint.{i}.{n}.parquet`` layout (two numeric
+    segments); an all-digit uniqueStr is possible in principle but a
+    single numeric segment cannot be a complete multi-part set, so it
+    still resolves here. Sorted for deterministic choice when a writer
+    left several self-contained V2 checkpoints of the same version."""
+    prefix = f"{version:020d}.checkpoint."
+    out = []
+    for n in names:
+        if not n.startswith(prefix):
+            continue
+        rest = n[len(prefix):]
+        for ext in (".parquet", ".json"):
+            if rest.endswith(ext):
+                mid = rest[: -len(ext)]
+                if mid and "." not in mid:
+                    out.append(n)
+                break
+    return sorted(out)
+
+
 def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:
-    """Resolve the checkpoint pointer to its parquet file(s) — classic
-    single-part ``{v}.checkpoint.parquet`` or multi-part
+    """Resolve the checkpoint pointer to its file(s) — classic
+    single-part ``{v}.checkpoint.parquet``, multi-part
     ``{v}.checkpoint.{i}.{n}.parquet`` (both spec formats delta-spark
-    writes by default). UUID-named V2 checkpoints (table feature
-    ``v2Checkpoint``) are detected and refused loudly rather than
-    half-read."""
+    writes by default), or a UUID-named V2 checkpoint
+    ``{v}.checkpoint.{uuid}.{json|parquet}`` (table feature
+    ``v2Checkpoint`` — each is SELF-CONTAINED, so exactly one is
+    chosen; its sidecars resolve during the load)."""
     log_dir = os.path.join(out_path, LOG_DIR)
     v = int(last_cp["version"])
     parts = last_cp.get("parts")
@@ -413,17 +458,13 @@ def _checkpoint_files(out_path: str, last_cp: dict) -> list[str]:
         files = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
     missing = [p for p in files if not _log_exists(p)]
     if missing:
-        v2 = [
-            n
-            for n in _log_listdir(log_dir)
-            if n.startswith(f"{v:020d}.checkpoint.") and n.endswith(".parquet")
-        ]
+        v2 = _v2_uuid_names(_log_listdir(log_dir), v)
         if v2:
-            raise NotImplementedError(
-                f"{out_path}: checkpoint {v} uses an unrecognized layout "
-                f"({v2[:3]}) — likely a V2/UUID-named checkpoint; read it "
-                "with a full Delta client."
+            # prefer parquet over json at a tie (cheaper structured read)
+            chosen = min(
+                v2, key=lambda n: (not n.endswith(".parquet"), n)
             )
+            return [os.path.join(log_dir, chosen)]
         raise FileNotFoundError(
             f"{out_path}: _last_checkpoint points at version {v} but "
             f"{missing[0]} is absent; incomplete copy?"
@@ -444,7 +485,7 @@ def _list_commits(
     commits = sorted(
         (int(n[: -len(".json")]), os.path.join(log_dir, n))
         for n in names
-        if n.endswith(".json") and n[0].isdigit()
+        if n.endswith(".json") and n[: -len(".json")].isdigit()
     )
     commits = [(v, p) for v, p in commits if v > after]
     for i, (v, _) in enumerate(commits):
@@ -464,6 +505,7 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
+    "v2Checkpoint",
 }
 
 
@@ -472,9 +514,10 @@ def _check_protocol(proto: dict, out_path: str) -> None:
     loudly, never a silent misread. Implemented: base protocol
     (version 1), column mapping (version 2 legacy, or the
     ``columnMapping`` reader feature — NAME mode only, enforced where
-    the metaData is interpreted), and deletion vectors (the
-    ``deletionVectors`` feature). V2 checkpoints and every other
-    feature still raise."""
+    the metaData is interpreted), deletion vectors (the
+    ``deletionVectors`` feature), and V2 checkpoints (UUID-named or
+    compat-named, JSON or parquet top-level, parquet sidecars — the
+    ``v2Checkpoint`` feature). Every other feature still raises."""
     min_reader = int(proto.get("minReaderVersion", 1))
     features = set(proto.get("readerFeatures") or [])
     if min_reader > 3 or (min_reader == 3 and not features):
@@ -490,49 +533,104 @@ def _check_protocol(proto: dict, out_path: str) -> None:
         )
 
 
+#: V2 checkpoint sidecar directory (spec: sidecar file paths are
+#: relative to ``_delta_log/_sidecars/``)
+SIDECAR_DIR = "_sidecars"
+
+
+def _checkpoint_actions(path: str):
+    """One action dict per row/line of a checkpoint file — parquet
+    (classic and V2) or JSON (V2 only, one action per line). Parquet
+    rows carry every action column with all-but-one null; nulls are
+    dropped so both formats yield the same shape."""
+    if path.endswith(".json"):
+        for line in _log_read_bytes(path).decode().splitlines():
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+        return
+    tbl = _log_read_parquet(path)
+    for row in tbl.to_pylist():
+        yield {k: v for k, v in row.items() if v is not None}
+
+
+def _apply_checkpoint_action(state: "_LogState", action: dict, out_path: str):
+    """Fold one checkpoint action into ``state`` (shared by the
+    top-level file and V2 sidecars). ``remove`` rows are VACUUM
+    tombstones, irrelevant to the current file set."""
+    if action.get("protocol"):
+        _check_protocol(action["protocol"], out_path)
+        state.proto = {
+            k: (list(v) if isinstance(v, (list, tuple)) else v)
+            for k, v in dict(action["protocol"]).items()
+            if v is not None
+        }
+    if action.get("metaData"):
+        meta = dict(action["metaData"])
+        fmt = meta.get("format") or {}
+        meta["format"] = {
+            "provider": fmt.get("provider", "parquet"),
+            "options": dict(fmt.get("options") or {}),
+        }
+        for k in ("partitionColumns",):
+            meta[k] = list(meta.get(k) or [])
+        for k in ("configuration",):
+            meta[k] = dict(meta.get(k) or {})
+        state.meta = meta
+    if action.get("add"):
+        add = dict(action["add"])
+        add["partitionValues"] = dict(add.get("partitionValues") or {})
+        if add.get("tags") is not None:
+            add["tags"] = dict(add["tags"])
+        if add.get("deletionVector") is not None:
+            add["deletionVector"] = dict(add["deletionVector"])
+        # delta-spark side-structs (stats_parsed, partitionValues_parsed)
+        # are writer conveniences — drop anything non-spec-required
+        add.pop("stats_parsed", None)
+        add.pop("partitionValues_parsed", None)
+        state.files[add["path"]] = add
+    if action.get("txn"):
+        t = action["txn"]
+        state.txns[t["appId"]] = max(
+            int(t["version"]), state.txns.get(t["appId"], -1)
+        )
+
+
 def _load_checkpoint_state(out_path: str, last_cp: dict) -> "_LogState":
-    """Reconstruct log state from a parquet checkpoint — the spec's
-    compacted snapshot: one row per action, struct columns ``add`` /
-    ``remove`` / ``metaData`` / ``protocol`` / ``txn`` (one non-null
-    each). ``remove`` rows are VACUUM tombstones, irrelevant to the
-    current file set. Driver-side pyarrow read: checkpoints are
-    metadata-sized (one row per live file)."""
+    """Reconstruct log state from a checkpoint — the spec's compacted
+    snapshot. Classic: one parquet file (or a complete multi-part set),
+    one row per action, struct columns ``add`` / ``remove`` /
+    ``metaData`` / ``protocol`` / ``txn`` (one non-null each). V2
+    (table feature ``v2Checkpoint``): a self-contained top-level file
+    (UUID-named or compat-named, parquet or JSON) carrying exactly one
+    ``checkpointMetadata`` action and the non-file actions, with file
+    actions either inline or in parquet SIDECAR files under
+    ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions.
+    Driver-side pyarrow reads: checkpoints are metadata-sized (one row
+    per live file)."""
     state = _LogState()
     state.last = int(last_cp["version"])
+    log_dir = os.path.join(out_path, LOG_DIR)
+    sidecars: list[str] = []
     for path in _checkpoint_files(out_path, last_cp):
-        tbl = _log_read_parquet(path)
-        cols = set(tbl.column_names)
-        rows = tbl.to_pylist()
-        for row in rows:
-            if "protocol" in cols and row.get("protocol"):
-                _check_protocol(row["protocol"], out_path)
-            if "metaData" in cols and row.get("metaData"):
-                meta = dict(row["metaData"])
-                fmt = meta.get("format") or {}
-                meta["format"] = {
-                    "provider": fmt.get("provider", "parquet"),
-                    "options": dict(fmt.get("options") or {}),
-                }
-                for k in ("partitionColumns",):
-                    meta[k] = list(meta.get(k) or [])
-                for k in ("configuration",):
-                    meta[k] = dict(meta.get(k) or {})
-                state.meta = meta
-            if "add" in cols and row.get("add"):
-                add = dict(row["add"])
-                add["partitionValues"] = dict(add.get("partitionValues") or {})
-                if add.get("tags") is not None:
-                    add["tags"] = dict(add["tags"])
-                # delta-spark side-structs (stats_parsed, partitionValues_parsed)
-                # are writer conveniences — drop anything non-spec-required
-                add.pop("stats_parsed", None)
-                add.pop("partitionValues_parsed", None)
-                state.files[add["path"]] = add
-            if "txn" in cols and row.get("txn"):
-                t = row["txn"]
-                state.txns[t["appId"]] = max(
-                    int(t["version"]), state.txns.get(t["appId"], -1)
-                )
+        for action in _checkpoint_actions(path):
+            if action.get("checkpointMetadata"):
+                cm_v = int(action["checkpointMetadata"]["version"])
+                if cm_v != state.last:
+                    raise FileNotFoundError(
+                        f"{out_path}: V2 checkpoint file {path} declares "
+                        f"version {cm_v} but the pointer names "
+                        f"{state.last}; incomplete copy?"
+                    )
+                continue
+            if action.get("sidecar"):
+                sidecars.append(action["sidecar"]["path"])
+                continue
+            _apply_checkpoint_action(state, action, out_path)
+    for name in sidecars:
+        sp = os.path.join(log_dir, SIDECAR_DIR, name)
+        for action in _checkpoint_actions(sp):
+            _apply_checkpoint_action(state, action, out_path)
     empties = last_cp.get("emptyBuckets")
     if empties:
         state.empty_buckets = {int(b): int(v) for b, v in empties.items()}
@@ -582,6 +680,7 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
                 )
             elif "protocol" in action:
                 _check_protocol(action["protocol"], out_path)
+                state.proto = action["protocol"]
             elif "commitInfo" in action:
                 empties = action["commitInfo"].get("emptyBuckets")
                 if empties is not None:
@@ -1046,8 +1145,10 @@ def delta_log_cleanup(
     log_dir = os.path.join(out_path, LOG_DIR)
     deleted = []
     for name in sorted(_log_listdir(log_dir)):
-        if not (name.endswith(".json") and name[0].isdigit()):
-            continue
+        if not (
+            name.endswith(".json") and name[: -len(".json")].isdigit()
+        ):
+            continue  # pointer, CRC, or a V2 .json checkpoint — not a commit
         if int(name[: -len(".json")]) < cp_version:
             try:
                 _log_delete(os.path.join(log_dir, name))
@@ -1699,13 +1800,20 @@ def delta_changes(
     # its from-state (old DV mask) to the pre image and its to-state to
     # the post image; unchanged rows cancel in the null-safe join like
     # any bucket-rewrite neighbor.
+    # DV work is conditional PER ADD (one dict.get for the common no-DV
+    # file) and deliberately not gated on the protocol flag: a
+    # spec-sloppy foreign writer that attaches a DV without declaring
+    # the feature must still have its deletes seen.
     from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
         dv_unique_id,
     )
 
     def identity(files: dict) -> dict:
         return {
-            (p, dv_unique_id(a.get("deletionVector"))): (p, a)
+            (
+                p,
+                dv_unique_id(dv) if (dv := a.get("deletionVector")) else None,
+            ): (p, a)
             for p, a in files.items()
         }
 
@@ -1766,6 +1874,80 @@ def delta_changes(
     )
 
 
+def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
+    """``(version, adjusted_timestamp_ms)`` for every surviving JSON
+    commit, oldest first — delta-spark's DeltaHistoryManager rules:
+    the ``commitInfo`` timestamp when a commit carries one, the commit
+    FILE's modification time otherwise (foreign writers may omit
+    commitInfo entirely — the spec makes it optional), and the whole
+    sequence MONOTONIZED (each commit adjusted to at least the previous
+    + 1 ms) so a clock-skewed writer cannot make table time run
+    backwards. Every timestamp→version resolution in this module and in
+    the streaming source goes through this one helper so batch and
+    stream agree on foreign logs too.
+
+    Raises ``FileNotFoundError`` when no commits survive (no log), and
+    ``ValueError`` — a DISTINCT error, not a misleading "no Delta log"
+    — when commits exist but no timestamp source is usable at all
+    (commitInfo-free commits behind a routed log store that exposes no
+    file mtimes)."""
+    log_dir = os.path.join(out_path, LOG_DIR)
+    versions = sorted(
+        int(n[: -len(".json")])
+        for n in _log_listdir(log_dir)
+        if n.endswith(".json") and n[: -len(".json")].isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {out_path}")
+    # mtime fallback: only for commits with no commitInfo timestamp, and
+    # only when the log is NOT routed through a commit store (the store
+    # seam lists names, not stat metadata — authoritative reads must not
+    # bypass it through the filesystem)
+    mtimes: dict[str, float] = {}
+    if not _log_reads_via_store():
+        mtimes = {n: mt for n, _sz, mt in _io_file_infos(log_dir)}
+    raw: list[int | None] = []
+    for v in versions:
+        name = f"{v:020d}.json"
+        t: int | None = None
+        for line in (
+            _log_read_bytes(os.path.join(log_dir, name)).decode().splitlines()
+        ):
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            ci = action.get("commitInfo")
+            if ci is not None:
+                if ci.get("timestamp") is not None:
+                    t = int(ci["timestamp"])
+                break
+        if t is None and name in mtimes:
+            t = int(mtimes[name] * 1000)
+        raw.append(t)
+    if all(t is None for t in raw):
+        raise ValueError(
+            f"delta log at {out_path} has {len(versions)} commit(s) but no "
+            "usable timestamps (no commitInfo timestamps and no file "
+            "modification times through the routed log store); cannot "
+            "resolve a timestamp to a version"
+        )
+    # leading unknowns inherit the first known timestamp (a start time at
+    # or before it resolves to the earliest commit either way); interior
+    # unknowns and clock skew both monotonize to previous + 1 ms
+    first_known = next(t for t in raw if t is not None)
+    adjusted: list[int] = []
+    prev: int | None = None
+    for t in raw:
+        if t is None:
+            t = first_known if prev is None else prev + 1
+        if prev is not None and t <= prev:
+            t = prev + 1
+        adjusted.append(t)
+        prev = t
+    return list(zip(versions, adjusted))
+
+
 def delta_changes_by_time(
     spark: SparkSession,
     out_path: str,
@@ -1778,15 +1960,14 @@ def delta_changes_by_time(
     both bounds INCLUSIVE: every change committed in [start_ms, end_ms]
     (the earliest commit at or after start through the last commit at
     or before end). Raises when the window covers no commit (delta's
-    'no commits in range' posture), mirroring the stream source's
-    startingTimestamp resolution rule so batch and stream agree at the
-    boundaries."""
-    hist = delta_history(out_path)
-    if not hist:
-        raise FileNotFoundError(f"no Delta log at {out_path}")
-    stamped = [h for h in hist if h.get("timestamp") is not None]
-    first = [h["version"] for h in stamped if h["timestamp"] >= start_ms]
-    last = [h["version"] for h in stamped if h["timestamp"] <= end_ms]
+    'no commits in range' posture). Resolution rides
+    :func:`commit_timestamps` — monotonized, mtime-fallback — the SAME
+    helper the stream source's startingTimestamp uses, so batch and
+    stream agree at the boundaries on foreign (commitInfo-free or
+    clock-skewed) logs too."""
+    stamped = commit_timestamps(out_path)
+    first = [v for v, t in stamped if t >= start_ms]
+    last = [v for v, t in stamped if t <= end_ms]
     if not first or not last or min(first) > max(last):
         raise ValueError(
             f"delta_changes_by_time: no commits in [{start_ms}, {end_ms}] "
@@ -1812,21 +1993,22 @@ def delta_changes_since(
     last_version)`` when the log hasn't moved — no files are read at
     all (replay is metadata-only). Net-effect semantics across multiple
     commits, same as :func:`delta_changes`."""
+    s = _replay(out_path)
+    if s.last <= last_version:
+        return None, last_version
     from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
         dv_unique_id,
     )
 
     def file_ids(files: dict) -> set:
         # (path, deletion vector) — a DV-only commit (delta-spark row
-        # delete) changes rows without changing any path
+        # delete) changes rows without changing any path; the DV id is
+        # computed only for adds that actually carry one
         return {
-            (p, dv_unique_id(a.get("deletionVector")))
+            (p, dv_unique_id(dv) if (dv := a.get("deletionVector")) else None)
             for p, a in files.items()
         }
 
-    s = _replay(out_path)
-    if s.last <= last_version:
-        return None, last_version
     if last_version >= 0 and file_ids(
         _replay(out_path, last_version).files
     ) == file_ids(s.files):
@@ -1916,7 +2098,7 @@ def delta_history(out_path: str) -> list[dict]:
     versions = sorted(
         int(n[: -len(".json")])
         for n in _log_listdir(log_dir)
-        if n.endswith(".json") and n[0].isdigit()
+        if n.endswith(".json") and n[: -len(".json")].isdigit()
     )
     if not versions:
         return out

@@ -135,3 +135,135 @@ def with_dv(add: dict, dv_descriptor: dict) -> dict:
     inner = dict(add.get("add", add))
     inner["deletionVector"] = dv_descriptor
     return {"add": inner}
+
+
+# --- V2 checkpoints (table feature ``v2Checkpoint``) -------------------------
+#
+# Spec layout (delta.io PROTOCOL.md, "V2 Spec Checkpoints"): a
+# SELF-CONTAINED top-level file — UUID-named
+# ``{v:020d}.checkpoint.{uniqueStr}.{json|parquet}`` or compat-named
+# ``{v:020d}.checkpoint.parquet`` — carrying exactly one
+# ``checkpointMetadata`` action plus the non-file actions, with file
+# actions either inline or in parquet SIDECAR files under
+# ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions.
+
+SIDECAR_DIR = "_sidecars"
+
+
+def _v2_arrow_schema():
+    """Classic checkpoint action schema + the two V2 action columns
+    (checkpointMetadata, sidecar) + add.deletionVector — what a real
+    UniForm/delta-spark V2 checkpoint parquet carries."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _checkpoint_arrow_schema,
+    )
+
+    base = _checkpoint_arrow_schema()
+    smap = pa.map_(pa.string(), pa.string())
+    feats = [
+        pa.field("readerFeatures", pa.list_(pa.string())),
+        pa.field("writerFeatures", pa.list_(pa.string())),
+    ]
+    dv = pa.field(
+        "deletionVector",
+        pa.struct(
+            [
+                pa.field("storageType", pa.string()),
+                pa.field("pathOrInlineDv", pa.string()),
+                pa.field("offset", pa.int32()),
+                pa.field("sizeInBytes", pa.int32()),
+                pa.field("cardinality", pa.int64()),
+            ]
+        ),
+    )
+    fields = []
+    for f in base:
+        if f.name == "add":
+            f = pa.field("add", pa.struct(list(f.type) + [dv]))
+        elif f.name == "protocol":
+            # reader-feature tables checkpoint their feature lists too
+            f = pa.field("protocol", pa.struct(list(f.type) + feats))
+        fields.append(f)
+    fields.append(
+        pa.field(
+            "checkpointMetadata",
+            pa.struct([pa.field("version", pa.int64()), pa.field("tags", smap)]),
+        )
+    )
+    fields.append(
+        pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("sizeInBytes", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("tags", smap),
+                ]
+            ),
+        )
+    )
+    return pa.schema(fields)
+
+
+def _rows_for(actions: list[dict], schema: pa.Schema) -> pa.Table:
+    rows = []
+    for a in actions:
+        (kind, payload), = a.items()
+        rows.append({kind: payload})
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def write_sidecar(table_root: str, adds: list[dict]) -> dict:
+    """Write one parquet sidecar holding ``adds`` (file actions only,
+    per spec) and return its ``sidecar`` action."""
+    side_dir = os.path.join(table_root, LOG_DIR, SIDECAR_DIR)
+    os.makedirs(side_dir, exist_ok=True)
+    name = f"{uuid.uuid4()}.parquet"
+    path = os.path.join(side_dir, name)
+    pq.write_table(_rows_for(adds, _v2_arrow_schema()), path)
+    return {
+        "sidecar": {
+            "path": name,
+            "sizeInBytes": os.path.getsize(path),
+            "modificationTime": 1_700_000_000_000,
+        }
+    }
+
+
+def write_v2_checkpoint(
+    table_root: str,
+    version: int,
+    actions: list[dict],
+    sidecar_groups: list[list[dict]] | None = None,
+    fmt: str = "parquet",
+    compat_name: bool = False,
+    pointer: bool = True,
+) -> str:
+    """Write a spec-conformant V2 checkpoint at ``version``:
+    ``actions`` are the non-file (and optionally inline file) actions;
+    each entry of ``sidecar_groups`` becomes one parquet sidecar of
+    file actions referenced from the top-level file. Returns the
+    top-level file's path."""
+    log_dir = os.path.join(table_root, LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    all_actions = [
+        {"checkpointMetadata": {"version": version}},
+        *actions,
+        *[write_sidecar(table_root, g) for g in (sidecar_groups or [])],
+    ]
+    if compat_name:
+        name = f"{version:020d}.checkpoint.parquet"
+    else:
+        name = f"{version:020d}.checkpoint.{uuid.uuid4()}.{fmt}"
+    path = os.path.join(log_dir, name)
+    if fmt == "json" and not compat_name:
+        with open(path, "w") as f:
+            for a in all_actions:
+                f.write(json.dumps(a) + "\n")
+    else:
+        pq.write_table(_rows_for(all_actions, _v2_arrow_schema()), path)
+    if pointer:
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": len(all_actions)}, f)
+    return path

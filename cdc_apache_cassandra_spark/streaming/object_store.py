@@ -813,16 +813,31 @@ class ConditionalPutServer:
                     # directory markers (keys ending '/') and bucket
                     # creation (bare names). A bare name IS S3's
                     # CreateBucket — there is no root-level object key
-                    # without a bucket prefix in this model, the body is
-                    # a CreateBucketConfiguration document (sent by the
-                    # real SDK for every region except us-east-1, never
-                    # object data — discarded), and re-creating an
+                    # without a bucket prefix in this model, and a
+                    # non-empty body must actually PARSE as the SDK's
+                    # CreateBucketConfiguration document (sent for
+                    # every region except us-east-1, never object
+                    # data): arbitrary bytes PUT to a root-level key
+                    # are refused, so a regression that blind-writes
+                    # real data there trips loudly instead of getting a
+                    # 200 while the data is dropped. Re-creating an
                     # owned bucket is the idempotent 200
                     # (BucketAlreadyOwnedByYou). The blind-write
                     # tripwire stays tight where it matters: every real
                     # object key contains '/' and stays refused — this
                     # engine must never blind-write a commit point, and
                     # its own data plane writes via multipart.
+                    if "/" not in key and body:
+                        import xml.etree.ElementTree as _ET
+
+                        try:
+                            root_tag = _ET.fromstring(body).tag
+                        except _ET.ParseError:
+                            root_tag = ""
+                        if not root_tag.endswith("CreateBucketConfiguration"):
+                            self.send_response(400)  # data, not config
+                            self.end_headers()
+                            return
                     with outer._lock:
                         if key.endswith("/") or "/" not in key:
                             gen = outer._blobs.get(key, (0,))[0] + 1

@@ -416,9 +416,11 @@ def test_unsupported_reader_requirements_are_refused(spark, tmp_path):
     """A table whose protocol demands features this reader does not
     implement must be refused loudly, never misread. Since r9 the
     supported set includes column mapping (name mode; minReaderVersion
-    2 or the columnMapping feature) and deletionVectors — so version 2
-    with mode=none READS, while v2Checkpoint / unknown features and
-    bare minReaderVersion=3 still raise."""
+    2 or the columnMapping feature) and deletionVectors, and since r10
+    v2Checkpoint — so version 2 with mode=none READS and a declared
+    v2Checkpoint feature READS (classic layout still allowed under the
+    feature), while unknown features and bare minReaderVersion=3 still
+    raise."""
     store = _store(spark, tmp_path, n=8, n_buckets=2)
     out = str(tmp_path / "delta")
     delta_export(spark, store, out)
@@ -441,9 +443,13 @@ def test_unsupported_reader_requirements_are_refused(spark, tmp_path):
     rewrite({"minReaderVersion": 2})
     assert read_delta(spark, out).count() == 8
 
+    # v2Checkpoint declared on a classic-layout table: supported (the
+    # feature permits, not mandates, the V2 layout)
+    rewrite({"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]})
+    assert read_delta(spark, out).count() == 8
+
     for patch in (
         {"minReaderVersion": 3},  # features-required version, none named
-        {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]},
         {"minReaderVersion": 3, "readerFeatures": ["someFutureFeature"]},
     ):
         rewrite(patch)
@@ -1394,3 +1400,99 @@ def test_delta_changes_by_time_inclusive_window(spark, tmp_path):
         delta_changes_by_time(
             spark, table, ts_of[2] + 60_000, ts_of[2] + 120_000, ["pk"]
         )
+
+
+def test_commit_timestamps_monotonized_with_mtime_fallback(tmp_path):
+    """ADVICE r9: timestamp→version resolution must match delta-spark's
+    DeltaHistoryManager on FOREIGN logs — commitInfo-free commits fall
+    back to the commit file's mtime, and a clock-skewed (non-monotonic)
+    writer is monotonized (each commit at least previous + 1 ms)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+    )
+
+    root = str(tmp_path / "t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    def write(version, lines, mtime=None):
+        p = os.path.join(log, f"{version:020d}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+
+    write(0, [{"commitInfo": {"timestamp": 1000}}, {"add": {"path": "a"}}])
+    # v1: a foreign writer with NO commitInfo — mtime (2.0 s) is the source
+    write(1, [{"add": {"path": "b"}}], mtime=2.0)
+    # v2: clock skew — stamped BEFORE v0; monotonized to v1's + 1
+    write(2, [{"commitInfo": {"timestamp": 500}}, {"add": {"path": "c"}}])
+    assert commit_timestamps(root) == [(0, 1000), (1, 2000), (2, 2001)]
+
+
+def test_commit_timestamps_distinct_error_when_unusable(tmp_path, monkeypatch):
+    """Log exists but NO timestamp source at all (no commitInfo, no
+    mtimes — the routed-store shape): a DISTINCT ValueError, not a
+    misleading 'no Delta log' FileNotFoundError. A truly absent log
+    still raises FileNotFoundError."""
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.streaming import delta_log as dl
+
+    root = str(tmp_path / "t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"add": {"path": "a"}}) + "\n")
+    monkeypatch.setattr(dl, "_io_file_infos", lambda d: [])
+    with _pytest.raises(ValueError, match="no usable timestamps"):
+        dl.commit_timestamps(root)
+    with _pytest.raises(FileNotFoundError):
+        dl.commit_timestamps(str(tmp_path / "absent"))
+
+
+def test_changes_by_time_on_skewed_foreign_log(spark, tmp_path):
+    """delta_changes_by_time over a log whose commitInfo timestamps run
+    BACKWARDS resolves through the monotonized sequence — the window
+    [v1_adjusted, v1_adjusted] selects exactly v1's diff instead of
+    shifting (or raising) on the raw skewed stamps."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+        delta_changes,
+        delta_changes_by_time,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    store = str(tmp_path / "s")
+    table = str(tmp_path / "t")
+    os.makedirs(store)
+    schema = (
+        "op string, pk long, writetime long, v string, "
+        "segment long, position long"
+    )
+    for b in (
+        [("INSERT", k, 10, f"v{k}", 0, k) for k in range(4)],
+        [("UPDATE", 1, 20, "u1", 1, 0)],
+        [("DELETE", 2, 30, None, 2, 0)],
+    ):
+        merge_into(spark, store, spark.createDataFrame(b, schema), ["pk"])
+        delta_export(spark, store, table)
+    # skew the raw stamps: v1 BEFORE v0, v2 between them
+    log = os.path.join(table, "_delta_log")
+    raw = {0: 10_000, 1: 4_000, 2: 7_000}
+    for v, t in raw.items():
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = [json.loads(l) for l in open(p)]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = t
+        with open(p, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+    adj = dict(commit_timestamps(table))
+    assert adj == {0: 10_000, 1: 10_001, 2: 10_002}  # monotonized
+    got = delta_changes_by_time(spark, table, adj[1], adj[1], ["pk"])
+    want = delta_changes(spark, table, 0, 1, ["pk"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(*got.columns).collect())
+    )

@@ -428,3 +428,168 @@ def test_vacuum_removes_stranded_dv_files_keeps_live(spark, tmp_path):
     assert os.path.basename(live_dv_path) in deleted2  # now stranded
     got2 = sorted(r.pk for r in read_delta(spark, root).collect())
     assert got2 == [1, 2, 3, 4, 5, 6, 7, 9]
+
+
+def test_stream_feed_nan_rows_cancel_like_batch(spark, tmp_path):
+    """ADVICE r9: NaN must match Spark eqNullSafe (NaN equals NaN) in
+    the stream's pandas classification — at TOP level and NESTED inside
+    list/struct values. A bucket rewrite whose NaN-bearing rows are
+    byte-identical must emit NO update pair for them (the batch path,
+    delta_log.delta_changes, already cancels via eqNullSafe); only the
+    genuinely changed row surfaces."""
+    nan = float("nan")
+    root = str(tmp_path / "nantable")
+    os.makedirs(root)
+
+    def table(ys):
+        return pa.table(
+            {
+                "pk": [1, 2, 3],
+                "x": [nan, 2.5, 3.5],
+                "ys": pa.array(
+                    [[nan, 1.0], [2.0], ys], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    add0 = fx.write_data_file(root, "part-000.parquet", table([3.0]))
+    meta = fx.metadata_action(
+        [
+            fx.field("pk", "long"),
+            fx.field("x", "double"),
+            {
+                "name": "ys",
+                "type": {
+                    "type": "array",
+                    "elementType": "double",
+                    "containsNull": True,
+                },
+                "nullable": True,
+                "metadata": {},
+            },
+        ]
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(1, 2), meta, add0])
+    # v1: full rewrite — pk 1 (top-level NaN + nested NaN) and pk 2 are
+    # unchanged; pk 3's nested list changes
+    add1 = fx.write_data_file(root, "part-001.parquet", table([30.0]))
+    fx.write_commit(root, 1, [fx.remove_action(add0), add1])
+    got = _stream_feed(spark, root, start=0)
+    assert sorted((r.pk, r._change_type) for r in got) == [
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+    ]
+
+
+# --- V2 checkpoints (VERDICT r9 item 4) --------------------------------------
+
+
+def _v2_table(tmp_path, fmt="parquet", sidecars=True, compat=False,
+              clean_json=True):
+    """Foreign table whose current state survives ONLY through a V2
+    checkpoint: v0 = pks 1..4, v1 = rewrite (pk2 updated, pk4 deleted),
+    V2 checkpoint at v1, then (optionally) the checkpointed JSON
+    commits cleaned — the metadata-retention shape a migrating user's
+    UniForm table arrives in. Returns (root, add1)."""
+    root = str(tmp_path / "v2table")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    proto = fx.protocol_action(
+        3, 7, reader_features=["v2Checkpoint"],
+        writer_features=["v2Checkpoint"],
+    )
+    meta = fx.metadata_action([fx.field("pk", "long"), fx.field("v", "string")])
+    fx.write_commit(root, 0, [proto, meta, add0])
+    t1 = pa.table({"pk": [1, 2, 3], "v": ["a", "B2", "c"]})
+    add1 = fx.write_data_file(root, "part-001.parquet", t1, stats_cols=["pk"])
+    fx.write_commit(root, 1, [fx.remove_action(add0), add1])
+    fx.write_v2_checkpoint(
+        root, 1, [proto, meta],
+        sidecar_groups=[[add1]] if sidecars else None,
+        fmt=fmt, compat_name=compat,
+        # inline file actions when no sidecars requested
+        **({} if sidecars else {}),
+    ) if sidecars else fx.write_v2_checkpoint(
+        root, 1, [proto, meta, add1], fmt=fmt, compat_name=compat
+    )
+    if clean_json:
+        log = os.path.join(root, fx.LOG_DIR)
+        for v in (0, 1):
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+    return root, add1
+
+
+@pytest.mark.parametrize(
+    "fmt,sidecars,compat",
+    [
+        ("parquet", True, False),   # UUID-named parquet + sidecars
+        ("parquet", False, False),  # UUID-named parquet, inline adds
+        ("json", True, False),      # JSON top-level + parquet sidecars
+        ("parquet", True, True),    # compat-named parquet + sidecars
+    ],
+    ids=["uuid-sidecars", "uuid-inline", "json-sidecars", "compat-sidecars"],
+)
+def test_v2_checkpoint_snapshot_read(spark, tmp_path, fmt, sidecars, compat):
+    """read_delta reconstructs the snapshot purely from a V2 checkpoint
+    (checkpointed JSON commits cleaned) in every spec layout: UUID- or
+    compat-named, parquet or JSON top-level, sidecar or inline file
+    actions."""
+    root, _ = _v2_table(tmp_path, fmt=fmt, sidecars=sidecars, compat=compat)
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_v2_checkpoint_cdf_batch_and_stream(spark, tmp_path):
+    """CDF across a V2 checkpoint boundary: the from-state of a range
+    that starts AT the checkpoint version loads through the V2 path
+    (sidecar adds included), and batch and stream classify the tail
+    commit identically."""
+    root, add1 = _v2_table(tmp_path, clean_json=False)
+    # v2: rewrite — pk3 deleted, pk1 updated
+    t2 = pa.table({"pk": [1, 2], "v": ["A3", "B2"]})
+    add2 = fx.write_data_file(root, "part-002.parquet", t2, stats_cols=["pk"])
+    fx.write_commit(root, 2, [fx.remove_action(add1), add2])
+    want = [
+        (1, "update_postimage", "A3"),
+        (1, "update_preimage", "a"),
+        (3, "delete", "c"),
+    ]
+    feed = delta_changes(spark, root, 1, 2, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type, r.v) for r in feed) == want
+    got = _stream_feed(spark, root, start=1)
+    assert sorted((r.pk, r._change_type, r.v) for r in got) == want
+
+
+def test_v2_checkpoint_torn_pointer_fallback(spark, tmp_path):
+    """A torn _last_checkpoint over a UUID-named V2 checkpoint: the
+    dir-scan fallback must find the V2 file (it is the ONLY surviving
+    record of the cleaned history)."""
+    root, _ = _v2_table(tmp_path)
+    with open(os.path.join(root, fx.LOG_DIR, "_last_checkpoint"), "w") as f:
+        f.write('{"version": 1, "si')  # torn mid-write
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
+    """checkpointMetadata.version disagreeing with the pointer is an
+    incomplete/mismatched copy — loud refusal, not a misread."""
+    root, _ = _v2_table(tmp_path)
+    log = os.path.join(root, fx.LOG_DIR)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 3}, f)
+    # rewrite the checkpoint's metadata to claim a different version
+    import glob
+
+    cp = glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))[0]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(cp)
+    rows = tbl.to_pylist()
+    for r in rows:
+        if r.get("checkpointMetadata"):
+            r["checkpointMetadata"] = {"version": 7, "tags": None}
+    pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema), cp)
+    with pytest.raises(FileNotFoundError, match="declares version 7"):
+        read_delta(spark, root)

@@ -117,6 +117,14 @@ def test_blind_put_is_refused(server):
         b"</LocationConstraint></CreateBucketConfiguration>",
     )
     http_put_conditional(f"{url}/bkt2", b"")  # idempotent re-create
+    # ADVICE r9: a non-empty bare-name body must actually PARSE as a
+    # CreateBucketConfiguration document — arbitrary bytes PUT to a
+    # root-level key are DATA, and silently storing b"" for them would
+    # weaken the blind-write tripwire to a silent data drop
+    with pytest.raises(urllib.error.HTTPError):
+        http_put_conditional(f"{url}/bkt3", b"real object payload")
+    with pytest.raises(urllib.error.HTTPError):
+        http_put_conditional(f"{url}/bkt3", b"<NotBucketConfig/>")
 
 
 # ---------------------------------------------------------------------------
