@@ -358,6 +358,52 @@ def main():
                         "checkpoint_replay_sec": round(cp_replay_sec, 3),
                         "checkpoint_files": n_files_cp,
                     }
+                    # delete-heavy cycle (VERDICT r9 item 6): sparse
+                    # tombstones exported with deletion_vectors=True —
+                    # the adds re-point EXISTING parquet files at
+                    # roaring-bitmap DVs, so write IO is the DV blobs,
+                    # not the touched buckets' parquet
+                    # (rewrite_equivalent_bytes = what a rewrite would
+                    # have written for the same commit)
+                    from cdc_apache_cassandra_spark.streaming.delta_log import (
+                        _replay as _dl_replay,
+                    )
+
+                    dels = (
+                        sliced.filter(
+                            (F.col("__slice") < 8)
+                            & (F.pmod(F.col("pk"), F.lit(13)) == 0)
+                        )
+                        .drop("__slice")
+                        .withColumn(
+                            "writetime", F.col("writetime") + F.lit(3 * 10**9)
+                        )
+                        .withColumn("op", F.lit("DELETE"))
+                    )
+                    merge_into(spark, bs_dir, dels, ["pk"], n_buckets=NB)
+                    t0 = time.time()
+                    delta_export(spark, bs_dir, dt_dir, deletion_vectors=True)
+                    dv_export_sec = time.time() - t0
+                    s_after = _dl_replay(dt_dir)
+                    dv_adds = [
+                        a
+                        for a in s_after.files.values()
+                        if a.get("deletionVector")
+                    ]
+                    dv_bytes = sum(
+                        os.path.getsize(f)
+                        for f in glob.glob(
+                            os.path.join(dt_dir, "deletion_vector_*.bin")
+                        )
+                    )
+                    delta_export_stats["dv_delete_cycle"] = {
+                        "export_sec": round(dv_export_sec, 3),
+                        "dv_buckets": len(dv_adds),
+                        "dv_bytes_written": dv_bytes,
+                        "rewrite_equivalent_bytes": sum(
+                            int(a["size"]) for a in dv_adds
+                        ),
+                    }
                 finally:
                     shutil.rmtree(dt_dir, ignore_errors=True)
 

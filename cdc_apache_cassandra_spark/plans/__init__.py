@@ -67,7 +67,9 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # r10 mid-round: cdc_delta_v2_checkpoint_import (V2 checkpoint read,
 # r9 item 4) rotates in for agg_rollup_returnflag_status (a stable
 # relational shape, judge-sweep-green since r2, grouping-set family
-# also anchored by the sweep).
+# also anchored by the sweep); cdc_delta_export_dv_state (writer-side
+# deletion vectors, r9 item 6) rotates in for
+# join_anti_customers_without_orders (the semi-join twin stays).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_dedup_events",
@@ -110,7 +112,7 @@ GATE_ROSTER = [
     "multimodal_image_dhash_hamming",
     "multimodal_webdataset_shard",
     "join_semi_orders_with_late_items",
-    "join_anti_customers_without_orders",
+    "cdc_delta_export_dv_state",
     "window_topk_orders_per_customer",
     "cdc_delta_v2_checkpoint_import",
     "llm_substring_span_dedup",

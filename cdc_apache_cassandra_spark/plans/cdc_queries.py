@@ -621,6 +621,78 @@ def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+_MAT_DV_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT pk, op, writetime, segment, position, digest, {_VALUE_LIST}
+  FROM events_stream
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pk ORDER BY writetime DESC, segment DESC, position DESC
+  ) AS rn
+  FROM deduped
+)
+SELECT pk, op, writetime, {_VALUE_LIST}
+FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND NOT pk % 101 = 0
+"""
+
+
+@register("cdc_delta_export_dv_state", sql=_MAT_DV_SQL)
+def cdc_delta_export_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DV-emitting export under the oracle gate (VERDICT r9 item 6,
+    writer half): the store converges as in cdc_delta_export_state,
+    then a PURE sparse-delete commit (tombstones for the pk % 101 = 0
+    slice of surviving keys, later writetime) exports with
+    ``deletion_vectors=True`` — the touched buckets re-point their
+    EXISTING parquet files at roaring-bitmap deletion vectors (spec
+    storageType "u") instead of rewriting, upgrading the table protocol
+    to the deletionVectors feature. Reading the table back through the
+    log must apply the masks: oracle = LWW winners minus tombstones
+    minus the deleted slice. The gate therefore pins both halves of the
+    DV lifecycle — this writer's masks and the reader's decode — against
+    DuckDB's view of the same mutation stream."""
+    import os
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_export,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    root = tempfile.mkdtemp(prefix="cdc_delta_export_dv_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    os.makedirs(store)
+    merge_into(spark, store, ev, ["pk"])
+    delta_export(spark, store, table)
+    # pure sparse delete: tombstone the % 101 slice of LIVE keys at a
+    # writetime above everything in the stream — every touched bucket's
+    # new state is its old rows minus a sparse subset (the DV shape)
+    wt_max = ev.agg(F.max("writetime")).collect()[0][0]
+    dels = (
+        read_delta(spark, table)
+        .filter(F.pmod(F.col("pk"), F.lit(101)) == 0)
+        .select(
+            F.lit("DELETE").alias("op"),
+            "pk",
+            (F.lit(wt_max) + 1).cast("long").alias("writetime"),
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in ev.schema.fields
+              if f.name in set(VALUE_COLS)],
+            F.lit(10_000).cast("long").alias("segment"),
+            F.col("pk").cast("long").alias("position"),
+        )
+        .select("op", "pk", "writetime", "segment", "position", *VALUE_COLS)
+    )
+    merge_into(spark, store, dels, ["pk"])
+    delta_export(spark, store, table, deletion_vectors=True)
+    ev.unpersist()
+    return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
+
+
 @register("cdc_remote_store_lifecycle", sql=_MAT_SQL)
 def cdc_remote_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB deployment shape under the oracle gate (r7): the table

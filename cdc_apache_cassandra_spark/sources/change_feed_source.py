@@ -314,6 +314,7 @@ class _ChangePartition(InputPartition):
         key_range: tuple | None = None,
         key_kind: str = "num",
         phys: dict | None = None,
+        ids: dict | None = None,
     ):
         self.pre = pre
         self.post = post
@@ -340,6 +341,10 @@ class _ChangePartition(InputPartition):
         # column mapping (name mode); None = identity. read() selects
         # by physical name and grafts logical names back zero-copy.
         self.phys = phys
+        # logical -> delta.columnMapping.id when the table uses ID-mode
+        # mapping: read() resolves each FILE's column names from its
+        # parquet field ids (PARQUET:field_id), physicalName fallback.
+        self.ids = ids
         # rows decoded from parquet before range filtering — an
         # IN-PROCESS TEST OBSERVABLE ONLY (set by read()): under real
         # Spark execution partitions are pickled to worker processes,
@@ -600,12 +605,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         meta = (st_to.meta if st_to else None) or (
             st_from.meta if st_from else None
         )
-        phys_of = _mapping_plan(meta)[2] if meta else None
+        plan = _mapping_plan(meta) if meta else None
+        phys_of = plan.phys_of if plan else None
         self._phys = (
             None
             if not phys_of or all(k == v for k, v in phys_of.items())
             else phys_of
         )
+        self._ids = plan.id_of if plan else None
         f_from = st_from.files if st_from else {}
         f_to = st_to.files if st_to else {}
         # the file-diff identity is (path, dv_unique_id) — a delta-spark
@@ -672,7 +679,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             post = [(p, a.get("deletionVector")) for p, a in post_e]
             if n <= 1:
                 parts.append(
-                    _ChangePartition(pre, post, to_v, phys=self._phys)
+                    _ChangePartition(
+                        pre, post, to_v, phys=self._phys, ids=self._ids
+                    )
                 )
                 continue
             # oversized group (pathological bucket / untagged fallback).
@@ -708,6 +717,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                                 r_pre, r_post, to_v,
                                 key_range=(lo, hi), key_kind=kind,
                                 phys=self._phys,
+                                ids=self._ids,
                             )
                         )
                 continue
@@ -716,7 +726,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # bounds that at two orders of magnitude parallelism.
             for i in range(n):
                 parts.append(
-                    _ChangePartition(pre, post, to_v, i, n, phys=self._phys)
+                    _ChangePartition(
+                        pre, post, to_v, i, n,
+                        phys=self._phys, ids=self._ids,
+                    )
                 )
         return parts or [_ChangePartition([], [], to_v)]
 
@@ -950,6 +963,26 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             ).to_numpy()
             return frame[(h % partition.split_count) == partition.split_idx]
 
+        def _file_names(pf) -> dict:
+            """logical top-level name -> THIS file's column name. Name
+            mode: the metaData's physicalName map (identical across
+            files). ID mode: resolved per file from the parquet schema's
+            PARQUET:field_id metadata — the spec's resolution rule (file
+            column names are arbitrary under id mapping); physicalName
+            is the fallback for a file written before ids were stamped."""
+            if partition.ids:
+                by_id = {}
+                for fld in pf.schema_arrow:
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = fld.name
+                base = partition.phys or {}
+                return {
+                    ln: by_id.get(fid, base.get(ln, ln))
+                    for ln, fid in partition.ids.items()
+                }
+            return partition.phys or {}
+
         def row_groups_in_range(pf) -> list[int] | None:
             """Row-group indexes whose footer stats can intersect this
             partition's key range; None = read everything (no range, or
@@ -961,7 +994,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             lo, hi = partition.key_range
             md = pf.metadata
             # footers carry PHYSICAL names under column mapping
-            pcol0 = (partition.phys or {}).get(col0, col0)
+            pcol0 = _file_names(pf).get(col0, col0)
             idx = next(
                 (
                     i
@@ -1046,8 +1079,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     t = t.filter(pa.array(~np.isin(positions, idx)))
                 present = set(t.column_names)
                 arrays = []
+                nm = _file_names(pf)
                 for f in table_fields:
-                    pn = (partition.phys or {}).get(f.name, f.name)
+                    pn = nm.get(f.name, f.name)
                     if pn not in present:
                         # pre-DDL files: typed nulls
                         arrays.append(pa.nulls(t.num_rows, type=f.type))

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import functools
 import json
+from typing import NamedTuple
 import os
 import shutil
 import time
@@ -905,6 +906,12 @@ def _checkpoint_arrow_schema():
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        # null for base-protocol tables; carried when a
+                        # DV-enabled export upgraded the table (the
+                        # checkpoint must reproduce the live protocol or
+                        # restored readers would mis-gate features)
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -952,6 +959,21 @@ def _checkpoint_arrow_schema():
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
                         pa.field("tags", smap),
+                        # deletion-vector descriptor (null when absent) —
+                        # dropping it here would RESURRECT deleted rows
+                        # on checkpoint restore
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1015,7 +1037,7 @@ def write_checkpoint(
         raise FileNotFoundError(f"no Delta log at {out_path} to checkpoint")
     version = state.last
     now = _now_ms()
-    rows: list[dict] = [{"protocol": PROTOCOL}]
+    rows: list[dict] = [{"protocol": state.proto or PROTOCOL}]
     if state.meta is not None:
         meta = dict(state.meta)
         meta.setdefault("description", None)
@@ -1158,6 +1180,191 @@ def delta_log_cleanup(
     return deleted
 
 
+#: protocol a DV-emitting export upgrades the table to — the spec's
+#: requirement for the deletionVectors table feature
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def _plan_dv_buckets(
+    spark: SparkSession,
+    out_path: str,
+    live: DataFrame,
+    log: "_LogState",
+    changed: list[int],
+    max_fraction: float,
+) -> dict[int, tuple[str, dict, list[int]]]:
+    """Changed buckets whose NEW state is the published file's rows
+    minus a sparse subset — attach a deletion vector instead of
+    rewriting the bucket (VERDICT r9 item 6). Returns
+    ``{bucket: (rel_path, old_add, deleted_file_ordinals)}``.
+
+    Two stages, both scale-shaped: (1) a METADATA gate — old live row
+    counts come from the log's add.stats numRecords minus the old DV
+    cardinality, new counts from one small count-by-bucket aggregate;
+    only buckets whose apparent delete fraction is in (0, max_fraction]
+    proceed. (2) ONE distributed union+groupBy over the candidate
+    buckets' old files and new rows verifies set-equality on every
+    column (Spark's grouping equality = eqNullSafe incl. NaN
+    normalization — the same rule the CDF classifier uses) and resolves
+    the deleted rows' FILE ORDINALS via ``_metadata.row_index``. Any
+    bucket with a new/updated row falls back to rewrite. The driver
+    receives one row per candidate bucket: bucket id, extra-row count,
+    and the deleted ordinals (bounded by max_fraction of the bucket).
+
+    Buckets whose schema contains a MapType column are never candidates
+    (maps are not groupable in Spark — the verify pass cannot run)."""
+    changed_set = set(changed)
+    cols = [c for c in live.columns if c != "__bucket"]
+    if any(
+        isinstance(f.dataType, T.MapType)
+        for f in live.schema.fields
+        if f.name != "__bucket"
+    ):
+        return {}
+    old_info: dict[int, tuple[str, dict, int]] = {}
+    for path, add in log.files.items():
+        tags = add.get("tags") or {}
+        if "bucket" not in tags or int(tags["bucket"]) not in changed_set:
+            continue
+        try:
+            n = int(json.loads(add["stats"])["numRecords"])
+        except (KeyError, TypeError, ValueError):
+            continue
+        dv = add.get("deletionVector")
+        if dv:
+            n -= int(dv.get("cardinality") or 0)
+        old_info[int(tags["bucket"])] = (path, add, n)
+    if not old_info:
+        return {}
+    new_counts = {
+        int(r["__bucket"]): r["n"]
+        for r in live.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cand = {
+        b: (path, add)
+        for b, (path, add, n_old) in old_info.items()
+        if 0 < new_counts.get(b, 0) < n_old
+        and (n_old - new_counts[b]) / n_old <= max_fraction
+    }
+    if not cand:
+        return {}
+    read_schema = T.StructType(
+        [f for f in live.schema.fields if f.name != "__bucket"]
+    )
+
+    def scan(rels: list[str]) -> DataFrame:
+        return (
+            spark.read.schema(read_schema)
+            .parquet(*[os.path.join(out_path, r) for r in rels])
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+
+    plain = [rel for rel, add in cand.values() if not add.get("deletionVector")]
+    dved = {
+        rel: add["deletionVector"]
+        for rel, add in cand.values()
+        if add.get("deletionVector")
+    }
+    scans: list[DataFrame] = []
+    if plain:
+        scans.append(scan(plain))
+    if dved:
+        # rows the OLD DV already masks are not part of the old live
+        # state — filter with the same broadcast-bitmap UDF the scans use
+        from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+            load_dv_bytes,
+        )
+
+        bc = spark.sparkContext.broadcast(
+            {
+                rel: load_dv_bytes(out_path, dv, _io_read_bytes)
+                for rel, dv in dved.items()
+            }
+        )
+        masked = _dv_deleted_udf(bc)
+        scans.append(
+            scan(list(dved)).filter(
+                ~masked(F.col("__fp"), F.col("__ri"))
+            )
+        )
+    old_df = scans[0]
+    for extra in scans[1:]:
+        old_df = old_df.unionByName(extra)
+    old_sel = old_df.select(
+        F.regexp_extract("__fp", r"b(\d+)-v\d+\.parquet$", 1)
+        .cast("int")
+        .alias("__b"),
+        F.col("__ri"),
+        *cols,
+        F.lit(0).alias("__side"),
+    )
+    live_sel = (
+        live.filter(F.col("__bucket").isin(list(cand)))
+        .select(
+            F.col("__bucket").cast("int").alias("__b"),
+            F.lit(None).cast("long").alias("__ri"),
+            *cols,
+            F.lit(1).alias("__side"),
+        )
+    )
+    per_bucket = (
+        old_sel.unionByName(live_sel)
+        .groupBy("__b", *cols)
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("n_new"),
+            # collect_list skips nulls: only the OLD rows' file ordinals
+            F.sort_array(F.collect_list("__ri")).alias("ris"),
+        )
+        .groupBy("__b")
+        .agg(
+            F.sum(F.greatest(F.col("n_new") - F.col("n_old"), F.lit(0)))
+            .alias("n_extra"),
+            F.flatten(
+                F.collect_list(
+                    F.expr(
+                        "slice(ris, 1, int(greatest(n_old - n_new, 0L)))"
+                    )
+                )
+            ).alias("del_ri"),
+        )
+        .collect()
+    )
+    out: dict[int, tuple[str, dict, list[int]]] = {}
+    for row in per_bucket:
+        b = int(row["__b"])
+        if b not in cand or row["n_extra"] or not row["del_ri"]:
+            continue  # updated/new rows (or nothing deleted): rewrite
+        rel, add = cand[b]
+        idx = {int(i) for i in row["del_ri"]}
+        if add.get("deletionVector"):
+            # a DV REPLACES, never stacks: the new mask carries the old
+            # masked ordinals plus this export's deletes
+            from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+                load_dv_indexes,
+            )
+
+            idx |= {
+                int(i)
+                for i in load_dv_indexes(
+                    out_path, add["deletionVector"], _io_read_bytes
+                )
+            }
+        out[b] = (rel, add, sorted(idx))
+    return out
+
+
 def delta_export(
     spark: SparkSession,
     store_path: str,
@@ -1168,6 +1375,8 @@ def delta_export(
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     active_view_fn=None,
     manifest_store=None,
+    deletion_vectors: bool = False,
+    dv_max_fraction: float = 0.2,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -1255,6 +1464,7 @@ def delta_export(
     dropped = sorted(b for b in published if b not in store_buckets)
 
     actions: list[dict] = []
+    dv_buckets: dict = {}
     version = log.last + 1
     schema_json = None
     empty_now: dict[int, int] = {
@@ -1301,24 +1511,44 @@ def delta_export(
                 new_schema,
             )
         schema_json = new_schema.json()
+        # sparse-delete buckets re-point their EXISTING file at a
+        # deletion vector instead of rewriting (opt-in — emitting a DV
+        # upgrades the table protocol to reader v3, which base-protocol
+        # consumers cannot read)
+        dv_buckets = (
+            _plan_dv_buckets(
+                spark, out_path, live, log, changed, dv_max_fraction
+            )
+            if deletion_vectors
+            else {}
+        )
+        rewrite = [b for b in changed if b not in dv_buckets]
         # staging is unique per writer: two racing exporters never
         # clobber each other's files; the loser of the commit race
         # cleans up its own staging and nothing else
         staging = os.path.join(
             out_path, f"_staging_{version}_{uuid.uuid4().hex[:8]}"
         )
-        (
-            live.repartition(len(changed), F.col("__bucket"))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(staging)
+        to_stage = (
+            live
+            if not dv_buckets
+            else live.filter(F.col("__bucket").isin(rewrite))
         )
+        if rewrite:
+            (
+                to_stage.repartition(len(rewrite), F.col("__bucket"))
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staging)
+            )
+        else:
+            _io_mkdirs(staging)  # the finally-cleanup expects the dir
         # move each bucket's single data file to its content-addressed
         # name; metadata-sized driver work (≤ changed buckets renames)
         _io_mkdirs(os.path.join(out_path, DATA_DIR))
         now = _now_ms()
         try:
-            for b in changed:
+            for b in rewrite:
                 bdir = os.path.join(staging, f"__bucket={b}")
                 parts = [
                     n for n in _io_listdir(bdir) if n.endswith(".parquet")
@@ -1366,6 +1596,37 @@ def delta_export(
                 )
         finally:
             _io_rmtree(staging)
+        if dv_buckets:
+            from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+                write_dv_file,
+            )
+
+            for b in sorted(dv_buckets):
+                rel, old_add, indexes = dv_buckets[b]
+                dv = write_dv_file(None, [indexes], table_root=out_path)[0]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            **(
+                                {"deletionVector": old_add["deletionVector"]}
+                                if old_add.get("deletionVector")
+                                else {}
+                            ),
+                        }
+                    }
+                )
+                new_add = dict(old_add)
+                new_add["deletionVector"] = dv
+                new_add["dataChange"] = True
+                new_add["modificationTime"] = now
+                new_add["tags"] = {
+                    **(old_add.get("tags") or {}),
+                    "storeVersion": str(store_buckets[b]),
+                }
+                actions.append({"add": new_add})
 
     now = _now_ms()
     for b in dropped:
@@ -1389,7 +1650,14 @@ def delta_export(
 
     header: list[dict] = []
     if log.last < 0:
-        header.append({"protocol": PROTOCOL})
+        header.append({"protocol": DV_PROTOCOL if dv_buckets else PROTOCOL})
+    elif dv_buckets and not (
+        log.proto
+        and "deletionVectors" in (log.proto.get("readerFeatures") or [])
+    ):
+        # first DV on a previously base-protocol table: the spec's
+        # in-place protocol upgrade (readers gate features on it)
+        header.append({"protocol": DV_PROTOCOL})
     if log.meta is None or schema_changed:
         meta = log.meta or {}
         header.append(
@@ -1547,25 +1815,117 @@ def _phys_field_json(f: dict) -> dict:
     }
 
 
-def _mapping_plan(meta: dict):
-    """``(read_schema, restore, phys_of)`` for the table's column-mapping
-    mode: the PHYSICAL schema parquet files must be read with, a
-    ``df -> df`` projection renaming every level back to logical names
-    (struct casts rename positionally — types are unchanged, only names
-    differ), and the logical→physical top-level name map (what stats
-    pruning keys on: add.stats use physical names under mapping).
-    ``restore``/``phys_of`` are None / identity when the table has no
-    mapping; id mode and unknown modes refuse loudly."""
+def _id_field_json(f: dict) -> dict:
+    """The same field with ``parquet.field.id`` metadata grafted from
+    ``delta.columnMapping.id`` at EVERY struct level — the read schema
+    Spark's native field-id matching
+    (``spark.sql.parquet.fieldId.read.enabled``) resolves against the
+    parquet files' field ids, names notwithstanding."""
+    cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+    if cid is None:
+        raise NotImplementedError(
+            f"column-mapping mode=id but field {f.get('name')!r} carries "
+            "no delta.columnMapping.id; read this table with a full "
+            "Delta client."
+        )
+
+    def walk(tp):
+        if isinstance(tp, dict):
+            t = tp.get("type")
+            if t == "struct":
+                return {
+                    **tp,
+                    "fields": [_id_field_json(sf) for sf in tp["fields"]],
+                }
+            if t == "array":
+                return {**tp, "elementType": walk(tp["elementType"])}
+            if t == "map":
+                return {
+                    **tp,
+                    "keyType": walk(tp["keyType"]),
+                    "valueType": walk(tp["valueType"]),
+                }
+        return tp
+
+    return {
+        "name": f["name"],
+        "type": walk(f["type"]),
+        "nullable": f.get("nullable", True),
+        "metadata": {"parquet.field.id": int(cid)},
+    }
+
+
+class MappingPlan(NamedTuple):
+    """How parquet files resolve to the table's LOGICAL schema under
+    its column-mapping mode. ``read_schema``: what the scan reads with
+    (physical names in name mode; logical names + ``parquet.field.id``
+    metadata in id mode). ``restore``: ``df -> df`` projection back to
+    clean logical names (None when the scan already yields them).
+    ``phys_of``: logical→physical TOP-LEVEL name map — what add.stats
+    key on under mapping (id-mode writers record physicalName too).
+    ``field_id_read``: the scan must enable Spark's
+    ``spark.sql.parquet.fieldId.read.enabled``. ``id_of``: logical
+    top-level name → delta.columnMapping.id (id mode only) — what the
+    pyarrow stream path resolves per-file against parquet field ids."""
+
+    read_schema: T.StructType
+    restore: object
+    phys_of: dict
+    field_id_read: bool = False
+    id_of: dict | None = None
+
+
+def _mapping_plan(meta: dict) -> MappingPlan:
+    """Mapping plan for the table's column-mapping mode — none, name
+    (physical-name read schema + rename-back projection), or id
+    (logical-name read schema resolved by parquet FIELD IDS — Spark's
+    native fieldId matching on the JVM path, per-file
+    ``PARQUET:field_id`` resolution on the pyarrow path). Unknown modes
+    refuse loudly."""
     logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
     mode = _column_mapping_mode(meta)
     if mode in ("none",):
-        return logical, None, {f.name: f.name for f in logical.fields}
-    if mode != "name":
-        raise NotImplementedError(
-            f"column-mapping mode {mode!r} is not supported (name mode "
-            "only); read this table with a full Delta client."
+        return MappingPlan(
+            logical, None, {f.name: f.name for f in logical.fields}
         )
     fields_json = json.loads(meta["schemaString"])["fields"]
+    if mode == "id":
+        read_schema = T.StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [_id_field_json(f) for f in fields_json],
+            }
+        )
+
+        def restore(df: DataFrame) -> DataFrame:
+            # names/types are already logical; the projection strips the
+            # parquet.field.id field metadata from the result schema
+            return df.select(
+                *[
+                    F.col(lf.name).cast(lf.dataType).alias(lf.name)
+                    for lf in logical.fields
+                ]
+            )
+
+        # id-mode writers record physicalName too (the metaData
+        # requirement when mapping is enabled) — stats key on it; a
+        # field without one falls back to its logical name
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in fields_json
+        }
+        id_of = {
+            f["name"]: int(f["metadata"]["delta.columnMapping.id"])
+            for f in fields_json
+        }
+        return MappingPlan(read_schema, restore, phys_of, True, id_of)
+    if mode != "name":
+        raise NotImplementedError(
+            f"column-mapping mode {mode!r} is not supported (name and id "
+            "modes only); read this table with a full Delta client."
+        )
     read_schema = T.StructType.fromJson(
         {"type": "struct", "fields": [_phys_field_json(f) for f in fields_json]}
     )
@@ -1581,7 +1941,7 @@ def _mapping_plan(meta: dict):
     phys_of = {
         lf.name: pf.name for lf, pf in zip(logical.fields, read_schema.fields)
     }
-    return read_schema, restore, phys_of
+    return MappingPlan(read_schema, restore, phys_of)
 
 
 @functools.lru_cache(maxsize=128)
@@ -1657,7 +2017,14 @@ def _scan_adds(
     rename back, and rows masked by a deletion vector are filtered by
     ``_metadata.row_index`` against the broadcast bitmap (map-side — a
     DV never causes a shuffle or a driver-side row)."""
-    read_schema, restore, _ = _mapping_plan(meta)
+    plan = _mapping_plan(meta)
+    read_schema, restore = plan.read_schema, plan.restore
+    if plan.field_id_read:
+        # id-mode tables resolve columns by parquet FIELD ID — Spark's
+        # native matching, keyed on the read schema's parquet.field.id
+        # metadata (a no-op for schemas without it, so enabling it is
+        # safe session-wide)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     plain = [
         os.path.join(out_path, rel)
         for rel, add in entries
@@ -1744,7 +2111,7 @@ def read_delta(
         # prune_files_by_stats: stat-less files are never skipped. Under
         # column mapping, add.stats key on PHYSICAL names — translate.
         col, lo, hi = prune
-        _, _, phys_of = _mapping_plan(s.meta)
+        phys_of = _mapping_plan(s.meta).phys_of
         paths = prune_files_by_stats(s.files, phys_of.get(col, col), lo, hi)
     # schema comes from the LOG, not file footers — the Delta reader
     # contract; files predating a schema widening read with typed

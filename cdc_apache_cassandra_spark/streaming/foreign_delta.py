@@ -64,13 +64,23 @@ def metadata_action(
     }
 
 
-def field(name: str, dtype, nullable: bool = True, physical: str | None = None) -> dict:
+def field(
+    name: str,
+    dtype,
+    nullable: bool = True,
+    physical: str | None = None,
+    fid: int | None = None,
+) -> dict:
     md = {"delta.columnMapping.physicalName": physical} if physical else {}
     if physical:
         # delta-spark also assigns ids under mapping; readers in name
         # mode ignore them but real tables carry both (stable value —
-        # fixtures must be deterministic across processes)
-        md["delta.columnMapping.id"] = sum(name.encode()) % 1000 + 1
+        # fixtures must be deterministic across processes). ID-mode
+        # fixtures pass ``fid`` explicitly so the schema id matches the
+        # PARQUET:field_id stamped into the data files.
+        md["delta.columnMapping.id"] = (
+            fid if fid is not None else sum(name.encode()) % 1000 + 1
+        )
     return {"name": name, "type": dtype, "nullable": nullable, "metadata": md}
 
 

@@ -208,18 +208,21 @@ def test_column_mapping_change_feed(spark, tmp_path):
     ]
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
+def test_column_mapping_unknown_mode_refused(spark, tmp_path):
+    """id mode reads since r10 (see the ID-mode block below); an
+    UNKNOWN mapping mode must still refuse loudly."""
     root, _ = _mapped_table(tmp_path)
-    # rewrite configuration to id mode
     log = os.path.join(root, fx.LOG_DIR, f"{0:020d}.json")
     actions = [json.loads(l) for l in open(log)]
     for a in actions:
         if "metaData" in a:
-            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = (
+                "someFutureMode"
+            )
     with open(log, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="id"):
+    with pytest.raises(NotImplementedError, match="someFutureMode"):
         read_delta(spark, root)
 
 
@@ -593,3 +596,112 @@ def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
     pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema), cp)
     with pytest.raises(FileNotFoundError, match="declares version 7"):
         read_delta(spark, root)
+
+
+# --- column-mapping ID mode (VERDICT r9 item 5) -------------------------------
+
+
+def _ids_table(columns: dict, ids: dict) -> pa.Table:
+    """pa.Table whose schema fields carry PARQUET:field_id metadata —
+    what a real id-mode writer stamps into every data file."""
+    fields, arrays = [], []
+    for name, arr in columns.items():
+        arr = pa.array(arr) if not isinstance(arr, pa.Array) else arr
+        fields.append(
+            pa.field(
+                name, arr.type,
+                metadata={b"PARQUET:field_id": str(ids[name]).encode()},
+            )
+        )
+        arrays.append(arr)
+    return pa.table(dict(zip([f.name for f in fields], arrays)),
+                    schema=pa.schema(fields))
+
+
+def _id_mapped_table(tmp_path):
+    """ID-mode table: logical (pk, payload) resolved by FIELD ID — the
+    two data files use DIFFERENT physical column names for the same
+    ids (the resolution rule file names cannot express)."""
+    root = str(tmp_path / "idtable")
+    os.makedirs(root)
+    f0 = _ids_table(
+        {"c_aa": [1, 2, 3], "c_bb": ["x", "y", "z"]},
+        {"c_aa": 1, "c_bb": 2},
+    )
+    add0 = fx.write_data_file(root, "part-000.parquet", f0,
+                              stats_cols=["c_aa"])
+    # same ids, different physical names in the second file
+    f1 = _ids_table(
+        {"z_1": [100, 101], "z_2": ["q", "r"]},
+        {"z_1": 1, "z_2": 2},
+    )
+    add1 = fx.write_data_file(root, "part-001.parquet", f1,
+                              stats_cols=["z_1"])
+    meta = fx.metadata_action(
+        [
+            fx.field("pk", "long", physical="c_aa", fid=1),
+            fx.field("payload", "string", physical="c_bb", fid=2),
+        ],
+        configuration={
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(2, 5), meta, add0])
+    fx.write_commit(root, 1, [add1])
+    return root, add0, add1
+
+
+def test_column_mapping_id_mode_read(spark, tmp_path):
+    """Snapshot read resolves columns by parquet field id across files
+    with DIFFERENT physical names (the case name-resolution cannot
+    handle)."""
+    root, _, _ = _id_mapped_table(tmp_path)
+    df = read_delta(spark, root)
+    assert df.columns == ["pk", "payload"]
+    got = sorted((r.pk, r.payload) for r in df.collect())
+    assert got == [(1, "x"), (2, "y"), (3, "z"), (100, "q"), (101, "r")]
+
+
+def test_column_mapping_id_mode_change_feed_batch_and_stream(spark, tmp_path):
+    """CDF over an id-mode table: v2 rewrites the second file (pk 100
+    updated, pk 101 deleted) under a THIRD set of physical names —
+    batch and stream must both classify by field-id-resolved logical
+    columns."""
+    root, _, add1 = _id_mapped_table(tmp_path)
+    f2 = _ids_table(
+        {"w_x": [100], "w_y": ["Q2"]},
+        {"w_x": 1, "w_y": 2},
+    )
+    add2 = fx.write_data_file(root, "part-002.parquet", f2,
+                              stats_cols=["w_x"])
+    fx.write_commit(root, 2, [fx.remove_action(add1), add2])
+    want = [
+        (100, "update_postimage", "Q2"),
+        (100, "update_preimage", "q"),
+        (101, "delete", "r"),
+    ]
+    feed = delta_changes(spark, root, 1, 2, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type, r.payload) for r in feed) == want
+    got = _stream_feed(spark, root, start=1)
+    assert sorted((r.pk, r._change_type, r.payload) for r in got) == want
+
+
+def test_column_mapping_id_mode_composes_with_dv(spark, tmp_path):
+    """ID mode + deletion vector on one table: field-id resolution and
+    the DV row mask compose (the delta-spark DELETE shape)."""
+    root, add0, _ = _id_mapped_table(tmp_path)
+    # upgrade protocol in a new commit: DV needs reader feature 3
+    dv = write_dv_file(None, [[1]], table_root=root)[0]  # masks pk=2
+    fx.write_commit(root, 2, [
+        fx.protocol_action(
+            3, 7, reader_features=["deletionVectors", "columnMapping"],
+            writer_features=["deletionVectors", "columnMapping"],
+        ),
+        fx.remove_action(add0),
+        fx.with_dv(add0, dv),
+    ])
+    got = sorted(r.pk for r in read_delta(spark, root).collect())
+    assert got == [1, 3, 100, 101]
+    feed = delta_changes(spark, root, 1, 2, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type) for r in feed) == [(2, "delete")]
