@@ -188,11 +188,16 @@ def _v2_arrow_schema():
     )
     fields = []
     for f in base:
-        if f.name == "add":
+        # append only what the base schema lacks (it grew the feature
+        # lists and the DV descriptor in r10 — double-appending would
+        # produce duplicate struct field names)
+        have = {x.name for x in f.type} if pa.types.is_struct(f.type) else set()
+        if f.name == "add" and dv.name not in have:
             f = pa.field("add", pa.struct(list(f.type) + [dv]))
         elif f.name == "protocol":
-            # reader-feature tables checkpoint their feature lists too
-            f = pa.field("protocol", pa.struct(list(f.type) + feats))
+            missing = [x for x in feats if x.name not in have]
+            if missing:
+                f = pa.field("protocol", pa.struct(list(f.type) + missing))
         fields.append(f)
     fields.append(
         pa.field(
