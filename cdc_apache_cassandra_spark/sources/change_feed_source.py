@@ -173,6 +173,77 @@ def _stat_key(v, ceil: bool = False):
     return (micros + (pad if ceil else 0), "ts")
 
 
+def _align_by_id(arr, target_type, children):
+    """Arrow array restructured to ``target_type``'s STRUCT LAYOUT by
+    parquet field-id matching at every struct level — the ID-mode
+    resolution rule the JVM batch path applies natively
+    (fieldId.read.enabled matches nested fields too). A file whose
+    nested struct order differs from the logical schema (a reorder or
+    mid-struct ADD COLUMN) realigns here instead of being grafted
+    positionally; a logical child absent from the file reads as typed
+    nulls. Scalar types keep the FILE's type (the final cast handles
+    promotions); list levels rebuild zero-copy around the realigned
+    values; map values stay positional (delta id-mode writers do not
+    reorder map value structs in place). ``children`` is the
+    MappingPlan id-tree node for this level (None = nothing nested to
+    align)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_struct(arr.type) and isinstance(
+        target_type, pa.StructType
+    ) and children:
+        by_id = {}
+        for i in range(arr.type.num_fields):
+            md = arr.type.field(i).metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = i
+        out, fields = [], []
+        for tf in target_type:
+            node = children.get(tf.name)
+            src_i = by_id.get(node["id"]) if node else None
+            if src_i is None:
+                child = pa.nulls(len(arr), type=tf.type)
+            else:
+                child = _align_by_id(
+                    arr.field(src_i), tf.type, (node or {}).get("children")
+                )
+            out.append(child)
+            fields.append(pa.field(tf.name, child.type))
+        return pa.StructArray.from_arrays(
+            out, fields=fields, mask=arr.is_null()
+        )
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        values = _align_by_id(
+            arr.values,
+            target_type.value_type
+            if (
+                pa.types.is_list(target_type)
+                or pa.types.is_large_list(target_type)
+            )
+            else target_type,
+            children,
+        )
+        cls = (
+            pa.LargeListArray
+            if pa.types.is_large_list(arr.type)
+            else pa.ListArray
+        )
+        buffers = arr.buffers()[:2]  # [validity, offsets] — layout reused
+        return pa.Array.from_buffers(
+            pa.large_list(values.type)
+            if pa.types.is_large_list(arr.type)
+            else pa.list_(values.type),
+            len(arr),
+            buffers,
+            children=[values],
+            offset=arr.offset,
+        )
+    return arr
+
+
 def _renamed_type(source, target):
     """``source`` arrow type with ``target``'s FIELD NAMES grafted on
     positionally wherever the shapes align (struct/list/map recursion) —
@@ -978,8 +1049,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                         by_id[int(fid)] = fld.name
                 base = partition.phys or {}
                 return {
-                    ln: by_id.get(fid, base.get(ln, ln))
-                    for ln, fid in partition.ids.items()
+                    ln: by_id.get(node["id"], base.get(ln, ln))
+                    for ln, node in partition.ids.items()
                 }
             return partition.phys or {}
 
@@ -1087,7 +1158,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                         arrays.append(pa.nulls(t.num_rows, type=f.type))
                         continue
                     col = t.column(pn).combine_chunks()
-                    # column-mapped files: graft the LOGICAL names onto
+                    if partition.ids:
+                        # ID mode: realign nested structs by parquet
+                        # field id (the JVM path's rule) — positional
+                        # grafting would silently swap reordered fields
+                        node = partition.ids.get(f.name) or {}
+                        col = _align_by_id(col, f.type, node.get("children"))
+                        arrays.append(col)
+                        continue
+                    # name-mapped files: graft the LOGICAL names onto
                     # the physical type (zero-copy, names only); type
                     # promotions stay with the cast below
                     nt = _renamed_type(col.type, f.type)

@@ -47,10 +47,11 @@ reader features a modern delta-spark table actually carries):
 
 Row-index semantics, scale shape, and the Spark-side filter live in
 ``delta_log.py`` (the snapshot reader); this module is pure
-bytes <-> numpy. The encoder half exists so tests and queries can
-hand-build SPEC-CONFORMANT fixtures (the exporter itself never writes
-DVs — writer-path refusal is deliberate; delta-spark's writer owns
-that); it always writes the keyed (official) portable variant.
+bytes <-> numpy. The encoder half serves tests and queries building
+SPEC-CONFORMANT fixtures AND, since r10, ``delta_export``'s
+sparse-delete path (``deletion_vectors=True`` re-points a bucket's
+existing parquet at a DV instead of rewriting it); it always writes
+the keyed (official) portable variant.
 """
 
 from __future__ import annotations
@@ -350,16 +351,25 @@ def load_dv_indexes(table_root: str, dv: dict, read_bytes) -> np.ndarray:
     return idx
 
 
-# --- fixture writer (tests + oracle queries; the exporter never writes DVs) --
+# --- DV writer (fixtures, oracle queries, AND delta_export's sparse-
+# delete path since r10) ------------------------------------------------------
 
 
-def write_dv_file(path: str, dv_sets, table_root: str | None = None) -> list[dict]:
+def write_dv_file(
+    path: str,
+    dv_sets,
+    table_root: str | None = None,
+    write_bytes=None,
+) -> list[dict]:
     """Write one spec-layout DV FILE holding each set of row indexes in
     ``dv_sets``; return the matching descriptors. When ``table_root``
     is given the file lands under it with a fresh uuid name and the
     descriptors use storageType "u" (the layout delta-spark writes);
     otherwise the file is written at ``path`` verbatim and descriptors
-    use the absolute-path form "p"."""
+    use the absolute-path form "p". ``write_bytes(path, data)``
+    overrides the local write — delta_export passes the pyarrow-fs
+    seam (delta_log._io_write_bytes) so DV blobs land on URI table
+    roots like every other driver-side byte."""
     if table_root is not None:
         u = _uuid.uuid4()
         name = f"deletion_vector_{u}.bin"
@@ -385,8 +395,11 @@ def write_dv_file(path: str, dv_sets, table_root: str | None = None) -> list[dic
         blob += struct.pack(">i", len(data)) + data + struct.pack(
             ">I", zlib.crc32(data) & 0xFFFFFFFF
         )
-    with open(path, "wb") as f:
-        f.write(bytes(blob))
+    if write_bytes is not None:
+        write_bytes(path, bytes(blob))
+    else:
+        with open(path, "wb") as f:
+            f.write(bytes(blob))
     return descriptors
 
 

@@ -342,9 +342,11 @@ class _LogState:
     def has_reader_feature(self, feature: str) -> bool:
         """True when the replayed protocol declares ``feature`` (or no
         protocol action survived — conservatively assume anything a
-        checkpointed foreign log might carry). Lets per-file plumbing
-        (deletion-vector diff keys, DV descriptors) short-circuit to
-        the cheap path on tables that cannot contain the feature."""
+        checkpointed foreign log might carry). NOT used to gate the
+        per-file DV diff keys — those stay per-add (a spec-sloppy
+        writer can attach a DV without declaring the feature, and its
+        deletes must still be seen); delta_export's in-place protocol
+        upgrade is the consumer."""
         if self.proto is None:
             return True
         return feature in (self.proto.get("readerFeatures") or [])
@@ -1220,8 +1222,21 @@ def _plan_dv_buckets(
     (maps are not groupable in Spark — the verify pass cannot run)."""
     changed_set = set(changed)
     cols = [c for c in live.columns if c != "__bucket"]
+
+    def has_map(dt) -> bool:
+        # recursive: a map nested in a struct/array is just as
+        # un-groupable as a top-level one — such schemas must fall back
+        # to rewrite, not crash the verify groupBy
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        return False
+
     if any(
-        isinstance(f.dataType, T.MapType)
+        has_map(f.dataType)
         for f in live.schema.fields
         if f.name != "__bucket"
     ):
@@ -1515,34 +1530,44 @@ def delta_export(
         # deletion vector instead of rewriting (opt-in — emitting a DV
         # upgrades the table protocol to reader v3, which base-protocol
         # consumers cannot read)
-        dv_buckets = (
-            _plan_dv_buckets(
-                spark, out_path, live, log, changed, dv_max_fraction
-            )
-            if deletion_vectors
-            else {}
-        )
-        rewrite = [b for b in changed if b not in dv_buckets]
+        # the DV planner's two jobs (count-by-bucket gate, set-equality
+        # verify) and the staging write would each re-read the changed
+        # buckets' store files — persist the view once for all three
+        # (released right after the staging write, its last use)
+        if deletion_vectors:
+            live = live.persist()
         # staging is unique per writer: two racing exporters never
         # clobber each other's files; the loser of the commit race
         # cleans up its own staging and nothing else
         staging = os.path.join(
             out_path, f"_staging_{version}_{uuid.uuid4().hex[:8]}"
         )
-        to_stage = (
-            live
-            if not dv_buckets
-            else live.filter(F.col("__bucket").isin(rewrite))
-        )
-        if rewrite:
-            (
-                to_stage.repartition(len(rewrite), F.col("__bucket"))
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(staging)
+        try:
+            dv_buckets = (
+                _plan_dv_buckets(
+                    spark, out_path, live, log, changed, dv_max_fraction
+                )
+                if deletion_vectors
+                else {}
             )
-        else:
-            _io_mkdirs(staging)  # the finally-cleanup expects the dir
+            rewrite = [b for b in changed if b not in dv_buckets]
+            to_stage = (
+                live
+                if not dv_buckets
+                else live.filter(F.col("__bucket").isin(rewrite))
+            )
+            if rewrite:
+                (
+                    to_stage.repartition(len(rewrite), F.col("__bucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("__bucket")
+                    .parquet(staging)
+                )
+            else:
+                _io_mkdirs(staging)  # the finally-cleanup expects the dir
+        finally:
+            if deletion_vectors:
+                live.unpersist()
         # move each bucket's single data file to its content-addressed
         # name; metadata-sized driver work (≤ changed buckets renames)
         _io_mkdirs(os.path.join(out_path, DATA_DIR))
@@ -1603,7 +1628,14 @@ def delta_export(
 
             for b in sorted(dv_buckets):
                 rel, old_add, indexes = dv_buckets[b]
-                dv = write_dv_file(None, [indexes], table_root=out_path)[0]
+                # DV blob through the pyarrow-fs seam: URI table roots
+                # (file://, s3://) get the blob like any driver-side byte
+                dv = write_dv_file(
+                    None,
+                    [indexes],
+                    table_root=out_path,
+                    write_bytes=_io_write_bytes,
+                )[0]
                 actions.append(
                     {
                         "remove": {
@@ -1651,9 +1683,9 @@ def delta_export(
     header: list[dict] = []
     if log.last < 0:
         header.append({"protocol": DV_PROTOCOL if dv_buckets else PROTOCOL})
-    elif dv_buckets and not (
-        log.proto
-        and "deletionVectors" in (log.proto.get("readerFeatures") or [])
+    elif dv_buckets and (
+        log.proto is None
+        or not log.has_reader_feature("deletionVectors")
     ):
         # first DV on a previously base-protocol table: the spec's
         # in-place protocol upgrade (readers gate features on it)
@@ -1713,26 +1745,21 @@ def delta_export(
 
 def version_at_timestamp(out_path: str, ts_ms: int) -> int:
     """``TIMESTAMP AS OF`` resolution, exactly Delta's rule: the LAST
-    version whose commit timestamp is <= the requested time (commitInfo
-    timestamps; commits this writer produces always carry one). Raises
-    if the requested time predates the earliest surviving commit —
-    matching Delta's 'before the earliest available version' error."""
-    history = delta_history(out_path)
-    if not history:
-        raise FileNotFoundError(f"no Delta log at {out_path}")
-    # commits with NO commitInfo timestamp (foreign writers may omit it)
-    # are simply not eligible — defaulting them to 0 would make them
-    # always-eligible and could resolve PAST the requested time
-    eligible = [
-        h["version"]
-        for h in history
-        if h.get("timestamp") is not None and h["timestamp"] <= ts_ms
-    ]
+    version whose ADJUSTED commit timestamp is <= the requested time.
+    Rides :func:`commit_timestamps` — the one monotonized,
+    mtime-fallback resolution helper — so snapshot time travel, batch
+    CDF windows, and the stream's startingTimestamp all place a given
+    time on the SAME side of every commit, on foreign (clock-skewed or
+    commitInfo-free) logs too. Raises if the requested time predates
+    the earliest surviving commit — matching Delta's 'before the
+    earliest available version' error."""
+    stamped = commit_timestamps(out_path)  # FileNotFoundError when no log
+    eligible = [v for v, t in stamped if t <= ts_ms]
     if not eligible:
         raise FileNotFoundError(
             f"{out_path}: no commit at or before timestamp {ts_ms} "
-            f"(earliest surviving commit: version {history[0]['version']} "
-            f"at {history[0].get('timestamp')})"
+            f"(earliest surviving commit: version {stamped[0][0]} "
+            f"at {stamped[0][1]})"
         )
     return max(eligible)
 
@@ -1865,8 +1892,12 @@ class MappingPlan(NamedTuple):
     key on under mapping (id-mode writers record physicalName too).
     ``field_id_read``: the scan must enable Spark's
     ``spark.sql.parquet.fieldId.read.enabled``. ``id_of``: logical
-    top-level name → delta.columnMapping.id (id mode only) — what the
-    pyarrow stream path resolves per-file against parquet field ids."""
+    top-level name → ``{"id": delta.columnMapping.id, "children":
+    {nested logical name: node, ...}}`` (id mode only; children present
+    for struct levels, descending through array elements and map
+    values) — what the pyarrow stream path resolves per-file against
+    parquet field ids at EVERY nesting level, matching the JVM path's
+    recursive fieldId matching."""
 
     read_schema: T.StructType
     restore: object
@@ -1916,11 +1947,27 @@ def _mapping_plan(meta: dict) -> MappingPlan:
             )
             for f in fields_json
         }
-        id_of = {
-            f["name"]: int(f["metadata"]["delta.columnMapping.id"])
-            for f in fields_json
-        }
-        return MappingPlan(read_schema, restore, phys_of, True, id_of)
+        def id_tree(fields: list[dict]) -> dict:
+            tree = {}
+            for f in fields:
+                node = {"id": int(f["metadata"]["delta.columnMapping.id"])}
+                t = f["type"]
+                # descend to the struct (if any) through array/map levels
+                while isinstance(t, dict):
+                    if t.get("type") == "array":
+                        t = t["elementType"]
+                    elif t.get("type") == "map":
+                        t = t["valueType"]
+                    else:
+                        break
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    node["children"] = id_tree(t["fields"])
+                tree[f["name"]] = node
+            return tree
+
+        return MappingPlan(
+            read_schema, restore, phys_of, True, id_tree(fields_json)
+        )
     if mode != "name":
         raise NotImplementedError(
             f"column-mapping mode {mode!r} is not supported (name and id "
@@ -2081,13 +2128,14 @@ def read_delta(
 ) -> DataFrame:
     """Snapshot read of a Delta table directly from its log — the
     import half of the seam: reads tables THIS exporter wrote and
-    foreign base-protocol tables, including CHECKPOINTED ones (state
-    restored from the newest ``{v}.checkpoint.parquet`` named by
-    ``_last_checkpoint`` — single- or multi-part — then the JSON tail
-    replays on top; delta-spark checkpoints every 10 commits by
-    default, so this is most real tables). Tables needing reader
-    version >1 features (column mapping, deletion vectors, V2
-    checkpoints) are refused loudly rather than misread.
+    foreign tables, including CHECKPOINTED ones (state restored from
+    the newest checkpoint named by ``_last_checkpoint`` — classic
+    single-/multi-part parquet OR a V2 checkpoint with sidecar files —
+    then the JSON tail replays on top; delta-spark checkpoints every
+    10 commits by default, so this is most real tables). Supported
+    reader features: column mapping (name AND id modes), deletion
+    vectors, timestampNtz, v2Checkpoint; anything else is refused
+    loudly rather than misread (``_check_protocol``).
     ``version`` time travels to an earlier snapshot, exactly the
     log-replay semantics of ``VERSION AS OF`` (pre-checkpoint versions
     work while their JSON commits survive cleanup). An empty file set

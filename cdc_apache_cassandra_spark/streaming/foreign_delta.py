@@ -157,48 +157,19 @@ def with_dv(add: dict, dv_descriptor: dict) -> dict:
 # actions either inline or in parquet SIDECAR files under
 # ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions.
 
-SIDECAR_DIR = "_sidecars"
-
-
 def _v2_arrow_schema():
-    """Classic checkpoint action schema + the two V2 action columns
-    (checkpointMetadata, sidecar) + add.deletionVector — what a real
-    UniForm/delta-spark V2 checkpoint parquet carries."""
+    """delta_log's checkpoint action schema (which already carries the
+    protocol feature lists and add.deletionVector) + the two V2 action
+    columns (checkpointMetadata, sidecar) — what a real
+    UniForm/delta-spark V2 checkpoint parquet carries. One source of
+    truth: the base fields come from the reader's own schema so the two
+    can never drift."""
     from cdc_apache_cassandra_spark.streaming.delta_log import (
         _checkpoint_arrow_schema,
     )
 
-    base = _checkpoint_arrow_schema()
     smap = pa.map_(pa.string(), pa.string())
-    feats = [
-        pa.field("readerFeatures", pa.list_(pa.string())),
-        pa.field("writerFeatures", pa.list_(pa.string())),
-    ]
-    dv = pa.field(
-        "deletionVector",
-        pa.struct(
-            [
-                pa.field("storageType", pa.string()),
-                pa.field("pathOrInlineDv", pa.string()),
-                pa.field("offset", pa.int32()),
-                pa.field("sizeInBytes", pa.int32()),
-                pa.field("cardinality", pa.int64()),
-            ]
-        ),
-    )
-    fields = []
-    for f in base:
-        # append only what the base schema lacks (it grew the feature
-        # lists and the DV descriptor in r10 — double-appending would
-        # produce duplicate struct field names)
-        have = {x.name for x in f.type} if pa.types.is_struct(f.type) else set()
-        if f.name == "add" and dv.name not in have:
-            f = pa.field("add", pa.struct(list(f.type) + [dv]))
-        elif f.name == "protocol":
-            missing = [x for x in feats if x.name not in have]
-            if missing:
-                f = pa.field("protocol", pa.struct(list(f.type) + missing))
-        fields.append(f)
+    fields = list(_checkpoint_arrow_schema())
     fields.append(
         pa.field(
             "checkpointMetadata",
@@ -232,6 +203,8 @@ def _rows_for(actions: list[dict], schema: pa.Schema) -> pa.Table:
 def write_sidecar(table_root: str, adds: list[dict]) -> dict:
     """Write one parquet sidecar holding ``adds`` (file actions only,
     per spec) and return its ``sidecar`` action."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import SIDECAR_DIR
+
     side_dir = os.path.join(table_root, LOG_DIR, SIDECAR_DIR)
     os.makedirs(side_dir, exist_ok=True)
     name = f"{uuid.uuid4()}.parquet"

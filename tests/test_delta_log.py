@@ -1700,3 +1700,66 @@ def test_export_dv_default_off_stays_base_protocol(spark, tmp_path):
     s = _replay(table)
     assert s.proto == {"minReaderVersion": 1, "minWriterVersion": 2}
     assert not any(a.get("deletionVector") for a in s.files.values())
+
+
+def test_version_at_timestamp_uses_adjusted_timestamps(spark, tmp_path):
+    """TIMESTAMP AS OF resolves on the MONOTONIZED sequence — on a
+    clock-skewed foreign log, raw-timestamp resolution would pick a
+    LATER version than the CDF window for the same instant (the two
+    surfaces must place one time on the same side of every commit)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+        version_at_timestamp,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    store = str(tmp_path / "s")
+    table = str(tmp_path / "t")
+    os.makedirs(store)
+    schema = (
+        "op string, pk long, writetime long, v string, "
+        "segment long, position long"
+    )
+    for i in range(3):
+        merge_into(
+            spark, store,
+            spark.createDataFrame([("INSERT", i, 10 + i, f"v{i}", i, 0)], schema),
+            ["pk"],
+        )
+        delta_export(spark, store, table)
+    log = os.path.join(table, LOG_DIR)
+    for v, t in {0: 10_000, 1: 4_000, 2: 7_000}.items():
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = [json.loads(l) for l in open(p)]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = t
+        with open(p, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+    assert dict(commit_timestamps(table)) == {0: 10_000, 1: 10_001, 2: 10_002}
+    # raw resolution would return 2 (all raw stamps <= 10_001)
+    assert version_at_timestamp(table, 10_001) == 1
+    assert read_delta(spark, table, timestamp_ms=10_001).count() == 2
+
+
+def test_export_dv_on_uri_table_root(spark, tmp_path):
+    """deletion_vectors=True against a file:// URI root: the DV blob
+    must travel the pyarrow-fs seam like every other driver-side byte
+    (a plain open() would crash on the scheme)."""
+    import glob
+
+    store, table = _dv_export_store(spark, tmp_path)
+    # re-root the existing local export as a URI for the DV commit
+    uri = "file://" + table
+    merge_into(
+        spark,
+        store,
+        spark.createDataFrame([("DELETE", 7, 20, None, 1, 7)], SCHEMA6),
+        ["pk"],
+        n_buckets=2,
+    )
+    assert delta_export(spark, store, uri, deletion_vectors=True) == 1
+    assert glob.glob(os.path.join(table, "deletion_vector_*.bin"))
+    got = sorted(r.pk for r in read_delta(spark, table).collect())
+    assert got == [k for k in range(40) if k != 7]

@@ -705,3 +705,66 @@ def test_column_mapping_id_mode_composes_with_dv(spark, tmp_path):
     assert got == [1, 3, 100, 101]
     feed = delta_changes(spark, root, 1, 2, ["pk"]).collect()
     assert sorted((r.pk, r._change_type) for r in feed) == [(2, "delete")]
+
+
+def test_column_mapping_id_mode_nested_reorder(spark, tmp_path):
+    """Nested struct children resolved by FIELD ID at every level: the
+    second file stores the struct's children in REVERSED physical order
+    (a reorder/mid-struct-ADD shape) — positional grafting would
+    silently swap the values; batch and stream must both realign."""
+    def fid(n, i):
+        return pa.field(n[0], n[1], metadata={b"PARQUET:field_id": str(i).encode()})
+
+    root = str(tmp_path / "idnested")
+    os.makedirs(root)
+    # file0: logical child order (a, b)
+    st0 = pa.struct([fid(("x_a", pa.int64()), 3), fid(("x_b", pa.string()), 4)])
+    t0 = pa.table(
+        {"c1": [1, 2], "c2": pa.array([{"x_a": 10, "x_b": "p"},
+                                        {"x_a": 20, "x_b": "q"}], type=st0)},
+        schema=pa.schema([fid(("c1", pa.int64()), 1), fid(("c2", st0), 2)]),
+    )
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["c1"])
+    # file1: children REVERSED (b, a) and different physical names
+    st1 = pa.struct([fid(("y_b", pa.string()), 4), fid(("y_a", pa.int64()), 3)])
+    t1 = pa.table(
+        {"z1": [3], "z2": pa.array([{"y_b": "r", "y_a": 30}], type=st1)},
+        schema=pa.schema([fid(("z1", pa.int64()), 1), fid(("z2", st1), 2)]),
+    )
+    add1 = fx.write_data_file(root, "part-001.parquet", t1, stats_cols=["z1"])
+    meta = fx.metadata_action(
+        [
+            fx.field("pk", "long", physical="c1", fid=1),
+            {
+                "name": "meta",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        fx.field("a", "long", physical="x_a", fid=3),
+                        fx.field("b", "string", physical="x_b", fid=4),
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.physicalName": "c2",
+                    "delta.columnMapping.id": 2,
+                },
+            },
+        ],
+        configuration={
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "4",
+        },
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(2, 5), meta, add0])
+    fx.write_commit(root, 1, [add1])
+    want_rows = [(1, 10, "p"), (2, 20, "q"), (3, 30, "r")]
+    df = read_delta(spark, root)
+    got = sorted((r.pk, r.meta.a, r.meta.b) for r in df.collect())
+    assert got == want_rows
+    # stream: initial snapshot replay (startingVersion=-1) must carry
+    # the SAME realigned values through the pyarrow path
+    got_s = _stream_feed(spark, root, start=-1)
+    assert sorted(
+        (r.pk, r.meta["a"], r.meta["b"]) for r in got_s
+    ) == want_rows
