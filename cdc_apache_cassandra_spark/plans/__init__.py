@@ -69,7 +69,10 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # relational shape, judge-sweep-green since r2, grouping-set family
 # also anchored by the sweep); cdc_delta_export_dv_state (writer-side
 # deletion vectors, r9 item 6) rotates in for
-# join_anti_customers_without_orders (the semi-join twin stays).
+# join_anti_customers_without_orders (the semi-join twin stays);
+# cdc_delta_partitioned_import (foreign partitioned-table import — the
+# silent-nulls gap found and fixed in r10) rotates in for
+# cdc_out_of_order_stats (W3 stays anchored by cdc_lww_state).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_dedup_events",
@@ -78,7 +81,7 @@ GATE_ROSTER = [
     "cdc_backfill_union",
     "cdc_udt_evolution_union",
     "cdc_replica_divergence",
-    "cdc_out_of_order_stats",
+    "cdc_delta_partitioned_import",
     "cdc_materialized_state",
     "cdc_point_read_routing",
     "cdc_store_point_read",

@@ -1331,6 +1331,81 @@ def cdc_delta_v2_checkpoint_import(
     )
 
 
+# --- foreign Delta import: PARTITIONED tables (r10) ---------------------------
+
+_PART_IMPORT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey % 25 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("cdc_delta_partitioned_import", sql=_PART_IMPORT_SQL)
+def cdc_delta_partitioned_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import of a foreign PARTITIONED Delta table — the single most
+    common foreign-table shape (date/status-partitioned delta-spark
+    tables): partition column values live in ``add.partitionValues``
+    (the spec keeps them OUT of the parquet files), so a reader that
+    scans the files alone returns typed NULLS for them — silent wrong
+    data, worse than refusal. ``read_delta`` reconstructs them per file
+    from the log (broadcast per-file map, Arrow-batched fill — no
+    shuffle, no plan growth with partition count). Fixture: orders with
+    o_orderkey % 25 = 0 split into one file per o_orderstatus, each
+    file WITHOUT the status column; grouping on the reconstructed
+    column must match DuckDB over the original rows exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming import foreign_delta as fx
+    from cdc_apache_cassandra_spark.streaming.delta_log import read_delta
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.take(np.nonzero(keys % 25 == 0)[0]).sort_by("o_orderkey")
+    status = t.column("o_orderstatus").to_numpy(zero_copy_only=False)
+    root = tempfile.mkdtemp(prefix="cdc_part_import_")
+    adds = []
+    for i, st in enumerate(sorted(set(status.tolist()))):
+        part = t.take(np.nonzero(status == st)[0]).drop_columns(
+            ["o_orderstatus"]
+        )
+        add = fx.write_data_file(
+            root, f"part-{i:03d}.parquet", part, stats_cols=["o_orderkey"]
+        )
+        add["add"]["partitionValues"] = {"o_orderstatus": st}
+        adds.append(add)
+    meta = fx.metadata_action(
+        [
+            fx.field("o_orderkey", "long"),
+            fx.field("o_totalprice", "double"),
+            fx.field("o_orderstatus", "string"),
+        ],
+        partition_columns=["o_orderstatus"],
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(1, 2), meta] + adds)
+
+    df = read_delta(spark, root)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 # --- §1.1 wire fidelity: events-topic Avro round trip under the gate --------
 
 _WIRE_RT_SQL = f"""

@@ -371,7 +371,8 @@ def _table_schema(
 
 
 class _ChangePartition(InputPartition):
-    # pre/post: (absolute file path, deletionVector descriptor | None)
+    # pre/post: (absolute file path, deletionVector descriptor | None,
+    # partition-values dict | None)
     # per side — read() filters DV-masked rows by file ordinal, so a
     # file re-added under a new DV classifies as exactly the newly
     # masked rows' deletes (batch-CDF parity).
@@ -653,6 +654,23 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 "rows are lost)"
             )
 
+    def _entry(self, path: str, add: dict):
+        """One partition entry for an add: (absolute path, DV
+        descriptor, partition-values dict) — the third element None for
+        unpartitioned tables, else {logical name: string value} pulled
+        from add.partitionValues (physical-name keys tolerated)."""
+        pv = None
+        if self._part_cols:
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                _partition_value_of,
+            )
+
+            pv = {
+                c: _partition_value_of(add, ph, c)
+                for c, ph in self._part_cols
+            }
+        return (path, add.get("deletionVector"), pv)
+
     def partitions(self, start: dict, end: dict):
         from_v, to_v = start["version"], end["version"]
         self._pos = max(self._pos, from_v, to_v)
@@ -684,6 +702,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             else phys_of
         )
         self._ids = plan.id_of if plan else None
+        # foreign PARTITIONED tables: partition column values live in
+        # add.partitionValues (the spec keeps them out of the parquet);
+        # carry (logical, physical) pairs so each entry ships its values
+        phys_all = phys_of or {}
+        self._part_cols = [
+            (c, phys_all.get(c, c))
+            for c in ((meta or {}).get("partitionColumns") or [])
+        ]
         f_from = st_from.files if st_from else {}
         f_to = st_to.files if st_to else {}
         # the file-diff identity is (path, dv_unique_id) — a delta-spark
@@ -744,10 +770,11 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             groups.items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
             n = min(64, max(1, -(-size // self.max_bytes))) if size else 1
-            # partition entries carry the DV descriptor: read() filters
-            # the masked rows out of whichever side the file is on
-            pre = [(p, a.get("deletionVector")) for p, a in pre_e]
-            post = [(p, a.get("deletionVector")) for p, a in post_e]
+            # partition entries carry the DV descriptor (read() filters
+            # the masked rows out of whichever side the file is on) and,
+            # for partitioned tables, the add's partition values
+            pre = [self._entry(p, a) for p, a in pre_e]
+            post = [self._entry(p, a) for p, a in post_e]
             if n <= 1:
                 parts.append(
                     _ChangePartition(
@@ -773,12 +800,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 post_s = [(p, a, self._file_stats(a)) for p, a in post_e]
                 for lo, hi in ranges:
                     r_pre = [
-                        (p, a.get("deletionVector"))
+                        self._entry(p, a)
                         for p, a, st in pre_s
                         if _overlaps(st, lo, hi)
                     ]
                     r_post = [
-                        (p, a.get("deletionVector"))
+                        self._entry(p, a)
                         for p, a, st in post_s
                         if _overlaps(st, lo, hi)
                     ]
@@ -1106,7 +1133,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             )
 
             frames = []
-            for p, dv in paths:
+            for p, dv, pv in paths:
                 pf = _io_parquet_file(p)
                 keep = (
                     None
@@ -1154,6 +1181,21 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 for f in table_fields:
                     pn = nm.get(f.name, f.name)
                     if pn not in present:
+                        if pv and f.name in pv:
+                            # PARTITION column: the value lives in the
+                            # add action, not the parquet — a constant
+                            # per file (string-serialized per spec;
+                            # Arrow cast parses ISO dates/timestamps,
+                            # numerics, booleans)
+                            sval = pv[f.name]
+                            arrays.append(
+                                pa.nulls(t.num_rows, type=f.type)
+                                if sval is None
+                                else pa.array(
+                                    [sval] * t.num_rows, type=pa.string()
+                                ).cast(f.type)
+                            )
+                            continue
                         # pre-DDL files: typed nulls
                         arrays.append(pa.nulls(t.num_rows, type=f.type))
                         continue

@@ -2051,6 +2051,16 @@ def _dv_deleted_udf(bc):
     return deleted
 
 
+def _partition_value_of(add: dict, phys_name: str, logical_name: str):
+    """One partition column's STRING value for an add — partitionValues
+    keys on the physical name under column mapping (delta-spark's
+    writer), the logical name otherwise; tolerate either."""
+    pv = add.get("partitionValues") or {}
+    if phys_name in pv:
+        return pv[phys_name]
+    return pv.get(logical_name)
+
+
 def _scan_adds(
     spark: SparkSession,
     out_path: str,
@@ -2061,9 +2071,15 @@ def _scan_adds(
     table's LOGICAL schema — the one scan used by every snapshot/CDF
     surface: schema comes from the log (pre-DDL files read with typed
     nulls), column-mapped tables read under their physical schema and
-    rename back, and rows masked by a deletion vector are filtered by
+    rename back, rows masked by a deletion vector are filtered by
     ``_metadata.row_index`` against the broadcast bitmap (map-side — a
-    DV never causes a shuffle or a driver-side row)."""
+    DV never causes a shuffle or a driver-side row), and PARTITION
+    columns of a foreign partitioned table are reconstructed from
+    ``add.partitionValues`` (the spec stores them in the LOG, not the
+    parquet — reading them as typed nulls would be silent wrong data).
+    Reconstruction is a broadcast map over the scan's per-row file
+    path: metadata-sized (one entry per file), no shuffle, no plan
+    blow-up with the partition count."""
     plan = _mapping_plan(meta)
     read_schema, restore = plan.read_schema, plan.restore
     if plan.field_id_read:
@@ -2072,6 +2088,68 @@ def _scan_adds(
         # metadata (a no-op for schemas without it, so enabling it is
         # safe session-wide)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    part_cols = list(meta.get("partitionColumns") or [])
+    pv_bc = None
+    if part_cols and entries:
+        # physical names of the partition columns (what the scan schema
+        # and the stored partitionValues key on)
+        ppart = [plan.phys_of.get(c, c) for c in part_cols]
+        pq_schema = T.StructType(
+            [f for f in read_schema.fields if f.name not in set(ppart)]
+        )
+        # relative-path -> tuple of string values, broadcast to the
+        # Arrow-batched filler UDF below (one entry per file; matched
+        # by '/'-anchored suffix, the _dv_deleted_udf convention —
+        # works for local paths and URI roots alike)
+        pv_map = {
+            rel: tuple(
+                _partition_value_of(add, p, c)
+                for p, c in zip(ppart, part_cols)
+            )
+            for rel, add in entries
+        }
+        pv_bc = spark.sparkContext.broadcast(pv_map)
+    else:
+        ppart = []
+        pq_schema = read_schema
+
+    def attach_partitions(df: DataFrame) -> DataFrame:
+        """Graft the partition columns back (typed, under their
+        physical names, in read_schema's order) from the broadcast
+        per-file map keyed on ``_metadata.file_path``."""
+        if pv_bc is None:
+            return df
+
+        @F.pandas_udf("string")
+        def pv_at(fp: pd.Series, idx: pd.Series) -> pd.Series:
+            m = pv_bc.value
+            # file_path arrives as a URI (file:/...); match by
+            # '/'-anchored suffix against the adds' relative paths,
+            # longest wins — the same rule the DV filter uses
+            out = []
+            cache: dict = {}
+            for u, i in zip(fp, idx):
+                if u not in cache:
+                    ms = [k for k in m if u == k or u.endswith("/" + k)]
+                    if not ms:
+                        raise ValueError(
+                            f"partition-value scan: file path {u!r} "
+                            "matches no add path"
+                        )
+                    cache[u] = m[max(ms, key=len)]
+                out.append(cache[u][int(i)])
+            return pd.Series(out, dtype=object)
+
+        df = df.withColumn("__pv_fp", F.col("_metadata.file_path"))
+        by_name = {f.name: f for f in read_schema.fields}
+        for i, p in enumerate(ppart):
+            df = df.withColumn(
+                p, pv_at(F.col("__pv_fp"), F.lit(i)).cast(by_name[p].dataType)
+            )
+        return df.drop("__pv_fp").select(
+            *[f.name for f in read_schema.fields]
+        )
+
     plain = [
         os.path.join(out_path, rel)
         for rel, add in entries
@@ -2084,7 +2162,9 @@ def _scan_adds(
     ]
     parts: list[DataFrame] = []
     if plain:
-        parts.append(spark.read.schema(read_schema).parquet(*plain))
+        parts.append(
+            attach_partitions(spark.read.schema(pq_schema).parquet(*plain))
+        )
     if dved:
         from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
             load_dv_bytes,
@@ -2097,7 +2177,7 @@ def _scan_adds(
         bc = spark.sparkContext.broadcast(dv_bytes)
         deleted = _dv_deleted_udf(bc)
         df = (
-            spark.read.schema(read_schema)
+            spark.read.schema(pq_schema)
             .parquet(*[os.path.join(out_path, rel) for rel, _ in dved])
             .select(
                 "*",
@@ -2105,11 +2185,10 @@ def _scan_adds(
                 F.col("_metadata.row_index").alias("__dv_ri"),
             )
         )
-        parts.append(
-            df.filter(~deleted(F.col("__dv_fp"), F.col("__dv_ri"))).drop(
-                "__dv_fp", "__dv_ri"
-            )
+        df = df.filter(~deleted(F.col("__dv_fp"), F.col("__dv_ri"))).drop(
+            "__dv_fp", "__dv_ri"
         )
+        parts.append(attach_partitions(df))
     if not parts:
         out = spark.createDataFrame([], schema=read_schema)
     else:

@@ -768,3 +768,109 @@ def test_column_mapping_id_mode_nested_reorder(spark, tmp_path):
     assert sorted(
         (r.pk, r.meta["a"], r.meta["b"]) for r in got_s
     ) == want_rows
+
+
+# --- foreign PARTITIONED tables (r10): values live in add.partitionValues ----
+
+
+def _partitioned_table(tmp_path, mapped=False):
+    """Two-partition foreign table: partition columns (ds date, region
+    string) are NOT in the parquet files — the spec stores them in the
+    log. mapped=True stores the data column under a physical name."""
+    root = str(tmp_path / "ptable")
+    os.makedirs(root)
+    # name mode assigns a physicalName to EVERY field (delta-spark), and
+    # partitionValues key on the PHYSICAL names under mapping
+    pn = (
+        {"pk": "col-pk", "v": "col-v1", "ds": "col-ds", "region": "col-rg"}
+        if mapped
+        else {"pk": "pk", "v": "v", "ds": "ds", "region": "region"}
+    )
+    adds = []
+    for i, (ds, region, vals) in enumerate([
+        ("2024-01-01", "eu", [1, 2]),
+        ("2024-01-02", "us", [3]),
+    ]):
+        t = pa.table({pn["pk"]: [10 * i + j for j in range(len(vals))],
+                      pn["v"]: vals})
+        add = fx.write_data_file(root, f"part-{i:03d}.parquet", t,
+                                 stats_cols=[pn["pk"]])
+        add["add"]["partitionValues"] = {pn["ds"]: ds, pn["region"]: region}
+        adds.append(add)
+    fields = [
+        fx.field("pk", "long", physical=pn["pk"] if mapped else None),
+        fx.field("v", "long", physical=pn["v"] if mapped else None),
+        fx.field("ds", "date", physical=pn["ds"] if mapped else None),
+        fx.field("region", "string", physical=pn["region"] if mapped else None),
+    ]
+    meta = fx.metadata_action(
+        fields,
+        configuration=(
+            {"delta.columnMapping.mode": "name",
+             "delta.columnMapping.maxColumnId": "4"} if mapped else None
+        ),
+        partition_columns=["ds", "region"],
+    )
+    proto = fx.protocol_action(2 if mapped else 1, 5 if mapped else 2)
+    fx.write_commit(root, 0, [proto, meta] + adds)
+    return root, adds
+
+
+@pytest.mark.parametrize("mapped", [False, True], ids=["plain", "mapped"])
+def test_partitioned_foreign_snapshot_read(spark, tmp_path, mapped):
+    """Partition columns reconstruct from add.partitionValues with their
+    declared types — reading them as typed nulls would be silent wrong
+    data on the most common foreign-table shape."""
+    import datetime
+
+    root, _ = _partitioned_table(tmp_path, mapped=mapped)
+    rows = sorted(
+        (r.pk, r.v, r.ds, r.region)
+        for r in read_delta(spark, root).collect()
+    )
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    assert rows == [
+        (0, 1, d1, "eu"),
+        (1, 2, d1, "eu"),
+        (10, 3, d2, "us"),
+    ]
+
+
+def test_partitioned_foreign_change_feed_batch_and_stream(spark, tmp_path):
+    """CDF over a partitioned table: v1 rewrites partition 1 (pk 10's
+    value changes) — pre and post images BOTH carry the reconstructed
+    partition values, batch and stream alike."""
+    import datetime
+
+    root, adds = _partitioned_table(tmp_path)
+    t = pa.table({"pk": [10], "v": [30]})
+    add2 = fx.write_data_file(root, "part-002.parquet", t, stats_cols=["pk"])
+    add2["add"]["partitionValues"] = {"ds": "2024-01-02", "region": "us"}
+    fx.write_commit(root, 1, [fx.remove_action(adds[1]), add2])
+    d2 = datetime.date(2024, 1, 2)
+    want = [
+        (10, "update_postimage", 30, d2, "us"),
+        (10, "update_preimage", 3, d2, "us"),
+    ]
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type, r.v, r.ds, r.region) for r in feed) == want
+    got = _stream_feed(spark, root, start=0)
+    assert sorted((r.pk, r._change_type, r.v, r.ds, r.region) for r in got) == want
+
+
+def test_partitioned_foreign_composes_with_dv(spark, tmp_path):
+    """Partition reconstruction + a deletion vector on the same file."""
+    root, adds = _partitioned_table(tmp_path)
+    dv = write_dv_file(None, [[0]], table_root=root)[0]  # masks pk=0
+    fx.write_commit(root, 1, [
+        fx.protocol_action(3, 7, reader_features=["deletionVectors"],
+                           writer_features=["deletionVectors"]),
+        fx.remove_action(adds[0]),
+        fx.with_dv(adds[0], dv),
+    ])
+    rows = sorted((r.pk, str(r.ds)) for r in read_delta(spark, root).collect())
+    assert rows == [(1, "2024-01-01"), (10, "2024-01-02")]
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type, str(r.ds)) for r in feed) == [
+        (0, "delete", "2024-01-01"),
+    ]
