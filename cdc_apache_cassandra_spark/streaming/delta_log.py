@@ -2413,7 +2413,12 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
             action = json.loads(line)
             ci = action.get("commitInfo")
             if ci is not None:
-                if ci.get("timestamp") is not None:
+                # inCommitTimestamp (the spec's writer feature) is the
+                # AUTHORITATIVE commit time when present — delta-spark's
+                # time travel prefers it over the wall-clock timestamp
+                if ci.get("inCommitTimestamp") is not None:
+                    t = int(ci["inCommitTimestamp"])
+                elif ci.get("timestamp") is not None:
                     t = int(ci["timestamp"])
                 break
         if t is None and name in mtimes:

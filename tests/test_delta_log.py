@@ -1763,3 +1763,27 @@ def test_export_dv_on_uri_table_root(spark, tmp_path):
     assert glob.glob(os.path.join(table, "deletion_vector_*.bin"))
     got = sorted(r.pk for r in read_delta(spark, table).collect())
     assert got == [k for k in range(40) if k != 7]
+
+
+def test_commit_timestamps_prefer_in_commit_timestamp(tmp_path):
+    """The inCommitTimestamp writer feature: when a commitInfo carries
+    one, it is the AUTHORITATIVE commit time (delta-spark's time travel
+    prefers it over the file-landing wall clock)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+        version_at_timestamp,
+    )
+
+    root = str(tmp_path / "t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    rows = [
+        (0, {"timestamp": 9_000, "inCommitTimestamp": 5_000}),
+        (1, {"timestamp": 9_500, "inCommitTimestamp": 6_000}),
+    ]
+    for v, ci in rows:
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": ci}) + "\n")
+            f.write(json.dumps({"add": {"path": f"f{v}"}}) + "\n")
+    assert commit_timestamps(root) == [(0, 5_000), (1, 6_000)]
+    assert version_at_timestamp(root, 5_500) == 0
