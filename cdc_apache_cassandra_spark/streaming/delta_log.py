@@ -1533,9 +1533,12 @@ def delta_export(
         # the DV planner's two jobs (count-by-bucket gate, set-equality
         # verify) and the staging write would each re-read the changed
         # buckets' store files — persist the view once for all three
-        # (released right after the staging write, its last use)
+        # (scoped-tracked AND explicitly released right after the
+        # staging write, its last use)
         if deletion_vectors:
-            live = live.persist()
+            from cdc_apache_cassandra_spark.caching import persist_scoped
+
+            live = persist_scoped(live)
         # staging is unique per writer: two racing exporters never
         # clobber each other's files; the loser of the commit race
         # cleans up its own staging and nothing else

@@ -1177,13 +1177,18 @@ def test_timestamp_stats_min_floors_max_ceils(tmp_path):
     assert st["minValues"]["ts2"] == st["maxValues"]["ts2"] == "2024-01-02T00:00:00.003Z"
 
 
-def test_version_at_timestamp_skips_timestampless_commits(spark, tmp_path):
-    """TIMESTAMP AS OF (r5 advice): a foreign commit whose commitInfo has
-    no timestamp must not default to 0 (always-eligible) — it is simply
-    not resolvable by time."""
+def test_version_at_timestamp_timestampless_commit_uses_mtime(spark, tmp_path):
+    """TIMESTAMP AS OF over a commit whose commitInfo has no timestamp
+    (r5 advice, revised in r10 to delta-spark's actual rule): the commit
+    must not default to 0 (always-eligible) — it resolves by the commit
+    FILE's modification time, monotonized past its predecessor, exactly
+    as DeltaHistoryManager does. Requesting a time clearly after the
+    foreign commit landed therefore resolves to it; requesting the
+    predecessor's own time does not."""
     import pytest
 
     from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
         version_at_timestamp,
     )
 
@@ -1192,12 +1197,16 @@ def test_version_at_timestamp_skips_timestampless_commits(spark, tmp_path):
     delta_export(spark, store, out)
     t0 = delta_history(out)[0]["timestamp"]
     # a timestamp-less foreign commit on top (e.g. a writer that omits
-    # commitInfo.timestamp): txn-only, no files
-    with open(os.path.join(out, LOG_DIR, f"{1:020d}.json"), "w") as f:
+    # commitInfo.timestamp): txn-only, no files. Pin its mtime 5 s past
+    # the export so the fallback is deterministic.
+    p1 = os.path.join(out, LOG_DIR, f"{1:020d}.json")
+    with open(p1, "w") as f:
         f.write(json.dumps({"txn": {"appId": "foreign", "version": 1}}) + "\n")
         f.write(json.dumps({"commitInfo": {"operation": "FOREIGN"}}) + "\n")
+    os.utime(p1, ((t0 + 5_000) / 1000.0,) * 2)
+    assert dict(commit_timestamps(out))[1] == t0 + 5_000
     assert version_at_timestamp(out, t0) == 0
-    assert version_at_timestamp(out, t0 + 10_000) == 0  # NOT 1
+    assert version_at_timestamp(out, t0 + 10_000) == 1  # mtime fallback
     with pytest.raises(FileNotFoundError):
         version_at_timestamp(out, t0 - 1)
 
