@@ -458,6 +458,12 @@ def main():
             "llm_substring_span_dedup",
             "cdc_compound_delta_export_state",
             "cdc_change_feed_range_split",
+            # r9 verdict watch entries + r10-new features (baselines)
+            "cdc_delta_change_feed_stream",
+            "llm_semdedup",
+            "cdc_delta_export_dv_state",
+            "cdc_delta_v2_checkpoint_import",
+            "cdc_delta_partitioned_import",
         ]
         # SPARK_GRAFT_SOLO_QUERIES: explicit roster additions — with
         # SECTIONS=solo (no query loop ran) per_query is empty and the
