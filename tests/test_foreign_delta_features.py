@@ -874,3 +874,36 @@ def test_partitioned_foreign_composes_with_dv(spark, tmp_path):
     assert sorted((r.pk, r._change_type, str(r.ds)) for r in feed) == [
         (0, "delete", "2024-01-01"),
     ]
+
+
+def test_foreign_action_types_are_tolerated(spark, tmp_path):
+    """Commits from modern writers interleave action types this engine
+    does not consume — ``cdc`` (change-data files), ``domainMetadata``
+    (writer feature) — with the adds/removes it does. Replay must skip
+    them cleanly: snapshot and CDF both unaffected (the spec makes
+    unknown-to-the-reader non-file actions ignorable; cdc files are
+    NEVER part of the table's data)."""
+    root = str(tmp_path / "ttable")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2], "v": ["a", "b"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    meta = fx.metadata_action([fx.field("pk", "long"), fx.field("v", "string")])
+    fx.write_commit(root, 0, [fx.protocol_action(1, 2), meta, add0])
+    t1 = pa.table({"pk": [1], "v": ["A2"]})
+    add1 = fx.write_data_file(root, "part-001.parquet", t1, stats_cols=["pk"])
+    fx.write_commit(root, 1, [
+        {"domainMetadata": {"domain": "delta.liquid", "configuration": "{}",
+                            "removed": False}},
+        {"cdc": {"path": "_change_data/cdc-000.parquet",
+                 "partitionValues": {}, "size": 100, "dataChange": False}},
+        fx.remove_action(add0),
+        add1,
+    ])
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "A2")]
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type) for r in feed) == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (2, "delete"),
+    ]
