@@ -49,6 +49,19 @@ and footer IO resolve through pyarrow.fs), and ``manifestUrl`` resolves
 the manifest pointer through an HTTP conditional-write store — the
 cross-machine reader shape for stores committed with
 HttpManifestStore(mirror_local=False).
+
+KNOWN SPARK LIMITATION (4.1, pinned in
+tests/test_store_source.py::test_spark_reuses_pushdown_pruned_scan):
+Spark's Python DataSource machinery caches the most recent
+PUSHDOWN-planned scan per loaded relation and reuses it for later
+FILTERLESS plans of the SAME DataFrame object — so
+``df.filter(...).count(); df.count()`` under-counts for ANY python
+source that prunes in pushFilters (reproduced with a 20-line vanilla
+source; filtered re-plans are always fresh). Until Spark replans
+filterless queries, either call ``load()`` per query (what every
+surface in this repo does — plans, facade, point_read) or disable
+pruning for a long-lived DataFrame with ``option("pushdown",
+"false")``.
 """
 
 from __future__ import annotations
@@ -62,8 +75,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 from cdc_apache_cassandra_spark.functions.xxhash64_py import spark_bucket
@@ -177,8 +194,12 @@ def _spark_table_schema(path: str, manifest: dict) -> T.StructType:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file: str):
+    def __init__(self, file: str, ranges: dict | None = None):
         self.file = file
+        # column -> [lo, hi] closed intervals for row-group stats
+        # pruning — carried ON the partition (pushFilters state is
+        # per-ACTION; the reader object outlives it)
+        self.ranges = ranges or {}
 
 
 class StoreScanReader(DataSourceReader):
@@ -221,12 +242,32 @@ class StoreScanReader(DataSourceReader):
             )
         self.arrow_schema = to_arrow_schema(schema)
         self.spark_schema = schema
+        # option("pushdown", "false"): no planning-time pruning at all —
+        # the escape hatch for long-lived DataFrames hit by the Spark
+        # scan-reuse limitation documented in the module docstring
+        self.pushdown = (
+            (options.get("pushdown") or "true").lower() != "false"
+        )
         # None = no routing predicate pushed; else the only buckets that
         # can satisfy the query (set of bucket-id strings)
         self.routed: set[str] | None = None
+        # column -> closed [lo, hi] interval from pushed comparison
+        # predicates (None = unbounded side): evaluated WORKER-side
+        # against parquet row-group footer stats in read() — a
+        # writetime-range scan over a 100 TB state table reads only the
+        # row groups whose stats overlap, with zero driver cost
+        self.ranges: dict[str, list] = {}
 
     # -- planning-time pruning ------------------------------------------
     def pushFilters(self, filters):
+        # Spark may re-plan the SAME reader instance for successive
+        # actions on one DataFrame lineage, each with ITS OWN filter
+        # set — pruning state must reset per call or filters from a
+        # previous action would conjoin with (and over-prune) this one
+        self.routed = None
+        self.ranges = {}
+        if not self.pushdown:
+            return filters
         bucket_cols = self.manifest.get("bucket_cols")
         n = self.manifest["n_buckets"]
         if bucket_cols and all(c in self.spark_schema.names for c in bucket_cols):
@@ -275,21 +316,98 @@ class StoreScanReader(DataSourceReader):
                     except TypeError:
                         # a type xxhash64_py doesn't map — scan everything
                         self.routed = None
+        # comparison predicates -> per-column closed intervals for
+        # row-group stats pruning (read() side). Bounds are treated
+        # INCLUSIVELY even for strict predicates — a boundary row group
+        # is read and Spark's row-level filter drops the edge rows:
+        # conservative, never lossy. Only value types whose footer
+        # stats order like the data are used (numerics, date/timestamp
+        # — pyarrow surfaces them as comparable Python values); a
+        # TypeError at compare time keeps the row group.
+        for f in filters:
+            col = None
+            lo = hi = None
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                col, lo = f.attribute, f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                col, hi = f.attribute, f.value
+            elif isinstance(f, EqualTo):
+                col, lo, hi = f.attribute, f.value, f.value
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    try:
+                        col, lo, hi = f.attribute, min(vals), max(vals)
+                    except TypeError:
+                        col = None
+            if col is None or len(col) != 1 or (lo is None and hi is None):
+                continue
+            if isinstance(lo, bool) or isinstance(hi, bool):
+                continue  # boolean stats are degenerate — not worth it
+            iv = self.ranges.setdefault(col[0], [None, None])
+            if lo is not None and (iv[0] is None or lo > iv[0]):
+                iv[0] = lo
+            if hi is not None and (iv[1] is None or hi < iv[1]):
+                iv[1] = hi
         # every filter goes back to Spark: pruning narrows the file set,
         # row-level evaluation stays with the engine (always correct)
         return filters
 
     def partitions(self):
+        # CONSUME the pushed pruning state: Spark calls pushFilters only
+        # for actions that HAVE filters, so state left on this reader
+        # would silently conjoin into the next (possibly filterless)
+        # action on the same DataFrame lineage — consume-and-clear makes
+        # each action's pruning exactly its own filters (an action whose
+        # pushFilters was skipped scans unpruned: conservative)
+        routed, self.routed = self.routed, None
+        ranges, self.ranges = self.ranges, {}
         dirs = _bucket_dirs(self.path, self.manifest)
         buckets = sorted(dirs, key=int)
-        if self.routed is not None:
-            buckets = [b for b in buckets if b in self.routed]
+        if routed is not None:
+            buckets = [b for b in buckets if b in routed]
         parts = [
-            _FilePartition(f) for b in buckets for f in _bucket_files(dirs[b])
+            _FilePartition(f, ranges)
+            for b in buckets
+            for f in _bucket_files(dirs[b])
         ]
         # zero matching buckets (point read of an absent key): one empty
         # placeholder so the scan still yields a well-formed relation
         return parts or [_FilePartition("")]
+
+    @staticmethod
+    def _keep_row_groups(pf, ranges: dict) -> list[int] | None:
+        """Row groups whose footer stats can intersect every pushed
+        interval; None = read everything (no intervals). Missing or
+        non-comparable stats keep the group — pruning is IO-only and
+        conservative."""
+        if not ranges:
+            return None
+        md = pf.metadata
+        col_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        keep = []
+        for g in range(md.num_row_groups):
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                i = col_idx.get(col)
+                if i is None:
+                    continue  # pre-DDL file: typed nulls — Spark filters
+                st = md.row_group(g).column(i).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                try:
+                    if (hi is not None and st.min > hi) or (
+                        lo is not None and st.max < lo
+                    ):
+                        ok = False
+                        break
+                except TypeError:
+                    continue  # incomparable stat repr: keep the group
+            if ok:
+                keep.append(g)
+        return keep
 
     def read(self, partition: _FilePartition):
         if not partition.file:
@@ -298,10 +416,20 @@ class StoreScanReader(DataSourceReader):
         import pyarrow.compute as pc
 
         from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _io_parquet_file,
             _io_read_parquet,
         )
 
-        table = _io_read_parquet(partition.file)
+        if partition.ranges:
+            pf = _io_parquet_file(partition.file)
+            keep = self._keep_row_groups(pf, partition.ranges)
+            if keep is not None and not keep:
+                return  # provably no row in any pushed interval
+            table = (
+                pf.read() if keep is None else pf.read_row_groups(keep)
+            )
+        else:
+            table = _io_read_parquet(partition.file)
         if self.mode == "active":
             table = table.filter(pc.not_equal(pc.field("op"), "DELETE"))
         present = set(table.column_names)
