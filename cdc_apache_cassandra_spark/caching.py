@@ -44,5 +44,21 @@ def release_plan_caches() -> int:
     return n
 
 
+def release_one(df: DataFrame) -> None:
+    """Unpersist ``df`` now AND drop its ledger entry — for library code
+    that scopes its own cache (e.g. delta_export's DV planning) but
+    still wants the ledger as the crash-path backstop: without the
+    removal every call would leak one already-released reference until
+    some entry point sweeps the ledger."""
+    try:
+        _TRACKED.remove(df)
+    except ValueError:
+        pass  # already swept by a release_plan_caches() in between
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session already stopped
+
+
 def tracked_count() -> int:
     return len(_TRACKED)

@@ -1091,16 +1091,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 return None
             lo, hi = partition.key_range
             md = pf.metadata
-            # footers carry PHYSICAL names under column mapping
-            pcol0 = _file_names(pf).get(col0, col0)
-            idx = next(
-                (
-                    i
-                    for i in range(md.num_columns)
-                    if md.schema.column(i).name == pcol0
-                ),
-                None,
+            # footers carry PHYSICAL names under column mapping; resolve
+            # by full dotted path (a nested leaf sharing the bare name
+            # must not be mistaken for the top-level key column)
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                footer_leaf_index,
             )
+
+            pcol0 = _file_names(pf).get(col0, col0)
+            idx = footer_leaf_index(md, pcol0)
             if idx is None:
                 return None
             keep = []

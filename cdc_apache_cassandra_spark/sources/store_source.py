@@ -383,10 +383,12 @@ class StoreScanReader(DataSourceReader):
         conservative."""
         if not ranges:
             return None
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            footer_leaf_index,
+        )
+
         md = pf.metadata
-        col_idx = {
-            md.schema.column(i).name: i for i in range(md.num_columns)
-        }
+        col_idx = {col: footer_leaf_index(md, col) for col in ranges}
         keep = []
         for g in range(md.num_row_groups):
             ok = True

@@ -279,6 +279,20 @@ def _io_size(path: str) -> int:
     return fs.get_file_info(p).size
 
 
+def footer_leaf_index(md, col: str) -> int | None:
+    """Parquet leaf index of the TOP-LEVEL column ``col`` in a file's
+    footer metadata, or None. Matches on the full dotted ``path`` — a
+    NESTED leaf that shares the column's bare name (e.g.
+    ``payload.writetime`` vs ``writetime``) must never be mistaken for
+    it: its stats describe different data, and pruning on them silently
+    drops matching rows. Shared by every footer-stats pruning surface
+    (cdc_store scan, change-feed range splits)."""
+    for i in range(md.num_columns):
+        if md.schema.column(i).path == col:
+            return i
+    return None
+
+
 def _io_file_infos(dir_path: str) -> list[tuple[str, int, float]]:
     """(base_name, size, mtime_epoch_seconds) for the FILES directly in
     a directory; [] when it doesn't exist. Vacuum/GC metadata."""
@@ -1536,7 +1550,10 @@ def delta_export(
         # (scoped-tracked AND explicitly released right after the
         # staging write, its last use)
         if deletion_vectors:
-            from cdc_apache_cassandra_spark.caching import persist_scoped
+            from cdc_apache_cassandra_spark.caching import (
+                persist_scoped,
+                release_one,
+            )
 
             live = persist_scoped(live)
         # staging is unique per writer: two racing exporters never
@@ -1570,7 +1587,10 @@ def delta_export(
                 _io_mkdirs(staging)  # the finally-cleanup expects the dir
         finally:
             if deletion_vectors:
-                live.unpersist()
+                # release AND drop the ledger entry (looping callers
+                # outside the registry/bench would otherwise accumulate
+                # one dead reference per export)
+                release_one(live)
         # move each bucket's single data file to its content-addressed
         # name; metadata-sized driver work (≤ changed buckets renames)
         _io_mkdirs(os.path.join(out_path, DATA_DIR))
@@ -2119,19 +2139,22 @@ def _scan_adds(
     def attach_partitions(df: DataFrame) -> DataFrame:
         """Graft the partition columns back (typed, under their
         physical names, in read_schema's order) from the broadcast
-        per-file map keyed on ``_metadata.file_path``."""
+        per-file map keyed on ``_metadata.file_path`` — ONE UDF
+        invocation resolves every partition column's string value
+        (array-valued), so the per-path suffix match runs once per
+        batch, not once per column."""
         if pv_bc is None:
             return df
 
-        @F.pandas_udf("string")
-        def pv_at(fp: pd.Series, idx: pd.Series) -> pd.Series:
+        @F.pandas_udf("array<string>")
+        def pv_of(fp: pd.Series) -> pd.Series:
             m = pv_bc.value
             # file_path arrives as a URI (file:/...); match by
             # '/'-anchored suffix against the adds' relative paths,
             # longest wins — the same rule the DV filter uses
             out = []
             cache: dict = {}
-            for u, i in zip(fp, idx):
+            for u in fp:
                 if u not in cache:
                     ms = [k for k in m if u == k or u.endswith("/" + k)]
                     if not ms:
@@ -2139,17 +2162,18 @@ def _scan_adds(
                             f"partition-value scan: file path {u!r} "
                             "matches no add path"
                         )
-                    cache[u] = m[max(ms, key=len)]
-                out.append(cache[u][int(i)])
+                    cache[u] = list(m[max(ms, key=len)])
+                out.append(cache[u])
             return pd.Series(out, dtype=object)
 
-        df = df.withColumn("__pv_fp", F.col("_metadata.file_path"))
+        df = df.withColumn("__pv", pv_of(F.col("_metadata.file_path")))
         by_name = {f.name: f for f in read_schema.fields}
         for i, p in enumerate(ppart):
             df = df.withColumn(
-                p, pv_at(F.col("__pv_fp"), F.lit(i)).cast(by_name[p].dataType)
+                p,
+                F.element_at(F.col("__pv"), i + 1).cast(by_name[p].dataType),
             )
-        return df.drop("__pv_fp").select(
+        return df.drop("__pv").select(
             *[f.name for f in read_schema.fields]
         )
 
