@@ -87,6 +87,31 @@ from cdc_apache_cassandra_spark.functions.xxhash64_py import spark_bucket
 
 MANIFEST = "_MANIFEST.json"
 
+_SCAN_REUSE_WARNED = False
+
+
+def _warn_scan_reuse_once() -> None:
+    """Surface the module-docstring Spark limitation at RUNTIME, once
+    per planning process, the first time pushFilters actually prunes
+    (ADVICE r10): a user holding the pruned DataFrame across a later
+    FILTERLESS action would silently under-count — tell them about the
+    option("pushdown", "false") escape hatch instead of burying it."""
+    global _SCAN_REUSE_WARNED
+    if _SCAN_REUSE_WARNED:
+        return
+    _SCAN_REUSE_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "cdc_store: pushdown pruning engaged. Known Spark 4.1 "
+        "limitation: a later FILTERLESS action on the SAME DataFrame "
+        "object reuses this pruned scan and under-counts — call "
+        "load() per query, or disable pruning for a long-lived "
+        "DataFrame with option('pushdown', 'false'). See the "
+        "store_source module docstring.",
+        stacklevel=2,
+    )
+
 
 def _load_manifest(path: str, manifest_url: str | None = None) -> dict:
     """Resolve the manifest pointer. ``manifest_url`` (scan option
@@ -351,6 +376,8 @@ class StoreScanReader(DataSourceReader):
                 iv[1] = hi
         # every filter goes back to Spark: pruning narrows the file set,
         # row-level evaluation stays with the engine (always correct)
+        if self.routed is not None or self.ranges:
+            _warn_scan_reuse_once()
         return filters
 
     def partitions(self):

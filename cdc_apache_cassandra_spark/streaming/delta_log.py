@@ -645,7 +645,13 @@ def _load_checkpoint_state(out_path: str, last_cp: dict) -> "_LogState":
                 continue
             _apply_checkpoint_action(state, action, out_path)
     for name in sidecars:
-        sp = os.path.join(log_dir, SIDECAR_DIR, name)
+        # spec: sidecar.path is a file name under _delta_log/_sidecars/
+        # OR an absolute path/URI — joining an absolute reference under
+        # the sidecar dir would mangle it into a nonexistent path
+        if "://" in name or name.startswith("/"):
+            sp = name
+        else:
+            sp = os.path.join(log_dir, SIDECAR_DIR, name)
         for action in _checkpoint_actions(sp):
             _apply_checkpoint_action(state, action, out_path)
     empties = last_cp.get("emptyBuckets")
@@ -1202,7 +1208,10 @@ DV_PROTOCOL = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
     "readerFeatures": ["deletionVectors"],
-    "writerFeatures": ["deletionVectors"],
+    # upgrading a legacy (1,2) table to writer version 7 must carry the
+    # features version 2 implied — appendOnly and invariants — exactly
+    # what delta-spark's protocol upgrade writes (ADVICE r10)
+    "writerFeatures": ["appendOnly", "deletionVectors", "invariants"],
 }
 
 
@@ -2164,11 +2173,18 @@ def _scan_adds(
     part_cols = list(meta.get("partitionColumns") or [])
     pv_bc = None
     if part_cols and entries:
-        # physical names of the partition columns (what the scan schema
-        # and the stored partitionValues key on)
+        # two name spaces: the stored partitionValues key on PHYSICAL
+        # names (ppart, delta-spark's writer), but the names partition
+        # columns carry IN read_schema depend on the mapping mode — id
+        # mode keeps LOGICAL names (field-id resolution), name mode
+        # uses physical. Exclusion from the parquet scan and the
+        # attach below must key on the READ-SCHEMA names or an id-mode
+        # partitioned table (the UniForm/Iceberg-origin shape) fails
+        # to exclude and KeyErrors on attach.
         ppart = [plan.phys_of.get(c, c) for c in part_cols]
+        scan_part = list(part_cols) if plan.field_id_read else ppart
         pq_schema = T.StructType(
-            [f for f in read_schema.fields if f.name not in set(ppart)]
+            [f for f in read_schema.fields if f.name not in set(scan_part)]
         )
         # relative-path -> tuple of string values, broadcast to the
         # Arrow-batched filler UDF below (one entry per file; matched
@@ -2183,12 +2199,12 @@ def _scan_adds(
         }
         pv_bc = spark.sparkContext.broadcast(pv_map)
     else:
-        ppart = []
+        scan_part = []
         pq_schema = read_schema
 
     def attach_partitions(df: DataFrame) -> DataFrame:
         """Graft the partition columns back (typed, under their
-        physical names, in read_schema's order) from the broadcast
+        READ-SCHEMA names, in read_schema's order) from the broadcast
         per-file map keyed on ``_metadata.file_path`` — ONE UDF
         invocation resolves every partition column's string value
         (array-valued), so the per-path suffix match runs once per
@@ -2218,7 +2234,7 @@ def _scan_adds(
 
         df = df.withColumn("__pv", pv_of(F.col("_metadata.file_path")))
         by_name = {f.name: f for f in read_schema.fields}
-        for i, p in enumerate(ppart):
+        for i, p in enumerate(scan_part):
             df = df.withColumn(
                 p,
                 F.element_at(F.col("__pv"), i + 1).cast(by_name[p].dataType),

@@ -564,6 +564,38 @@ def test_v2_checkpoint_cdf_batch_and_stream(spark, tmp_path):
     assert sorted((r.pk, r._change_type, r.v) for r in got) == want
 
 
+def test_v2_checkpoint_absolute_sidecar_path(spark, tmp_path):
+    """The spec allows ``sidecar.path`` to be an ABSOLUTE path/URI, not
+    only a bare name under ``_delta_log/_sidecars/`` — joining an
+    absolute reference under the sidecar dir mangles it into a
+    nonexistent path (ADVICE r10)."""
+    import shutil
+
+    root = str(tmp_path / "v2abs")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2], "v": ["a", "b"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    proto = fx.protocol_action(
+        3, 7, reader_features=["v2Checkpoint"],
+        writer_features=["v2Checkpoint"],
+    )
+    meta = fx.metadata_action([fx.field("pk", "long"), fx.field("v", "string")])
+    fx.write_commit(root, 0, [proto, meta, add0])
+    side = fx.write_sidecar(root, [add0])
+    # relocate the sidecar OUTSIDE the log dir and reference it by
+    # absolute path
+    ext = str(tmp_path / "elsewhere")
+    os.makedirs(ext)
+    src = os.path.join(root, fx.LOG_DIR, "_sidecars", side["sidecar"]["path"])
+    dst = os.path.join(ext, "relocated.parquet")
+    shutil.move(src, dst)
+    side["sidecar"]["path"] = dst
+    fx.write_v2_checkpoint(root, 0, [proto, meta, side])
+    os.remove(os.path.join(root, fx.LOG_DIR, f"{0:020d}.json"))
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
 def test_v2_checkpoint_torn_pointer_fallback(spark, tmp_path):
     """A torn _last_checkpoint over a UUID-named V2 checkpoint: the
     dir-scan fallback must find the V2 file (it is the ONLY surviving
@@ -834,6 +866,54 @@ def test_partitioned_foreign_snapshot_read(spark, tmp_path, mapped):
         (1, 2, d1, "eu"),
         (10, 3, d2, "us"),
     ]
+
+
+def test_partitioned_id_mode_snapshot_and_stream(spark, tmp_path):
+    """Partitioned + ID-mode mapping together (the UniForm/
+    Iceberg-origin shape): the id-mode read schema keeps LOGICAL field
+    names, so partition-column exclusion and reattachment must key on
+    those — keying on physical names fails to exclude and KeyErrors on
+    attach (ADVICE r10 medium). partitionValues still key on PHYSICAL
+    names (delta-spark's writer). Snapshot (JVM path) and the stream's
+    initial snapshot replay (pyarrow path) must agree."""
+    import datetime
+
+    root = str(tmp_path / "idpart")
+    os.makedirs(root)
+    adds = []
+    for i, (ds, vals) in enumerate(
+        [("2024-01-01", [1, 2]), ("2024-01-02", [3])]
+    ):
+        # data files: physical names + field ids, partition col absent
+        t = _ids_table(
+            {f"c_k{i}": [10 * i + j for j in range(len(vals))],
+             f"c_v{i}": vals},
+            {f"c_k{i}": 1, f"c_v{i}": 2},
+        )
+        add = fx.write_data_file(root, f"part-{i:03d}.parquet", t,
+                                 stats_cols=[f"c_k{i}"])
+        add["add"]["partitionValues"] = {"c_ds": ds}  # PHYSICAL key
+        adds.append(add)
+    meta = fx.metadata_action(
+        [
+            fx.field("pk", "long", physical="c_k0", fid=1),
+            fx.field("v", "long", physical="c_v0", fid=2),
+            fx.field("ds", "date", physical="c_ds", fid=3),
+        ],
+        configuration={
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "3",
+        },
+        partition_columns=["ds"],
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(2, 5), meta] + adds)
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    want = [(0, 1, d1), (1, 2, d1), (10, 3, d2)]
+    df = read_delta(spark, root)
+    assert df.columns == ["pk", "v", "ds"]
+    assert sorted((r.pk, r.v, r.ds) for r in df.collect()) == want
+    got_s = _stream_feed(spark, root, start=-1)
+    assert sorted((r.pk, r.v, r.ds) for r in got_s) == want
 
 
 def test_partitioned_foreign_change_feed_batch_and_stream(spark, tmp_path):
