@@ -514,15 +514,24 @@ def _list_commits(
     return commits
 
 
-#: reader features this module actually implements (VERDICT r8 items
-#: 1+2): deletion vectors (streaming/deletion_vectors.py + the
-#: _scan_adds row-index filter) and NAME-mode column mapping
-#: (_column_mapping; id mode and anything else stays a loud refusal).
+#: reader features this module implements (deletion vectors, column
+#: mapping in name AND id mode, V2 checkpoints, timestampNtz) or that
+#: are SPEC-SAFE to ignore on read: vacuumProtocolCheck only obligates
+#: VACUUM *writers* to re-check the protocol — snapshot/CDF reads are
+#: unaffected, and modern delta-spark stamps it routinely (refusing it
+#: narrowed the import funnel for no correctness gain). rowTracking
+#: and domainMetadata are writer features (never in readerFeatures);
+#: their artifacts — domainMetadata actions, baseRowId /
+#: defaultRowCommitVersion on adds — are tolerated by replay
+#: (test_row_tracking_table_reads). Genuinely semantic reader features
+#: (typeWidening, variantType, coordinated commits) still refuse
+#: loudly: misreading them is silent wrong data.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    "vacuumProtocolCheck",
 }
 
 
@@ -2306,8 +2315,10 @@ def read_delta(
     then the JSON tail replays on top; delta-spark checkpoints every
     10 commits by default, so this is most real tables). Supported
     reader features: column mapping (name AND id modes), deletion
-    vectors, timestampNtz, v2Checkpoint; anything else is refused
-    loudly rather than misread (``_check_protocol``).
+    vectors, timestampNtz, v2Checkpoint, vacuumProtocolCheck (a
+    vacuum-writer-only obligation, read-safe); writer features such as
+    rowTracking/domainMetadata are tolerated by replay. Anything else
+    is refused loudly rather than misread (``_check_protocol``).
     ``version`` time travels to an earlier snapshot, exactly the
     log-replay semantics of ``VERSION AS OF`` (pre-checkpoint versions
     work while their JSON commits survive cleanup). An empty file set

@@ -956,6 +956,110 @@ def test_partitioned_foreign_composes_with_dv(spark, tmp_path):
     ]
 
 
+def _row_tracking_table(tmp_path):
+    """The shape recent delta-spark writes with delta.enableRowTracking:
+    writer-v7 protocol listing rowTracking+domainMetadata (writer-only
+    features — readerFeatures stays absent at minReaderVersion 1), a
+    delta.rowTracking domainMetadata action carrying the row-id high
+    water mark, and adds stamped with baseRowId /
+    defaultRowCommitVersion."""
+    root = str(tmp_path / "rowtrack")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2, 3], "v": ["a", "b", "c"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    add0["add"]["baseRowId"] = 0
+    add0["add"]["defaultRowCommitVersion"] = 0
+    proto = fx.protocol_action(
+        1, 7,
+        writer_features=["rowTracking", "domainMetadata", "appendOnly",
+                         "invariants"],
+    )
+    meta = fx.metadata_action(
+        [fx.field("pk", "long"), fx.field("v", "string")],
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.rowTracking.materializedRowIdColumnName":
+                "_row-id-col-0",
+            "delta.rowTracking.materializedRowCommitVersionColumnName":
+                "_row-commit-version-col-0",
+        },
+    )
+    dm = {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 2}),
+            "removed": False,
+        }
+    }
+    fx.write_commit(root, 0, [proto, meta, dm, add0])
+    # v1: rewrite (pk 2 updated, pk 3 deleted) — fresh row ids
+    t1 = pa.table({"pk": [1, 2], "v": ["a", "B2"]})
+    add1 = fx.write_data_file(root, "part-001.parquet", t1, stats_cols=["pk"])
+    add1["add"]["baseRowId"] = 3
+    add1["add"]["defaultRowCommitVersion"] = 1
+    dm1 = {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 4}),
+            "removed": False,
+        }
+    }
+    fx.write_commit(root, 1, [dm1, fx.remove_action(add0), add1])
+    return root
+
+
+def test_row_tracking_table_reads(spark, tmp_path):
+    """rowTracking is a WRITER feature — spec-safe to ignore on read
+    (VERDICT r10 item 4): snapshot, CDF batch, and CDF stream over a
+    delta-spark-shaped rowTracking table must all read green, with the
+    domainMetadata actions and add-level row-id fields tolerated."""
+    root = _row_tracking_table(tmp_path)
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "B2")]
+    want = [
+        (2, "update_postimage", "B2"),
+        (2, "update_preimage", "b"),
+        (3, "delete", "c"),
+    ]
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type, r.v) for r in feed) == want
+    got_s = _stream_feed(spark, root, start=0)
+    assert sorted((r.pk, r._change_type, r.v) for r in got_s) == want
+
+
+def test_vacuum_protocol_check_is_read_tolerated(spark, tmp_path):
+    """vacuumProtocolCheck IS stamped into readerFeatures by modern
+    delta-spark, but only obligates VACUUM writers — snapshot reads are
+    unaffected and must not refuse. A genuinely semantic reader feature
+    (typeWidening) keeps refusing loudly."""
+    root = str(tmp_path / "vpc")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2], "v": ["a", "b"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    meta = fx.metadata_action([fx.field("pk", "long"), fx.field("v", "string")])
+    fx.write_commit(root, 0, [
+        fx.protocol_action(
+            3, 7,
+            reader_features=["vacuumProtocolCheck"],
+            writer_features=["vacuumProtocolCheck"],
+        ),
+        meta, add0,
+    ])
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "b")]
+    # refusal stays for semantic features
+    root2 = str(tmp_path / "tw")
+    os.makedirs(root2)
+    add = fx.write_data_file(root2, "part-000.parquet", t0, stats_cols=["pk"])
+    fx.write_commit(root2, 0, [
+        fx.protocol_action(3, 7, reader_features=["typeWidening"],
+                           writer_features=["typeWidening"]),
+        meta, add,
+    ])
+    with pytest.raises(NotImplementedError, match="typeWidening"):
+        read_delta(spark, root2)
+
+
 def test_foreign_action_types_are_tolerated(spark, tmp_path):
     """Commits from modern writers interleave action types this engine
     does not consume — ``cdc`` (change-data files), ``domainMetadata``
