@@ -1231,6 +1231,7 @@ def _plan_dv_buckets(
     log: "_LogState",
     changed: list[int],
     max_fraction: float,
+    mapped_fields: list[dict] | None = None,
 ) -> dict[int, tuple[str, dict, dict]]:
     """Changed buckets whose NEW state is the published file's rows
     minus a sparse subset — attach a deletion vector instead of
@@ -1315,17 +1316,46 @@ def _plan_dv_buckets(
     read_schema = T.StructType(
         [f for f in live.schema.fields if f.name != "__bucket"]
     )
-
-    def scan(rels: list[str]) -> DataFrame:
-        return (
-            spark.read.schema(read_schema)
-            .parquet(*[os.path.join(out_path, r) for r in rels])
-            .select(
-                "*",
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
+    if mapped_fields is not None:
+        # published files of a mapped table carry PHYSICAL names: read
+        # with the physical schema, rename back positionally (pure
+        # rename — same shape by construction)
+        jf = {f["name"]: f for f in mapped_fields}
+        phys_fields = [
+            T.StructField(
+                jf[f.name]["metadata"]["delta.columnMapping.physicalName"],
+                _physical_type_for(f.dataType, jf[f.name]["type"]),
+                f.nullable,
             )
-        )
+            for f in read_schema.fields
+        ]
+
+        def scan(rels: list[str]) -> DataFrame:
+            return (
+                spark.read.schema(T.StructType(phys_fields))
+                .parquet(*[os.path.join(out_path, r) for r in rels])
+                .select(
+                    *[
+                        F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                        for pf, lf in zip(phys_fields, read_schema.fields)
+                    ],
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+            )
+
+    else:
+
+        def scan(rels: list[str]) -> DataFrame:
+            return (
+                spark.read.schema(read_schema)
+                .parquet(*[os.path.join(out_path, r) for r in rels])
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+            )
 
     plain = [rel for rel, add in cand.values() if not add.get("deletionVector")]
     dved = {
@@ -1483,6 +1513,7 @@ def delta_export(
     manifest_store=None,
     deletion_vectors: bool = False,
     dv_max_fraction: float = 0.2,
+    column_mapping: str | None = None,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -1509,7 +1540,17 @@ def delta_export(
     moves through the pyarrow.fs seam; Spark's distributed write/read
     of the data files uses the cluster's Hadoop filesystem for the same
     scheme. Commit publication rides :data:`_LOG_COMMIT_STORE` (POSIX
-    link for local/file://, conditional PUT for anything else)."""
+    link for local/file://, conditional PUT for anything else).
+
+    ``column_mapping`` (table CREATION only) publishes a NAME-mode
+    column-mapped table — ``"name"`` mints fresh physical names/ids
+    delta-spark style; a PATH to a Delta table (the imported source a
+    user round-trips through the store) INHERITS its physical names
+    and field ids, so import -> store -> re-export is lossless instead
+    of narrowing to base protocol (VERDICT r10 item 5). A mapped
+    export table auto-continues its mapping on every later export
+    (widened columns mint fresh ids past maxColumnId); re-exports
+    never need the flag again."""
     if (
         "://" in out_path
         and not out_path.startswith("file://")
@@ -1576,6 +1617,25 @@ def delta_export(
     empty_now: dict[int, int] = {
         b: v for b, v in log.empty_buckets.items() if b in store_buckets
     }
+    existing_mode = _column_mapping_mode(log.meta)
+    if existing_mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"{out_path}: export target carries column-mapping mode "
+            f"{existing_mode!r}; this exporter writes name mode only"
+        )
+    if column_mapping is not None and log.meta is not None:
+        raise ValueError(
+            "column_mapping applies at table CREATION; an existing "
+            "mapped table continues its mapping automatically"
+            if existing_mode == "name"
+            else "column_mapping applies at table CREATION; this "
+            "table already exists without mapping"
+        )
+    is_mapped = existing_mode == "name" or (
+        log.meta is None and column_mapping is not None
+    )
+    mapped_fields: list[dict] | None = None
+    export_cfg = dict((log.meta or {}).get("configuration") or {})
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
@@ -1616,7 +1676,49 @@ def delta_export(
                 T.StructType.fromJson(json.loads(log.meta["schemaString"])),
                 new_schema,
             )
-        schema_json = new_schema.json()
+        if is_mapped:
+            # graft name-mode mapping metadata onto the (reconciled)
+            # LOGICAL schema: existing fields keep their physical
+            # name/id (reconcile preserves old StructField metadata),
+            # inherited fields copy the source table's, new fields
+            # mint fresh ids past maxColumnId
+            inherit = None
+            next_id = int(
+                export_cfg.get("delta.columnMapping.maxColumnId") or 0
+            )
+            if log.meta is None and column_mapping != "name":
+                src = _replay(column_mapping)
+                if src.meta is None:
+                    raise FileNotFoundError(
+                        f"column_mapping source has no Delta log: "
+                        f"{column_mapping}"
+                    )
+                if _column_mapping_mode(src.meta) == "none":
+                    raise ValueError(
+                        f"column_mapping source {column_mapping} carries "
+                        "no column mapping to inherit; pass "
+                        'column_mapping="name" to mint fresh'
+                    )
+                inherit = json.loads(src.meta["schemaString"])["fields"]
+                next_id = max(
+                    next_id,
+                    int(
+                        (src.meta.get("configuration") or {}).get(
+                            "delta.columnMapping.maxColumnId"
+                        )
+                        or 0
+                    ),
+                )
+            mapped_fields, next_id = _graft_mapping(
+                new_schema.jsonValue()["fields"], inherit, next_id
+            )
+            schema_json = json.dumps(
+                {"type": "struct", "fields": mapped_fields}
+            )
+            export_cfg["delta.columnMapping.mode"] = "name"
+            export_cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+        else:
+            schema_json = new_schema.json()
         # sparse-delete buckets re-point their EXISTING file at a
         # deletion vector instead of rewriting (opt-in — emitting a DV
         # upgrades the table protocol to reader v3, which base-protocol
@@ -1642,7 +1744,13 @@ def delta_export(
         try:
             dv_buckets = (
                 _plan_dv_buckets(
-                    spark, out_path, live, log, changed, dv_max_fraction
+                    spark,
+                    out_path,
+                    live,
+                    log,
+                    changed,
+                    dv_max_fraction,
+                    mapped_fields,
                 )
                 if deletion_vectors
                 else {}
@@ -1653,6 +1761,10 @@ def delta_export(
                 if not dv_buckets
                 else live.filter(F.col("__bucket").isin(rewrite))
             )
+            if mapped_fields is not None:
+                # mapped tables stage parquet under PHYSICAL names (the
+                # delta-spark layout; add.stats then key physical too)
+                to_stage = _to_physical(to_stage, mapped_fields)
             if rewrite:
                 (
                     to_stage.repartition(len(rewrite), F.col("__bucket"))
@@ -1773,14 +1885,17 @@ def delta_export(
 
     header: list[dict] = []
     if log.last < 0:
-        header.append({"protocol": DV_PROTOCOL if dv_buckets else PROTOCOL})
+        header.append(
+            {"protocol": _export_protocol(is_mapped, bool(dv_buckets))}
+        )
     elif dv_buckets and (
         log.proto is None
         or not log.has_reader_feature("deletionVectors")
     ):
-        # first DV on a previously base-protocol table: the spec's
-        # in-place protocol upgrade (readers gate features on it)
-        header.append({"protocol": DV_PROTOCOL})
+        # first DV on a previously DV-less table: the spec's in-place
+        # protocol upgrade (readers gate features on it) — a mapped
+        # table's upgrade must keep listing columnMapping
+        header.append({"protocol": _export_protocol(is_mapped, True)})
     if log.meta is None or schema_changed:
         meta = log.meta or {}
         header.append(
@@ -1791,7 +1906,7 @@ def delta_export(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json or meta["schemaString"],
                     "partitionColumns": [],
-                    "configuration": {},
+                    "configuration": export_cfg,
                     "createdTime": meta.get("createdTime", now),
                 }
             }
@@ -1931,6 +2046,169 @@ def _phys_field_json(f: dict) -> dict:
         "nullable": f.get("nullable", True),
         "metadata": {},
     }
+
+
+# --- column-mapping WRITER half (VERDICT r10 item 5) -------------------------
+# delta_export can publish (and keep publishing) NAME-mode mapped
+# tables: schemaString fields carry delta.columnMapping.physicalName +
+# .id at every nesting level, data files are staged under the physical
+# names, and configuration records mode=name + maxColumnId — the shape
+# delta-spark writes, so an import -> store -> re-export round trip of
+# a mapped source is lossless instead of silently narrowing to base
+# protocol.
+
+
+def _graft_mapping(
+    fields: list[dict], inherit: list[dict] | None, next_id: int
+) -> tuple[list[dict], int]:
+    """Ensure every schemaString field (recursively) carries name-mode
+    mapping metadata. Fields matching ``inherit`` by LOGICAL name (the
+    imported source's fields, or the export log's own on later
+    commits) keep their physical name + id — the lossless-round-trip
+    contract; anything else is minted delta-spark style
+    (``col-<uuid>``, next sequential id). Returns the grafted fields
+    and the running max column id."""
+    inh_by_name = {f["name"]: f for f in (inherit or [])}
+    out = []
+    for f in fields:
+        f = dict(f)
+        md = dict(f.get("metadata") or {})
+        inh = inh_by_name.get(f["name"])
+        if "delta.columnMapping.physicalName" not in md:
+            imd = (inh or {}).get("metadata") or {}
+            if "delta.columnMapping.physicalName" in imd:
+                md["delta.columnMapping.physicalName"] = imd[
+                    "delta.columnMapping.physicalName"
+                ]
+                if "delta.columnMapping.id" in imd:
+                    md["delta.columnMapping.id"] = imd[
+                        "delta.columnMapping.id"
+                    ]
+            else:
+                md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+        if "delta.columnMapping.id" not in md:
+            md["delta.columnMapping.id"] = next_id + 1
+        next_id = max(next_id, int(md["delta.columnMapping.id"]))
+        f["metadata"] = md
+        f["type"], next_id = _graft_mapping_type(
+            f["type"],
+            (inh or {}).get("type") if inh else None,
+            next_id,
+        )
+        out.append(f)
+    return out, next_id
+
+
+def _graft_mapping_type(tp, inh_tp, next_id: int):
+    if isinstance(tp, dict):
+        t = tp.get("type")
+        inh = inh_tp if isinstance(inh_tp, dict) else {}
+        if t == "struct":
+            fields, next_id = _graft_mapping(
+                tp["fields"], inh.get("fields"), next_id
+            )
+            return {**tp, "fields": fields}, next_id
+        if t == "array":
+            et, next_id = _graft_mapping_type(
+                tp["elementType"], inh.get("elementType"), next_id
+            )
+            return {**tp, "elementType": et}, next_id
+        if t == "map":
+            vt, next_id = _graft_mapping_type(
+                tp["valueType"], inh.get("valueType"), next_id
+            )
+            return {**tp, "valueType": vt}, next_id
+    return tp, next_id
+
+
+def _physical_type_for(live_dt, fjson_type):
+    """``live_dt`` with every struct field renamed to its physical name
+    from the mapped schemaString json — the live DataFrame's OWN shape
+    (possibly narrower than the log schema after widening), so one
+    positional cast is a pure rename (arity matches by construction)."""
+    if (
+        isinstance(live_dt, T.StructType)
+        and isinstance(fjson_type, dict)
+        and fjson_type.get("type") == "struct"
+    ):
+        jf = {f["name"]: f for f in fjson_type["fields"]}
+        return T.StructType(
+            [
+                T.StructField(
+                    jf[c.name]["metadata"]["delta.columnMapping.physicalName"],
+                    _physical_type_for(c.dataType, jf[c.name]["type"]),
+                    c.nullable,
+                )
+                for c in live_dt.fields
+            ]
+        )
+    if (
+        isinstance(live_dt, T.ArrayType)
+        and isinstance(fjson_type, dict)
+        and fjson_type.get("type") == "array"
+    ):
+        return T.ArrayType(
+            _physical_type_for(live_dt.elementType, fjson_type["elementType"]),
+            live_dt.containsNull,
+        )
+    if (
+        isinstance(live_dt, T.MapType)
+        and isinstance(fjson_type, dict)
+        and fjson_type.get("type") == "map"
+    ):
+        return T.MapType(
+            live_dt.keyType,
+            _physical_type_for(live_dt.valueType, fjson_type["valueType"]),
+            live_dt.valueContainsNull,
+        )
+    return live_dt
+
+
+def _to_physical(df: DataFrame, mapped_fields: list[dict]) -> DataFrame:
+    """Rename ``df``'s columns (at every nesting level) to their
+    physical names for the staged parquet write — one positional
+    struct cast per top-level column, plan-time only. ``__bucket``
+    passes through (it is the partitionBy column, never a data
+    column)."""
+    jf = {f["name"]: f for f in mapped_fields}
+    exprs = []
+    for fld in df.schema.fields:
+        if fld.name == "__bucket":
+            continue
+        j = jf[fld.name]
+        exprs.append(
+            F.col(fld.name)
+            .cast(_physical_type_for(fld.dataType, j["type"]))
+            .alias(j["metadata"]["delta.columnMapping.physicalName"])
+        )
+    if "__bucket" in df.columns:
+        exprs.append(F.col("__bucket"))
+    return df.select(*exprs)
+
+
+def _export_protocol(mapped: bool, dv: bool) -> dict:
+    """The protocol action delta_export commits (or upgrades to) for
+    the feature combination it is writing — matching delta-spark's
+    output for the same table state: base (1,2); legacy name-mode
+    mapping (2,5); deletion vectors force the table-features form
+    (3,7) listing every implied legacy feature."""
+    if dv and mapped:
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+            "writerFeatures": [
+                "appendOnly",
+                "columnMapping",
+                "deletionVectors",
+                "invariants",
+            ],
+        }
+    if dv:
+        return DV_PROTOCOL
+    if mapped:
+        return {"minReaderVersion": 2, "minWriterVersion": 5}
+    return PROTOCOL
 
 
 def _id_field_json(f: dict) -> dict:
