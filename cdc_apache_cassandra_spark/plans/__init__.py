@@ -73,19 +73,37 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # cdc_delta_partitioned_import (foreign partitioned-table import — the
 # silent-nulls gap found and fixed in r10) rotates in for
 # cdc_out_of_order_stats (W3 stays anchored by cdc_lww_state).
+# r11 rotation (VERDICT r10 item 2, never-checked-first policy): in —
+# EIGHT never-driver-checked events_* entries (the largest unchecked
+# family: 26 entries, 0 driver rows across 10 rounds) spanning its
+# distinct shapes — events_tumbling_hourly (windowed agg),
+# events_sessionize_30m (gap sessionization), events_asof_click_
+# attribution (as-of join), events_cohort_retention (cohort matrix),
+# events_funnel_signup_click_purchase (ordered funnel),
+# events_heavy_hitters (approx top-k), events_anomaly_zscore (rolling
+# stats), events_locf_gap_fill (imputation window) — plus the r11-new
+# cdc_delta_mapped_export_state (name-mode mapped export writer,
+# VERDICT r10 item 5). Out — nine 9-to-10-times-driver-green entries
+# whose operator anchors keep a roster twin: cdc_dedup_events (A1/A3
+# twin cdc_dedup_events_tws stays), cdc_lww_state (W3/O1 anchored by
+# cdc_compound_lww_state), cdc_read_after_event (J1 by
+# cdc_compound_read_after_event), cdc_replica_divergence (T1 by the
+# dedup pair), cdc_materialized_state (S6/state oracle shared by the
+# staying export-state entries), cdc_compound_snapshot_asof
+# (time-travel family judge-sweep-green), cdc_compound_key_records
+# (P4/P7/P8 anchored by cdc_null_leading_snapshot +
+# cdc_compound_read_after_event), cdc_replication_latency (A6/W2
+# judge-sweep), join_semi_orders_with_late_items (semi-join
+# judge-sweep-green since r1).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
-    "cdc_dedup_events",
-    "cdc_lww_state",
-    "cdc_read_after_event",
     "cdc_backfill_union",
     "cdc_udt_evolution_union",
-    "cdc_replica_divergence",
     "cdc_delta_partitioned_import",
-    "cdc_materialized_state",
     "cdc_point_read_routing",
     "cdc_store_point_read",
     "cdc_delta_export_state",
+    "cdc_delta_mapped_export_state",
     "cdc_remote_store_lifecycle",
     "cdc_streaming_end_to_end",
     "cdc_delta_checkpoint_state",
@@ -94,13 +112,10 @@ GATE_ROSTER = [
     "cdc_change_feed_range_split",
     "cdc_wire_avro_roundtrip",
     "cdc_partition_classifier",
-    "cdc_compound_key_records",
     "cdc_compound_lww_state",
-    "cdc_compound_snapshot_asof",
     "cdc_compound_read_after_event",
     "cdc_null_leading_snapshot",
     "cdc_token_routing_murmur3",
-    "cdc_replication_latency",
     "cdc_compound_materialized_state",
     "cdc_compound_delta_export_state",
     "cdc_compound_streaming_end_to_end",
@@ -114,7 +129,6 @@ GATE_ROSTER = [
     "llm_decontamination_semantic",
     "multimodal_image_dhash_hamming",
     "multimodal_webdataset_shard",
-    "join_semi_orders_with_late_items",
     "cdc_delta_export_dv_state",
     "window_topk_orders_per_customer",
     "cdc_delta_v2_checkpoint_import",
@@ -125,6 +139,14 @@ GATE_ROSTER = [
     "llm_ann_ivf_kmeans_recall",
     "llm_bpe_train_merges",
     "multimodal_bmp_decode",
+    "events_tumbling_hourly",
+    "events_sessionize_30m",
+    "events_asof_click_attribution",
+    "events_cohort_retention",
+    "events_funnel_signup_click_purchase",
+    "events_heavy_hitters",
+    "events_anomaly_zscore",
+    "events_locf_gap_fill",
 ]
 
 
