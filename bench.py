@@ -464,6 +464,15 @@ def main():
             "cdc_delta_export_dv_state",
             "cdc_delta_v2_checkpoint_import",
             "cdc_delta_partitioned_import",
+            # r10 verdict item 3: the multimodal pure-Python decode
+            # family drifted in-loop with NO code change — the most
+            # contention-sensitive queries in the loop need solo
+            # numbers so drift vs regression is decidable
+            "multimodal_jpeg_decode",
+            "multimodal_jsonl_gz_shard",
+            "multimodal_mp3_frame_scan",
+            # r11-new feature baseline
+            "cdc_delta_mapped_export_state",
         ]
         # SPARK_GRAFT_SOLO_QUERIES: explicit roster additions — with
         # SECTIONS=solo (no query loop ran) per_query is empty and the
