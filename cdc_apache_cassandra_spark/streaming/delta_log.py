@@ -1381,6 +1381,12 @@ def _plan_dv_buckets(
     scans: list[DataFrame] = []
     if plain:
         scans.append(scan(plain))
+    # ONE broadcast of the old masks serves both consumers (the
+    # masked-scan filter here and the worker-side merge below) — the
+    # worker resolves its bucket's rel path through the tiny captured
+    # dv_rel_of map instead of a second bucket-keyed broadcast of the
+    # same bytes
+    bc = None
     if dved:
         # rows the OLD DV already masks are not part of the old live
         # state — filter with the same broadcast-bitmap UDF the scans use
@@ -1411,13 +1417,11 @@ def _plan_dv_buckets(
             F.lit(1).alias("__side"),
         )
     )
-    old_dv_bc = spark.sparkContext.broadcast(
-        {
-            b: old_blobs[rel]
-            for b, (rel, add) in cand.items()
-            if add.get("deletionVector")
-        }
-    )
+    dv_rel_of = {
+        b: rel
+        for b, (rel, add) in cand.items()
+        if add.get("deletionVector")
+    }
     desc_schema = (
         "b int, storageType string, pathOrInlineDv string, "
         "offset int, sizeInBytes long, cardinality long"
@@ -1459,7 +1463,8 @@ def _plan_dv_buckets(
             return empty  # nothing deleted after verify: rewrite path
         idx = np.unique(np.asarray(dels, dtype=np.int64))
         b = int(pdf["__b"].iloc[0])
-        old_blob = old_dv_bc.value.get(b)
+        rel = dv_rel_of.get(b)
+        old_blob = bc.value.get(rel) if bc is not None and rel else None
         if old_blob is not None:
             idx = np.union1d(idx, deserialize_dv(old_blob))
         desc = write_dv_file(
@@ -1623,6 +1628,14 @@ def delta_export(
             f"{out_path}: export target carries column-mapping mode "
             f"{existing_mode!r}; this exporter writes name mode only"
         )
+    if column_mapping in ("id", "none"):
+        # a mode name that is not a source-table path: refuse with the
+        # right diagnosis instead of FileNotFoundError('id')
+        raise NotImplementedError(
+            f"column_mapping={column_mapping!r}: this exporter writes "
+            'name mode only — pass "name" to mint fresh identities or '
+            "a source-table path to inherit them"
+        )
     if column_mapping is not None and log.meta is not None:
         raise ValueError(
             "column_mapping applies at table CREATION; an existing "
@@ -1686,7 +1699,15 @@ def delta_export(
             next_id = int(
                 export_cfg.get("delta.columnMapping.maxColumnId") or 0
             )
-            if log.meta is None and column_mapping != "name":
+            if log.meta is not None:
+                # later commits inherit the log's OWN mapping by name:
+                # reconcile_schemas rebuilds a type-widened StructField
+                # WITHOUT its metadata, so relying on reconcile alone
+                # would re-mint that column's physical name and
+                # silently null it in every previously published file
+                # (code-review r11 finding)
+                inherit = json.loads(log.meta["schemaString"])["fields"]
+            elif column_mapping != "name":
                 src = _replay(column_mapping)
                 if src.meta is None:
                     raise FileNotFoundError(
@@ -2114,10 +2135,16 @@ def _graft_mapping_type(tp, inh_tp, next_id: int):
             )
             return {**tp, "elementType": et}, next_id
         if t == "map":
+            # KEY types graft too: a struct-typed map key's fields need
+            # physical names — the name-mode reader (_phys_type_json)
+            # recurses into keyType and refuses fields without them
+            kt, next_id = _graft_mapping_type(
+                tp["keyType"], inh.get("keyType"), next_id
+            )
             vt, next_id = _graft_mapping_type(
                 tp["valueType"], inh.get("valueType"), next_id
             )
-            return {**tp, "valueType": vt}, next_id
+            return {**tp, "keyType": kt, "valueType": vt}, next_id
     return tp, next_id
 
 
@@ -2157,7 +2184,7 @@ def _physical_type_for(live_dt, fjson_type):
         and fjson_type.get("type") == "map"
     ):
         return T.MapType(
-            live_dt.keyType,
+            _physical_type_for(live_dt.keyType, fjson_type["keyType"]),
             _physical_type_for(live_dt.valueType, fjson_type["valueType"]),
             live_dt.valueContainsNull,
         )
@@ -2193,14 +2220,21 @@ def _export_protocol(mapped: bool, dv: bool) -> dict:
     mapping (2,5); deletion vectors force the table-features form
     (3,7) listing every implied legacy feature."""
     if dv and mapped:
+        # upgrading a legacy (2,5) table to writer version 7 must list
+        # EVERY feature versions 2-5 implied, exactly as delta-spark's
+        # upgrade does: v2 appendOnly+invariants, v3 checkConstraints,
+        # v4 changeDataFeed+generatedColumns, v5 columnMapping
         return {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
             "readerFeatures": ["columnMapping", "deletionVectors"],
             "writerFeatures": [
                 "appendOnly",
+                "changeDataFeed",
+                "checkConstraints",
                 "columnMapping",
                 "deletionVectors",
+                "generatedColumns",
                 "invariants",
             ],
         }

@@ -1301,3 +1301,106 @@ def test_mapped_export_flag_refused_on_existing_table(spark, tmp_path):
         ["pk"], n_buckets=2)
     with pytest.raises(ValueError, match="CREATION"):
         delta_export(spark, store, table, column_mapping="name")
+
+
+def test_mapped_export_struct_widening_keeps_identity(spark, tmp_path):
+    """Widening a STRUCT column on a mapped table (the UDT ALTER ADD
+    shape): reconcile_schemas rebuilds the widened StructField WITHOUT
+    its metadata, so the export must re-inherit the log's own mapping
+    by name — re-minting the physical name would silently null the
+    column in every previously published file (code-review r11
+    finding, silent-data-loss class)."""
+    from pyspark.sql import Row
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _replay,
+        delta_export,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "export")
+    os.makedirs(store)
+    s1 = ("op string, pk long, writetime long, u struct<a:long>, "
+          "segment long, position long")
+    merge_into(
+        spark, store,
+        spark.createDataFrame(
+            [("INSERT", k, 10, Row(a=100 + k), 0, k) for k in range(4)], s1),
+        ["pk"], n_buckets=2)
+    delta_export(spark, store, table, column_mapping="name")
+    f0 = {f["name"]: f for f in json.loads(
+        _replay(table).meta["schemaString"])["fields"]}
+    u_phys0 = f0["u"]["metadata"]["delta.columnMapping.physicalName"]
+    u_id0 = f0["u"]["metadata"]["delta.columnMapping.id"]
+    a_phys0 = f0["u"]["type"]["fields"][0]["metadata"][
+        "delta.columnMapping.physicalName"]
+    # widen the struct: u gains nested field b — only pk 0's bucket
+    # changes; pk 1..3 keep their ORIGINAL files
+    s2 = ("op string, pk long, writetime long, "
+          "u struct<a:long,b:string>, segment long, position long")
+    merge_into(
+        spark, store,
+        spark.createDataFrame(
+            [("UPSERT", 0, 20, Row(a=200, b="x"), 1, 0)], s2),
+        ["pk"], n_buckets=2)
+    delta_export(spark, store, table)
+    f1 = {f["name"]: f for f in json.loads(
+        _replay(table).meta["schemaString"])["fields"]}
+    md1 = f1["u"]["metadata"]
+    assert md1["delta.columnMapping.physicalName"] == u_phys0
+    assert md1["delta.columnMapping.id"] == u_id0
+    kids = {k["name"]: k for k in f1["u"]["type"]["fields"]}
+    assert kids["a"]["metadata"][
+        "delta.columnMapping.physicalName"] == a_phys0
+    assert "delta.columnMapping.physicalName" in kids["b"]["metadata"]
+    # the decisive check: rows from UNCHANGED old files still carry u
+    got = {r.pk: (r.u.a, r.u.b) for r in read_delta(spark, table).collect()}
+    assert got[0] == (200, "x")
+    for k in (1, 2, 3):
+        assert got[k] == (100 + k, None), f"pk {k} lost its struct value"
+
+
+def test_mapped_export_map_struct_key_roundtrip(spark, tmp_path):
+    """A map column whose KEY is a struct: the name-mode reader
+    recurses into keyType, so the writer must graft physical names
+    there too or its own reader refuses the table (code-review r11
+    finding)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "export")
+    os.makedirs(store)
+    schema = ("op string, pk long, writetime long, "
+              "m map<struct<k1:long>,long>, segment long, position long")
+    merge_into(
+        spark, store,
+        spark.createDataFrame(
+            [("INSERT", 1, 10, {(7,): 70}, 0, 0),
+             ("INSERT", 2, 10, {(8,): 80}, 0, 1)],
+            schema),
+        ["pk"], n_buckets=2)
+    delta_export(spark, store, table, column_mapping="name")
+    rows = {r.pk: r.m for r in read_delta(spark, table).collect()}
+    assert {k.k1: v for k, v in rows[1].items()} == {7: 70}
+    assert {k.k1: v for k, v in rows[2].items()} == {8: 80}
+
+
+def test_mapped_export_mode_name_guard(spark, tmp_path):
+    """column_mapping='id' is a mode name, not a source path: the
+    refusal must say name-mode-only, not FileNotFoundError('id')."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import delta_export
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    merge_into(
+        spark, store,
+        spark.createDataFrame(
+            [("INSERT", 1, 10, "a", 0, 0)],
+            "op string, pk long, writetime long, v string, "
+            "segment long, position long"),
+        ["pk"], n_buckets=2)
+    with pytest.raises(NotImplementedError, match="name mode only"):
+        delta_export(spark, store, str(tmp_path / "t"), column_mapping="id")
