@@ -539,12 +539,23 @@ def main():
     # Durable copy next to the script: the driver's stdout capture has
     # truncated this (long) line in past rounds (BENCH_r6/r7 "parsed":
     # null) — the file is the parseable artifact of record either way.
+    # BENCH_LAST.json is overwritten per run, so full-payload runs ALSO
+    # append to BENCH_HISTORY.jsonl (code-review r11: the per-round
+    # driver captures BENCH_r{8,9,10}.json arrived truncated/unparsed,
+    # and overwriting BENCH_LAST erased the calibration record the
+    # cross-round comparisons cite — the append-only log keeps every
+    # run adjudicable). Quick section-subset iteration runs (SECTIONS
+    # set) skip the history to keep it one-entry-per-real-run.
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LAST.json"), "w"
-        ) as f:
+        with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
             f.write(line + "\n")
+        if (
+            os.environ.get("SPARK_GRAFT_SECTIONS") is None
+            and os.environ.get("SPARK_GRAFT_SOLO", "1") != "0"
+        ):
+            with open(os.path.join(repo, "BENCH_HISTORY.jsonl"), "a") as f:
+                f.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the line
     print(line)
