@@ -1506,6 +1506,29 @@ def _plan_dv_buckets(
     return out
 
 
+def _read_last_ict(out_path: str, version: int) -> int | None:
+    """The previous commit's ``inCommitTimestamp`` (monotonicity floor
+    for the next one), or None when no previous commit survives or it
+    carries none (pre-enablement tail / cleaned history — the clock
+    then floors the sequence)."""
+    if version < 0:
+        return None
+    path = os.path.join(out_path, LOG_DIR, f"{version:020d}.json")
+    try:
+        raw = _log_read_bytes(path)
+    except FileNotFoundError:
+        return None
+    for line in raw.decode().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        action = json.loads(line)
+        if "commitInfo" in action:
+            ict = action["commitInfo"].get("inCommitTimestamp")
+            return int(ict) if ict is not None else None
+    return None
+
+
 def delta_export(
     spark: SparkSession,
     store_path: str,
@@ -1519,6 +1542,7 @@ def delta_export(
     deletion_vectors: bool = False,
     dv_max_fraction: float = 0.2,
     column_mapping: str | None = None,
+    in_commit_timestamps: bool = False,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -1555,7 +1579,20 @@ def delta_export(
     of narrowing to base protocol (VERDICT r10 item 5). A mapped
     export table auto-continues its mapping on every later export
     (widened columns mint fresh ids past maxColumnId); re-exports
-    never need the flag again."""
+    never need the flag again.
+
+    ``in_commit_timestamps=True`` enables the spec's
+    ``inCommitTimestamp`` writer feature: each commit's authoritative
+    time rides IN the commitInfo (strictly monotonic — max(clock,
+    prev+1)) instead of the commit file's mtime, making time travel
+    and CDF windows robust on object stores whose listing mtimes are
+    unreliable (exactly the fallback :func:`commit_timestamps`
+    otherwise monotonizes around). Sticky: once enabled (config
+    ``delta.enableInCommitTimestamps``), every later export keeps
+    writing them without the flag; enabling AFTER creation records
+    the spec's enablement version/timestamp provenance keys. The
+    protocol upgrades to writer version 7 listing the feature, and
+    commitInfo becomes the commit's FIRST action per spec."""
     if (
         "://" in out_path
         and not out_path.startswith("file://")
@@ -1649,6 +1686,9 @@ def delta_export(
     )
     mapped_fields: list[dict] | None = None
     export_cfg = dict((log.meta or {}).get("configuration") or {})
+    ict_on = in_commit_timestamps or (
+        export_cfg.get("delta.enableInCommitTimestamps") == "true"
+    )
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
@@ -1901,23 +1941,70 @@ def delta_export(
         log.meta is None or log.meta["schemaString"] != schema_json
     )
     memo_changed = empty_now != log.empty_buckets
-    if not actions and not schema_changed and not memo_changed:
+    ict_val = None
+    if ict_on:
+        # strictly monotonic authoritative commit time: never below the
+        # previous commit's (clock skew cannot run table time backwards)
+        prev_ict = _read_last_ict(out_path, log.last)
+        ict_val = max(now, prev_ict + 1 if prev_ict is not None else 0)
+        if export_cfg.get("delta.enableInCommitTimestamps") != "true":
+            export_cfg["delta.enableInCommitTimestamps"] = "true"
+            if log.meta is not None:
+                # enabled AFTER creation: the spec's provenance keys
+                # tell readers which versions carry ICTs at all
+                export_cfg["delta.inCommitTimestampEnablementVersion"] = (
+                    str(version)
+                )
+                export_cfg["delta.inCommitTimestampEnablementTimestamp"] = (
+                    str(ict_val)
+                )
+    cfg_changed = export_cfg != dict(
+        (log.meta or {}).get("configuration") or {}
+    )
+    if (
+        not actions
+        and not schema_changed
+        and not memo_changed
+        and not cfg_changed
+    ):
         return None  # export already current
+
+    def _has_writer_feature(feature: str) -> bool:
+        return log.proto is not None and feature in (
+            log.proto.get("writerFeatures") or []
+        )
 
     header: list[dict] = []
     if log.last < 0:
         header.append(
-            {"protocol": _export_protocol(is_mapped, bool(dv_buckets))}
+            {"protocol": _export_protocol(is_mapped, bool(dv_buckets), ict_on)}
         )
-    elif dv_buckets and (
-        log.proto is None
-        or not log.has_reader_feature("deletionVectors")
-    ):
-        # first DV on a previously DV-less table: the spec's in-place
-        # protocol upgrade (readers gate features on it) — a mapped
-        # table's upgrade must keep listing columnMapping
-        header.append({"protocol": _export_protocol(is_mapped, True)})
-    if log.meta is None or schema_changed:
+    elif (
+        dv_buckets
+        and (
+            log.proto is None
+            or not log.has_reader_feature("deletionVectors")
+        )
+    ) or (ict_on and not _has_writer_feature("inCommitTimestamp")):
+        # first DV (or first ICT commit) on a table not yet declaring
+        # the feature: the spec's in-place protocol upgrade, carrying
+        # EVERY feature the table now uses — a mapped table keeps
+        # listing columnMapping, an already-DV'd table keeps
+        # deletionVectors
+        header.append(
+            {
+                "protocol": _export_protocol(
+                    is_mapped,
+                    bool(dv_buckets)
+                    or (
+                        log.proto is not None
+                        and log.has_reader_feature("deletionVectors")
+                    ),
+                    ict_on or _has_writer_feature("inCommitTimestamp"),
+                )
+            }
+        )
+    if log.meta is None or schema_changed or cfg_changed:
         meta = log.meta or {}
         header.append(
             {
@@ -1942,21 +2029,27 @@ def delta_export(
                 }
             }
         )
-    header.append(
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": "CDC MERGE EXPORT",
-                "operationParameters": {
-                    "storeVersion": str(manifest["version"]),
-                    "changedBuckets": str(len(changed)),
-                    "droppedBuckets": str(len(dropped)),
-                },
-                "emptyBuckets": {str(b): v for b, v in empty_now.items()},
-            }
+    ci = {
+        "commitInfo": {
+            "timestamp": now,
+            "operation": "CDC MERGE EXPORT",
+            "operationParameters": {
+                "storeVersion": str(manifest["version"]),
+                "changedBuckets": str(len(changed)),
+                "droppedBuckets": str(len(dropped)),
+            },
+            "emptyBuckets": {str(b): v for b, v in empty_now.items()},
         }
-    )
-    _write_commit(out_path, version, header + actions)
+    }
+    if ict_val is not None:
+        ci["commitInfo"]["inCommitTimestamp"] = ict_val
+        # spec: with inCommitTimestamp enabled, commitInfo MUST be the
+        # commit's first action (readers resolve the time without
+        # scanning the whole file)
+        commit_actions = [ci] + header + actions
+    else:
+        commit_actions = header + [ci] + actions
+    _write_commit(out_path, version, commit_actions)
     # delta-spark cadence: a parquet checkpoint every N commits, so a
     # long-lived export stays replayable in O(N) JSON reads and old JSON
     # can be cleaned. After the commit, so a checkpoint failure never
@@ -2213,36 +2306,43 @@ def _to_physical(df: DataFrame, mapped_fields: list[dict]) -> DataFrame:
     return df.select(*exprs)
 
 
-def _export_protocol(mapped: bool, dv: bool) -> dict:
+def _export_protocol(mapped: bool, dv: bool, ict: bool = False) -> dict:
     """The protocol action delta_export commits (or upgrades to) for
     the feature combination it is writing — matching delta-spark's
     output for the same table state: base (1,2); legacy name-mode
-    mapping (2,5); deletion vectors force the table-features form
-    (3,7) listing every implied legacy feature."""
-    if dv and mapped:
-        # upgrading a legacy (2,5) table to writer version 7 must list
-        # EVERY feature versions 2-5 implied, exactly as delta-spark's
-        # upgrade does: v2 appendOnly+invariants, v3 checkConstraints,
-        # v4 changeDataFeed+generatedColumns, v5 columnMapping
-        return {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping", "deletionVectors"],
-            "writerFeatures": [
-                "appendOnly",
-                "changeDataFeed",
-                "checkConstraints",
-                "columnMapping",
-                "deletionVectors",
-                "generatedColumns",
-                "invariants",
-            ],
+    mapping (2,5); deletion vectors / in-commit timestamps force the
+    table-features form (writer version 7) listing EVERY legacy
+    feature the pre-upgrade version implied — v2 appendOnly+
+    invariants, and when the table was mapped (v5) also v3
+    checkConstraints + v4 changeDataFeed/generatedColumns + v5
+    columnMapping."""
+    if not (dv or ict):
+        if mapped:
+            return {"minReaderVersion": 2, "minWriterVersion": 5}
+        return PROTOCOL
+    wf = {"appendOnly", "invariants"}
+    if mapped:
+        wf |= {
+            "changeDataFeed",
+            "checkConstraints",
+            "columnMapping",
+            "generatedColumns",
         }
     if dv:
-        return DV_PROTOCOL
-    if mapped:
-        return {"minReaderVersion": 2, "minWriterVersion": 5}
-    return PROTOCOL
+        wf.add("deletionVectors")
+    if ict:
+        wf.add("inCommitTimestamp")
+    proto: dict = {"minWriterVersion": 7, "writerFeatures": sorted(wf)}
+    if dv:
+        proto["minReaderVersion"] = 3
+        proto["readerFeatures"] = sorted(
+            {"deletionVectors"} | ({"columnMapping"} if mapped else set())
+        )
+    else:
+        # writer-only features: readerFeatures stays ABSENT and the
+        # reader version keeps its legacy meaning (2 = column mapping)
+        proto["minReaderVersion"] = 2 if mapped else 1
+    return proto
 
 
 def _id_field_json(f: dict) -> dict:

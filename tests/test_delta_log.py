@@ -1851,3 +1851,77 @@ def test_commit_timestamps_prefer_in_commit_timestamp(tmp_path):
             f.write(json.dumps({"add": {"path": f"f{v}"}}) + "\n")
     assert commit_timestamps(root) == [(0, 5_000), (1, 6_000)]
     assert version_at_timestamp(root, 5_500) == 0
+
+
+def test_export_in_commit_timestamps_creation_and_monotonic(spark, tmp_path, monkeypatch):
+    """inCommitTimestamp writer feature (r11): created with the flag,
+    every commit carries a strictly monotonic authoritative time as
+    its FIRST action; the flag is sticky via table config; a clock
+    stepping BACKWARDS cannot make table time regress; and
+    commit_timestamps resolves to exactly these values (no mtime
+    fallback, no adjustment)."""
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+
+    # reuse the store fixture; export to a FRESH table with the flag
+    store, _ = _dv_export_store(spark, tmp_path)
+    table2 = str(tmp_path / "ict_table")
+    assert delta_export(
+        spark, store, table2, in_commit_timestamps=True) == 0
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _replay,
+        commit_timestamps,
+    )
+
+    log = os.path.join(table2, LOG_DIR)
+    lines0 = [json.loads(l) for l in open(os.path.join(log, f"{0:020d}.json"))]
+    assert "commitInfo" in lines0[0], "commitInfo must be the FIRST action"
+    ict0 = lines0[0]["commitInfo"]["inCommitTimestamp"]
+    assert isinstance(ict0, int)
+    s = _replay(table2)
+    assert s.proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in s.proto["writerFeatures"]
+    cfg = s.meta["configuration"]
+    assert cfg["delta.enableInCommitTimestamps"] == "true"
+    assert "delta.inCommitTimestampEnablementVersion" not in cfg  # at creation
+    # clock steps BACKWARDS; the flag is NOT passed again (sticky)
+    merge_into(
+        spark, store,
+        spark.createDataFrame([("UPSERT", 1, 99, "v1b", 9, 1)], SCHEMA6),
+        ["pk"], n_buckets=2)
+    monkeypatch.setattr(dl, "_now_ms", lambda: ict0 - 50_000)
+    assert delta_export(spark, store, table2) == 1
+    lines1 = [json.loads(l) for l in open(os.path.join(log, f"{1:020d}.json"))]
+    assert "commitInfo" in lines1[0]
+    ict1 = lines1[0]["commitInfo"]["inCommitTimestamp"]
+    assert ict1 == ict0 + 1, "monotonic floor must beat the skewed clock"
+    assert dict(commit_timestamps(table2)) == {0: ict0, 1: ict1}
+
+
+def test_export_in_commit_timestamps_midlife_enable(spark, tmp_path):
+    """Enabling ICT on an EXISTING base-protocol table: in-place
+    protocol upgrade to writer version 7 with the legacy-implied
+    features, and the spec's enablement provenance keys record the
+    enabling version + its timestamp."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import _replay
+
+    store, table = _dv_export_store(spark, tmp_path)  # v0: base protocol
+    assert _replay(table).proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    merge_into(
+        spark, store,
+        spark.createDataFrame([("UPSERT", 2, 50, "v2b", 5, 2)], SCHEMA6),
+        ["pk"], n_buckets=2)
+    assert delta_export(spark, store, table, in_commit_timestamps=True) == 1
+    s = _replay(table)
+    assert sorted(s.proto["writerFeatures"]) == [
+        "appendOnly", "inCommitTimestamp", "invariants"]
+    assert s.proto["minReaderVersion"] == 1
+    log = os.path.join(table, LOG_DIR)
+    lines1 = [json.loads(l) for l in open(os.path.join(log, f"{1:020d}.json"))]
+    ict1 = lines1[0]["commitInfo"]["inCommitTimestamp"]
+    cfg = s.meta["configuration"]
+    assert cfg["delta.enableInCommitTimestamps"] == "true"
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert cfg["delta.inCommitTimestampEnablementTimestamp"] == str(ict1)
+    # reads unaffected
+    got = sorted(r.pk for r in read_delta(spark, table).collect())
+    assert got == list(range(40))
