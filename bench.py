@@ -551,7 +551,7 @@ def main():
         with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
             f.write(line + "\n")
         if (
-            os.environ.get("SPARK_GRAFT_SECTIONS") is None
+            sections == {"queries", "slices", "store", "solo"}
             and os.environ.get("SPARK_GRAFT_SOLO", "1") != "0"
         ):
             with open(os.path.join(repo, "BENCH_HISTORY.jsonl"), "a") as f:

@@ -352,6 +352,11 @@ class _LogState:
         self.proto: dict | None = None
         self.txns: dict[str, int] = {}
         self.empty_buckets: dict[int, int] = {}
+        #: the LAST replayed commit's commitInfo.inCommitTimestamp
+        #: (None when it carried none or state came straight from a
+        #: checkpoint) — lets the ICT writer skip re-reading the file
+        #: it just replayed
+        self.last_ict: int | None = None
 
     def has_reader_feature(self, feature: str) -> bool:
         """True when the replayed protocol declares ``feature`` (or no
@@ -692,6 +697,7 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
         # vector to an existing file. Within a commit the add wins
         # regardless of line order, so removes apply first, adds after.
         adds_in_commit: dict[str, dict] = {}
+        commit_ict: int | None = None
         for line in _log_read_bytes(path).decode().splitlines():
             line = line.strip()
             if not line:
@@ -719,8 +725,12 @@ def _replay(out_path: str, max_version: int | None = None) -> _LogState:
                     state.empty_buckets = {
                         int(b): int(v) for b, v in empties.items()
                     }
+                ict = action["commitInfo"].get("inCommitTimestamp")
+                if ict is not None:
+                    commit_ict = int(ict)
         state.files.update(adds_in_commit)
         state.last = version
+        state.last_ict = commit_ict
     if max_version is not None and state.last < max_version:
         raise FileNotFoundError(
             f"delta version {max_version} not found at {out_path} "
@@ -1209,19 +1219,6 @@ def delta_log_cleanup(
                 pass  # a concurrent cleaner got there first — same outcome
             deleted.append(name)
     return deleted
-
-
-#: protocol a DV-emitting export upgrades the table to — the spec's
-#: requirement for the deletionVectors table feature
-DV_PROTOCOL = {
-    "minReaderVersion": 3,
-    "minWriterVersion": 7,
-    "readerFeatures": ["deletionVectors"],
-    # upgrading a legacy (1,2) table to writer version 7 must carry the
-    # features version 2 implied — appendOnly and invariants — exactly
-    # what delta-spark's protocol upgrade writes (ADVICE r10)
-    "writerFeatures": ["appendOnly", "deletionVectors", "invariants"],
-}
 
 
 def _plan_dv_buckets(
@@ -1944,8 +1941,15 @@ def delta_export(
     ict_val = None
     if ict_on:
         # strictly monotonic authoritative commit time: never below the
-        # previous commit's (clock skew cannot run table time backwards)
-        prev_ict = _read_last_ict(out_path, log.last)
+        # previous commit's (clock skew cannot run table time
+        # backwards). The replay already captured the last commit's
+        # ICT; the file re-read happens only when state came straight
+        # off a checkpoint (the one case replay never saw the commit)
+        prev_ict = (
+            log.last_ict
+            if log.last_ict is not None
+            else _read_last_ict(out_path, log.last)
+        )
         ict_val = max(now, prev_ict + 1 if prev_ict is not None else 0)
         if export_cfg.get("delta.enableInCommitTimestamps") != "true":
             export_cfg["delta.enableInCommitTimestamps"] = "true"
@@ -1961,13 +1965,13 @@ def delta_export(
     cfg_changed = export_cfg != dict(
         (log.meta or {}).get("configuration") or {}
     )
-    if (
-        not actions
-        and not schema_changed
-        and not memo_changed
-        and not cfg_changed
-    ):
-        return None  # export already current
+    if not actions and not schema_changed and not memo_changed:
+        # a config-only change (mid-life ICT enablement) commits on an
+        # EXISTING table; with no metaData yet there is no schema to
+        # write a first metaData from — nothing exportable, stay a
+        # clean no-op exactly as before the flag existed
+        if log.meta is None or not cfg_changed:
+            return None  # export already current
 
     def _has_writer_feature(feature: str) -> bool:
         return log.proto is not None and feature in (
@@ -1987,20 +1991,16 @@ def delta_export(
         )
     ) or (ict_on and not _has_writer_feature("inCommitTimestamp")):
         # first DV (or first ICT commit) on a table not yet declaring
-        # the feature: the spec's in-place protocol upgrade, carrying
-        # EVERY feature the table now uses — a mapped table keeps
-        # listing columnMapping, an already-DV'd table keeps
-        # deletionVectors
+        # the feature: the spec's in-place protocol upgrade — the UNION
+        # of everything the table already declares and what this export
+        # now needs (never a rebuild, which would drop live features)
         header.append(
             {
-                "protocol": _export_protocol(
-                    is_mapped,
-                    bool(dv_buckets)
-                    or (
-                        log.proto is not None
-                        and log.has_reader_feature("deletionVectors")
+                "protocol": _merge_protocol(
+                    log.proto,
+                    _export_protocol(
+                        is_mapped, bool(dv_buckets), ict_on
                     ),
-                    ict_on or _has_writer_feature("inCommitTimestamp"),
                 )
             }
         )
@@ -2343,6 +2343,40 @@ def _export_protocol(mapped: bool, dv: bool, ict: bool = False) -> dict:
         # reader version keeps its legacy meaning (2 = column mapping)
         proto["minReaderVersion"] = 2 if mapped else 1
     return proto
+
+
+def _merge_protocol(existing: dict | None, target: dict) -> dict:
+    """In-place protocol UPGRADE semantics: the committed protocol is
+    the union of what the table already declares and what this export
+    now needs — rebuilding from the export's own flags alone would
+    silently DROP features the log still uses (v2Checkpoint,
+    timestampNtz, a foreign writer's rowTracking) and could downgrade
+    minReaderVersion, leaving spec readers a table whose features are
+    in use but undeclared (code-review r11 finding)."""
+    if not existing:
+        return target
+    out = dict(target)
+    out["minReaderVersion"] = max(
+        int(existing.get("minReaderVersion", 1)),
+        int(target["minReaderVersion"]),
+    )
+    out["minWriterVersion"] = max(
+        int(existing.get("minWriterVersion", 2)),
+        int(target["minWriterVersion"]),
+    )
+    rf = set(existing.get("readerFeatures") or []) | set(
+        target.get("readerFeatures") or []
+    )
+    wf = set(existing.get("writerFeatures") or []) | set(
+        target.get("writerFeatures") or []
+    )
+    if rf:
+        out["readerFeatures"] = sorted(rf)
+        # the table-features reader form requires version 3
+        out["minReaderVersion"] = max(out["minReaderVersion"], 3)
+    if wf:
+        out["writerFeatures"] = sorted(wf)
+    return out
 
 
 def _id_field_json(f: dict) -> dict:

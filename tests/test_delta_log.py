@@ -1925,3 +1925,53 @@ def test_export_in_commit_timestamps_midlife_enable(spark, tmp_path):
     # reads unaffected
     got = sorted(r.pk for r in read_delta(spark, table).collect())
     assert got == list(range(40))
+
+
+def test_export_protocol_upgrade_preserves_foreign_features(spark, tmp_path):
+    """An in-place protocol upgrade (first ICT commit here) must UNION
+    with the features the table already declares — rebuilding from the
+    export's own flags would silently drop v2Checkpoint/rowTracking
+    from a table still using them and downgrade minReaderVersion
+    (code-review r11 finding)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import _replay
+
+    store, table = _dv_export_store(spark, tmp_path)
+    # a richer protocol lands out-of-band (say a foreign maintenance
+    # writer): reader v3 with v2Checkpoint, writer rowTracking
+    log = os.path.join(table, LOG_DIR)
+    v = _replay(table).last + 1
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint", "rowTracking"],
+        }}) + "\n")
+        f.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    merge_into(
+        spark, store,
+        spark.createDataFrame([("UPSERT", 3, 60, "v3b", 6, 3)], SCHEMA6),
+        ["pk"], n_buckets=2)
+    assert delta_export(spark, store, table, in_commit_timestamps=True) == v + 1
+    p = _replay(table).proto
+    assert p["minReaderVersion"] == 3
+    assert "v2Checkpoint" in p["readerFeatures"]
+    assert set(p["writerFeatures"]) >= {
+        "v2Checkpoint", "rowTracking", "inCommitTimestamp",
+        "appendOnly", "invariants"}
+
+
+def test_export_ict_on_empty_store_stays_noop(spark, tmp_path):
+    """First export of an EMPTY store with in_commit_timestamps=True:
+    there is nothing to export and no schema to write a metaData from
+    — must return None exactly as without the flag, not KeyError
+    (code-review r11 finding)."""
+    class _EmptyManifest:
+        def load(self, path):
+            return {"version": 0, "buckets": {}, "kind": "lww"}, None
+
+    out = str(tmp_path / "empty_table")
+    assert delta_export(
+        spark, str(tmp_path / "nostore"), out,
+        manifest_store=_EmptyManifest(), in_commit_timestamps=True,
+    ) is None
+    assert not os.path.exists(os.path.join(out, LOG_DIR))
