@@ -1040,8 +1040,44 @@ def _checkpoint_arrow_schema():
 CHECKPOINT_PART_ACTIONS = 50_000
 
 
+def _v2_checkpoint_arrow_schema():
+    """The V2 checkpoint schema: the classic action columns plus the
+    two V2 action structs (``checkpointMetadata``, ``sidecar``) —
+    shared by this module's V2 WRITER and the foreign-fixture builder
+    (one source of truth; delta-spark/UniForm write the same shape)."""
+    import pyarrow as pa
+
+    smap = pa.map_(pa.string(), pa.string())
+    fields = list(_checkpoint_arrow_schema())
+    fields.append(
+        pa.field(
+            "checkpointMetadata",
+            pa.struct(
+                [pa.field("version", pa.int64()), pa.field("tags", smap)]
+            ),
+        )
+    )
+    fields.append(
+        pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("sizeInBytes", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("tags", smap),
+                ]
+            ),
+        )
+    )
+    return pa.schema(fields)
+
+
 def write_checkpoint(
-    out_path: str, version: int | None = None, parts: int | None = None
+    out_path: str,
+    version: int | None = None,
+    parts: int | None = None,
+    v2: bool | None = None,
 ) -> str:
     """Compact the log at ``version`` (default: current last) into a
     spec parquet checkpoint and point ``_last_checkpoint`` at it.
@@ -1069,13 +1105,43 @@ def write_checkpoint(
     per live file; 4096 buckets → 4096 rows). Files publish atomically
     (temp + ``os.replace``): ``_last_checkpoint`` is the spec's single
     mutable pointer, and a torn checkpoint parquet is never observable
-    under its final name."""
+    under its final name.
+
+    ``v2``: write the spec's V2 layout instead — a self-contained
+    UUID-named top-level file (``checkpointMetadata`` + non-file
+    actions + ``sidecar`` references) with the file actions in parquet
+    SIDECARS under ``_delta_log/_sidecars/`` (``parts`` then forces
+    the sidecar count). Requires the table protocol to declare the
+    ``v2Checkpoint`` reader feature (enable via
+    ``delta_export(v2_checkpoints=True)``) — a V2 checkpoint a
+    non-declaring reader silently skipped would resurrect cleaned
+    history. Default ``None`` auto-detects from the table's
+    ``delta.checkpointPolicy`` configuration (delta-spark's switch),
+    so maintenance callers keep doing the right thing unchanged.
+    Superseded checkpoints (classic parquet or old sidecars) strand
+    like classic ones do — cleanup only ever deletes covered JSON."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     state = _replay(out_path, version)
     if state.last < 0:
         raise FileNotFoundError(f"no Delta log at {out_path} to checkpoint")
+    if v2 is None:
+        v2 = (
+            ((state.meta or {}).get("configuration") or {}).get(
+                "delta.checkpointPolicy"
+            )
+            == "v2"
+        )
+    if v2 and (
+        state.proto is None
+        or "v2Checkpoint" not in (state.proto.get("readerFeatures") or [])
+    ):
+        raise ValueError(
+            f"{out_path}: v2 checkpoint requested but the protocol does "
+            "not declare the v2Checkpoint reader feature — enable it "
+            "first (delta_export(v2_checkpoints=True))"
+        )
     version = state.last
     now = _now_ms()
     rows: list[dict] = [{"protocol": state.proto or PROTOCOL}]
@@ -1092,9 +1158,93 @@ def write_checkpoint(
         add["dataChange"] = False
         rows.append({"add": add})
 
-    schema = _checkpoint_arrow_schema()
     log_dir = os.path.join(out_path, LOG_DIR)
     lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
+    if v2:
+        schema = _v2_checkpoint_arrow_schema()
+        adds = [r for r in rows if "add" in r]
+        non_file = [r for r in rows if "add" not in r]
+        n_side = (
+            parts if parts else -(-len(adds) // CHECKPOINT_PART_ACTIONS)
+        )
+        n_side = max(1, min(n_side, max(1, len(adds))))
+
+        def _blob(chunk: list[dict]) -> bytes:
+            sink = pa.BufferOutputStream()
+            pq.write_table(pa.Table.from_pylist(chunk, schema=schema), sink)
+            return sink.getvalue().to_pybytes()
+
+        side_actions: list[dict] = []
+        part_files = []  # (path, serialized bytes), sidecars first
+        if adds:
+            base_n, rem = divmod(len(adds), n_side)
+            pos = 0
+            for i in range(n_side):
+                take = base_n + (1 if i < rem else 0)
+                chunk, pos = adds[pos : pos + take], pos + take
+                if not chunk:
+                    continue
+                name = f"{uuid.uuid4()}.parquet"
+                blob = _blob(chunk)
+                part_files.append(
+                    (os.path.join(log_dir, SIDECAR_DIR, name), blob)
+                )
+                side_actions.append(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": len(blob),
+                            "modificationTime": now,
+                        }
+                    }
+                )
+        top_rows = (
+            [{"checkpointMetadata": {"version": version}}]
+            + non_file
+            + side_actions
+        )
+        part_files.append(
+            (
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+                ),
+                _blob(top_rows),
+            )
+        )
+        pointer = {"version": version, "size": len(rows) + 1}
+        if state.empty_buckets:
+            pointer["emptyBuckets"] = {
+                str(b): v for b, v in state.empty_buckets.items()
+            }
+        lc_bytes = json.dumps(pointer, separators=(",", ":")).encode()
+        cp_path = part_files[-1][0]
+        if _log_reads_via_store():
+            def _newer(current: bytes | None) -> bool:
+                if current is None:
+                    return True
+                try:
+                    return int(json.loads(current)["version"]) < version
+                except (ValueError, KeyError, TypeError):
+                    return True
+            for p, blob in part_files:
+                _LOG_COMMIT_STORE.put_overwrite(p, blob)
+            _LOG_COMMIT_STORE.put_overwrite(
+                lc_path, lc_bytes, should_replace=_newer
+            )
+            return cp_path
+        _io_mkdirs(os.path.join(log_dir, SIDECAR_DIR))
+        # sidecars land before the top-level file, the top-level before
+        # the pointer: a reader can never resolve a dangling reference
+        for p, blob in part_files:
+            tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+            _io_write_bytes(tmp, blob)
+            _io_move(tmp, p)
+        tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
+        _io_write_bytes(tmp, lc_bytes)
+        _io_move(tmp, lc_path)
+        return cp_path
+    schema = _checkpoint_arrow_schema()
     n_parts = parts if parts else -(-len(rows) // CHECKPOINT_PART_ACTIONS)
     n_parts = max(1, min(n_parts, len(rows)))
     if n_parts <= 1:
@@ -1540,6 +1690,7 @@ def delta_export(
     dv_max_fraction: float = 0.2,
     column_mapping: str | None = None,
     in_commit_timestamps: bool = False,
+    v2_checkpoints: bool = False,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -1589,7 +1740,19 @@ def delta_export(
     writing them without the flag; enabling AFTER creation records
     the spec's enablement version/timestamp provenance keys. The
     protocol upgrades to writer version 7 listing the feature, and
-    commitInfo becomes the commit's FIRST action per spec."""
+    commitInfo becomes the commit's FIRST action per spec.
+
+    ``v2_checkpoints=True`` switches the table to the spec's V2
+    checkpoint layout: the protocol gains the ``v2Checkpoint`` reader
+    feature (in-place feature-union upgrade — note this raises
+    minReaderVersion to 3, so only feature-aware readers can open the
+    table afterwards, exactly delta-spark's behavior), configuration
+    records ``delta.checkpointPolicy=v2`` (sticky — the periodic
+    checkpoint cadence and any standalone
+    :func:`write_checkpoint`/maintenance call auto-detect it), and
+    every checkpoint from then on is a UUID-named self-contained
+    top-level file with parquet sidecars under
+    ``_delta_log/_sidecars/``."""
     if (
         "://" in out_path
         and not out_path.startswith("file://")
@@ -1686,6 +1849,11 @@ def delta_export(
     ict_on = in_commit_timestamps or (
         export_cfg.get("delta.enableInCommitTimestamps") == "true"
     )
+    v2c_on = v2_checkpoints or (
+        export_cfg.get("delta.checkpointPolicy") == "v2"
+    )
+    if v2c_on and export_cfg.get("delta.checkpointPolicy") != "v2":
+        export_cfg["delta.checkpointPolicy"] = "v2"
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
@@ -1981,25 +2149,41 @@ def delta_export(
     header: list[dict] = []
     if log.last < 0:
         header.append(
-            {"protocol": _export_protocol(is_mapped, bool(dv_buckets), ict_on)}
+            {
+                "protocol": _export_protocol(
+                    is_mapped, bool(dv_buckets), ict_on, v2c_on
+                )
+            }
         )
     elif (
-        dv_buckets
-        and (
-            log.proto is None
-            or not log.has_reader_feature("deletionVectors")
+        (
+            dv_buckets
+            and (
+                log.proto is None
+                or not log.has_reader_feature("deletionVectors")
+            )
         )
-    ) or (ict_on and not _has_writer_feature("inCommitTimestamp")):
-        # first DV (or first ICT commit) on a table not yet declaring
-        # the feature: the spec's in-place protocol upgrade — the UNION
-        # of everything the table already declares and what this export
-        # now needs (never a rebuild, which would drop live features)
+        or (ict_on and not _has_writer_feature("inCommitTimestamp"))
+        or (
+            v2c_on
+            and (
+                log.proto is None
+                or "v2Checkpoint"
+                not in (log.proto.get("readerFeatures") or [])
+            )
+        )
+    ):
+        # first DV / ICT / V2-checkpoint commit on a table not yet
+        # declaring the feature: the spec's in-place protocol upgrade —
+        # the UNION of everything the table already declares and what
+        # this export now needs (never a rebuild, which would drop
+        # live features)
         header.append(
             {
                 "protocol": _merge_protocol(
                     log.proto,
                     _export_protocol(
-                        is_mapped, bool(dv_buckets), ict_on
+                        is_mapped, bool(dv_buckets), ict_on, v2c_on
                     ),
                 )
             }
@@ -2059,7 +2243,7 @@ def delta_export(
         and version > 0
         and version % checkpoint_interval == 0
     ):
-        write_checkpoint(out_path, version)
+        write_checkpoint(out_path, version, v2=v2c_on)
     return version
 
 
@@ -2306,17 +2490,19 @@ def _to_physical(df: DataFrame, mapped_fields: list[dict]) -> DataFrame:
     return df.select(*exprs)
 
 
-def _export_protocol(mapped: bool, dv: bool, ict: bool = False) -> dict:
+def _export_protocol(
+    mapped: bool, dv: bool, ict: bool = False, v2c: bool = False
+) -> dict:
     """The protocol action delta_export commits (or upgrades to) for
     the feature combination it is writing — matching delta-spark's
     output for the same table state: base (1,2); legacy name-mode
-    mapping (2,5); deletion vectors / in-commit timestamps force the
-    table-features form (writer version 7) listing EVERY legacy
-    feature the pre-upgrade version implied — v2 appendOnly+
-    invariants, and when the table was mapped (v5) also v3
+    mapping (2,5); deletion vectors / in-commit timestamps / v2
+    checkpoints force the table-features form (writer version 7)
+    listing EVERY legacy feature the pre-upgrade version implied — v2
+    appendOnly+invariants, and when the table was mapped (v5) also v3
     checkConstraints + v4 changeDataFeed/generatedColumns + v5
     columnMapping."""
-    if not (dv or ict):
+    if not (dv or ict or v2c):
         if mapped:
             return {"minReaderVersion": 2, "minWriterVersion": 5}
         return PROTOCOL
@@ -2332,12 +2518,21 @@ def _export_protocol(mapped: bool, dv: bool, ict: bool = False) -> dict:
         wf.add("deletionVectors")
     if ict:
         wf.add("inCommitTimestamp")
-    proto: dict = {"minWriterVersion": 7, "writerFeatures": sorted(wf)}
+    if v2c:
+        wf.add("v2Checkpoint")
+    rf = set()
     if dv:
+        rf.add("deletionVectors")
+    if v2c:
+        rf.add("v2Checkpoint")
+    if rf and mapped:
+        # the reader-features form must list EVERY reader requirement,
+        # including the previously version-implied column mapping
+        rf.add("columnMapping")
+    proto: dict = {"minWriterVersion": 7, "writerFeatures": sorted(wf)}
+    if rf:
         proto["minReaderVersion"] = 3
-        proto["readerFeatures"] = sorted(
-            {"deletionVectors"} | ({"columnMapping"} if mapped else set())
-        )
+        proto["readerFeatures"] = sorted(rf)
     else:
         # writer-only features: readerFeatures stays ABSENT and the
         # reader version keeps its legacy meaning (2 = column mapping)

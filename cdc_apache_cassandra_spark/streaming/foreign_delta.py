@@ -158,38 +158,15 @@ def with_dv(add: dict, dv_descriptor: dict) -> dict:
 # ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions.
 
 def _v2_arrow_schema():
-    """delta_log's checkpoint action schema (which already carries the
-    protocol feature lists and add.deletionVector) + the two V2 action
-    columns (checkpointMetadata, sidecar) — what a real
-    UniForm/delta-spark V2 checkpoint parquet carries. One source of
-    truth: the base fields come from the reader's own schema so the two
-    can never drift."""
+    """Since r11 this is delta_log's own V2 WRITER schema
+    (``_v2_checkpoint_arrow_schema``) — one source of truth shared by
+    the engine's V2 checkpoint writer, its reader, and these
+    fixtures, so the three can never drift."""
     from cdc_apache_cassandra_spark.streaming.delta_log import (
-        _checkpoint_arrow_schema,
+        _v2_checkpoint_arrow_schema,
     )
 
-    smap = pa.map_(pa.string(), pa.string())
-    fields = list(_checkpoint_arrow_schema())
-    fields.append(
-        pa.field(
-            "checkpointMetadata",
-            pa.struct([pa.field("version", pa.int64()), pa.field("tags", smap)]),
-        )
-    )
-    fields.append(
-        pa.field(
-            "sidecar",
-            pa.struct(
-                [
-                    pa.field("path", pa.string()),
-                    pa.field("sizeInBytes", pa.int64()),
-                    pa.field("modificationTime", pa.int64()),
-                    pa.field("tags", smap),
-                ]
-            ),
-        )
-    )
-    return pa.schema(fields)
+    return _v2_checkpoint_arrow_schema()
 
 
 def _rows_for(actions: list[dict], schema: pa.Schema) -> pa.Table:

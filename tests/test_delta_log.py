@@ -1975,3 +1975,77 @@ def test_export_ict_on_empty_store_stays_noop(spark, tmp_path):
         manifest_store=_EmptyManifest(), in_commit_timestamps=True,
     ) is None
     assert not os.path.exists(os.path.join(out, LOG_DIR))
+
+
+def test_export_v2_checkpoints_end_to_end(spark, tmp_path):
+    """V2 checkpoint WRITER (r11): delta_export(v2_checkpoints=True)
+    declares the v2Checkpoint reader feature + delta.checkpointPolicy
+    config (sticky), and write_checkpoint auto-detects the policy —
+    producing a UUID-named self-contained top-level file with parquet
+    sidecars that the engine's own V2 reader restores after log
+    cleanup. The empty-bucket memo rides the pointer as always."""
+    import glob
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        _replay,
+        delta_log_cleanup,
+        write_checkpoint,
+    )
+
+    store, table = _dv_export_store(spark, tmp_path)  # base table exists
+    table2 = str(tmp_path / "v2cp")
+    assert delta_export(
+        spark, store, table2, v2_checkpoints=True) == 0
+    s = _replay(table2)
+    assert "v2Checkpoint" in s.proto["readerFeatures"]
+    assert "v2Checkpoint" in s.proto["writerFeatures"]
+    assert s.meta["configuration"]["delta.checkpointPolicy"] == "v2"
+    # second commit WITHOUT the flag (sticky), then checkpoint
+    merge_into(
+        spark, store,
+        spark.createDataFrame([("UPSERT", 0, 77, "v0c", 7, 0)], SCHEMA6),
+        ["pk"], n_buckets=2)
+    assert delta_export(spark, store, table2) == 1
+    cp = write_checkpoint(table2)  # v2 auto-detected from config
+    log = os.path.join(table2, LOG_DIR)
+    assert ".checkpoint." in cp and not cp.endswith(".checkpoint.parquet")
+    assert glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert not glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    deleted = delta_log_cleanup(table2)
+    assert f"{0:020d}.json" in deleted
+    got = {r.pk: r.v for r in read_delta(spark, table2).collect()}
+    assert got[0] == "v0c" and len(got) == 40
+
+
+def test_export_v2_checkpoint_multi_sidecar(spark, tmp_path):
+    """parts= forces the sidecar count; restore concatenates them."""
+    import glob
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        write_checkpoint,
+    )
+
+    store, _ = _dv_export_store(spark, tmp_path)
+    table2 = str(tmp_path / "v2multi")
+    delta_export(spark, store, table2, v2_checkpoints=True)
+    write_checkpoint(table2, parts=2)
+    log = os.path.join(table2, LOG_DIR)
+    assert len(glob.glob(os.path.join(log, "_sidecars", "*.parquet"))) == 2
+    delta_log_cleanup(table2)
+    assert read_delta(spark, table2).count() == 40
+
+
+def test_write_checkpoint_v2_requires_declared_feature(spark, tmp_path):
+    """write_checkpoint(v2=True) on a table whose protocol does not
+    declare v2Checkpoint refuses loudly — a V2 checkpoint a
+    non-declaring reader skipped would resurrect cleaned history."""
+    import pytest
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        write_checkpoint,
+    )
+
+    _, table = _dv_export_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        write_checkpoint(table, v2=True)
