@@ -95,10 +95,15 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # cdc_compound_read_after_event), cdc_replication_latency (A6/W2
 # judge-sweep), join_semi_orders_with_late_items (semi-join
 # judge-sweep-green since r1).
+# r11 mid-round: cdc_delta_cdf_table_changes (spec-exact CDF from cdc
+# actions — delta-spark's table_changes surface, new this round)
+# rotates in for cdc_udt_evolution_union (7 driver-green rows; UDT
+# schema evolution also pinned by the schema_evolution pytest family
+# and judge-sweep-green since r1).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_backfill_union",
-    "cdc_udt_evolution_union",
+    "cdc_delta_cdf_table_changes",
     "cdc_delta_partitioned_import",
     "cdc_point_read_routing",
     "cdc_store_point_read",

@@ -1177,6 +1177,108 @@ def cdc_change_feed_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# --- spec-exact CDF from cdc actions (r11) -----------------------------------
+
+_CDF_TC_SQL = """
+WITH base AS (
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT c_custkey, 'insert' AS change_type, 0 AS commit_version,
+       bal FROM base
+UNION ALL
+SELECT c_custkey, 'update_preimage', 1, bal
+FROM base WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, 'update_postimage', 1, CAST(0 AS DOUBLE)
+FROM base WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, 'delete', 2,
+       CASE WHEN c_custkey % 2 = 0 THEN CAST(0 AS DOUBLE) ELSE bal END
+FROM base
+"""
+
+
+@register("cdc_delta_cdf_table_changes", sql=_CDF_TC_SQL)
+def cdc_delta_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-spark's ``table_changes`` surface under the oracle gate
+    (r11): a CDF-enabled foreign table (delta.enableChangeDataFeed)
+    whose UPDATE commit carries spec CHANGE-DATA files (``cdc``
+    actions) — ``delta_changes_cdf`` must return exactly those rows
+    for that commit (ignoring its add/remove rewrite), synthesize
+    ``insert`` rows for the add-only creation commit, and synthesize
+    ``delete`` rows from the PRE-commit snapshot for the remove-only
+    drop commit. No primary key involved anywhere — this is the
+    file-level CDF contract, complementary to the pk-diff
+    ``cdc_delta_change_feed``. Fixture: the c_custkey % 13 = 0 slice
+    of customer; v1 zeroes even keys' balances via cdc files; v2
+    drops the table's file."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming import foreign_delta as fx
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    )
+    keys = t.column("c_custkey").to_numpy()
+    t = t.take(np.nonzero(keys % 13 == 0)[0]).sort_by("c_custkey")
+    keys = t.column("c_custkey").to_numpy()
+    bal = t.column("c_acctbal").to_numpy()
+    root = tempfile.mkdtemp(prefix="cdc_cdf_tc_")
+    add0 = fx.write_data_file(root, "part-000.parquet", t,
+                              stats_cols=["c_custkey"])
+    fx.write_commit(root, 0, [
+        fx.protocol_action(1, 4),
+        fx.metadata_action(
+            [fx.field("c_custkey", "long"), fx.field("c_acctbal", "double")],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        ),
+        add0,
+    ])
+    even = keys % 2 == 0
+    cdc_t = pa.table({
+        "c_custkey": np.concatenate([keys[even], keys[even]]),
+        "c_acctbal": np.concatenate(
+            [bal[even], np.zeros(int(even.sum()))]
+        ),
+        "_change_type": ["update_preimage"] * int(even.sum())
+        + ["update_postimage"] * int(even.sum()),
+    })
+    os.makedirs(os.path.join(root, "_change_data"))
+    cdc_path = os.path.join(root, "_change_data", "cdc-000.parquet")
+    pq.write_table(cdc_t, cdc_path)
+    post = pa.table({
+        "c_custkey": keys,
+        "c_acctbal": np.where(even, 0.0, bal),
+    })
+    add1 = fx.write_data_file(root, "part-001.parquet", post,
+                              stats_cols=["c_custkey"])
+    fx.write_commit(root, 1, [
+        fx.remove_action(add0),
+        add1,
+        {"cdc": {"path": "_change_data/cdc-000.parquet",
+                 "partitionValues": {},
+                 "size": os.path.getsize(cdc_path), "dataChange": False}},
+    ])
+    fx.write_commit(root, 2, [fx.remove_action(add1)])
+    feed = delta_changes_cdf(spark, root, 0, 2)
+    return feed.select(
+        "c_custkey",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("bal"),
+    )
+
+
 # --- foreign Delta import: deletion vectors + column mapping (r8 items 1+2) -
 
 _DV_IMPORT_SQL = """

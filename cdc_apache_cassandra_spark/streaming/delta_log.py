@@ -2662,12 +2662,15 @@ def _mapping_plan(meta: dict) -> MappingPlan:
 
         def restore(df: DataFrame) -> DataFrame:
             # names/types are already logical; the projection strips the
-            # parquet.field.id field metadata from the result schema
+            # parquet.field.id field metadata from the result schema.
+            # CDF metadata columns (_change_type) are never mapped —
+            # pass them through untouched.
             return df.select(
                 *[
                     F.col(lf.name).cast(lf.dataType).alias(lf.name)
                     for lf in logical.fields
-                ]
+                ],
+                *[F.col(c) for c in df.columns if c in _CDF_PASSTHROUGH],
             )
 
         # id-mode writers record physicalName too (the metaData
@@ -2710,11 +2713,14 @@ def _mapping_plan(meta: dict) -> MappingPlan:
     )
 
     def restore(df: DataFrame) -> DataFrame:
+        # CDF metadata columns (_change_type) are stored under their
+        # literal names even in mapped tables — pass them through
         return df.select(
             *[
                 F.col(pf.name).cast(lf.dataType).alias(lf.name)
                 for pf, lf in zip(read_schema.fields, logical.fields)
-            ]
+            ],
+            *[F.col(c) for c in df.columns if c in _CDF_PASSTHROUGH],
         )
 
     phys_of = {
@@ -2793,11 +2799,18 @@ def _partition_value_of(add: dict, phys_name: str, logical_name: str):
     return pv.get(logical_name)
 
 
+#: CDF metadata columns stored under their LITERAL names in change-data
+#: files, never renamed by column mapping — the restore projections and
+#: the partition reattach pass them through untouched
+_CDF_PASSTHROUGH = ("_change_type",)
+
+
 def _scan_adds(
     spark: SparkSession,
     out_path: str,
     entries: list[tuple[str, dict]],
     meta: dict,
+    change_type: bool = False,
 ) -> DataFrame:
     """Read the given ``(relative_path, add_action)`` entries into the
     table's LOGICAL schema — the one scan used by every snapshot/CDF
@@ -2811,7 +2824,12 @@ def _scan_adds(
     parquet — reading them as typed nulls would be silent wrong data).
     Reconstruction is a broadcast map over the scan's per-row file
     path: metadata-sized (one entry per file), no shuffle, no plan
-    blow-up with the partition count."""
+    blow-up with the partition count.
+
+    ``change_type=True`` reads the files as CHANGE-DATA files (spec
+    ``cdc`` actions): the scan additionally reads the literal
+    ``_change_type`` string column, which flows through partition
+    reattach and the mapping restore untouched."""
     plan = _mapping_plan(meta)
     read_schema, restore = plan.read_schema, plan.restore
     if plan.field_id_read:
@@ -2851,6 +2869,11 @@ def _scan_adds(
     else:
         scan_part = []
         pq_schema = read_schema
+    if change_type:
+        pq_schema = T.StructType(
+            list(pq_schema.fields)
+            + [T.StructField("_change_type", T.StringType())]
+        )
 
     def attach_partitions(df: DataFrame) -> DataFrame:
         """Graft the partition columns back (typed, under their
@@ -2890,7 +2913,8 @@ def _scan_adds(
                 F.element_at(F.col("__pv"), i + 1).cast(by_name[p].dataType),
             )
         return df.drop("__pv").select(
-            *[f.name for f in read_schema.fields]
+            *[f.name for f in read_schema.fields],
+            *[c for c in _CDF_PASSTHROUGH if c in df.columns],
         )
 
     plain = [
@@ -2933,7 +2957,15 @@ def _scan_adds(
         )
         parts.append(attach_partitions(df))
     if not parts:
-        out = spark.createDataFrame([], schema=read_schema)
+        empty_schema = (
+            T.StructType(
+                list(read_schema.fields)
+                + [T.StructField("_change_type", T.StringType())]
+            )
+            if change_type
+            else read_schema
+        )
+        out = spark.createDataFrame([], schema=empty_schema)
     else:
         out = parts[0]
         for p in parts[1:]:
@@ -3190,6 +3222,153 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
         adjusted.append(t)
         prev = t
     return list(zip(versions, adjusted))
+
+
+def delta_changes_cdf(
+    spark: SparkSession,
+    out_path: str,
+    starting_version: int,
+    ending_version: int,
+) -> DataFrame:
+    """Spec-exact Change Data Feed from the log's own ``cdc`` actions —
+    delta-spark's ``table_changes`` surface (INCLUSIVE version window,
+    no primary key needed, unlike the file-diff :func:`delta_changes`):
+
+    * a commit that wrote CHANGE-DATA files (``cdc`` actions, the
+      shape delta-spark produces under
+      ``delta.enableChangeDataFeed=true``) yields exactly those files'
+      rows with their stored ``_change_type``
+      (update_preimage/update_postimage/delete/insert); its
+      add/remove actions are IGNORED for CDF per spec (cdc files are
+      authoritative and never part of the table's data);
+    * a commit without them synthesizes ``insert`` rows from its
+      ``dataChange`` adds and ``delete`` rows from its ``dataChange``
+      removes — the removed file's content read through its
+      PRE-commit add entry (still on disk until VACUUM), exactly
+      delta-spark's fallback for add/remove-only commits.
+
+    Output = the table's logical columns + ``_change_type``,
+    ``_commit_version``, ``_commit_timestamp`` (delta-spark's column
+    set; timestamps are the monotonized :func:`commit_timestamps`
+    resolution, so this window and time travel agree on every
+    boundary). Composes with column mapping (``_change_type`` is
+    stored under its literal name even in mapped tables) and with
+    partition-value reconstruction.
+
+    IO ∝ changed files in the window; the driver holds one action list
+    per commit (metadata-sized) and the result is ONE lazy union —
+    nothing is scanned until the caller acts."""
+    if ending_version < starting_version:
+        raise ValueError(
+            f"ending_version {ending_version} < starting_version "
+            f"{starting_version}"
+        )
+    end_state = _replay(out_path, ending_version)
+    if end_state.meta is None:
+        raise FileNotFoundError(f"no Delta log at {out_path}")
+    meta = end_state.meta
+    # pre-window live-file state (for delete synthesis): replays the
+    # pre-window history; fails loudly if those commits were cleaned —
+    # matching delta-spark's 'cannot time travel' error class
+    live: dict[str, dict] = (
+        dict(_replay(out_path, starting_version - 1).files)
+        if starting_version > 0
+        else {}
+    )
+    ts = dict(commit_timestamps(out_path))
+    log_dir = os.path.join(out_path, LOG_DIR)
+    frames: list[DataFrame] = []
+    for v in range(starting_version, ending_version + 1):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        cdc_actions: list[dict] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        for line in _log_read_bytes(path).decode().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "cdc" in action:
+                cdc_actions.append(action["cdc"])
+            elif "add" in action:
+                adds.append(action["add"])
+            elif "remove" in action:
+                removes.append(action["remove"])
+
+        def _stamp(df: DataFrame, v: int = v) -> DataFrame:
+            return df.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.lit(ts[v]))
+            )
+
+        if cdc_actions:
+            frames.append(
+                _stamp(
+                    _scan_adds(
+                        spark,
+                        out_path,
+                        [(a["path"], a) for a in cdc_actions],
+                        meta,
+                        change_type=True,
+                    )
+                )
+            )
+        else:
+            ins = [
+                (a["path"], a) for a in adds if a.get("dataChange", True)
+            ]
+            dels = []
+            for r in removes:
+                if not r.get("dataChange", True):
+                    continue
+                prev_add = live.get(r["path"])
+                if prev_add is None:
+                    raise ValueError(
+                        f"{out_path}: version {v} removes {r['path']!r} "
+                        "which is not in the pre-commit snapshot; "
+                        "cannot synthesize its delete rows"
+                    )
+                dels.append((r["path"], prev_add))
+            if dels:
+                frames.append(
+                    _stamp(
+                        _scan_adds(spark, out_path, dels, meta).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                )
+            if ins:
+                frames.append(
+                    _stamp(
+                        _scan_adds(spark, out_path, ins, meta).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                )
+        for r in removes:
+            live.pop(r["path"], None)
+        for a in adds:
+            live[a["path"]] = a
+    if not frames:
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        return spark.createDataFrame(
+            [],
+            schema=T.StructType(
+                list(logical.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                    T.StructField(
+                        "_commit_timestamp", T.TimestampType()
+                    ),
+                ]
+            ),
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def delta_changes_by_time(

@@ -1404,3 +1404,105 @@ def test_mapped_export_mode_name_guard(spark, tmp_path):
         ["pk"], n_buckets=2)
     with pytest.raises(NotImplementedError, match="name mode only"):
         delta_export(spark, store, str(tmp_path / "t"), column_mapping="id")
+
+
+# --- spec-exact CDF from cdc actions (r11) ------------------------------------
+
+
+def test_cdf_from_cdc_actions_and_synthesis(spark, tmp_path):
+    """delta_changes_cdf — delta-spark's table_changes surface: a
+    commit with CHANGE-DATA files yields exactly those rows (its
+    add/remove ignored); insert-only commits synthesize inserts;
+    remove-only commits synthesize deletes from the pre-commit file."""
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+    )
+
+    root = str(tmp_path / "cdf")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2], "v": ["a", "b"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    meta = fx.metadata_action(
+        [fx.field("pk", "long"), fx.field("v", "string")],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(1, 4), meta, add0])
+    # v1: UPDATE pk1 -> remove+add plus the authoritative cdc file
+    t1 = pa.table({"pk": [1, 2], "v": ["A2", "b"]})
+    add1 = fx.write_data_file(root, "part-001.parquet", t1, stats_cols=["pk"])
+    os.makedirs(os.path.join(root, "_change_data"))
+    cdc_t = pa.table({
+        "pk": [1, 1],
+        "v": ["a", "A2"],
+        "_change_type": ["update_preimage", "update_postimage"],
+    })
+    cdc_path = os.path.join(root, "_change_data", "cdc-000.parquet")
+    pq.write_table(cdc_t, cdc_path)
+    fx.write_commit(root, 1, [
+        fx.remove_action(add0),
+        add1,
+        {"cdc": {"path": "_change_data/cdc-000.parquet",
+                 "partitionValues": {},
+                 "size": os.path.getsize(cdc_path), "dataChange": False}},
+    ])
+    # v2: DELETE-without-cdc shape (remove only)
+    fx.write_commit(root, 2, [fx.remove_action(add1)])
+    feed = delta_changes_cdf(spark, root, 0, 2)
+    assert set(feed.columns) == {
+        "pk", "v", "_change_type", "_commit_version", "_commit_timestamp"}
+    got = sorted(
+        (r._commit_version, r.pk, r._change_type, r.v)
+        for r in feed.collect()
+    )
+    assert got == [
+        (0, 1, "insert", "a"),
+        (0, 2, "insert", "b"),
+        (1, 1, "update_postimage", "A2"),   # cdc rows, NOT the rewrite
+        (1, 1, "update_preimage", "a"),
+        (2, 1, "delete", "A2"),             # synthesized from pre-state
+        (2, 2, "delete", "b"),
+    ]
+    assert feed.filter("_commit_timestamp IS NULL").count() == 0
+    # sub-window is inclusive on both ends
+    sub = delta_changes_cdf(spark, root, 1, 1).collect()
+    assert sorted(r._change_type for r in sub) == [
+        "update_postimage", "update_preimage"]
+
+
+def test_cdf_from_cdc_actions_mapped(spark, tmp_path):
+    """cdc files of a MAPPED table store data under PHYSICAL names but
+    _change_type under its literal name — the restore projection must
+    rename the data columns and pass _change_type through."""
+    import pyarrow.parquet as pq
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+    )
+
+    root = _mapped_source(tmp_path)  # v0: (pk,v) under col-pk77/col-v88
+    os.makedirs(os.path.join(root, "_change_data"))
+    cdc_t = pa.table({
+        "col-pk77": [2, 2],
+        "col-v88": ["b", "B2"],
+        "_change_type": ["update_preimage", "update_postimage"],
+    })
+    cdc_path = os.path.join(root, "_change_data", "cdc-000.parquet")
+    pq.write_table(cdc_t, cdc_path)
+    t1 = pa.table({"col-pk77": [1, 2, 3], "col-v88": ["a", "B2", "c"]})
+    add1 = fx.write_data_file(root, "part-001.parquet", t1,
+                              stats_cols=["col-pk77"])
+    import glob as _g
+    old_rel = os.path.basename(_g.glob(os.path.join(root, "part-000*"))[0])
+    fx.write_commit(root, 1, [
+        {"remove": {"path": old_rel, "deletionTimestamp": 1,
+                    "dataChange": True}},
+        add1,
+        {"cdc": {"path": "_change_data/cdc-000.parquet",
+                 "partitionValues": {},
+                 "size": os.path.getsize(cdc_path), "dataChange": False}},
+    ])
+    feed = delta_changes_cdf(spark, root, 1, 1)
+    got = sorted((r.pk, r._change_type, r.v) for r in feed.collect())
+    assert got == [(2, "update_postimage", "B2"), (2, "update_preimage", "b")]
