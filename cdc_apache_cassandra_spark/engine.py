@@ -403,6 +403,23 @@ class CdcEngine:
             self.spark, out_path, last_version, pk_cols or ["pk"]
         )
 
+    def table_changes_cdf(
+        self, out_path: str, starting_version: int, ending_version: int
+    ) -> DataFrame:
+        """delta-spark's ``table_changes`` surface (r11): spec-exact
+        CDF from the log's own ``cdc`` actions — inclusive version
+        window, no primary key; commits without change-data files
+        synthesize file-level inserts/deletes. Returns the table's
+        columns + ``_change_type``/``_commit_version``/
+        ``_commit_timestamp``."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            delta_changes_cdf,
+        )
+
+        return delta_changes_cdf(
+            self.spark, out_path, starting_version, ending_version
+        )
+
     def maintain(
         self,
         store_path: str | None = None,
