@@ -1040,6 +1040,53 @@ def _checkpoint_arrow_schema():
 CHECKPOINT_PART_ACTIONS = 50_000
 
 
+def _publish_checkpoint(
+    part_files: list[tuple[str, bytes]],
+    lc_path: str,
+    lc_bytes: bytes,
+    version: int,
+    mkdirs: str,
+) -> str:
+    """Publish checkpoint artifacts then swing the pointer — ONE
+    implementation shared by the classic and V2 writers (a fix to the
+    guard or the ordering must never apply to only one layout).
+    Artifacts land in list order BEFORE the pointer, so a reader can
+    never resolve a dangling reference. Store-authoritative logs:
+    checkpoint + pointer are DERIVED artifacts (recomputable from the
+    create-only commits), so a CAS overwrite is sound; the POINTER
+    must be MONOTONIC — a stalled checkpointer swapping it back below
+    JSON that cleanup already deleted would make the table unreadable
+    (non-contiguous replay) — so the guard runs against the stored
+    value inside the CAS. POSIX/URI roots: tmp-name + move (atomic
+    rename locally; on object stores the final single-key PUT is
+    itself atomic). Returns the last artifact's path."""
+    cp_path = part_files[-1][0]
+    if _log_reads_via_store():
+        def _newer(current: bytes | None) -> bool:
+            if current is None:
+                return True
+            try:
+                return int(json.loads(current)["version"]) < version
+            except (ValueError, KeyError, TypeError):
+                return True  # torn/foreign pointer: ours repairs it
+
+        for p, blob in part_files:
+            _LOG_COMMIT_STORE.put_overwrite(p, blob)
+        _LOG_COMMIT_STORE.put_overwrite(
+            lc_path, lc_bytes, should_replace=_newer
+        )
+        return cp_path
+    _io_mkdirs(mkdirs)
+    for p, blob in part_files:
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+        _io_write_bytes(tmp, blob)
+        _io_move(tmp, p)
+    tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
+    _io_write_bytes(tmp, lc_bytes)
+    _io_move(tmp, lc_path)
+    return cp_path
+
+
 def _v2_checkpoint_arrow_schema():
     """The V2 checkpoint schema: the classic action columns plus the
     two V2 action structs (``checkpointMetadata``, ``sidecar``) —
@@ -1212,38 +1259,24 @@ def write_checkpoint(
                 _blob(top_rows),
             )
         )
-        pointer = {"version": version, "size": len(rows) + 1}
+        # size = every action the checkpoint carries: the classic rows
+        # plus checkpointMetadata plus one sidecar action per sidecar
+        pointer = {
+            "version": version,
+            "size": len(rows) + 1 + len(side_actions),
+        }
         if state.empty_buckets:
             pointer["emptyBuckets"] = {
                 str(b): v for b, v in state.empty_buckets.items()
             }
         lc_bytes = json.dumps(pointer, separators=(",", ":")).encode()
-        cp_path = part_files[-1][0]
-        if _log_reads_via_store():
-            def _newer(current: bytes | None) -> bool:
-                if current is None:
-                    return True
-                try:
-                    return int(json.loads(current)["version"]) < version
-                except (ValueError, KeyError, TypeError):
-                    return True
-            for p, blob in part_files:
-                _LOG_COMMIT_STORE.put_overwrite(p, blob)
-            _LOG_COMMIT_STORE.put_overwrite(
-                lc_path, lc_bytes, should_replace=_newer
-            )
-            return cp_path
-        _io_mkdirs(os.path.join(log_dir, SIDECAR_DIR))
-        # sidecars land before the top-level file, the top-level before
-        # the pointer: a reader can never resolve a dangling reference
-        for p, blob in part_files:
-            tmp = f"{p}.{uuid.uuid4().hex}.tmp"
-            _io_write_bytes(tmp, blob)
-            _io_move(tmp, p)
-        tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
-        _io_write_bytes(tmp, lc_bytes)
-        _io_move(tmp, lc_path)
-        return cp_path
+        return _publish_checkpoint(
+            part_files,
+            lc_path,
+            lc_bytes,
+            version,
+            mkdirs=os.path.join(log_dir, SIDECAR_DIR),
+        )
     schema = _checkpoint_arrow_schema()
     n_parts = parts if parts else -(-len(rows) // CHECKPOINT_PART_ACTIONS)
     n_parts = max(1, min(n_parts, len(rows)))
@@ -1288,40 +1321,13 @@ def write_checkpoint(
             str(b): v for b, v in state.empty_buckets.items()
         }
     lc_bytes = json.dumps(pointer, separators=(",", ":")).encode()
-    cp_path = part_files[-1][0]
-    if _log_reads_via_store():
-        # store-authoritative logs: checkpoint + pointer are DERIVED
-        # artifacts (recomputable from the create-only commits), so a
-        # CAS overwrite is sound — this is what keeps a no-mirror
-        # deployment's replay O(tail), not O(all versions). The POINTER
-        # must be MONOTONIC: a stalled checkpointer swapping it back
-        # below JSON that cleanup already deleted would make the table
-        # unreadable (non-contiguous replay) — the guard runs against
-        # the stored value inside the CAS, so backwards never lands.
-        def _newer(current: bytes | None) -> bool:
-            if current is None:
-                return True
-            try:
-                return int(json.loads(current)["version"]) < version
-            except (ValueError, KeyError, TypeError):
-                return True  # torn/foreign pointer: ours repairs it
-
-        for p, chunk in part_files:
-            _LOG_COMMIT_STORE.put_overwrite(p, _serialize(chunk))
-        _LOG_COMMIT_STORE.put_overwrite(lc_path, lc_bytes, should_replace=_newer)
-        return cp_path
-    _io_mkdirs(log_dir)
-    # tmp-name + move through the URI seam: atomic rename on POSIX, and
-    # on object stores the final single-key PUT is itself atomic; every
-    # part lands before the pointer swings
-    for p, chunk in part_files:
-        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
-        _io_write_bytes(tmp, _serialize(chunk))
-        _io_move(tmp, p)
-    tmp = f"{lc_path}.{uuid.uuid4().hex}.tmp"
-    _io_write_bytes(tmp, lc_bytes)
-    _io_move(tmp, lc_path)
-    return cp_path
+    return _publish_checkpoint(
+        [(p, _serialize(chunk)) for p, chunk in part_files],
+        lc_path,
+        lc_bytes,
+        version,
+        mkdirs=log_dir,
+    )
 
 
 def delta_log_cleanup(
@@ -2665,12 +2671,17 @@ def _mapping_plan(meta: dict) -> MappingPlan:
             # parquet.field.id field metadata from the result schema.
             # CDF metadata columns (_change_type) are never mapped —
             # pass them through untouched.
+            names = {lf.name for lf in logical.fields}
             return df.select(
                 *[
                     F.col(lf.name).cast(lf.dataType).alias(lf.name)
                     for lf in logical.fields
                 ],
-                *[F.col(c) for c in df.columns if c in _CDF_PASSTHROUGH],
+                *[
+                    F.col(c)
+                    for c in df.columns
+                    if c in _CDF_PASSTHROUGH and c not in names
+                ],
             )
 
         # id-mode writers record physicalName too (the metaData
@@ -2715,12 +2726,18 @@ def _mapping_plan(meta: dict) -> MappingPlan:
     def restore(df: DataFrame) -> DataFrame:
         # CDF metadata columns (_change_type) are stored under their
         # literal names even in mapped tables — pass them through
+        # (but never duplicate a genuine data column of that name)
+        names = {pf.name for pf in read_schema.fields}
         return df.select(
             *[
                 F.col(pf.name).cast(lf.dataType).alias(lf.name)
                 for pf, lf in zip(read_schema.fields, logical.fields)
             ],
-            *[F.col(c) for c in df.columns if c in _CDF_PASSTHROUGH],
+            *[
+                F.col(c)
+                for c in df.columns
+                if c in _CDF_PASSTHROUGH and c not in names
+            ],
         )
 
     phys_of = {
@@ -2912,9 +2929,14 @@ def _scan_adds(
                 p,
                 F.element_at(F.col("__pv"), i + 1).cast(by_name[p].dataType),
             )
+        names = {f.name for f in read_schema.fields}
         return df.drop("__pv").select(
             *[f.name for f in read_schema.fields],
-            *[c for c in _CDF_PASSTHROUGH if c in df.columns],
+            *[
+                c
+                for c in _CDF_PASSTHROUGH
+                if c in df.columns and c not in names
+            ],
         )
 
     plain = [
@@ -3257,7 +3279,18 @@ def delta_changes_cdf(
 
     IO ∝ changed files in the window; the driver holds one action list
     per commit (metadata-sized) and the result is ONE lazy union —
-    nothing is scanned until the caller acts."""
+    nothing is scanned until the caller acts. The PRE-window snapshot
+    replays only when a delete actually needs it (a window whose
+    history below it was checkpoint-cleaned still serves as long as no
+    delete synthesis reaches back past the window). delta-spark
+    parity on refusals too: a table without
+    ``delta.enableChangeDataFeed`` refuses (change data was never
+    recorded — synthesizing file-level rows for its update commits
+    would fabricate deletes+inserts for every unchanged neighbor
+    row), as does a CDF-enabled commit mixing dataChange adds AND
+    removes without change-data files (an update a spec writer must
+    have recorded; only pure-insert and pure-delete commits are
+    synthesizable)."""
     if ending_version < starting_version:
         raise ValueError(
             f"ending_version {ending_version} < starting_version "
@@ -3267,16 +3300,49 @@ def delta_changes_cdf(
     if end_state.meta is None:
         raise FileNotFoundError(f"no Delta log at {out_path}")
     meta = end_state.meta
-    # pre-window live-file state (for delete synthesis): replays the
-    # pre-window history; fails loudly if those commits were cleaned —
-    # matching delta-spark's 'cannot time travel' error class
-    live: dict[str, dict] = (
-        dict(_replay(out_path, starting_version - 1).files)
-        if starting_version > 0
-        else {}
-    )
+    if (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) != "true":
+        raise ValueError(
+            f"{out_path}: delta.enableChangeDataFeed is not set — change "
+            "data was not recorded for this table (delta-spark's "
+            "table_changes refuses the same way); use the pk-diff "
+            "delta_changes for file-rewrite logs"
+        )
     ts = dict(commit_timestamps(out_path))
     log_dir = os.path.join(out_path, LOG_DIR)
+    # ONE parse per window commit; the pre-window snapshot is computed
+    # lazily on the first delete that needs it
+    window_adds: dict[str, dict] = {}
+    pre_live: dict[str, dict] | None = None
+
+    def _pre_add(rel: str, v: int) -> dict:
+        nonlocal pre_live
+        if rel in window_adds:
+            return window_adds[rel]
+        if pre_live is None:
+            try:
+                pre_live = (
+                    dict(_replay(out_path, starting_version - 1).files)
+                    if starting_version > 0
+                    else {}
+                )
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"{out_path}: version {v} deletes {rel!r} added "
+                    "BEFORE the window, and the pre-window history was "
+                    "checkpoint-cleaned — widen starting_version to a "
+                    "surviving commit"
+                ) from e
+        add = pre_live.get(rel)
+        if add is None:
+            raise ValueError(
+                f"{out_path}: version {v} removes {rel!r} which is not "
+                "in the pre-commit snapshot; cannot synthesize its "
+                "delete rows"
+            )
+        return add
+
     frames: list[DataFrame] = []
     for v in range(starting_version, ending_version + 1):
         path = os.path.join(log_dir, f"{v:020d}.json")
@@ -3318,19 +3384,19 @@ def delta_changes_cdf(
             ins = [
                 (a["path"], a) for a in adds if a.get("dataChange", True)
             ]
-            dels = []
-            for r in removes:
-                if not r.get("dataChange", True):
-                    continue
-                prev_add = live.get(r["path"])
-                if prev_add is None:
-                    raise ValueError(
-                        f"{out_path}: version {v} removes {r['path']!r} "
-                        "which is not in the pre-commit snapshot; "
-                        "cannot synthesize its delete rows"
-                    )
-                dels.append((r["path"], prev_add))
-            if dels:
+            del_paths = [
+                r["path"] for r in removes if r.get("dataChange", True)
+            ]
+            if ins and del_paths:
+                raise ValueError(
+                    f"{out_path}: version {v} mixes dataChange adds and "
+                    "removes but wrote no change-data files — change "
+                    "data was not recorded for this commit (an update "
+                    "a CDF writer must record; only pure-insert / "
+                    "pure-delete commits are synthesizable)"
+                )
+            if del_paths:
+                dels = [(p, _pre_add(p, v)) for p in del_paths]
                 frames.append(
                     _stamp(
                         _scan_adds(spark, out_path, dels, meta).withColumn(
@@ -3347,9 +3413,11 @@ def delta_changes_cdf(
                     )
                 )
         for r in removes:
-            live.pop(r["path"], None)
+            window_adds.pop(r["path"], None)
+            if pre_live is not None:
+                pre_live.pop(r["path"], None)
         for a in adds:
-            live[a["path"]] = a
+            window_adds[a["path"]] = a
     if not frames:
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame(

@@ -1112,6 +1112,10 @@ def _mapped_source(tmp_path):
         configuration={
             "delta.columnMapping.mode": "name",
             "delta.columnMapping.maxColumnId": "2",
+            # the CDF tests reuse this fixture; harmless to the
+            # mapped-export tests (the exporter inherits mapping
+            # fields, never source configuration)
+            "delta.enableChangeDataFeed": "true",
         },
     )
     fx.write_commit(root, 0, [fx.protocol_action(2, 5), meta, add])
@@ -1506,3 +1510,110 @@ def test_cdf_from_cdc_actions_mapped(spark, tmp_path):
     feed = delta_changes_cdf(spark, root, 1, 1)
     got = sorted((r.pk, r._change_type, r.v) for r in feed.collect())
     assert got == [(2, "update_postimage", "B2"), (2, "update_preimage", "b")]
+
+
+def test_cdf_refusals_match_delta_spark(spark, tmp_path):
+    """delta_changes_cdf refuses (a) tables without
+    delta.enableChangeDataFeed — change data was never recorded, and
+    synthesizing file-level rows for update commits would fabricate
+    deletes+inserts for unchanged neighbors; (b) a CDF-enabled commit
+    mixing dataChange adds AND removes with no change-data files —
+    an update a spec writer must have recorded."""
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+    )
+
+    # (a) no CDF config
+    root = str(tmp_path / "nocdf")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1], "v": ["a"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    meta = fx.metadata_action([fx.field("pk", "long"), fx.field("v", "string")])
+    fx.write_commit(root, 0, [fx.protocol_action(1, 2), meta, add0])
+    with _pytest.raises(ValueError, match="enableChangeDataFeed"):
+        delta_changes_cdf(spark, root, 0, 0)
+    # (b) CDF enabled, mixed update commit without cdc files
+    root2 = str(tmp_path / "mixed")
+    os.makedirs(root2)
+    add0 = fx.write_data_file(root2, "part-000.parquet", t0, stats_cols=["pk"])
+    meta2 = fx.metadata_action(
+        [fx.field("pk", "long"), fx.field("v", "string")],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    fx.write_commit(root2, 0, [fx.protocol_action(1, 4), meta2, add0])
+    t1 = pa.table({"pk": [1], "v": ["A2"]})
+    add1 = fx.write_data_file(root2, "part-001.parquet", t1, stats_cols=["pk"])
+    fx.write_commit(root2, 1, [fx.remove_action(add0), add1])
+    with _pytest.raises(ValueError, match="change-data files"):
+        delta_changes_cdf(spark, root2, 1, 1).collect()
+    # insert-only windows still serve
+    assert delta_changes_cdf(spark, root2, 0, 0).count() == 1
+
+
+def test_cdf_window_at_checkpoint_boundary(spark, tmp_path):
+    """A window starting AT the checkpoint version must serve after
+    log cleanup when none of its deletes reach past the window — the
+    pre-window snapshot replays LAZILY (code-review r11 pass 3). A
+    delete that DOES reach past the cleaned history refuses with a
+    widen-the-window message, not a bare contiguity error."""
+    import pytest as _pytest
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+        delta_log_cleanup,
+        write_checkpoint,
+    )
+
+    root = str(tmp_path / "cpwin")
+    os.makedirs(root)
+    meta = fx.metadata_action(
+        [fx.field("pk", "long"), fx.field("v", "string")],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    adds = []
+    for v in range(3):
+        t = pa.table({"pk": [10 * v], "v": [f"v{v}"]})
+        add = fx.write_data_file(root, f"part-{v:03d}.parquet", t,
+                                 stats_cols=["pk"])
+        adds.append(add)
+        head = [fx.protocol_action(1, 4), meta] if v == 0 else []
+        fx.write_commit(root, v, head + [add])
+    # v3: drop the file v2 added (window-local pre-image)
+    fx.write_commit(root, 3, [fx.remove_action(adds[2])])
+    write_checkpoint(root, 2)
+    delta_log_cleanup(root)
+    assert not os.path.exists(
+        os.path.join(root, fx.LOG_DIR, f"{0:020d}.json"))
+    feed = delta_changes_cdf(spark, root, 2, 3)
+    got = sorted((r._commit_version, r.pk, r._change_type)
+                 for r in feed.collect())
+    assert got == [(2, 20, "insert"), (3, 20, "delete")]
+    # a delete reaching past the window whose pre-state the CHECKPOINT
+    # still covers serves too (replay restores from it): v4 removes
+    # v0's file
+    fx.write_commit(root, 4, [fx.remove_action(adds[0])])
+    got4 = [(r.pk, r._change_type)
+            for r in delta_changes_cdf(spark, root, 4, 4).collect()]
+    assert got4 == [(0, "delete")]
+    # the genuinely unservable shape: a window starting AT the
+    # checkpoint version whose delete reaches back past the cleaned
+    # pre-checkpoint history — pre-state would need JSON replay below
+    # the checkpoint. Clear widen-the-window error, not a bare
+    # contiguity crash.
+    root2 = str(tmp_path / "cpwin2")
+    os.makedirs(root2)
+    adds2 = []
+    for v in range(3):
+        t = pa.table({"pk": [10 * v], "v": [f"v{v}"]})
+        add = fx.write_data_file(root2, f"part-{v:03d}.parquet", t,
+                                 stats_cols=["pk"])
+        adds2.append(add)
+        head = [fx.protocol_action(1, 4), meta] if v == 0 else []
+        fx.write_commit(root2, v, head + [add])
+    fx.write_commit(root2, 3, [fx.remove_action(adds2[0])])
+    write_checkpoint(root2, 2)
+    delta_log_cleanup(root2)
+    with _pytest.raises(FileNotFoundError, match="widen starting_version"):
+        delta_changes_cdf(spark, root2, 2, 3).collect()
