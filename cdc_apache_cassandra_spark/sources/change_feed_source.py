@@ -24,7 +24,27 @@ consume → process → acknowledge cursor).
         .option("logStoreMirror", "true")  # match a mirror_local=True
                                            # deployment (reads stay local,
                                            # cursor commits PUT-then-mirror)
+        .option("readChangeFeed", "true")  # consume the log's own
+                                           # CHANGE-DATA files (spec `cdc`
+                                           # actions) instead of pk-diff
+                                           # classification — see below
         .load()
+
+``readChangeFeed=true`` is delta-spark's CDF stream surface: no pkCols
+needed, per-VERSION emission (a multi-version micro-batch emits every
+commit's own changes — intermediate states never collapse, unlike the
+pk-diff net-effect), and the output gains ``_commit_timestamp``.
+Change-data files are authoritative (their commit's add/remove ignored
+per spec); add-only commits synthesize inserts and remove-only commits
+deletes via the BATCH surface's shared planner
+(``delta_log._cdf_window_plan``), with the same loud refusals (no
+``delta.enableChangeDataFeed``; a mixed commit without change-data
+files). The first batch from the default ``startingVersion=-1``
+bootstraps with the current snapshot as ``insert`` rows. Planning cuts
+each commit's files into ≤``maxBytesPerPartition`` chunks — every file
+reads independently (no join), so per-file parallelism is the natural
+unit; DV masks, column mapping (name + id mode) and foreign partition
+values ride the same per-file loader the pk-diff mode uses.
 
 Offsets ARE Delta versions: a micro-batch covers the net row-level change
 between two log versions, classified exactly like
@@ -387,10 +407,21 @@ class _ChangePartition(InputPartition):
         key_kind: str = "num",
         phys: dict | None = None,
         ids: dict | None = None,
+        cdc_change: str | None = None,
+        commit_ts: int | None = None,
     ):
         self.pre = pre
         self.post = post
         self.to_version = to_version
+        # readChangeFeed mode (None = pk-diff classification): 'cdc' =
+        # the entries are CHANGE-DATA files whose rows carry their
+        # stored _change_type; 'insert'/'delete' = synthesized from a
+        # pure-insert / pure-delete commit, the constant IS the change
+        # type. Entries live in `post`; to_version is the entries'
+        # COMMIT version (not the batch end), commit_ts its monotonized
+        # epoch-ms timestamp — read() stamps both onto every row.
+        self.cdc_change = cdc_change
+        self.commit_ts = commit_ts
         # key-hash sub-range of an oversized group: this partition
         # classifies only keys with hash(pk) % split_count == split_idx
         # (sound — classification is key-local, both sides slice alike)
@@ -432,13 +463,28 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cdc_delta_changes requires option 'path'")
+        # readChangeFeed: consume the log's own CHANGE-DATA files
+        # (spec `cdc` actions) instead of classifying by pk-diff —
+        # delta-spark's `.option("readChangeFeed","true")` stream
+        # surface. No pk needed (the change rows ARE the files' rows),
+        # per-VERSION emission (intermediate states never collapse),
+        # and the output gains `_commit_timestamp` (delta-spark's CDF
+        # column set). Synthesis/refusal rules are the batch surface's
+        # own (`delta_log._cdf_window_plan` — shared code).
+        self.use_cdc = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         pk = options.get("pkcols") or options.get("pkCols")
         if not pk:
-            raise ValueError(
-                "cdc_delta_changes requires option 'pkCols' "
-                "(comma-separated primary-key columns)"
-            )
-        self.pk_cols = [c.strip() for c in pk.split(",") if c.strip()]
+            if not self.use_cdc:
+                raise ValueError(
+                    "cdc_delta_changes requires option 'pkCols' "
+                    "(comma-separated primary-key columns) unless "
+                    "readChangeFeed=true"
+                )
+            self.pk_cols = []
+        else:
+            self.pk_cols = [c.strip() for c in pk.split(",") if c.strip()]
         self.schema = schema
         # the TABLE schema this stream is pinned to (CDF columns are
         # ours); partitions() re-checks every planned range against it —
@@ -450,7 +496,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self._pinned_types = {
             f.name: f.dataType.json()
             for f in schema.fields
-            if f.name not in ("_change_type", "_commit_version")
+            if f.name
+            not in ("_change_type", "_commit_version", "_commit_timestamp")
         }
         missing = [c for c in self.pk_cols if c not in schema.names]
         if missing:
@@ -534,6 +581,21 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 f"{self.path!r} (log columns {drift} differ at version "
                 f"{head.last}); re-plan the stream so it pins the "
                 "current table schema"
+            )
+        if self.use_cdc and (
+            (head.meta or {}).get("configuration") or {}
+        ).get("delta.enableChangeDataFeed") != "true":
+            # refuse at CONSTRUCTION, before the first batch — batch
+            # parity (delta_changes_cdf raises the same way): change
+            # data was never recorded for this table, so a cdc-file
+            # stream would fabricate change rows
+            raise ValueError(
+                f"cdc_delta_changes: readChangeFeed=true but "
+                f"delta.enableChangeDataFeed is not set on "
+                f"{self.path!r} — change data was not recorded for "
+                "this table (delta-spark's CDF stream refuses the "
+                "same way); use the pk-diff mode (pkCols=...) for "
+                "file-rewrite logs"
             )
         # cursor txn commits need a WRITABLE log: plain local paths,
         # file://, or a routed conditional-PUT store. Decided by scheme
@@ -671,29 +733,21 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             }
         return (path, add.get("deletionVector"), pv)
 
-    def partitions(self, start: dict, end: dict):
-        from_v, to_v = start["version"], end["version"]
-        self._pos = max(self._pos, from_v, to_v)
-        self._primed = True
-        self._unprimed_offers = 0
-        if to_v <= from_v:
-            return [_ChangePartition([], [], to_v)]  # empty batch placeholder
-        st_from = self._state_at(from_v)
-        st_to = self._state_at(to_v)
-        self._check_schema(st_to.meta if st_to else None, to_v)
-        # column-mapping (name mode): files carry PHYSICAL names; stats
-        # and footers key on them, and read() grafts the logical names
-        # back on (zero-copy view). Unknown/id modes refuse loudly via
-        # _mapping_plan — same posture as read_delta. The to-side meta
-        # rules: on a mapping upgrade existing columns get physicalName
-        # == their logical name, so pre-upgrade files read unchanged.
+    def _setup_mapping(self, meta: dict | None) -> None:
+        """Resolve the table's column-mapping + partition-column plan
+        for this batch (driver-side, metadata-sized) — read() grafts
+        from the resulting ``self._phys`` / ``self._ids`` /
+        ``self._part_cols``. Name mode: files carry PHYSICAL names;
+        stats and footers key on them, and read() grafts the logical
+        names back on (zero-copy view). ID mode: per-file
+        PARQUET:field_id resolution. Unknown modes refuse loudly via
+        _mapping_plan — same posture as read_delta. The to-side meta
+        rules: on a mapping upgrade existing columns get physicalName
+        == their logical name, so pre-upgrade files read unchanged."""
         from cdc_apache_cassandra_spark.streaming.delta_log import (
             _mapping_plan,
         )
 
-        meta = (st_to.meta if st_to else None) or (
-            st_from.meta if st_from else None
-        )
         plan = _mapping_plan(meta) if meta else None
         phys_of = plan.phys_of if plan else None
         self._phys = (
@@ -710,6 +764,86 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             (c, phys_all.get(c, c))
             for c in ((meta or {}).get("partitionColumns") or [])
         ]
+
+    def _cdc_partitions(self, from_v: int, to_v: int, st_to):
+        """readChangeFeed planning: classify every window commit with
+        the BATCH surface's shared planner (`_cdf_window_plan` — cdc
+        files authoritative; pure-insert/pure-delete synthesis; loud
+        refusal on a mixed commit without change-data files), then cut
+        each commit's files into partitions of at most
+        ``maxBytesPerPartition``. Every file reads independently (no
+        pk join), so per-file parallelism is the natural unit and a
+        chunk is just a task-size floor — no key splits needed.
+
+        A first batch from ``startingVersion=-1`` (the default)
+        bootstraps with the CURRENT snapshot as `insert` rows stamped
+        with the batch-end version — delta-spark's CDF-stream initial
+        snapshot — which also serves checkpoint-cleaned tables whose
+        early commit JSONs no longer exist. Driver cost: one JSON
+        parse per window commit plus the monotonized timestamp
+        resolution (both metadata-sized)."""
+        import os
+
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _cdf_window_plan,
+            commit_timestamps,
+        )
+
+        with _routed_log_store(self.log_store_url, self.log_store_mirror):
+            ts = dict(commit_timestamps(self.path))
+            if from_v < 0:
+                files = st_to.files if st_to else {}
+                plans = [(to_v, "insert", sorted(files.items()))]
+            else:
+                plans = _cdf_window_plan(self.path, from_v + 1, to_v)
+        parts = []
+        for v, kind, files in plans:
+            if files:
+                self._last_data_version = max(self._last_data_version, v)
+            chunk: list = []
+            size = 0
+
+            def flush(v=v, kind=kind):
+                parts.append(
+                    _ChangePartition(
+                        [],
+                        chunk,
+                        v,
+                        phys=self._phys,
+                        ids=self._ids,
+                        cdc_change=kind,
+                        commit_ts=ts.get(v),
+                    )
+                )
+
+            for rel, a in files:
+                fsz = int(a.get("size") or 0)
+                if chunk and size + fsz > self.max_bytes:
+                    flush()
+                    chunk, size = [], 0
+                chunk.append(self._entry(os.path.join(self.path, rel), a))
+                size += fsz
+            if chunk:
+                flush()
+        return parts or [_ChangePartition([], [], to_v)]
+
+    def partitions(self, start: dict, end: dict):
+        from_v, to_v = start["version"], end["version"]
+        self._pos = max(self._pos, from_v, to_v)
+        self._primed = True
+        self._unprimed_offers = 0
+        if to_v <= from_v:
+            return [_ChangePartition([], [], to_v)]  # empty batch placeholder
+        st_to = self._state_at(to_v)
+        self._check_schema(st_to.meta if st_to else None, to_v)
+        if self.use_cdc:
+            self._setup_mapping(st_to.meta if st_to else None)
+            return self._cdc_partitions(from_v, to_v, st_to)
+        st_from = self._state_at(from_v)
+        meta = (st_to.meta if st_to else None) or (
+            st_from.meta if st_from else None
+        )
+        self._setup_mapping(meta)
         f_from = st_from.files if st_from else {}
         f_to = st_to.files if st_to else {}
         # the file-diff identity is (path, dv_unique_id) — a delta-spark
@@ -998,6 +1132,230 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
     # -- execution ---------------------------------------------------------
     def read(self, partition: _ChangePartition):
+        if partition.cdc_change is not None:
+            return self._read_cdc(partition)
+        return self._read_diff(partition)
+
+    def _file_names(self, partition: _ChangePartition, pf) -> dict:
+        """logical top-level name -> THIS file's column name. Name
+        mode: the metaData's physicalName map (identical across
+        files). ID mode: resolved per file from the parquet schema's
+        PARQUET:field_id metadata — the spec's resolution rule (file
+        column names are arbitrary under id mapping); physicalName
+        is the fallback for a file written before ids were stamped."""
+        if partition.ids:
+            by_id = {}
+            for fld in pf.schema_arrow:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = fld.name
+            base = partition.phys or {}
+            return {
+                ln: by_id.get(node["id"], base.get(ln, ln))
+                for ln, node in partition.ids.items()
+            }
+        return partition.phys or {}
+
+    def _row_groups_in_range(
+        self, partition: _ChangePartition, pf
+    ) -> list[int] | None:
+        """Row-group indexes whose footer stats can intersect this
+        partition's key range; None = read everything (no range, or
+        the column's stats are unusable). Exactness mirrors
+        _file_stats: numeric parquet stats are exact, so a pruned
+        row group provably holds no key in [lo, hi)."""
+        if partition.key_range is None:
+            return None
+        lo, hi = partition.key_range
+        md = pf.metadata
+        # footers carry PHYSICAL names under column mapping; resolve
+        # by full dotted path (a nested leaf sharing the bare name
+        # must not be mistaken for the top-level key column)
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            footer_leaf_index,
+        )
+
+        col0 = self.pk_cols[0]
+        pcol0 = self._file_names(partition, pf).get(col0, col0)
+        idx = footer_leaf_index(md, pcol0)
+        if idx is None:
+            return None
+        keep = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                keep.append(g)
+                continue
+            nulls = 1 if st.null_count is None else st.null_count
+            if lo is None and nulls:
+                keep.append(g)
+                continue
+            mn = _footer_key(st.min, partition.key_kind)
+            mx = _footer_key(st.max, partition.key_kind)
+            if mn is None or mx is None:
+                keep.append(g)  # unusable stats: never prune on them
+                continue
+            if (hi is None or mn < hi) and (lo is None or mx >= lo):
+                keep.append(g)
+        return keep
+
+    def _load_file(
+        self, partition: _ChangePartition, entry, table_fields, table_schema
+    ):
+        """ONE add's rows as an Arrow table in the LOGICAL schema: row
+        groups pruned to the partition's key range (when set), rows
+        masked by the file's deletion vector filtered by FILE ordinal
+        (offset-aware under row-group pruning), column-mapping physical
+        names grafted back (zero-copy), foreign partition-column values
+        attached from the add action, pre-DDL columns as typed nulls.
+        Every data byte goes through the _io_* pyarrow seam (one cached
+        filesystem client per authority — never a JVM parquet scan, and
+        never pq.read_table's own per-path URI resolution). Shared by
+        the pk-diff classifier and the readChangeFeed CDF path."""
+        import pyarrow as pa
+
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _io_parquet_file,
+        )
+
+        p, dv, pv = entry
+        pf = _io_parquet_file(p)
+        keep = (
+            None
+            if partition.key_range is None
+            else self._row_groups_in_range(partition, pf)
+        )
+        if keep is None:
+            t = pf.read()
+        elif keep:
+            t = pf.read_row_groups(keep)
+        else:
+            t = pf.schema_arrow.empty_table()
+        partition.rows_loaded += t.num_rows
+        if dv is not None and t.num_rows:
+            # rows masked by the file's deletion vector are not
+            # part of this side's logical state — filter by FILE
+            # ordinal (offset by the skipped row groups' counts
+            # when footer pruning kept a subset)
+            import numpy as np
+
+            from cdc_apache_cassandra_spark.streaming.delta_log import (
+                _io_read_bytes,
+            )
+            from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+                load_dv_indexes,
+            )
+
+            idx = load_dv_indexes(self.path, dv, _io_read_bytes)
+            md = pf.metadata
+            counts = [
+                md.row_group(g).num_rows
+                for g in range(md.num_row_groups)
+            ]
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            groups = (
+                range(md.num_row_groups) if keep is None else keep
+            )
+            positions = np.concatenate(
+                [np.arange(offsets[g], offsets[g + 1]) for g in groups]
+            )
+            t = t.filter(pa.array(~np.isin(positions, idx)))
+        present = set(t.column_names)
+        arrays = []
+        nm = self._file_names(partition, pf)
+        for f in table_fields:
+            pn = nm.get(f.name, f.name)
+            if pn not in present:
+                if pv and f.name in pv:
+                    # PARTITION column: the value lives in the
+                    # add action, not the parquet — a constant
+                    # per file (string-serialized per spec;
+                    # Arrow cast parses ISO dates/timestamps,
+                    # numerics, booleans)
+                    sval = pv[f.name]
+                    arrays.append(
+                        pa.nulls(t.num_rows, type=f.type)
+                        if sval is None
+                        else pa.array(
+                            [sval] * t.num_rows, type=pa.string()
+                        ).cast(f.type)
+                    )
+                    continue
+                # pre-DDL files: typed nulls
+                arrays.append(pa.nulls(t.num_rows, type=f.type))
+                continue
+            col = t.column(pn).combine_chunks()
+            if partition.ids:
+                # ID mode: realign nested structs by parquet
+                # field id (the JVM path's rule) — positional
+                # grafting would silently swap reordered fields
+                node = partition.ids.get(f.name) or {}
+                col = _align_by_id(col, f.type, node.get("children"))
+                arrays.append(col)
+                continue
+            # name-mapped files: graft the LOGICAL names onto
+            # the physical type (zero-copy, names only); type
+            # promotions stay with the cast below
+            nt = _renamed_type(col.type, f.type)
+            arrays.append(col.view(nt) if nt != col.type else col)
+        t = pa.table({f.name: a for f, a in zip(table_fields, arrays)})
+        return t.cast(table_schema)
+
+    def _read_cdc(self, partition: _ChangePartition):
+        """readChangeFeed execution: every entry reads INDEPENDENTLY —
+        the change rows ARE the files' rows (no pk join, no
+        classification) — stamped with the partition's change type
+        (the stored ``_change_type`` column for 'cdc' change-data
+        files; the constant for synthesized insert/delete commits),
+        ``_commit_version`` and ``_commit_timestamp``. Constants
+        materialize via pa.repeat + C casts, never a Python loop."""
+        if not partition.post:
+            return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(self.schema)
+        meta_cols = ("_change_type", "_commit_version", "_commit_timestamp")
+        table_fields = [f for f in out_schema if f.name not in meta_cols]
+        load_fields = list(table_fields)
+        if partition.cdc_change == "cdc" and "_change_type" not in {
+            f.name for f in load_fields
+        }:
+            # change-data files store the literal `_change_type` string
+            # column even under column mapping (spec rule; batch
+            # parity: delta_log._CDF_PASSTHROUGH) — read it through
+            # the same graft path, nulls if a spec-sloppy file lacks it
+            # (matching the JVM scan's missing-column behavior)
+            load_fields.append(pa.field("_change_type", pa.string()))
+        load_schema = pa.schema(load_fields)
+        ts_type = out_schema.field("_commit_timestamp").type
+        for entry in partition.post:
+            t = self._load_file(partition, entry, load_fields, load_schema)
+            n = t.num_rows
+            if not n:
+                continue
+            if "_change_type" not in t.column_names:
+                t = t.append_column(
+                    "_change_type",
+                    pa.repeat(
+                        pa.scalar(partition.cdc_change, pa.string()), n
+                    ),
+                )
+            t = t.append_column(
+                "_commit_version",
+                pa.repeat(pa.scalar(partition.to_version, pa.int64()), n),
+            )
+            t = t.append_column(
+                "_commit_timestamp",
+                pa.repeat(pa.scalar(partition.commit_ts, pa.int64()), n)
+                .cast(pa.timestamp("ms"))
+                .cast(ts_type),
+            )
+            yield from (
+                t.select(out_schema.names).cast(out_schema).to_batches()
+            )
+
+    def _read_diff(self, partition: _ChangePartition):
         if not partition.pre and not partition.post:
             return
         import pandas as pd
@@ -1061,168 +1419,18 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             ).to_numpy()
             return frame[(h % partition.split_count) == partition.split_idx]
 
-        def _file_names(pf) -> dict:
-            """logical top-level name -> THIS file's column name. Name
-            mode: the metaData's physicalName map (identical across
-            files). ID mode: resolved per file from the parquet schema's
-            PARQUET:field_id metadata — the spec's resolution rule (file
-            column names are arbitrary under id mapping); physicalName
-            is the fallback for a file written before ids were stamped."""
-            if partition.ids:
-                by_id = {}
-                for fld in pf.schema_arrow:
-                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                    if fid is not None:
-                        by_id[int(fid)] = fld.name
-                base = partition.phys or {}
-                return {
-                    ln: by_id.get(node["id"], base.get(ln, ln))
-                    for ln, node in partition.ids.items()
-                }
-            return partition.phys or {}
-
-        def row_groups_in_range(pf) -> list[int] | None:
-            """Row-group indexes whose footer stats can intersect this
-            partition's key range; None = read everything (no range, or
-            the column's stats are unusable). Exactness mirrors
-            _file_stats: numeric parquet stats are exact, so a pruned
-            row group provably holds no key in [lo, hi)."""
-            if partition.key_range is None:
-                return None
-            lo, hi = partition.key_range
-            md = pf.metadata
-            # footers carry PHYSICAL names under column mapping; resolve
-            # by full dotted path (a nested leaf sharing the bare name
-            # must not be mistaken for the top-level key column)
-            from cdc_apache_cassandra_spark.streaming.delta_log import (
-                footer_leaf_index,
-            )
-
-            pcol0 = _file_names(pf).get(col0, col0)
-            idx = footer_leaf_index(md, pcol0)
-            if idx is None:
-                return None
-            keep = []
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    keep.append(g)
-                    continue
-                nulls = 1 if st.null_count is None else st.null_count
-                if lo is None and nulls:
-                    keep.append(g)
-                    continue
-                mn = _footer_key(st.min, partition.key_kind)
-                mx = _footer_key(st.max, partition.key_kind)
-                if mn is None or mx is None:
-                    keep.append(g)  # unusable stats: never prune on them
-                    continue
-                if (hi is None or mn < hi) and (lo is None or mx >= lo):
-                    keep.append(g)
-            return keep
-
         def load(paths) -> pd.DataFrame:
-            # every data byte goes through the _io_* pyarrow seam (NOT
-            # pq.read_table's own per-path URI resolution, and never a
-            # JVM parquet scan): URI table roots resolve one cached
-            # filesystem client per authority — the same seam the
-            # planner's footer reads already use
-            from cdc_apache_cassandra_spark.streaming.delta_log import (
-                _io_parquet_file,
-            )
-
-            frames = []
-            for p, dv, pv in paths:
-                pf = _io_parquet_file(p)
-                keep = (
-                    None
-                    if partition.key_range is None
-                    else row_groups_in_range(pf)
+            # per-file decode/graft/DV-filter lives in _load_file (the
+            # _io_* pyarrow seam); slice PER FILE: a split partition
+            # holds at most one file plus its own key slice in memory,
+            # never the group
+            frames = [
+                key_slice(
+                    self._load_file(partition, e, table_fields, table_schema)
+                    .to_pandas(types_mapper=pd.ArrowDtype)
                 )
-                if keep is None:
-                    t = pf.read()
-                elif keep:
-                    t = pf.read_row_groups(keep)
-                else:
-                    t = pf.schema_arrow.empty_table()
-                partition.rows_loaded += t.num_rows
-                if dv is not None and t.num_rows:
-                    # rows masked by the file's deletion vector are not
-                    # part of this side's logical state — filter by FILE
-                    # ordinal (offset by the skipped row groups' counts
-                    # when footer pruning kept a subset)
-                    import numpy as np
-
-                    from cdc_apache_cassandra_spark.streaming.delta_log import (
-                        _io_read_bytes,
-                    )
-                    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
-                        load_dv_indexes,
-                    )
-
-                    idx = load_dv_indexes(self.path, dv, _io_read_bytes)
-                    md = pf.metadata
-                    counts = [
-                        md.row_group(g).num_rows
-                        for g in range(md.num_row_groups)
-                    ]
-                    offsets = np.concatenate(([0], np.cumsum(counts)))
-                    groups = (
-                        range(md.num_row_groups) if keep is None else keep
-                    )
-                    positions = np.concatenate(
-                        [np.arange(offsets[g], offsets[g + 1]) for g in groups]
-                    )
-                    t = t.filter(pa.array(~np.isin(positions, idx)))
-                present = set(t.column_names)
-                arrays = []
-                nm = _file_names(pf)
-                for f in table_fields:
-                    pn = nm.get(f.name, f.name)
-                    if pn not in present:
-                        if pv and f.name in pv:
-                            # PARTITION column: the value lives in the
-                            # add action, not the parquet — a constant
-                            # per file (string-serialized per spec;
-                            # Arrow cast parses ISO dates/timestamps,
-                            # numerics, booleans)
-                            sval = pv[f.name]
-                            arrays.append(
-                                pa.nulls(t.num_rows, type=f.type)
-                                if sval is None
-                                else pa.array(
-                                    [sval] * t.num_rows, type=pa.string()
-                                ).cast(f.type)
-                            )
-                            continue
-                        # pre-DDL files: typed nulls
-                        arrays.append(pa.nulls(t.num_rows, type=f.type))
-                        continue
-                    col = t.column(pn).combine_chunks()
-                    if partition.ids:
-                        # ID mode: realign nested structs by parquet
-                        # field id (the JVM path's rule) — positional
-                        # grafting would silently swap reordered fields
-                        node = partition.ids.get(f.name) or {}
-                        col = _align_by_id(col, f.type, node.get("children"))
-                        arrays.append(col)
-                        continue
-                    # name-mapped files: graft the LOGICAL names onto
-                    # the physical type (zero-copy, names only); type
-                    # promotions stay with the cast below
-                    nt = _renamed_type(col.type, f.type)
-                    arrays.append(col.view(nt) if nt != col.type else col)
-                t = pa.table(
-                    {f.name: a for f, a in zip(table_fields, arrays)}
-                )
-                # slice PER FILE: a split partition holds at most one
-                # file plus its own key slice in memory, never the group
-                frames.append(
-                    key_slice(
-                        t.cast(table_schema)
-                        .to_pandas(types_mapper=pd.ArrowDtype)
-                    )
-                )
+                for e in paths
+            ]
             if not frames:
                 return pa.Table.from_pylist([], schema=table_schema).to_pandas(
                     types_mapper=pd.ArrowDtype
@@ -1382,17 +1590,22 @@ class ChangeFeedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("cdc_delta_changes requires option 'path'")
-        return T.StructType(
-            list(
-                _table_schema(
+        fields = list(
+            _table_schema(
                 path,
                 self.options.get("logstoreurl"),
                 str(self.options.get("logstoremirror", "false")).lower()
                 == "true",
             ).fields
-            )
-            + CDF_FIELDS
-        )
+        ) + CDF_FIELDS
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            # delta-spark's CDF stream column set additionally carries
+            # the commit timestamp (the monotonized resolution — same
+            # values the batch delta_changes_cdf stamps)
+            fields = fields + [
+                T.StructField("_commit_timestamp", T.TimestampType(), True)
+            ]
+        return T.StructType(fields)
 
     def streamReader(self, schema) -> ChangeFeedStreamReader:
         return ChangeFeedStreamReader(self.options, schema)

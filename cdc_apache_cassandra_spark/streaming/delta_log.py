@@ -3246,6 +3246,114 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
     return list(zip(versions, adjusted))
 
 
+def _cdf_window_plan(
+    out_path: str, starting_version: int, ending_version: int
+) -> list[tuple[int, str, list[tuple[str, dict]]]]:
+    """Classify every commit of the INCLUSIVE ``[starting_version,
+    ending_version]`` window for Change-Data-Feed reading. Returns
+    ``(version, kind, [(relative_path, action)])`` tuples, in emission
+    order, where ``kind`` is ``'cdc'`` (the commit wrote change-data
+    files — read them; rows carry their stored ``_change_type``),
+    ``'delete'`` (a pure-delete commit; the entries are the removed
+    files' PRE-commit ``add`` actions, read as delete rows) or
+    ``'insert'`` (a pure-insert commit; the entries are its dataChange
+    adds). SHARED by the batch surface (:func:`delta_changes_cdf`) and
+    the streaming source's ``readChangeFeed`` mode
+    (``sources/change_feed_source.py``) so synthesis rules and
+    refusals can never diverge between them.
+
+    Driver cost: one JSON parse per window commit (metadata-sized);
+    the pre-window snapshot replays LAZILY — only when a delete
+    actually reaches below the window — so a window over
+    checkpoint-cleaned history still serves unless synthesis genuinely
+    needs the cleaned state (that raises a widen-the-window error).
+    Refusal parity with delta-spark: a commit mixing dataChange adds
+    AND removes without change-data files raises (an update a CDF
+    writer must have recorded)."""
+    log_dir = os.path.join(out_path, LOG_DIR)
+    # ONE parse per window commit; the pre-window snapshot is computed
+    # lazily on the first delete that needs it
+    window_adds: dict[str, dict] = {}
+    pre_live: dict[str, dict] | None = None
+
+    def _pre_add(rel: str, v: int) -> dict:
+        nonlocal pre_live
+        if rel in window_adds:
+            return window_adds[rel]
+        if pre_live is None:
+            try:
+                pre_live = (
+                    dict(_replay(out_path, starting_version - 1).files)
+                    if starting_version > 0
+                    else {}
+                )
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"{out_path}: version {v} deletes {rel!r} added "
+                    "BEFORE the window, and the pre-window history was "
+                    "checkpoint-cleaned — widen starting_version to a "
+                    "surviving commit"
+                ) from e
+        add = pre_live.get(rel)
+        if add is None:
+            raise ValueError(
+                f"{out_path}: version {v} removes {rel!r} which is not "
+                "in the pre-commit snapshot; cannot synthesize its "
+                "delete rows"
+            )
+        return add
+
+    plans: list[tuple[int, str, list[tuple[str, dict]]]] = []
+    for v in range(starting_version, ending_version + 1):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        cdc_actions: list[dict] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        for line in _log_read_bytes(path).decode().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "cdc" in action:
+                cdc_actions.append(action["cdc"])
+            elif "add" in action:
+                adds.append(action["add"])
+            elif "remove" in action:
+                removes.append(action["remove"])
+        if cdc_actions:
+            plans.append(
+                (v, "cdc", [(a["path"], a) for a in cdc_actions])
+            )
+        else:
+            ins = [
+                (a["path"], a) for a in adds if a.get("dataChange", True)
+            ]
+            del_paths = [
+                r["path"] for r in removes if r.get("dataChange", True)
+            ]
+            if ins and del_paths:
+                raise ValueError(
+                    f"{out_path}: version {v} mixes dataChange adds and "
+                    "removes but wrote no change-data files — change "
+                    "data was not recorded for this commit (an update "
+                    "a CDF writer must record; only pure-insert / "
+                    "pure-delete commits are synthesizable)"
+                )
+            if del_paths:
+                plans.append(
+                    (v, "delete", [(p, _pre_add(p, v)) for p in del_paths])
+                )
+            if ins:
+                plans.append((v, "insert", ins))
+        for r in removes:
+            window_adds.pop(r["path"], None)
+            if pre_live is not None:
+                pre_live.pop(r["path"], None)
+        for a in adds:
+            window_adds[a["path"]] = a
+    return plans
+
+
 def delta_changes_cdf(
     spark: SparkSession,
     out_path: str,
@@ -3310,56 +3418,10 @@ def delta_changes_cdf(
             "delta_changes for file-rewrite logs"
         )
     ts = dict(commit_timestamps(out_path))
-    log_dir = os.path.join(out_path, LOG_DIR)
-    # ONE parse per window commit; the pre-window snapshot is computed
-    # lazily on the first delete that needs it
-    window_adds: dict[str, dict] = {}
-    pre_live: dict[str, dict] | None = None
-
-    def _pre_add(rel: str, v: int) -> dict:
-        nonlocal pre_live
-        if rel in window_adds:
-            return window_adds[rel]
-        if pre_live is None:
-            try:
-                pre_live = (
-                    dict(_replay(out_path, starting_version - 1).files)
-                    if starting_version > 0
-                    else {}
-                )
-            except FileNotFoundError as e:
-                raise FileNotFoundError(
-                    f"{out_path}: version {v} deletes {rel!r} added "
-                    "BEFORE the window, and the pre-window history was "
-                    "checkpoint-cleaned — widen starting_version to a "
-                    "surviving commit"
-                ) from e
-        add = pre_live.get(rel)
-        if add is None:
-            raise ValueError(
-                f"{out_path}: version {v} removes {rel!r} which is not "
-                "in the pre-commit snapshot; cannot synthesize its "
-                "delete rows"
-            )
-        return add
-
     frames: list[DataFrame] = []
-    for v in range(starting_version, ending_version + 1):
-        path = os.path.join(log_dir, f"{v:020d}.json")
-        cdc_actions: list[dict] = []
-        adds: list[dict] = []
-        removes: list[dict] = []
-        for line in _log_read_bytes(path).decode().splitlines():
-            line = line.strip()
-            if not line:
-                continue
-            action = json.loads(line)
-            if "cdc" in action:
-                cdc_actions.append(action["cdc"])
-            elif "add" in action:
-                adds.append(action["add"])
-            elif "remove" in action:
-                removes.append(action["remove"])
+    for v, kind, files in _cdf_window_plan(
+        out_path, starting_version, ending_version
+    ):
 
         def _stamp(df: DataFrame, v: int = v) -> DataFrame:
             return df.withColumn(
@@ -3368,56 +3430,20 @@ def delta_changes_cdf(
                 "_commit_timestamp", F.timestamp_millis(F.lit(ts[v]))
             )
 
-        if cdc_actions:
+        if kind == "cdc":
             frames.append(
                 _stamp(
-                    _scan_adds(
-                        spark,
-                        out_path,
-                        [(a["path"], a) for a in cdc_actions],
-                        meta,
-                        change_type=True,
-                    )
+                    _scan_adds(spark, out_path, files, meta, change_type=True)
                 )
             )
         else:
-            ins = [
-                (a["path"], a) for a in adds if a.get("dataChange", True)
-            ]
-            del_paths = [
-                r["path"] for r in removes if r.get("dataChange", True)
-            ]
-            if ins and del_paths:
-                raise ValueError(
-                    f"{out_path}: version {v} mixes dataChange adds and "
-                    "removes but wrote no change-data files — change "
-                    "data was not recorded for this commit (an update "
-                    "a CDF writer must record; only pure-insert / "
-                    "pure-delete commits are synthesizable)"
-                )
-            if del_paths:
-                dels = [(p, _pre_add(p, v)) for p in del_paths]
-                frames.append(
-                    _stamp(
-                        _scan_adds(spark, out_path, dels, meta).withColumn(
-                            "_change_type", F.lit("delete")
-                        )
+            frames.append(
+                _stamp(
+                    _scan_adds(spark, out_path, files, meta).withColumn(
+                        "_change_type", F.lit(kind)
                     )
                 )
-            if ins:
-                frames.append(
-                    _stamp(
-                        _scan_adds(spark, out_path, ins, meta).withColumn(
-                            "_change_type", F.lit("insert")
-                        )
-                    )
-                )
-        for r in removes:
-            window_adds.pop(r["path"], None)
-            if pre_live is not None:
-                pre_live.pop(r["path"], None)
-        for a in adds:
-            window_adds[a["path"]] = a
+            )
     if not frames:
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame(
