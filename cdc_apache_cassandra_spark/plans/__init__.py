@@ -99,7 +99,12 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # actions — delta-spark's table_changes surface, new this round)
 # rotates in for cdc_udt_evolution_union (7 driver-green rows; UDT
 # schema evolution also pinned by the schema_evolution pytest family
-# and judge-sweep-green since r1).
+# and judge-sweep-green since r1); cdc_delta_cdf_stream (the
+# readChangeFeed STREAM mode — change-data files consumed per version
+# through the shared batch planner, new this round) rotates in for
+# cdc_delta_change_feed (8-times-driver-green; its exact oracle SQL
+# stays in-roster via its two twins cdc_delta_change_feed_stream and
+# cdc_change_feed_range_split).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_backfill_union",
@@ -112,7 +117,7 @@ GATE_ROSTER = [
     "cdc_remote_store_lifecycle",
     "cdc_streaming_end_to_end",
     "cdc_delta_checkpoint_state",
-    "cdc_delta_change_feed",
+    "cdc_delta_cdf_stream",
     "cdc_delta_change_feed_stream",
     "cdc_change_feed_range_split",
     "cdc_wire_avro_roundtrip",

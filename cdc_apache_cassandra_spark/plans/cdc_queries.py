@@ -1199,20 +1199,12 @@ FROM base
 """
 
 
-@register("cdc_delta_cdf_table_changes", sql=_CDF_TC_SQL)
-def cdc_delta_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """delta-spark's ``table_changes`` surface under the oracle gate
-    (r11): a CDF-enabled foreign table (delta.enableChangeDataFeed)
-    whose UPDATE commit carries spec CHANGE-DATA files (``cdc``
-    actions) — ``delta_changes_cdf`` must return exactly those rows
-    for that commit (ignoring its add/remove rewrite), synthesize
-    ``insert`` rows for the add-only creation commit, and synthesize
-    ``delete`` rows from the PRE-commit snapshot for the remove-only
-    drop commit. No primary key involved anywhere — this is the
-    file-level CDF contract, complementary to the pk-diff
-    ``cdc_delta_change_feed``. Fixture: the c_custkey % 13 = 0 slice
-    of customer; v1 zeroes even keys' balances via cdc files; v2
-    drops the table's file."""
+def _cdf_tc_fixture(sf_dir: str) -> str:
+    """The CDF-gate fixture table (shared by the batch and STREAM
+    entries): the c_custkey % 13 = 0 slice of customer as a
+    CDF-enabled foreign Delta table — v0 add-only creation, v1 zeroes
+    even keys' balances via a rewrite carrying authoritative
+    CHANGE-DATA files, v2 remove-only drop. Returns the table root."""
     import os
     import tempfile
 
@@ -1221,9 +1213,6 @@ def cdc_delta_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from cdc_apache_cassandra_spark.streaming import foreign_delta as fx
-    from cdc_apache_cassandra_spark.streaming.delta_log import (
-        delta_changes_cdf,
-    )
 
     t = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
@@ -1270,13 +1259,73 @@ def cdc_delta_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "size": os.path.getsize(cdc_path), "dataChange": False}},
     ])
     fx.write_commit(root, 2, [fx.remove_action(add1)])
-    feed = delta_changes_cdf(spark, root, 0, 2)
+    return root
+
+
+def _cdf_gate_projection(feed: DataFrame) -> DataFrame:
     return feed.select(
         "c_custkey",
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
         F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("bal"),
     )
+
+
+@register("cdc_delta_cdf_table_changes", sql=_CDF_TC_SQL)
+def cdc_delta_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-spark's ``table_changes`` surface under the oracle gate
+    (r11): a CDF-enabled foreign table (delta.enableChangeDataFeed)
+    whose UPDATE commit carries spec CHANGE-DATA files (``cdc``
+    actions) — ``delta_changes_cdf`` must return exactly those rows
+    for that commit (ignoring its add/remove rewrite), synthesize
+    ``insert`` rows for the add-only creation commit, and synthesize
+    ``delete`` rows from the PRE-commit snapshot for the remove-only
+    drop commit. No primary key involved anywhere — this is the
+    file-level CDF contract, complementary to the pk-diff
+    ``cdc_delta_change_feed``. Fixture: _cdf_tc_fixture."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+    )
+
+    root = _cdf_tc_fixture(sf_dir)
+    return _cdf_gate_projection(delta_changes_cdf(spark, root, 0, 2))
+
+
+@register("cdc_delta_cdf_stream", sql=_CDF_TC_SQL)
+def cdc_delta_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-spark's CDF STREAM surface (r11): the same CDF-enabled
+    foreign table as ``cdc_delta_cdf_table_changes``, consumed through
+    ``readStream.format("cdc_delta_changes").option("readChangeFeed",
+    "true")`` — change-data files authoritative per version, inserts/
+    deletes synthesized for add-only/remove-only commits by the SAME
+    shared planner the batch surface uses
+    (delta_log._cdf_window_plan), no primary key anywhere. Paced at
+    one version per micro-batch from the default start, the bootstrap
+    window (-1, 0] serves v0's snapshot (= its insert rows), so the
+    whole stream must equal the batch window [0, 2] row-for-row —
+    same oracle SQL, streaming==batch pinned by the gate."""
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register as register_feed,
+    )
+
+    root = _cdf_tc_fixture(sf_dir)
+    register_feed(spark)
+    name = "cdf_cdc_stream_" + _uuid.uuid4().hex[:10]
+    stream = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", 1)
+        .load()
+    )
+    q = stream.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _cdf_gate_projection(spark.table(name))
 
 
 # --- foreign Delta import: deletion vectors + column mapping (r8 items 1+2) -
