@@ -528,15 +528,24 @@ def _list_commits(
 #: and domainMetadata are writer features (never in readerFeatures);
 #: their artifacts — domainMetadata actions, baseRowId /
 #: defaultRowCommitVersion on adds — are tolerated by replay
-#: (test_row_tracking_table_reads). Genuinely semantic reader features
-#: (typeWidening, variantType, coordinated commits) still refuse
-#: loudly: misreading them is silent wrong data.
+#: (test_row_tracking_table_reads). typeWidening (stable + the 3.x
+#: "-preview" spelling): a widened table's OLD files carry the
+#: pre-widening physical type and the reader's obligation is exactly
+#: an upcast to the current schema — the JVM scan does this natively
+#: (Spark 4.x parquet readers promote int→long, float→double,
+#: decimal precision/scale growth, date→timestampNtz), and every
+#: pyarrow surface ends in a cast to the logical schema
+#: (test_type_widened_table_reads pins both paths). Genuinely
+#: semantic reader features (variantType, coordinated commits) still
+#: refuse loudly: misreading them is silent wrong data.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
     "vacuumProtocolCheck",
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 

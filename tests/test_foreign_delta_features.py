@@ -1048,16 +1048,86 @@ def test_vacuum_protocol_check_is_read_tolerated(spark, tmp_path):
     got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
     assert got == [(1, "a"), (2, "b")]
     # refusal stays for semantic features
-    root2 = str(tmp_path / "tw")
+    root2 = str(tmp_path / "vt")
     os.makedirs(root2)
     add = fx.write_data_file(root2, "part-000.parquet", t0, stats_cols=["pk"])
     fx.write_commit(root2, 0, [
-        fx.protocol_action(3, 7, reader_features=["typeWidening"],
-                           writer_features=["typeWidening"]),
+        fx.protocol_action(3, 7, reader_features=["variantType"],
+                           writer_features=["variantType"]),
         meta, add,
     ])
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         read_delta(spark, root2)
+
+
+def _widened_table(tmp_path):
+    """A delta-spark-shaped typeWidening table: v0 writes NARROW
+    physical types (int32 pk, float32 m); v1 is the widening ALTER
+    (schema now long/double, per-field delta.typeWidening history) and
+    appends a file already written wide; v2 removes the narrow file
+    (so CDF delete synthesis must read it under the WIDE schema)."""
+    root = str(tmp_path / "twtable")
+    os.makedirs(root)
+    t0 = pa.table({
+        "pk": pa.array([1, 2, 3], pa.int32()),
+        "m": pa.array([1.5, 2.5, 3.5], pa.float32()),
+    })
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    meta0 = fx.metadata_action(
+        [fx.field("pk", "integer"), fx.field("m", "float")])
+    fx.write_commit(root, 0, [
+        fx.protocol_action(3, 7, reader_features=["typeWidening"],
+                           writer_features=["typeWidening"]),
+        meta0, add0,
+    ])
+    meta1 = fx.metadata_action([
+        {"name": "pk", "type": "long", "nullable": True,
+         "metadata": {"delta.typeWidening": [
+             {"fromType": "integer", "toType": "long",
+              "tableVersion": 1}]}},
+        {"name": "m", "type": "double", "nullable": True,
+         "metadata": {"delta.typeWidening": [
+             {"fromType": "float", "toType": "double",
+              "tableVersion": 1}]}},
+    ])
+    t1 = pa.table({
+        "pk": pa.array([4], pa.int64()),
+        "m": pa.array([4.5], pa.float64()),
+    })
+    add1 = fx.write_data_file(root, "part-001.parquet", t1, stats_cols=["pk"])
+    fx.write_commit(root, 1, [meta1, add1])
+    fx.write_commit(root, 2, [fx.remove_action(add0)])
+    return root
+
+
+def test_type_widened_table_reads(spark, tmp_path):
+    """typeWidening is read-IMPLEMENTABLE, not refusable (r11): a
+    widened table's old files carry the pre-widening physical types
+    and the reader's whole obligation is an upcast to the current
+    schema. Snapshot (JVM parquet scan — Spark 4.x promotes natively),
+    batch CDF delete synthesis (reads the narrow file through its
+    pre-commit add) and the stream's pyarrow loader (logical-schema
+    cast) must all serve the WIDE types with exact values."""
+    root = _widened_table(tmp_path)
+    df = read_delta(spark, root)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "double"]
+    # 1.5/2.5/3.5 are exactly representable in float32 → the upcast
+    # to double is exact, so plain equality is a sound check
+    assert sorted((r.pk, r.m) for r in df.collect()) == [(4, 4.5)]
+    # time travel to v1: both the narrow and the wide file serve,
+    # narrow upcast by the scan
+    got1 = sorted(
+        (r.pk, r.m) for r in read_delta(spark, root, version=1).collect())
+    assert got1 == [(1, 1.5), (2, 2.5), (3, 3.5), (4, 4.5)]
+    # CDF over the drop commit synthesizes deletes FROM the narrow file
+    feed = delta_changes(spark, root, 1, 2, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type, r.m) for r in feed) == [
+        (1, "delete", 1.5), (2, "delete", 2.5), (3, "delete", 3.5)]
+    # stream (pyarrow loader): same window, same rows
+    got_s = _stream_feed(spark, root, start=1)
+    assert sorted((r.pk, r._change_type, r.m) for r in got_s) == [
+        (1, "delete", 1.5), (2, "delete", 2.5), (3, "delete", 3.5)]
 
 
 def test_foreign_action_types_are_tolerated(spark, tmp_path):
