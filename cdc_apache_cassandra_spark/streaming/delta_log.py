@@ -72,6 +72,12 @@ from cdc_apache_cassandra_spark.streaming.materialize import (
 
 LOG_DIR = "_delta_log"
 DATA_DIR = "data"
+#: change-data files of a CDF-writing export (delta-spark's own layout)
+CDC_DIR = "_change_data"
+#: table-configuration key persisting the CDF classification's pk cols
+#: (engine-namespaced custom key — Delta configurations carry arbitrary
+#: keys; spec readers ignore unknown ones)
+_CDF_PK_KEY = "cdcEngine.changeDataFeed.pkCols"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 LAST_CHECKPOINT = "_last_checkpoint"
 #: delta-spark's own default cadence — a parquet checkpoint every 10
@@ -1706,6 +1712,8 @@ def delta_export(
     column_mapping: str | None = None,
     in_commit_timestamps: bool = False,
     v2_checkpoints: bool = False,
+    change_data_feed: bool = False,
+    cdf_pk_cols: list[str] | None = None,
 ) -> int | None:
     """Publish the bucket store's ACTIVE view as a Delta table,
     incrementally: diff the store manifest against the export log's add
@@ -1767,7 +1775,25 @@ def delta_export(
     :func:`write_checkpoint`/maintenance call auto-detect it), and
     every checkpoint from then on is a UUID-named self-contained
     top-level file with parquet sidecars under
-    ``_delta_log/_sidecars/``."""
+    ``_delta_log/_sidecars/``.
+
+    ``change_data_feed=True`` makes the export a spec Change Data Feed
+    WRITER (``delta.enableChangeDataFeed`` + the ``changeDataFeed``
+    writer capability): every MIXED commit (bucket rewrites — adds and
+    removes together) also writes its row-level change rows as
+    CHANGE-DATA files under ``_change_data/`` with ``cdc`` actions, so
+    delta-spark's ``table_changes`` (and this module's
+    :func:`delta_changes_cdf` / the stream's ``readChangeFeed`` mode)
+    serve the export's feed with no primary key and no file diffing.
+    Pure-insert and pure-remove commits deliberately write NO cdc
+    files — the spec has readers synthesize those, exactly what
+    delta-spark does. The change rows come from the SAME pk-join
+    classification :func:`delta_changes` uses (``cdf_pk_cols`` — the
+    row identity; persisted in the table configuration so later
+    exports keep writing the feed without re-passing either flag).
+    Not yet composed with ``deletion_vectors`` (a DV re-add is a mixed
+    commit whose change rows would need the DV diff) — that
+    combination refuses loudly."""
     if (
         "://" in out_path
         and not out_path.startswith("file://")
@@ -1869,6 +1895,27 @@ def delta_export(
     )
     if v2c_on and export_cfg.get("delta.checkpointPolicy") != "v2":
         export_cfg["delta.checkpointPolicy"] = "v2"
+    cdf_on = change_data_feed or (
+        export_cfg.get("delta.enableChangeDataFeed") == "true"
+    )
+    if cdf_on and deletion_vectors:
+        raise NotImplementedError(
+            "change_data_feed + deletion_vectors are not yet composed "
+            "(a DV re-add is a mixed commit whose change rows would "
+            "need the DV diff); export with one or the other"
+        )
+    cdf_pk = list(cdf_pk_cols or []) or [
+        c for c in (export_cfg.get(_CDF_PK_KEY) or "").split(",") if c
+    ]
+    if cdf_on:
+        if not cdf_pk:
+            raise ValueError(
+                "change_data_feed requires cdf_pk_cols (the row "
+                "identity the change classification joins on); once "
+                "given they persist in the table configuration"
+            )
+        export_cfg["delta.enableChangeDataFeed"] = "true"
+        export_cfg[_CDF_PK_KEY] = ",".join(cdf_pk)
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
@@ -1968,8 +2015,11 @@ def delta_export(
         # verify) and the staging write would each re-read the changed
         # buckets' store files — persist the view once for all three
         # (scoped-tracked AND explicitly released right after the
-        # staging write, its last use)
-        if deletion_vectors:
+        # staging write, its last use). The CDF writer persists for the
+        # same reason (staging write + change classification both
+        # consume it), releasing after the cdc files are staged; on an
+        # exception in between, the scope tracking is the backstop.
+        if deletion_vectors or cdf_on:
             from cdc_apache_cassandra_spark.caching import (
                 persist_scoped,
                 release_one,
@@ -2103,6 +2153,136 @@ def delta_export(
                     "storeVersion": str(store_buckets[b]),
                 }
                 actions.append({"add": new_add})
+        if cdf_on:
+            try:
+                # CHANGE-DATA files for a MIXED commit. Spec synthesis
+                # covers pure-insert and pure-remove commits, so those
+                # deliberately get none; a mixed commit MUST carry cdc
+                # actions (readers treat them as authoritative and
+                # refuse a mixed commit without them) — including the
+                # rare rewrite that changed no row, which ships one
+                # EMPTY cdc file rather than an unreadable commit.
+                # Pre image = every touched bucket's published file
+                # (changed rewrites + drops), read under the NEW
+                # schema; post image = the staged rows; classification
+                # is the SAME pk join delta_changes uses. Distributed
+                # end to end — the driver handles file names only.
+                pre_entries = [
+                    (published[b][0], log.files[published[b][0]])
+                    for b in list(changed) + dropped
+                    if b in published and published[b][0] is not None
+                ]
+                has_adds = any("add" in a for a in actions)
+                if pre_entries and has_adds:
+                    pseudo_meta = {
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "configuration": export_cfg,
+                    }
+                    logical = T.StructType.fromJson(json.loads(schema_json))
+                    post_df = live.drop("__bucket")
+                    for f in logical.fields:
+                        if f.name not in post_df.columns:
+                            # re-export of an old narrow bucket: the
+                            # reconciled schema keeps columns this
+                            # batch's rows lack — typed nulls, the
+                            # same rule the scan applies to pre-DDL
+                            # files
+                            post_df = post_df.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    changes = _classify_changes(
+                        _scan_adds(
+                            spark, out_path, pre_entries, pseudo_meta
+                        ),
+                        post_df,
+                        cdf_pk,
+                        logical.names,
+                    )
+                    if mapped_fields is not None:
+                        # cdc files of a mapped table store data under
+                        # PHYSICAL names; _change_type keeps its
+                        # literal name (spec passthrough)
+                        changes = _to_physical(changes, mapped_fields)
+                    cdc_staging = os.path.join(
+                        out_path,
+                        f"_cdc_staging_{version}_{uuid.uuid4().hex[:8]}",
+                    )
+                    try:
+                        changes.repartition(
+                            min(32, max(1, len(pre_entries)))
+                        ).write.mode("overwrite").parquet(cdc_staging)
+                        _io_mkdirs(os.path.join(out_path, CDC_DIR))
+                        staged = sorted(
+                            n
+                            for n in _io_listdir(cdc_staging)
+                            if n.endswith(".parquet")
+                        )
+                        keep = [
+                            n
+                            for n in staged
+                            if _io_parquet_file(
+                                os.path.join(cdc_staging, n)
+                            ).metadata.num_rows
+                        ] or staged[:1]
+                        for i, n in enumerate(keep):
+                            rel = (
+                                f"{CDC_DIR}/"
+                                f"cdc-{version:020d}-{i:05d}.parquet"
+                            )
+                            dst = os.path.join(out_path, rel)
+                            _io_move(os.path.join(cdc_staging, n), dst)
+                            actions.append(
+                                {
+                                    "cdc": {
+                                        "path": rel,
+                                        "partitionValues": {},
+                                        "size": _io_size(dst),
+                                        "dataChange": False,
+                                    }
+                                }
+                            )
+                        if not keep:
+                            # Spark writes no file at all for an empty
+                            # result — materialize the authoritative-
+                            # empty cdc file directly
+                            import pyarrow as _pa
+                            import pyarrow.parquet as _pq
+                            from pyspark.sql.pandas.types import (
+                                to_arrow_schema,
+                            )
+
+                            sink = _pa.BufferOutputStream()
+                            _pq.write_table(
+                                to_arrow_schema(
+                                    changes.schema
+                                ).empty_table(),
+                                sink,
+                            )
+                            rel = (
+                                f"{CDC_DIR}/"
+                                f"cdc-{version:020d}-00000.parquet"
+                            )
+                            _io_write_bytes(
+                                os.path.join(out_path, rel),
+                                sink.getvalue().to_bytes(),
+                            )
+                            actions.append(
+                                {
+                                    "cdc": {
+                                        "path": rel,
+                                        "partitionValues": {},
+                                        "size": _io_size(
+                                            os.path.join(out_path, rel)
+                                        ),
+                                        "dataChange": False,
+                                    }
+                                }
+                            )
+                    finally:
+                        _io_rmtree(cdc_staging)
+            finally:
+                release_one(live)
 
     now = _now_ms()
     for b in dropped:
@@ -2161,12 +2341,23 @@ def delta_export(
             log.proto.get("writerFeatures") or []
         )
 
+    def _implies_cdf(proto: dict | None) -> bool:
+        # writers must honor delta.enableChangeDataFeed when the
+        # protocol says so: features form -> the changeDataFeed writer
+        # feature; legacy form -> minWriterVersion >= 4
+        if proto is None:
+            return False
+        wf = proto.get("writerFeatures")
+        if wf is not None:
+            return "changeDataFeed" in wf
+        return int(proto.get("minWriterVersion", 2)) >= 4
+
     header: list[dict] = []
     if log.last < 0:
         header.append(
             {
                 "protocol": _export_protocol(
-                    is_mapped, bool(dv_buckets), ict_on, v2c_on
+                    is_mapped, bool(dv_buckets), ict_on, v2c_on, cdf_on
                 )
             }
         )
@@ -2187,18 +2378,19 @@ def delta_export(
                 not in (log.proto.get("readerFeatures") or [])
             )
         )
+        or (cdf_on and not _implies_cdf(log.proto))
     ):
-        # first DV / ICT / V2-checkpoint commit on a table not yet
-        # declaring the feature: the spec's in-place protocol upgrade —
-        # the UNION of everything the table already declares and what
-        # this export now needs (never a rebuild, which would drop
-        # live features)
+        # first DV / ICT / V2-checkpoint / CDF commit on a table not
+        # yet declaring the feature: the spec's in-place protocol
+        # upgrade — the UNION of everything the table already declares
+        # and what this export now needs (never a rebuild, which would
+        # drop live features)
         header.append(
             {
                 "protocol": _merge_protocol(
                     log.proto,
                     _export_protocol(
-                        is_mapped, bool(dv_buckets), ict_on, v2c_on
+                        is_mapped, bool(dv_buckets), ict_on, v2c_on, cdf_on
                     ),
                 )
             }
@@ -2494,7 +2686,13 @@ def _to_physical(df: DataFrame, mapped_fields: list[dict]) -> DataFrame:
     for fld in df.schema.fields:
         if fld.name == "__bucket":
             continue
-        j = jf[fld.name]
+        j = jf.get(fld.name)
+        if j is None:
+            # not a table column (the CDF writer's _change_type):
+            # spec passthrough — stored under its literal name even
+            # in mapped tables
+            exprs.append(F.col(fld.name))
+            continue
         exprs.append(
             F.col(fld.name)
             .cast(_physical_type_for(fld.dataType, j["type"]))
@@ -2506,29 +2704,38 @@ def _to_physical(df: DataFrame, mapped_fields: list[dict]) -> DataFrame:
 
 
 def _export_protocol(
-    mapped: bool, dv: bool, ict: bool = False, v2c: bool = False
+    mapped: bool,
+    dv: bool,
+    ict: bool = False,
+    v2c: bool = False,
+    cdf: bool = False,
 ) -> dict:
     """The protocol action delta_export commits (or upgrades to) for
     the feature combination it is writing — matching delta-spark's
-    output for the same table state: base (1,2); legacy name-mode
-    mapping (2,5); deletion vectors / in-commit timestamps / v2
-    checkpoints force the table-features form (writer version 7)
-    listing EVERY legacy feature the pre-upgrade version implied — v2
-    appendOnly+invariants, and when the table was mapped (v5) also v3
-    checkConstraints + v4 changeDataFeed/generatedColumns + v5
+    output for the same table state: base (1,2); a CDF-writing table
+    (1,4) — the legacy version whose writers must honor
+    ``delta.enableChangeDataFeed``; legacy name-mode mapping (2,5);
+    deletion vectors / in-commit timestamps / v2 checkpoints force the
+    table-features form (writer version 7) listing EVERY legacy
+    feature the pre-upgrade version implied — v2 appendOnly+
+    invariants, v4 (cdf or higher) also v3 checkConstraints + v4
+    changeDataFeed/generatedColumns, and a mapped (v5) table also v5
     columnMapping."""
     if not (dv or ict or v2c):
         if mapped:
             return {"minReaderVersion": 2, "minWriterVersion": 5}
+        if cdf:
+            return {"minReaderVersion": 1, "minWriterVersion": 4}
         return PROTOCOL
     wf = {"appendOnly", "invariants"}
-    if mapped:
+    if mapped or cdf:
         wf |= {
             "changeDataFeed",
             "checkConstraints",
-            "columnMapping",
             "generatedColumns",
         }
+    if mapped:
+        wf.add("columnMapping")
     if dv:
         wf.add("deletionVectors")
     if ict:
@@ -3127,16 +3334,38 @@ def delta_changes(
         return _scan_adds(spark, out_path, entries, s_to.meta)
 
     cols = schema.names
+    return _classify_changes(read(removed), read(added), pk_cols, cols).withColumn(
+        "_commit_version", F.lit(to_version).cast("long")
+    )
+
+
+def _classify_changes(
+    pre_df: DataFrame, post_df: DataFrame, pk_cols: list[str], cols: list[str]
+) -> DataFrame:
+    """The pk-join change classification SHARED by :func:`delta_changes`
+    (reading a committed file diff) and the export-time CDF writer
+    (classifying pre-commit state against the staged rows): full outer
+    join on the primary key —
+
+      post only                          -> ``insert``
+      pre only                           -> ``delete`` (pre row emitted)
+      both, rows null-safe identical     -> no change (bucket-rewrite
+                                            neighbors cancel here)
+      both, differing                    -> ``update_preimage`` +
+                                            ``update_postimage``
+
+    Output = ``cols`` + ``_change_type``. One shuffle on the pk; every
+    comparison is JVM-side (eqNullSafe, so NaN==NaN and null==null)."""
     # explicit presence markers: inferring existence from pk nullability
     # (pk IS NOT NULL after the outer join) misclassifies rows when the
     # caller's first pk column is genuinely nullable in data (e.g. a
     # compound clustering key ordered first — partition-level rows carry
     # a null clustering key)
-    pre = read(removed).select(
+    pre = pre_df.select(
         *[F.col(c).alias(f"__pre_{c}") for c in cols],
         F.lit(True).alias("__pre_present"),
     )
-    post = read(added).select(
+    post = post_df.select(
         *[F.col(c).alias(f"__post_{c}") for c in cols],
         F.lit(True).alias("__post_present"),
     )
@@ -3172,7 +3401,6 @@ def delta_changes(
         inserts.unionByName(deletes)
         .unionByName(upd_pre)
         .unionByName(upd_post)
-        .withColumn("_commit_version", F.lit(to_version).cast("long"))
     )
 
 
@@ -3692,4 +3920,37 @@ def delta_vacuum(out_path: str, retain_ms: int = VACUUM_RETAIN_MS) -> list[str]:
             continue
         _io_delete(os.path.join(out_path, fname))
         deleted.append(fname)
+    # change-data files (CDF writer): referenced per COMMIT (cdc
+    # actions), never by the snapshot — live = every cdc path a
+    # SURVIVING commit JSON still references. delta_log_cleanup
+    # orphans the cleaned commits' cdc files; delta-spark's VACUUM
+    # removes those too. Same retention window covers an in-flight
+    # export's staged-then-moved cdc files.
+    cdc_dir = os.path.join(out_path, CDC_DIR)
+    if _io_exists(cdc_dir):
+        live_cdc = set()
+        log_dir = os.path.join(out_path, LOG_DIR)
+        first = [
+            int(n[: -len(".json")])
+            for n in _log_listdir(log_dir)
+            if n.endswith(".json") and n[: -len(".json")].isdigit()
+        ]
+        for _v, cpath in (
+            _list_commits(out_path, after=min(first) - 1) if first else []
+        ):
+            for line in _log_read_bytes(cpath).decode().splitlines():
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        live_cdc.add(
+                            os.path.basename(action["cdc"]["path"])
+                        )
+        for fname, _size, mtime in _io_file_infos(cdc_dir):
+            if not fname.endswith(".parquet"):
+                continue
+            if fname in live_cdc or int(mtime * 1000) > horizon:
+                continue
+            _io_delete(os.path.join(cdc_dir, fname))
+            deleted.append(f"{CDC_DIR}/{fname}")
     return sorted(deleted)

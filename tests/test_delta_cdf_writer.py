@@ -1,0 +1,265 @@
+"""delta_export as a Change Data Feed WRITER (r11): mixed commits
+carry spec change-data files under _change_data/ (cdc actions), pure
+insert/remove commits deliberately none (readers synthesize), sticky
+enablement with persisted pk cols, protocol (1,4) / feature upgrade,
+and the engine's own CDF readers (batch + readChangeFeed stream)
+consuming the export with no pk and no file diffing."""
+
+import json
+import os
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_apache_cassandra_spark.streaming.delta_log import (
+    CDC_DIR,
+    delta_changes,
+    delta_changes_cdf,
+    delta_export,
+)
+from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+SCHEMA = (
+    "op string, pk long, writetime long, v string, segment long, position long"
+)
+
+B0 = [("INSERT", i, 10, f"v{i}", 0, i) for i in range(8)]
+B1 = [
+    ("UPDATE", 1, 20, "u1", 1, 0),
+    ("DELETE", 3, 20, None, 1, 1),
+    ("INSERT", 9, 20, "nine", 1, 2),
+]
+
+
+def _commit_actions(table, v):
+    path = os.path.join(table, "_delta_log", f"{v:020d}.json")
+    return [json.loads(x) for x in open(path) if x.strip()]
+
+
+def _build(spark, tmp_path, **export_opts):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store, exist_ok=True)
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=4)
+    delta_export(spark, store, table, change_data_feed=True,
+                 cdf_pk_cols=["pk"], **export_opts)
+    merge_into(spark, store, spark.createDataFrame(B1, SCHEMA), ["pk"],
+               n_buckets=4)
+    delta_export(spark, store, table)  # sticky: no flags needed
+    return store, table
+
+
+def test_export_cdf_end_to_end(spark, tmp_path):
+    """Creation commit = add-only, NO cdc actions (readers synthesize
+    inserts); the rewrite commit is mixed and MUST carry them; the
+    batch CDF reader serves the whole window and agrees with the
+    pk-diff classification exactly."""
+    _, table = _build(spark, tmp_path)
+    a0 = _commit_actions(table, 0)
+    assert not any("cdc" in a for a in a0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 4}
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+    assert (
+        meta["configuration"]["cdcEngine.changeDataFeed.pkCols"] == "pk"
+    )
+    a1 = _commit_actions(table, 1)
+    cdc = [a["cdc"] for a in a1 if "cdc" in a]
+    assert cdc, "mixed rewrite commit must carry cdc actions"
+    assert all(a["path"].startswith(CDC_DIR + "/") for a in cdc)
+    assert all(a["dataChange"] is False for a in cdc)
+    # the CDF read (no pk!) == the pk-diff read over the same window
+    feed = delta_changes_cdf(spark, table, 0, 1)
+    diff = delta_changes(spark, table, 0, 1, ["pk"])
+    want_v1 = sorted(
+        (r.pk, r._change_type, r.v) for r in diff.collect()
+    )
+    got_v1 = sorted(
+        (r.pk, r._change_type, r.v)
+        for r in feed.filter("_commit_version = 1").collect()
+    )
+    assert got_v1 == want_v1
+    # creation commit synthesized as inserts
+    assert sorted(
+        (r.pk, r.v)
+        for r in feed.filter(
+            "_commit_version = 0 AND _change_type = 'insert'"
+        ).collect()
+    ) == [(i, f"v{i}") for i in range(8)]
+    assert feed.filter("_commit_version = 0").count() == 8
+
+
+def test_export_cdf_stream_consumes_export(spark, tmp_path):
+    """The readChangeFeed stream tails the CDF-writing export with no
+    pkCols — bootstrap + per-version must equal the batch window."""
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register as register_feed,
+    )
+
+    _, table = _build(spark, tmp_path)
+    register_feed(spark)
+    name = "cdfw_" + uuid.uuid4().hex[:10]
+    q = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    want = delta_changes_cdf(spark, table, 0, 1).select(got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_export_cdf_requires_pk_once(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=2)
+    with pytest.raises(ValueError, match="cdf_pk_cols"):
+        delta_export(spark, store, table, change_data_feed=True)
+    # with pk: creation succeeds, and the NEXT export needs no flags
+    delta_export(spark, store, table, change_data_feed=True,
+                 cdf_pk_cols=["pk"])
+    merge_into(spark, store, spark.createDataFrame(B1, SCHEMA), ["pk"],
+               n_buckets=2)
+    assert delta_export(spark, store, table) == 1
+    assert delta_changes_cdf(spark, table, 1, 1).count() > 0
+
+
+def test_export_cdf_refuses_dv_combination(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=2)
+    with pytest.raises(NotImplementedError, match="not yet composed"):
+        delta_export(spark, store, table, change_data_feed=True,
+                     cdf_pk_cols=["pk"], deletion_vectors=True)
+
+
+def test_export_cdf_mapped_table(spark, tmp_path):
+    """CDF + name-mode column mapping compose: cdc files store data
+    under PHYSICAL names with _change_type passed through literally;
+    the protocol upgrade lists both feature families; the CDF read
+    restores logical names."""
+    _, table = _build(spark, tmp_path, column_mapping="name")
+    a0 = _commit_actions(table, 0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    # mapped (2,5) already implies changeDataFeed (v4 < v5)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    import glob
+
+    cdc_files = glob.glob(os.path.join(table, CDC_DIR, "*.parquet"))
+    assert cdc_files
+    import pyarrow.parquet as pq
+
+    names = set(pq.read_schema(cdc_files[0]).names)
+    assert "_change_type" in names
+    assert "pk" not in names  # physical names in the file
+    feed = delta_changes_cdf(spark, table, 1, 1)
+    diff = delta_changes(spark, table, 0, 1, ["pk"])
+    assert sorted((r.pk, r._change_type, r.v) for r in feed.collect()) == \
+        sorted((r.pk, r._change_type, r.v) for r in diff.collect())
+
+
+def test_export_cdf_changeless_rewrite_ships_empty_cdc(spark, tmp_path):
+    """A rewrite that changed no logical row (same rows re-merged) is
+    still a MIXED commit — it must ship an (empty) cdc file so CDF
+    readers serve the commit as changeless instead of refusing it."""
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=2)
+    delta_export(spark, store, table, change_data_feed=True,
+                 cdf_pk_cols=["pk"])
+    # re-merge the SAME rows: store versions move, logical state doesn't
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=2)
+    v = delta_export(spark, store, table)
+    if v is None:
+        pytest.skip("store dedup made the second export a no-op")
+    a = _commit_actions(table, v)
+    has_add = any("add" in x for x in a)
+    has_remove = any("remove" in x for x in a)
+    if has_add and has_remove:
+        assert any("cdc" in x for x in a)
+        assert delta_changes_cdf(spark, table, v, v).count() == 0
+
+
+def test_export_cdf_drop_only_commit_synthesizes_deletes(spark, tmp_path):
+    """A commit that only DROPS buckets (store rows all deleted) is
+    pure-remove: no cdc files, readers synthesize deletes from the
+    pre-commit snapshot."""
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=2)
+    delta_export(spark, store, table, change_data_feed=True,
+                 cdf_pk_cols=["pk"])
+    # delete EVERY row -> all buckets empty
+    dels = [("DELETE", i, 30, None, 2, i) for i in range(8)]
+    merge_into(spark, store, spark.createDataFrame(dels, SCHEMA), ["pk"],
+               n_buckets=2)
+    v = delta_export(spark, store, table)
+    a = _commit_actions(table, v)
+    assert not any("add" in x for x in a)
+    assert not any("cdc" in x for x in a)
+    feed = delta_changes_cdf(spark, table, v, v)
+    assert sorted(r.pk for r in feed.collect()) == list(range(8))
+    assert set(r._change_type for r in feed.collect()) == {"delete"}
+
+
+def test_vacuum_cleans_orphaned_cdc_files(spark, tmp_path):
+    """delta_log_cleanup orphans the cleaned commits' change-data
+    files; delta_vacuum removes exactly those (delta-spark parity),
+    keeping every cdc file a SURVIVING commit still references."""
+    import glob
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        delta_vacuum,
+        write_checkpoint,
+    )
+
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+               n_buckets=2)
+    delta_export(spark, store, table, change_data_feed=True,
+                 cdf_pk_cols=["pk"])
+    for wt, val in ((20, "x"), (30, "y"), (40, "z")):
+        merge_into(
+            spark, store,
+            spark.createDataFrame([("UPDATE", 1, wt, val, 1, 0)], SCHEMA),
+            ["pk"], n_buckets=2)
+        delta_export(spark, store, table)
+    all_cdc = set(glob.glob(os.path.join(table, CDC_DIR, "*.parquet")))
+    assert len(all_cdc) >= 3
+    write_checkpoint(table, 2)
+    delta_log_cleanup(table)
+    # commits 0..1 gone; their cdc files are orphans now
+    deleted = delta_vacuum(table, retain_ms=0)
+    orphans = [d for d in deleted if d.startswith(CDC_DIR)]
+    assert orphans
+    survivors = set(glob.glob(os.path.join(table, CDC_DIR, "*.parquet")))
+    assert survivors and survivors < all_cdc
+    # the surviving window still serves through its cdc files
+    assert delta_changes_cdf(spark, table, 3, 3).count() > 0
