@@ -104,13 +104,17 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # through the shared batch planner, new this round) rotates in for
 # cdc_delta_change_feed (8-times-driver-green; its exact oracle SQL
 # stays in-roster via its two twins cdc_delta_change_feed_stream and
-# cdc_change_feed_range_split).
+# cdc_change_feed_range_split); cdc_delta_export_cdf (the export as a
+# CDF WRITER — stored change-data files pinned against the pk-diff
+# classification through the same oracle, new this round) rotates in
+# for cdc_point_read_routing (9-times-driver-green; its §2 anchors
+# S6/O2 stay in-roster via its twin cdc_store_point_read).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_backfill_union",
     "cdc_delta_cdf_table_changes",
     "cdc_delta_partitioned_import",
-    "cdc_point_read_routing",
+    "cdc_delta_export_cdf",
     "cdc_store_point_read",
     "cdc_delta_export_state",
     "cdc_delta_mapped_export_state",

@@ -1032,6 +1032,72 @@ def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_changes(spark, table, versions[0], versions[1], ["pk"])
 
 
+@register("cdc_delta_export_cdf", sql=_CDF_SQL)
+def cdc_delta_export_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export as a Change Data Feed WRITER (r11): the same
+    two-commit export as cdc_delta_change_feed but with
+    ``change_data_feed=True`` — the second (mixed) commit persists its
+    row-level change rows as spec CHANGE-DATA files (``cdc`` actions)
+    at export time, and ``delta_changes_cdf`` serves the window from
+    those STORED files (no pk, no file diffing at read time). Oracle =
+    the SAME classification SQL as cdc_delta_change_feed: what the
+    writer stored must equal what the pk-diff would compute, exactly —
+    writer and reader pinned against each other through DuckDB."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+        delta_export,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    cut = 1_600_000_000_000_000 + 300_000_000
+    ev = (
+        dedup_mutations(mutation_events(spark, sf_dir))
+        .select("pk", "op", "writetime", "segment", "position", *VALUE_COLS)
+        .transform(persist_scoped)
+    )
+    root = tempfile.mkdtemp(prefix="cdc_delta_cdf_writer_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    versions = []
+    for batch in (
+        ev.filter(F.col("writetime") <= cut),
+        ev.filter(F.col("writetime") > cut),
+    ):
+        merge_into(spark, store, batch, ["pk"], n_buckets=8)
+        versions.append(
+            delta_export(
+                spark, store, table,
+                change_data_feed=True, cdf_pk_cols=["pk"],
+            )
+        )
+    ev.unpersist()
+    if versions[1] is None:
+        # tiny SFs can place every event before the cutoff: the second
+        # commit is a no-op and the feed is legitimately EMPTY
+        from pyspark.sql import types as T2
+
+        base = read_delta(spark, table).schema
+        return spark.createDataFrame(
+            [],
+            T2.StructType(
+                list(base.fields)
+                + [
+                    T2.StructField("_change_type", T2.StringType()),
+                    T2.StructField("_commit_version", T2.LongType()),
+                ]
+            ),
+        )
+    return delta_changes_cdf(
+        spark, table, versions[1], versions[1]
+    ).drop("_commit_timestamp")
+
+
 @register("cdc_delta_change_feed_stream", sql=_CDF_SQL)
 def cdc_delta_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change feed consumed as a STRUCTURED STREAMING SOURCE (r5
