@@ -1791,9 +1791,11 @@ def delta_export(
     classification :func:`delta_changes` uses (``cdf_pk_cols`` — the
     row identity; persisted in the table configuration so later
     exports keep writing the feed without re-passing either flag).
-    Not yet composed with ``deletion_vectors`` (a DV re-add is a mixed
-    commit whose change rows would need the DV diff) — that
-    combination refuses loudly."""
+    Composes with ``deletion_vectors``: a DV re-add is a mixed commit,
+    and its pre image (the published file minus its OLD deletion
+    vector) against the bucket's staged live rows classifies to
+    exactly the newly masked rows' deletes — the same generic
+    classification, no DV-specific path."""
     if (
         "://" in out_path
         and not out_path.startswith("file://")
@@ -1898,12 +1900,6 @@ def delta_export(
     cdf_on = change_data_feed or (
         export_cfg.get("delta.enableChangeDataFeed") == "true"
     )
-    if cdf_on and deletion_vectors:
-        raise NotImplementedError(
-            "change_data_feed + deletion_vectors are not yet composed "
-            "(a DV re-add is a mixed commit whose change rows would "
-            "need the DV diff); export with one or the other"
-        )
     cdf_pk = list(cdf_pk_cols or []) or [
         c for c in (export_cfg.get(_CDF_PK_KEY) or "").split(",") if c
     ]
@@ -2066,10 +2062,12 @@ def delta_export(
             else:
                 _io_mkdirs(staging)  # the finally-cleanup expects the dir
         finally:
-            if deletion_vectors:
+            if deletion_vectors and not cdf_on:
                 # release AND drop the ledger entry (looping callers
                 # outside the registry/bench would otherwise accumulate
-                # one dead reference per export)
+                # one dead reference per export). With CDF on, the
+                # change classification below is the view's actual
+                # last use — its own finally releases there.
                 release_one(live)
         # move each bucket's single data file to its content-addressed
         # name; metadata-sized driver work (≤ changed buckets renames)

@@ -141,15 +141,36 @@ def test_export_cdf_requires_pk_once(spark, tmp_path):
     assert delta_changes_cdf(spark, table, 1, 1).count() > 0
 
 
-def test_export_cdf_refuses_dv_combination(spark, tmp_path):
+def test_export_cdf_composes_with_deletion_vectors(spark, tmp_path):
+    """DV + CDF together: a sparse delete re-points the bucket's file
+    at a deletion vector (same path, add+remove = mixed commit) AND
+    records the newly masked rows as delete change rows — the generic
+    classification of (published file minus OLD DV) against the staged
+    live rows, no DV-specific path. The CDF read must agree with the
+    pk-diff read exactly."""
     store = str(tmp_path / "store")
     table = str(tmp_path / "table")
     os.makedirs(store)
-    merge_into(spark, store, spark.createDataFrame(B0, SCHEMA), ["pk"],
+    big = [("INSERT", i, 10, f"v{i}", 0, i) for i in range(40)]
+    merge_into(spark, store, spark.createDataFrame(big, SCHEMA), ["pk"],
                n_buckets=2)
-    with pytest.raises(NotImplementedError, match="not yet composed"):
-        delta_export(spark, store, table, change_data_feed=True,
-                     cdf_pk_cols=["pk"], deletion_vectors=True)
+    delta_export(spark, store, table, change_data_feed=True,
+                 cdf_pk_cols=["pk"], deletion_vectors=True)
+    # sparse delete: 2 of ~20 rows in one bucket
+    dels = [("DELETE", 4, 20, None, 1, 0), ("DELETE", 6, 20, None, 1, 1)]
+    merge_into(spark, store, spark.createDataFrame(dels, SCHEMA), ["pk"],
+               n_buckets=2)
+    v = delta_export(spark, store, table, deletion_vectors=True)
+    a = _commit_actions(table, v)
+    dv_adds = [x["add"] for x in a
+               if "add" in x and x["add"].get("deletionVector")]
+    assert dv_adds, "sparse delete should have planned a deletion vector"
+    assert any("cdc" in x for x in a)
+    feed = delta_changes_cdf(spark, table, v, v)
+    diff = delta_changes(spark, table, v - 1, v, ["pk"])
+    want = sorted((r.pk, r._change_type) for r in diff.collect())
+    assert want == [(4, "delete"), (6, "delete")]
+    assert sorted((r.pk, r._change_type) for r in feed.collect()) == want
 
 
 def test_export_cdf_mapped_table(spark, tmp_path):
