@@ -278,13 +278,21 @@ class CdcEngine:
         starting_version: int = -1,
         max_versions_per_batch: int | None = None,
         consumer_id: str | None = None,
+        read_change_feed: bool = False,
     ) -> DataFrame:
         """Tail the export's change feed as a STRUCTURED STREAMING source
         (``cdc_delta_changes``): Delta versions as offsets, classified
         change rows per micro-batch, optional durable consumer cursor
         recorded in the log (what cleanup retention respects) — the
         reference connector's consume→process→acknowledge loop over the
-        export instead of the events topic."""
+        export instead of the events topic.
+
+        ``read_change_feed=True`` consumes the log's own CHANGE-DATA
+        files instead of pk-diff classification (delta-spark's CDF
+        stream): no pk needed, per-version emission, plus a
+        ``_commit_timestamp`` column — for CDF-enabled tables
+        (``export_delta(..., change_data_feed=True)`` or any foreign
+        ``delta.enableChangeDataFeed`` writer)."""
         from cdc_apache_cassandra_spark.sources.change_feed_source import (
             register,
         )
@@ -293,9 +301,14 @@ class CdcEngine:
         reader = (
             self.spark.readStream.format("cdc_delta_changes")
             .option("path", out_path)
-            .option("pkCols", ",".join(pk_cols or ["pk"]))
             .option("startingVersion", starting_version)
         )
+        if read_change_feed:
+            reader = reader.option("readChangeFeed", "true")
+            if pk_cols:
+                reader = reader.option("pkCols", ",".join(pk_cols))
+        else:
+            reader = reader.option("pkCols", ",".join(pk_cols or ["pk"]))
         if max_versions_per_batch is not None:
             reader = reader.option("maxVersionsPerBatch", max_versions_per_batch)
         if consumer_id is not None:

@@ -328,3 +328,54 @@ def test_facade_maintain_runs_safe_order(spark, tmp_path):
         "cleaned": [], "vacuumed": [],
     }  # idempotent no-op, and retention kept the fresh file
     assert os.path.exists(fresh)
+
+
+def test_facade_cdf_writer_and_stream(spark, tmp_path):
+    """export_delta(change_data_feed=True) + stream_changes(
+    read_change_feed=True): the facade round-trips the CDF writer into
+    the cdc-file stream with no pk at read time."""
+    import os
+    import uuid as _uuid
+
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_changes_cdf,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    eng = CdcEngine(spark)
+    schema = (
+        "op string, pk long, writetime long, v string, "
+        "segment long, position long"
+    )
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    merge_into(
+        spark, store,
+        spark.createDataFrame(
+            [("INSERT", i, 10, f"v{i}", 0, i) for i in range(6)], schema),
+        ["pk"], n_buckets=2)
+    eng.export_delta(store, table, change_data_feed=True,
+                     cdf_pk_cols=["pk"])
+    merge_into(
+        spark, store,
+        spark.createDataFrame(
+            [("UPDATE", 1, 20, "u1", 1, 0), ("DELETE", 2, 20, None, 1, 1)],
+            schema),
+        ["pk"], n_buckets=2)
+    eng.export_delta(store, table)
+    name = "fcdf_" + _uuid.uuid4().hex[:10]
+    q = (
+        eng.stream_changes(table, read_change_feed=True,
+                           max_versions_per_batch=1)
+        .writeStream.format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    want = delta_changes_cdf(spark, table, 0, 1).select(got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
