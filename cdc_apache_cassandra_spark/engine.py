@@ -417,18 +417,47 @@ class CdcEngine:
         )
 
     def table_changes_cdf(
-        self, out_path: str, starting_version: int, ending_version: int
+        self,
+        out_path: str,
+        starting_version: int | None = None,
+        ending_version: int | None = None,
+        *,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
     ) -> DataFrame:
         """delta-spark's ``table_changes`` surface (r11): spec-exact
-        CDF from the log's own ``cdc`` actions — inclusive version
-        window, no primary key; commits without change-data files
-        synthesize file-level inserts/deletes. Returns the table's
-        columns + ``_change_type``/``_commit_version``/
-        ``_commit_timestamp``."""
+        CDF from the log's own ``cdc`` actions — inclusive window by
+        VERSIONS (positional) or by TIMESTAMPS (``start_ms``/
+        ``end_ms`` keywords, resolved through the one monotonized
+        helper every time-travel surface shares), no primary key;
+        commits without change-data files synthesize file-level
+        inserts/deletes. Returns the table's columns +
+        ``_change_type``/``_commit_version``/``_commit_timestamp``."""
         from cdc_apache_cassandra_spark.streaming.delta_log import (
             delta_changes_cdf,
+            delta_changes_cdf_by_time,
         )
 
+        by_version = starting_version is not None or ending_version is not None
+        by_time = start_ms is not None or end_ms is not None
+        if by_version == by_time:
+            raise ValueError(
+                "table_changes_cdf: pass starting_version+ending_version "
+                "OR start_ms+end_ms, not both / neither"
+            )
+        if by_time:
+            if start_ms is None or end_ms is None:
+                raise ValueError(
+                    "table_changes_cdf: both start_ms and end_ms required"
+                )
+            return delta_changes_cdf_by_time(
+                self.spark, out_path, start_ms, end_ms
+            )
+        if starting_version is None or ending_version is None:
+            raise ValueError(
+                "table_changes_cdf: both starting_version and "
+                "ending_version required"
+            )
         return delta_changes_cdf(
             self.spark, out_path, starting_version, ending_version
         )

@@ -3700,6 +3700,35 @@ def delta_changes_cdf(
     return out
 
 
+def delta_changes_cdf_by_time(
+    spark: SparkSession,
+    out_path: str,
+    start_ms: int,
+    end_ms: int,
+) -> DataFrame:
+    """Spec-exact CDF by TIMESTAMPS — delta-spark's
+    ``table_changes(tbl, startingTimestamp, endingTimestamp)`` over
+    stored change-data files, both bounds INCLUSIVE: every commit in
+    [start_ms, end_ms] contributes its own change rows (cdc files
+    authoritative; insert/delete synthesis for add-only/remove-only
+    commits). Raises when the window covers no commit. Resolution
+    rides :func:`commit_timestamps` — the SAME monotonized helper the
+    pk-diff :func:`delta_changes_by_time` and the stream's
+    startingTimestamp use, so every by-time surface places a given
+    time on the same side of every commit."""
+    stamped = commit_timestamps(out_path)
+    first = [v for v, t in stamped if t >= start_ms]
+    last = [v for v, t in stamped if t <= end_ms]
+    if not first or not last or min(first) > max(last):
+        raise ValueError(
+            f"delta_changes_cdf_by_time: no commits in "
+            f"[{start_ms}, {end_ms}] at {out_path!r}"
+        )
+    # unlike the diff twin (exclusive from-version), the CDF window is
+    # inclusive on both version ends — pass the resolved versions as-is
+    return delta_changes_cdf(spark, out_path, min(first), max(last))
+
+
 def delta_changes_by_time(
     spark: SparkSession,
     out_path: str,

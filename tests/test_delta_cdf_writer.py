@@ -284,3 +284,33 @@ def test_vacuum_cleans_orphaned_cdc_files(spark, tmp_path):
     assert survivors and survivors < all_cdc
     # the surviving window still serves through its cdc files
     assert delta_changes_cdf(spark, table, 3, 3).count() > 0
+
+
+def test_table_changes_cdf_by_timestamp(spark, tmp_path):
+    """table_changes by TIMESTAMPS over stored change-data files —
+    inclusive bounds through the one monotonized resolution helper, so
+    the by-time read equals the by-version read exactly (and the
+    facade routes versions vs timestamps)."""
+    from cdc_apache_cassandra_spark.engine import CdcEngine
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+        delta_changes_cdf_by_time,
+    )
+
+    _, table = _build(spark, tmp_path)
+    ts = dict(commit_timestamps(table))
+    by_time = delta_changes_cdf_by_time(spark, table, ts[1], ts[1])
+    by_version = delta_changes_cdf(spark, table, 1, 1)
+    assert sorted(map(tuple, by_time.collect())) == sorted(
+        map(tuple, by_version.collect()))
+    whole = delta_changes_cdf_by_time(spark, table, ts[0], ts[1])
+    assert whole.count() == delta_changes_cdf(spark, table, 0, 1).count()
+    with pytest.raises(ValueError, match="no commits"):
+        delta_changes_cdf_by_time(spark, table, ts[1] + 10_000,
+                                  ts[1] + 20_000)
+    eng = CdcEngine(spark)
+    got = eng.table_changes_cdf(table, start_ms=ts[1], end_ms=ts[1])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, by_version.collect()))
+    with pytest.raises(ValueError, match="not both"):
+        eng.table_changes_cdf(table, 0, 1, start_ms=ts[0], end_ms=ts[1])

@@ -1687,3 +1687,38 @@ def test_cdf_window_at_checkpoint_boundary(spark, tmp_path):
     delta_log_cleanup(root2)
     with _pytest.raises(FileNotFoundError, match="widen starting_version"):
         delta_changes_cdf(spark, root2, 2, 3).collect()
+
+
+def test_clustered_table_reads(spark, tmp_path):
+    """Liquid clustering is WRITER-side (clusteredTable +
+    domainMetadata writer features; clustering state lives in
+    domainMetadata actions) — snapshot and CDF reads over a
+    delta-spark-shaped clustered table must serve green, with the
+    clustering domain tolerated by replay."""
+    root = str(tmp_path / "lqtable")
+    os.makedirs(root)
+    t0 = pa.table({"pk": [1, 2, 3], "v": ["a", "b", "c"]})
+    add0 = fx.write_data_file(root, "part-000.parquet", t0, stats_cols=["pk"])
+    meta = fx.metadata_action(
+        [fx.field("pk", "long"), fx.field("v", "string")])
+    fx.write_commit(root, 0, [
+        {"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["clusteredTable", "domainMetadata"]}},
+        meta,
+        {"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [["pk"]]}),
+            "removed": False}},
+        add0,
+    ])
+    got = sorted((r.pk, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # pk-diff CDF over a follow-up commit serves too
+    t1 = pa.table({"pk": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    add1 = fx.write_data_file(root, "part-001.parquet", t1,
+                              stats_cols=["pk"])
+    fx.write_commit(root, 1, [fx.remove_action(add0), add1])
+    feed = delta_changes(spark, root, 0, 1, ["pk"]).collect()
+    assert sorted((r.pk, r._change_type) for r in feed) == [(4, "insert")]
