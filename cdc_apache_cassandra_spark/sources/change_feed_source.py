@@ -616,6 +616,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self._last_data_version = self.start_version
         self._primed = False
         self._unprimed_offers = 0
+        # readChangeFeed: incremental commit-timestamp cache (the
+        # monotonized resolution is prefix-stable, so per-trigger cost
+        # is O(new commits), not O(log size))
+        self._ts_cache: dict | None = None
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -786,11 +790,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
         from cdc_apache_cassandra_spark.streaming.delta_log import (
             _cdf_window_plan,
-            commit_timestamps,
         )
 
         with _routed_log_store(self.log_store_url, self.log_store_mirror):
-            ts = dict(commit_timestamps(self.path))
+            ts = self._commit_ts_map()
             if from_v < 0:
                 files = st_to.files if st_to else {}
                 plans = [(to_v, "insert", sorted(files.items()))]
@@ -800,14 +803,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         for v, kind, files in plans:
             if files:
                 self._last_data_version = max(self._last_data_version, v)
-            chunk: list = []
-            size = 0
 
-            def flush(v=v, kind=kind):
+            def make(entries, v=v, kind=kind):
                 parts.append(
                     _ChangePartition(
                         [],
-                        chunk,
+                        entries,
                         v,
                         phys=self._phys,
                         ids=self._ids,
@@ -816,16 +817,103 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     )
                 )
 
+            chunk: list = []
+            size = 0
             for rel, a in files:
                 fsz = int(a.get("size") or 0)
+                e = self._entry(os.path.join(self.path, rel), a)
+                if fsz > self.max_bytes:
+                    # ONE oversized file: split WITHIN it by row
+                    # groups (no join in cdc mode, so any partition
+                    # of the rows is sound) — otherwise a multi-GiB
+                    # synthesized-insert/delete file would
+                    # materialize whole in one task, escaping the
+                    # per-partition memory bound the pk-diff mode
+                    # enforces. The footer read is driver-side
+                    # metadata, paid only for files over the bound.
+                    if chunk:
+                        make(chunk)
+                        chunk, size = [], 0
+                    for rgs in self._row_group_chunks(e[0]):
+                        make([e + (rgs,)])
+                    continue
                 if chunk and size + fsz > self.max_bytes:
-                    flush()
+                    make(chunk)
                     chunk, size = [], 0
-                chunk.append(self._entry(os.path.join(self.path, rel), a))
+                chunk.append(e)
                 size += fsz
             if chunk:
-                flush()
+                make(chunk)
         return parts or [_ChangePartition([], [], to_v)]
+
+    def _commit_ts_map(self) -> dict:
+        """The table's monotonized commit-timestamp map, extended
+        INCREMENTALLY per trigger: parsing every surviving commit per
+        micro-batch would cost O(log size) per trigger on a long-lived
+        stream (and that many remote GETs behind a routed store) —
+        monotonization is prefix-stable, so only the NEW commits are
+        parsed, continuing from the cached floor. A full recompute
+        happens only when log cleanup moved the earliest surviving
+        commit (the cached prefix's leading-unknown baseline would be
+        stale). Callers hold the routed-store context."""
+        import os as _os
+
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            LOG_DIR,
+            _log_listdir,
+            commit_timestamps,
+        )
+
+        names = _log_listdir(_os.path.join(self.path, LOG_DIR))
+        vs = sorted(
+            int(n[: -len(".json")])
+            for n in names
+            if n.endswith(".json") and n[: -len(".json")].isdigit()
+        )
+        cache = self._ts_cache
+        if vs and cache is not None and cache["earliest"] == vs[0]:
+            if vs[-1] > cache["last"]:
+                ext = commit_timestamps(
+                    self.path, resume=(cache["last"], cache["floor"])
+                )
+                if ext:
+                    cache["map"].update(ext)
+                    cache["last"], cache["floor"] = ext[-1]
+            return cache["map"]
+        stamped = commit_timestamps(self.path)  # raises when no log
+        self._ts_cache = {
+            "earliest": vs[0] if vs else stamped[0][0],
+            "last": stamped[-1][0],
+            "floor": stamped[-1][1],
+            "map": dict(stamped),
+        }
+        return self._ts_cache["map"]
+
+    def _row_group_chunks(self, path: str) -> list[list[int]]:
+        """Row-group index chunks of one oversized file, each at most
+        ~``maxBytesPerPartition`` by footer ``total_byte_size``
+        (uncompressed, so chunks come out conservatively small).
+        Always at least one chunk; a single row group above the bound
+        still gets its own chunk — a row group is the smallest
+        readable unit."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            _io_parquet_file,
+        )
+
+        md = _io_parquet_file(path).metadata
+        chunks: list[list[int]] = []
+        cur: list[int] = []
+        cur_b = 0
+        for g in range(md.num_row_groups):
+            b = md.row_group(g).total_byte_size
+            if cur and cur_b + b > self.max_bytes:
+                chunks.append(cur)
+                cur, cur_b = [], 0
+            cur.append(g)
+            cur_b += b
+        if cur:
+            chunks.append(cur)
+        return chunks
 
     def partitions(self, start: dict, end: dict):
         from_v, to_v = start["version"], end["version"]
@@ -1218,13 +1306,24 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             _io_parquet_file,
         )
 
-        p, dv, pv = entry
+        # entries are (path, dv, pv) from _entry; the cdc mode's
+        # oversized-file split appends a 4th element — the row-group
+        # indexes this partition owns
+        p, dv, pv, *rest = entry
+        rgs = rest[0] if rest else None
         pf = _io_parquet_file(p)
         keep = (
             None
             if partition.key_range is None
             else self._row_groups_in_range(partition, pf)
         )
+        if rgs is not None:
+            # the split's row groups; intersect with any key-range
+            # pruning (cdc mode never sets key_range today, but the
+            # composition must stay sound if it ever does). keep now
+            # reflects exactly the groups read, so the DV ordinal
+            # offsets below stay correct.
+            keep = rgs if keep is None else [g for g in keep if g in set(rgs)]
         if keep is None:
             t = pf.read()
         elif keep:

@@ -2202,9 +2202,15 @@ def delta_export(
                         # PHYSICAL names; _change_type keeps its
                         # literal name (spec passthrough)
                         changes = _to_physical(changes, mapped_fields)
+                    # writer-unique token IN the published names too:
+                    # two racing exporters must never clobber each
+                    # other's cdc files (the data files encode
+                    # storeVersion for the same reason) — the race
+                    # loser's files become unreferenced orphans that
+                    # delta_vacuum reclaims
+                    token = uuid.uuid4().hex[:8]
                     cdc_staging = os.path.join(
-                        out_path,
-                        f"_cdc_staging_{version}_{uuid.uuid4().hex[:8]}",
+                        out_path, f"_cdc_staging_{version}_{token}"
                     )
                     try:
                         changes.repartition(
@@ -2225,8 +2231,8 @@ def delta_export(
                         ] or staged[:1]
                         for i, n in enumerate(keep):
                             rel = (
-                                f"{CDC_DIR}/"
-                                f"cdc-{version:020d}-{i:05d}.parquet"
+                                f"{CDC_DIR}/cdc-{version:020d}-"
+                                f"{token}-{i:05d}.parquet"
                             )
                             dst = os.path.join(out_path, rel)
                             _io_move(os.path.join(cdc_staging, n), dst)
@@ -2258,8 +2264,8 @@ def delta_export(
                                 sink,
                             )
                             rel = (
-                                f"{CDC_DIR}/"
-                                f"cdc-{version:020d}-00000.parquet"
+                                f"{CDC_DIR}/cdc-{version:020d}-"
+                                f"{token}-00000.parquet"
                             )
                             _io_write_bytes(
                                 os.path.join(out_path, rel),
@@ -2725,15 +2731,7 @@ def _export_protocol(
         if cdf:
             return {"minReaderVersion": 1, "minWriterVersion": 4}
         return PROTOCOL
-    wf = {"appendOnly", "invariants"}
-    if mapped or cdf:
-        wf |= {
-            "changeDataFeed",
-            "checkConstraints",
-            "generatedColumns",
-        }
-    if mapped:
-        wf.add("columnMapping")
+    wf = _legacy_writer_features(5 if mapped else 4 if cdf else 2)
     if dv:
         wf.add("deletionVectors")
     if ict:
@@ -2760,6 +2758,24 @@ def _export_protocol(
     return proto
 
 
+def _legacy_writer_features(min_writer: int) -> set[str]:
+    """The writer features a LEGACY minWriterVersion implies (the
+    spec's version→feature table) — what delta-spark lists when it
+    upgrades that version to the table-features form."""
+    feats: set[str] = set()
+    if min_writer >= 2:
+        feats |= {"appendOnly", "invariants"}
+    if min_writer >= 3:
+        feats.add("checkConstraints")
+    if min_writer >= 4:
+        feats |= {"changeDataFeed", "generatedColumns"}
+    if min_writer >= 5:
+        feats.add("columnMapping")
+    if min_writer >= 6:
+        feats.add("identityColumns")
+    return feats
+
+
 def _merge_protocol(existing: dict | None, target: dict) -> dict:
     """In-place protocol UPGRADE semantics: the committed protocol is
     the union of what the table already declares and what this export
@@ -2767,7 +2783,14 @@ def _merge_protocol(existing: dict | None, target: dict) -> dict:
     silently DROP features the log still uses (v2Checkpoint,
     timestampNtz, a foreign writer's rowTracking) and could downgrade
     minReaderVersion, leaving spec readers a table whose features are
-    in use but undeclared (code-review r11 finding)."""
+    in use but undeclared (code-review r11 finding). When exactly one
+    side is LEGACY-form (no writerFeatures list), its version-implied
+    features expand into the union — a features-form protocol must
+    list EVERY capability in use, so merging a legacy (1,4) CDF
+    target into a features-form (3,7) DV table must surface
+    changeDataFeed explicitly, not drop it (code-review r11 session-2
+    finding; same expansion for the legacy reader version's implied
+    columnMapping)."""
     if not existing:
         return target
     out = dict(target)
@@ -2785,6 +2808,18 @@ def _merge_protocol(existing: dict | None, target: dict) -> dict:
     wf = set(existing.get("writerFeatures") or []) | set(
         target.get("writerFeatures") or []
     )
+    ex_wf = existing.get("writerFeatures")
+    tg_wf = target.get("writerFeatures")
+    if (ex_wf is None) != (tg_wf is None):
+        legacy = existing if ex_wf is None else target
+        wf |= _legacy_writer_features(
+            int(legacy.get("minWriterVersion", 2))
+        )
+        if int(legacy.get("minReaderVersion", 1)) >= 2:
+            # legacy reader v2 = column mapping; surfaced in
+            # readerFeatures only when the merged form carries one
+            if rf:
+                rf.add("columnMapping")
     if rf:
         out["readerFeatures"] = sorted(rf)
         # the table-features reader form requires version 3
@@ -3402,7 +3437,9 @@ def _classify_changes(
     )
 
 
-def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
+def commit_timestamps(
+    out_path: str, resume: tuple[int, int] | None = None
+) -> list[tuple[int, int]]:
     """``(version, adjusted_timestamp_ms)`` for every surviving JSON
     commit, oldest first — delta-spark's DeltaHistoryManager rules:
     the ``commitInfo`` timestamp when a commit carries one, the commit
@@ -3413,6 +3450,16 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
     backwards. Every timestamp→version resolution in this module and in
     the streaming source goes through this one helper so batch and
     stream agree on foreign logs too.
+
+    ``resume=(after_version, floor_ms)`` is the INCREMENTAL form for
+    long-lived consumers (the readChangeFeed stream): only commits
+    with version > after_version are parsed, monotonized continuing
+    from floor_ms — exact because the adjustment is prefix-stable
+    (each commit's adjusted time depends only on its raw time and the
+    previous adjusted value). Returns [] when nothing is newer. The
+    caller owns cache invalidation: a resume is only sound while the
+    EARLIEST surviving commit is unchanged (log cleanup moves the
+    leading-unknown baseline).
 
     Raises ``FileNotFoundError`` when no commits survive (no log), and
     ``ValueError`` — a DISTINCT error, not a misleading "no Delta log"
@@ -3427,6 +3474,10 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
     )
     if not versions:
         raise FileNotFoundError(f"no Delta log at {out_path}")
+    if resume is not None:
+        versions = [v for v in versions if v > resume[0]]
+        if not versions:
+            return []
     # mtime fallback: only for commits with no commitInfo timestamp, and
     # only when the log is NOT routed through a commit store (the store
     # seam lists names, not stat metadata — authoritative reads must not
@@ -3458,7 +3509,7 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
         if t is None and name in mtimes:
             t = int(mtimes[name] * 1000)
         raw.append(t)
-    if all(t is None for t in raw):
+    if resume is None and all(t is None for t in raw):
         raise ValueError(
             f"delta log at {out_path} has {len(versions)} commit(s) but no "
             "usable timestamps (no commitInfo timestamps and no file "
@@ -3467,10 +3518,14 @@ def commit_timestamps(out_path: str) -> list[tuple[int, int]]:
         )
     # leading unknowns inherit the first known timestamp (a start time at
     # or before it resolves to the earliest commit either way); interior
-    # unknowns and clock skew both monotonize to previous + 1 ms
-    first_known = next(t for t in raw if t is not None)
+    # unknowns and clock skew both monotonize to previous + 1 ms. In
+    # resume mode the floor is already known, so every unknown is
+    # interior by construction.
+    first_known = (
+        next(t for t in raw if t is not None) if resume is None else None
+    )
     adjusted: list[int] = []
-    prev: int | None = None
+    prev: int | None = None if resume is None else resume[1]
     for t in raw:
         if t is None:
             t = first_known if prev is None else prev + 1
@@ -3716,17 +3771,31 @@ def delta_changes_cdf_by_time(
     pk-diff :func:`delta_changes_by_time` and the stream's
     startingTimestamp use, so every by-time surface places a given
     time on the same side of every commit."""
+    first_v, last_v = _resolve_time_window(
+        out_path, start_ms, end_ms, "delta_changes_cdf_by_time"
+    )
+    # unlike the diff twin (exclusive from-version), the CDF window is
+    # inclusive on both version ends — pass the resolved versions as-is
+    return delta_changes_cdf(spark, out_path, first_v, last_v)
+
+
+def _resolve_time_window(
+    out_path: str, start_ms: int, end_ms: int, label: str
+) -> tuple[int, int]:
+    """Resolve an INCLUSIVE [start_ms, end_ms] window to the covered
+    commit versions (earliest at-or-after start, last at-or-before
+    end) — ONE resolver for both by-time CDF surfaces, so the pk-diff
+    and cdc-file twins can never diverge at a boundary. Raises when
+    the window covers no commit (delta's 'no commits in range')."""
     stamped = commit_timestamps(out_path)
     first = [v for v, t in stamped if t >= start_ms]
     last = [v for v, t in stamped if t <= end_ms]
     if not first or not last or min(first) > max(last):
         raise ValueError(
-            f"delta_changes_cdf_by_time: no commits in "
-            f"[{start_ms}, {end_ms}] at {out_path!r}"
+            f"{label}: no commits in [{start_ms}, {end_ms}] "
+            f"at {out_path!r}"
         )
-    # unlike the diff twin (exclusive from-version), the CDF window is
-    # inclusive on both version ends — pass the resolved versions as-is
-    return delta_changes_cdf(spark, out_path, min(first), max(last))
+    return min(first), max(last)
 
 
 def delta_changes_by_time(
@@ -3746,19 +3815,14 @@ def delta_changes_by_time(
     helper the stream source's startingTimestamp uses, so batch and
     stream agree at the boundaries on foreign (commitInfo-free or
     clock-skewed) logs too."""
-    stamped = commit_timestamps(out_path)
-    first = [v for v, t in stamped if t >= start_ms]
-    last = [v for v, t in stamped if t <= end_ms]
-    if not first or not last or min(first) > max(last):
-        raise ValueError(
-            f"delta_changes_by_time: no commits in [{start_ms}, {end_ms}] "
-            f"at {out_path!r}"
-        )
+    first_v, last_v = _resolve_time_window(
+        out_path, start_ms, end_ms, "delta_changes_by_time"
+    )
     # from = the version BEFORE the first in-window commit (the diff's
     # from_version is exclusive). A window covering v0 passes from=-1 —
     # the empty pre-table state, so v0's rows classify as inserts (the
     # same resolution the stream source's startingTimestamp uses).
-    return delta_changes(spark, out_path, min(first) - 1, max(last), pk_cols)
+    return delta_changes(spark, out_path, first_v - 1, last_v, pk_cols)
 
 
 def delta_changes_since(

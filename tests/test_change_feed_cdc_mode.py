@@ -211,3 +211,68 @@ def test_pk_cols_still_required_without_cdc_mode(spark, tmp_path):
         q.processAllAvailable()
     with contextlib.suppress(Exception):
         q.stop()
+
+
+def test_commit_timestamps_resume_matches_full(spark, tmp_path):
+    """commit_timestamps(resume=...) — the stream's incremental
+    form — must equal the full recompute exactly (monotonization is
+    prefix-stable)."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+    )
+
+    root = _cdf_table(tmp_path)
+    full = commit_timestamps(root)
+    for cut in range(len(full)):
+        after_v, floor = full[cut]
+        ext = commit_timestamps(root, resume=(after_v, floor))
+        assert full[cut + 1:] == ext
+    assert commit_timestamps(root, resume=full[-1]) == []
+
+
+def test_oversized_file_splits_by_row_groups(spark, tmp_path):
+    """A cdc-mode file above maxBytesPerPartition splits WITHIN the
+    file into per-row-group partitions — the union must be identical
+    to the unsplit read (and the planner must actually split)."""
+    import pyarrow.parquet as pq2
+
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        ChangeFeedStreamReader,
+    )
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "big")
+    os.makedirs(root)
+    t0 = pa.table({"pk": list(range(4000)),
+                   "v": [f"v{i}" for i in range(4000)]})
+    # many small row groups so the split has units to cut on
+    abs_path = os.path.join(root, "part-000.parquet")
+    pq2.write_table(t0, abs_path, row_group_size=500)
+    add0 = {"add": {"path": "part-000.parquet", "partitionValues": {},
+                    "size": os.path.getsize(abs_path),
+                    "modificationTime": 1, "dataChange": True}}
+    meta = fx.metadata_action(
+        [fx.field("pk", "long"), fx.field("v", "string")],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    fx.write_commit(root, 0, [fx.protocol_action(1, 4), meta, add0])
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+        T.StructField("_commit_timestamp", T.TimestampType()),
+    ])
+    reader = ChangeFeedStreamReader(
+        {"path": root, "readchangefeed": "true",
+         "maxbytesperpartition": "4000"},
+        schema,
+    )
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert len(parts) > 1  # the single file split into row-group chunks
+    rows = []
+    for p in parts:
+        for batch in (reader.read(p) or []):
+            rows.extend(batch.to_pylist())
+    assert sorted(r["pk"] for r in rows) == list(range(4000))
+    assert set(r["_change_type"] for r in rows) == {"insert"}

@@ -314,3 +314,44 @@ def test_table_changes_cdf_by_timestamp(spark, tmp_path):
         map(tuple, by_version.collect()))
     with pytest.raises(ValueError, match="not both"):
         eng.table_changes_cdf(table, 0, 1, start_ms=ts[0], end_ms=ts[1])
+
+
+def test_cdf_upgrade_on_features_form_table_declares_feature(spark, tmp_path):
+    """Enabling CDF on a table already in the table-features form (a
+    DV table) must surface changeDataFeed IN writerFeatures — merging
+    the legacy (1,4) target into a features-form protocol expands the
+    legacy version's implied features instead of dropping them
+    (code-review session-2 finding #1)."""
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "table")
+    os.makedirs(store)
+    big = [("INSERT", i, 10, f"v{i}", 0, i) for i in range(40)]
+    merge_into(spark, store, spark.createDataFrame(big, SCHEMA), ["pk"],
+               n_buckets=2)
+    delta_export(spark, store, table)
+    # sparse delete with DVs -> features-form protocol (3,7), no CDF
+    dels = [("DELETE", 4, 20, None, 1, 0)]
+    merge_into(spark, store, spark.createDataFrame(dels, SCHEMA), ["pk"],
+               n_buckets=2)
+    delta_export(spark, store, table, deletion_vectors=True)
+    # now enable CDF (no DV flag this time)
+    ups = [("UPDATE", 5, 30, "u5", 2, 0)]
+    merge_into(spark, store, spark.createDataFrame(ups, SCHEMA), ["pk"],
+               n_buckets=2)
+    v = delta_export(spark, store, table, change_data_feed=True,
+                     cdf_pk_cols=["pk"])
+    a = _commit_actions(table, v)
+    proto = next(x["protocol"] for x in a if "protocol" in x)
+    wf = set(proto["writerFeatures"])
+    assert "changeDataFeed" in wf
+    assert {"appendOnly", "invariants", "deletionVectors"} <= wf
+    assert proto["minWriterVersion"] == 7
+    # and the NEXT export sees the feature declared: no redundant
+    # protocol action per commit
+    more = [("UPDATE", 6, 40, "u6", 3, 0)]
+    merge_into(spark, store, spark.createDataFrame(more, SCHEMA), ["pk"],
+               n_buckets=2)
+    v2 = delta_export(spark, store, table)
+    assert not any("protocol" in x for x in _commit_actions(table, v2))
+    # the CDF read serves both CDF-era commits
+    assert delta_changes_cdf(spark, table, v, v2).count() > 0
