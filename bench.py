@@ -471,8 +471,10 @@ def main():
             "multimodal_jpeg_decode",
             "multimodal_jsonl_gz_shard",
             "multimodal_mp3_frame_scan",
-            # r11-new feature baseline
+            # r11-new feature baselines
             "cdc_delta_mapped_export_state",
+            "cdc_delta_export_cdf",
+            "cdc_delta_cdf_stream",
         ]
         # SPARK_GRAFT_SOLO_QUERIES: explicit roster additions — with
         # SECTIONS=solo (no query loop ran) per_query is empty and the

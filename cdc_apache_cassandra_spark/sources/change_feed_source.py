@@ -798,7 +798,24 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 files = st_to.files if st_to else {}
                 plans = [(to_v, "insert", sorted(files.items()))]
             else:
-                plans = _cdf_window_plan(self.path, from_v + 1, to_v)
+                try:
+                    plans = _cdf_window_plan(self.path, from_v + 1, to_v)
+                except FileNotFoundError as e:
+                    # a window commit's JSON (or the pre-window state a
+                    # delete synthesis needs) was checkpoint-cleaned: a
+                    # stream cannot widen its own window — Spark owns
+                    # the checkpointed offset — so the actionable
+                    # instruction is a fresh restart
+                    raise FileNotFoundError(
+                        f"cdc_delta_changes[readChangeFeed]: the window "
+                        f"({from_v}, {to_v}] needs log history that was "
+                        "checkpoint-cleaned (this stream's offset "
+                        "predates the table's retention). Restart the "
+                        "stream with a fresh checkpoint — the default "
+                        "startingVersion=-1 bootstraps from the current "
+                        "snapshot — or raise the log retention so "
+                        "consumers this far behind stay servable"
+                    ) from e
         parts = []
         for v, kind, files in plans:
             if files:

@@ -276,3 +276,55 @@ def test_oversized_file_splits_by_row_groups(spark, tmp_path):
             rows.extend(batch.to_pylist())
     assert sorted(r["pk"] for r in rows) == list(range(4000))
     assert set(r["_change_type"] for r in rows) == {"insert"}
+
+
+def test_cdc_stream_cleaned_window_fails_with_restart_instruction(
+    spark, tmp_path
+):
+    """A readChangeFeed window that needs checkpoint-cleaned commit
+    JSON fails with the restart-fresh instruction (a stream cannot
+    widen its own offset window), not a bare FileNotFoundError."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        write_checkpoint,
+    )
+
+    root = _cdf_table(tmp_path)
+    write_checkpoint(root, 2)
+    delta_log_cleanup(root)
+    assert not os.path.exists(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    register(spark)
+    q = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdfm_" + uuid.uuid4().hex[:10])
+        .start()
+    )
+    with pytest.raises(Exception, match="retention"):
+        q.processAllAvailable()
+    with contextlib.suppress(Exception):
+        q.stop()
+    # the documented recovery works: a fresh default start bootstraps
+    # from the current snapshot (empty here — v2 dropped the file)
+    assert _tail(spark, root).count() == 0
+
+
+def test_cdc_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp in readChangeFeed mode rides the same
+    monotonized resolution as everything else: a start at v1's commit
+    time emits v1's and v2's changes, inclusively."""
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        commit_timestamps,
+    )
+
+    root = _cdf_table(tmp_path)
+    ts = dict(commit_timestamps(root))
+    got = _tail(spark, root, startingTimestamp=ts[1])
+    want = delta_changes_cdf(spark, root, 1, 2).select(got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))

@@ -355,3 +355,89 @@ def test_cdf_upgrade_on_features_form_table_declares_feature(spark, tmp_path):
     assert not any("protocol" in x for x in _commit_actions(table, v2))
     # the CDF read serves both CDF-era commits
     assert delta_changes_cdf(spark, table, v, v2).count() > 0
+
+
+def test_randomized_cdf_lifecycle_matches_pk_diff(spark, tmp_path):
+    """Seeded randomized lifecycle for the CDF WRITER: interleave
+    merges (inserts/updates/deletes), compactions, checkpoints, log
+    cleanups and vacuums, exporting with change_data_feed=True and a
+    randomly toggled deletion_vectors flag — after EVERY committed
+    export, the per-commit CDF read (stored cdc files, or synthesis
+    for pure commits) must equal the pk-diff classification over the
+    same window. The fuzzed twin of the per-scenario tests above, and
+    the strongest writer/reader cross-pin we have."""
+    import random
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_log_cleanup,
+        delta_vacuum,
+        read_delta,
+        write_checkpoint,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import compact
+
+    rng = random.Random(20260817)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(store)
+    wt = [100]
+    LSCHEMA = ("op string, pk long, writetime long, v string, s string, "
+               "segment long, position long")
+
+    def batch(n):
+        rows = []
+        for _ in range(n):
+            pk = rng.randrange(24)
+            op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
+            wt[0] += rng.randrange(1, 5)
+            rows.append(
+                (op, pk, wt[0], None if op == "DELETE" else f"v{wt[0]}",
+                 "x", wt[0], pk)
+            )
+        return spark.createDataFrame(rows, LSCHEMA)
+
+    def check(v):
+        feed = delta_changes_cdf(spark, out, v, v)
+        cols = [c for c in feed.columns if c != "_commit_timestamp"]
+        got = sorted(map(tuple, feed.select(cols).collect()))
+        if v == 0:
+            snap = read_delta(spark, out, version=0)
+            want = sorted(
+                tuple(r) + ("insert", 0)
+                for r in snap.select(
+                    [c for c in cols
+                     if c not in ("_change_type", "_commit_version")]
+                ).collect()
+            )
+        else:
+            diff = delta_changes(spark, out, v - 1, v, ["pk"])
+            want = sorted(map(tuple, diff.select(cols).collect()))
+        assert got == want, f"CDF != pk-diff at version {v}"
+
+    merge_into(spark, store, batch(12), ["pk"], n_buckets=4)
+    v = delta_export(spark, store, out, checkpoint_interval=4,
+                     change_data_feed=True, cdf_pk_cols=["pk"])
+    check(v)
+    checks = 1
+    for step in range(12):
+        op = rng.choice(["merge", "merge", "merge", "compact",
+                         "checkpoint", "cleanup", "vacuum"])
+        if op == "merge":
+            merge_into(spark, store, batch(rng.randrange(2, 8)), ["pk"],
+                       n_buckets=4)
+        elif op == "compact":
+            compact(spark, store, ["pk"], tombstone_horizon=wt[0] + 1)
+        elif op == "checkpoint":
+            write_checkpoint(out)
+        elif op == "cleanup":
+            delta_log_cleanup(out)
+        elif op == "vacuum":
+            delta_vacuum(out, retain_ms=0)
+        v = delta_export(
+            spark, store, out, checkpoint_interval=4,
+            deletion_vectors=rng.choice([True, False]),
+        )
+        if v is not None:
+            check(v)
+            checks += 1
+    assert checks >= 6  # enough committed exports actually fuzzed
