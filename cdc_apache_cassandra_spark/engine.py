@@ -462,6 +462,25 @@ class CdcEngine:
             self.spark, out_path, starting_version, ending_version
         )
 
+    def restore_table(
+        self,
+        out_path: str,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> int:
+        """Delta's RESTORE TABLE — make an earlier snapshot the
+        current state with one commit (by version or by timestamp
+        through the shared monotonized resolution); CDF tables get
+        delta-spark's file-level restore change rows. Returns the
+        committed version."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            delta_restore,
+        )
+
+        return delta_restore(
+            self.spark, out_path, version=version, timestamp_ms=timestamp_ms
+        )
+
     def maintain(
         self,
         store_path: str | None = None,

@@ -108,7 +108,13 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # CDF WRITER — stored change-data files pinned against the pk-diff
 # classification through the same oracle, new this round) rotates in
 # for cdc_point_read_routing (9-times-driver-green; its §2 anchors
-# S6/O2 stay in-roster via its twin cdc_store_point_read).
+# S6/O2 stay in-roster via its twin cdc_store_point_read);
+# cdc_delta_restore (RESTORE TABLE TO VERSION AS OF — one-commit
+# rewind with memo/CDF composition, new this round) rotates in for
+# cdc_compound_materialized_state (multi-green; the compound store's
+# state oracle stays in-roster via cdc_compound_delta_export_state
+# and cdc_compound_streaming_end_to_end, which exercise the same
+# merge machinery end to end).
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_backfill_union",
@@ -130,7 +136,7 @@ GATE_ROSTER = [
     "cdc_compound_read_after_event",
     "cdc_null_leading_snapshot",
     "cdc_token_routing_murmur3",
-    "cdc_compound_materialized_state",
+    "cdc_delta_restore",
     "cdc_compound_delta_export_state",
     "cdc_compound_streaming_end_to_end",
     "cdc_backfill_token_splits",

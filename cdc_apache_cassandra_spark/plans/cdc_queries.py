@@ -1032,6 +1032,58 @@ def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_changes(spark, table, versions[0], versions[1], ["pk"])
 
 
+_RESTORE_SQL = f"""
+WITH {_CTE},
+deduped AS (
+  SELECT DISTINCT {_CDF_COLS}
+  FROM events_stream
+)
+{_cdf_state_sql(f"writetime <= {_CDF_CUT}")}
+"""
+
+
+@register("cdc_delta_restore", sql=_RESTORE_SQL)
+def cdc_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's RESTORE TABLE under the oracle gate (r11): the same
+    two-commit export as cdc_delta_change_feed, rewound to version 0
+    with ONE ``delta_restore`` commit — the table read at head must
+    then equal the PRE-cut LWW state exactly (the snapshot the first
+    commit published), while history stays append-only. Oracle = the
+    pre-cut state SQL the CDF oracles already share."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_export,
+        delta_restore,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    cut = 1_600_000_000_000_000 + 300_000_000
+    ev = (
+        dedup_mutations(mutation_events(spark, sf_dir))
+        .select("pk", "op", "writetime", "segment", "position", *VALUE_COLS)
+        .transform(persist_scoped)
+    )
+    root = tempfile.mkdtemp(prefix="cdc_delta_restore_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    import os
+
+    os.makedirs(store)
+    for batch in (
+        ev.filter(F.col("writetime") <= cut),
+        ev.filter(F.col("writetime") > cut),
+    ):
+        merge_into(spark, store, batch, ["pk"], n_buckets=8)
+        delta_export(spark, store, table)
+    ev.unpersist()
+    delta_restore(spark, table, version=0)
+    return read_delta(spark, table).select(
+        "pk", "op", "writetime", "segment", "position", *VALUE_COLS
+    )
+
+
 @register("cdc_delta_export_cdf", sql=_CDF_SQL)
 def cdc_delta_export_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export as a Change Data Feed WRITER (r11): the same

@@ -2202,89 +2202,14 @@ def delta_export(
                         # PHYSICAL names; _change_type keeps its
                         # literal name (spec passthrough)
                         changes = _to_physical(changes, mapped_fields)
-                    # writer-unique token IN the published names too:
-                    # two racing exporters must never clobber each
-                    # other's cdc files (the data files encode
-                    # storeVersion for the same reason) — the race
-                    # loser's files become unreferenced orphans that
-                    # delta_vacuum reclaims
-                    token = uuid.uuid4().hex[:8]
-                    cdc_staging = os.path.join(
-                        out_path, f"_cdc_staging_{version}_{token}"
-                    )
-                    try:
-                        changes.repartition(
-                            min(32, max(1, len(pre_entries)))
-                        ).write.mode("overwrite").parquet(cdc_staging)
-                        _io_mkdirs(os.path.join(out_path, CDC_DIR))
-                        staged = sorted(
-                            n
-                            for n in _io_listdir(cdc_staging)
-                            if n.endswith(".parquet")
+                    actions.extend(
+                        _publish_cdc_files(
+                            out_path,
+                            version,
+                            changes,
+                            min(32, max(1, len(pre_entries))),
                         )
-                        keep = [
-                            n
-                            for n in staged
-                            if _io_parquet_file(
-                                os.path.join(cdc_staging, n)
-                            ).metadata.num_rows
-                        ] or staged[:1]
-                        for i, n in enumerate(keep):
-                            rel = (
-                                f"{CDC_DIR}/cdc-{version:020d}-"
-                                f"{token}-{i:05d}.parquet"
-                            )
-                            dst = os.path.join(out_path, rel)
-                            _io_move(os.path.join(cdc_staging, n), dst)
-                            actions.append(
-                                {
-                                    "cdc": {
-                                        "path": rel,
-                                        "partitionValues": {},
-                                        "size": _io_size(dst),
-                                        "dataChange": False,
-                                    }
-                                }
-                            )
-                        if not keep:
-                            # Spark writes no file at all for an empty
-                            # result — materialize the authoritative-
-                            # empty cdc file directly
-                            import pyarrow as _pa
-                            import pyarrow.parquet as _pq
-                            from pyspark.sql.pandas.types import (
-                                to_arrow_schema,
-                            )
-
-                            sink = _pa.BufferOutputStream()
-                            _pq.write_table(
-                                to_arrow_schema(
-                                    changes.schema
-                                ).empty_table(),
-                                sink,
-                            )
-                            rel = (
-                                f"{CDC_DIR}/cdc-{version:020d}-"
-                                f"{token}-00000.parquet"
-                            )
-                            _io_write_bytes(
-                                os.path.join(out_path, rel),
-                                sink.getvalue().to_bytes(),
-                            )
-                            actions.append(
-                                {
-                                    "cdc": {
-                                        "path": rel,
-                                        "partitionValues": {},
-                                        "size": _io_size(
-                                            os.path.join(out_path, rel)
-                                        ),
-                                        "dataChange": False,
-                                    }
-                                }
-                            )
-                    finally:
-                        _io_rmtree(cdc_staging)
+                    )
             finally:
                 release_one(live)
 
@@ -2456,6 +2381,192 @@ def delta_export(
     ):
         write_checkpoint(out_path, version, v2=v2c_on)
     return version
+
+
+def delta_restore(
+    spark: SparkSession,
+    out_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    max_attempts: int = 5,
+) -> int:
+    """Delta's ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` — make
+    an earlier snapshot the CURRENT state with ONE commit, exactly
+    delta-spark's shape: re-``add`` the target snapshot's files the
+    current state dropped, ``remove`` the current files the target
+    lacks (diff keyed on (path, deletion-vector id), so DV'd states
+    restore too), restore the target's metaData when it differs, and
+    never touch the protocol (no feature downgrade — history is
+    append-only, so time travel over the restore keeps working).
+    Target data files must still exist: a target VACUUM already
+    reclaimed refuses, listing the missing files (delta-spark's
+    behavior). Returns the committed version; a no-op restore (target
+    state == current) commits nothing and returns the current version.
+
+    CDF composition: on a ``delta.enableChangeDataFeed`` table a
+    mixed restore commit carries change-data files exactly as
+    delta-spark writes them for RESTORE — FILE-level, no pk: every
+    re-added file's row an ``insert``, every removed file's row a
+    ``delete``. The restored configuration keeps the CURRENT CDF
+    enablement keys (dropping the flag in the very commit that writes
+    cdc files would be self-inconsistent). The current ICT setting is
+    honored (monotonic in-commit timestamp, commitInfo first).
+
+    Driver cost: two metadata replays + the file diff; the only
+    distributed work is the CDF job over the diff files, and only
+    when CDF is on."""
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError("delta_restore: pass version OR timestamp_ms")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(out_path, timestamp_ms)
+    tgt = _replay(out_path, version)
+    if tgt.meta is None:
+        raise ValueError(f"{out_path}: no snapshot at version {version}")
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        dv_unique_id,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import (
+        CommitConflict,
+    )
+
+    def keyed(files: dict) -> dict:
+        return {
+            (
+                p,
+                dv_unique_id(dv) if (dv := a.get("deletionVector")) else None,
+            ): (p, a)
+            for p, a in files.items()
+        }
+
+    for _ in range(max_attempts):
+        cur = _replay(out_path)
+        if cur.meta is None:
+            raise FileNotFoundError(f"no Delta log at {out_path}")
+        k_cur, k_tgt = keyed(cur.files), keyed(tgt.files)
+        add_back = [
+            k_tgt[k] for k in sorted(k_tgt.keys() - k_cur.keys(), key=repr)
+        ]
+        drop = [
+            k_cur[k] for k in sorted(k_cur.keys() - k_tgt.keys(), key=repr)
+        ]
+        missing = [
+            p
+            for p, _a in add_back
+            if not _io_exists(os.path.join(out_path, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"{out_path}: RESTORE to version {version} needs "
+                f"{len(missing)} data file(s) VACUUM already removed "
+                f"(e.g. {missing[:3]}); that snapshot is no longer "
+                "restorable"
+            )
+        cfg = dict(cur.meta.get("configuration") or {})
+        cdf_on = cfg.get("delta.enableChangeDataFeed") == "true"
+        restored_meta = None
+        if tgt.meta != cur.meta:
+            restored_meta = dict(tgt.meta)
+            if cdf_on:
+                # keep the CURRENT feed enablement keys: dropping the
+                # flag in the very commit that writes cdc files would
+                # be self-inconsistent, and a live consumer's feed
+                # must not silently stop recording
+                rcfg = dict(restored_meta.get("configuration") or {})
+                rcfg["delta.enableChangeDataFeed"] = "true"
+                if cfg.get(_CDF_PK_KEY):
+                    rcfg[_CDF_PK_KEY] = cfg[_CDF_PK_KEY]
+                restored_meta["configuration"] = rcfg
+        if not add_back and not drop and restored_meta is None:
+            return cur.last  # target state IS the current state
+        now = _now_ms()
+        actions: list[dict] = []
+        for p, a in add_back:
+            add = dict(a)
+            add["dataChange"] = True
+            add["modificationTime"] = now
+            actions.append({"add": add})
+        for p, a in drop:
+            rm: dict = {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+            if a.get("deletionVector"):
+                rm["deletionVector"] = a["deletionVector"]
+            actions.append({"remove": rm})
+        commit_v = cur.last + 1
+        if cdf_on and add_back and drop:
+            # mixed commit on a CDF table: delta-spark's RESTORE change
+            # rows are FILE-level — re-added rows insert, removed rows
+            # delete (no pk, no join; a row present in both states
+            # through different files legitimately emits a
+            # delete+insert pair, as delta-spark does)
+            meta_for_scan = restored_meta or cur.meta
+            if _column_mapping_mode(meta_for_scan) == "id":
+                raise NotImplementedError(
+                    f"{out_path}: RESTORE with CDF on an id-mode "
+                    "column-mapped table is not supported (this engine "
+                    "writes name-mode cdc files only)"
+                )
+            changes = (
+                _scan_adds(spark, out_path, add_back, meta_for_scan)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    _scan_adds(spark, out_path, drop, meta_for_scan)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            )
+            if _column_mapping_mode(meta_for_scan) == "name":
+                changes = _to_physical(
+                    changes,
+                    json.loads(meta_for_scan["schemaString"])["fields"],
+                )
+            actions = (
+                _publish_cdc_files(
+                    out_path,
+                    commit_v,
+                    changes,
+                    min(32, max(1, len(add_back) + len(drop))),
+                )
+                + actions
+            )
+        header: list[dict] = []
+        if restored_meta is not None:
+            header.append({"metaData": restored_meta})
+        info: dict = {
+            "timestamp": now,
+            "operation": "RESTORE",
+            "operationParameters": {"version": str(version)},
+        }
+        # restore the exporter's empty-bucket memo to the TARGET's so a
+        # later delta_export diffs against the restored state, not the
+        # pre-restore one — emitted even when EMPTY (replay treats an
+        # explicit {} as a reset; an absent key would leave the
+        # pre-restore memo in force)
+        info["emptyBuckets"] = {
+            str(b): v for b, v in tgt.empty_buckets.items()
+        }
+        ci = {"commitInfo": info}
+        if cfg.get("delta.enableInCommitTimestamps") == "true":
+            prev_ict = (
+                cur.last_ict
+                if cur.last_ict is not None
+                else _read_last_ict(out_path, cur.last)
+            )
+            info["inCommitTimestamp"] = max(
+                now, prev_ict + 1 if prev_ict is not None else 0
+            )
+            commit_actions = [ci] + header + actions
+        else:
+            commit_actions = header + [ci] + actions
+        try:
+            _write_commit(out_path, commit_v, commit_actions)
+            return commit_v
+        except CommitConflict:
+            continue  # another writer took the version — re-diff
+    raise CommitConflict(
+        f"could not commit RESTORE after {max_attempts} attempts"
+    )
 
 
 def version_at_timestamp(out_path: str, ts_ms: int) -> int:
@@ -2756,6 +2867,80 @@ def _export_protocol(
         # reader version keeps its legacy meaning (2 = column mapping)
         proto["minReaderVersion"] = 2 if mapped else 1
     return proto
+
+
+def _publish_cdc_files(
+    out_path: str, version: int, changes: DataFrame, n_files: int
+) -> list[dict]:
+    """Stage a commit's change rows DISTRIBUTED, publish the non-empty
+    parquet files under ``_change_data/`` and return their ``cdc``
+    actions — shared by the export's CDF writer and RESTORE. Names
+    carry a writer-unique token (racing writers must never clobber
+    each other's cdc files; the commit-race loser's files become
+    unreferenced orphans delta_vacuum reclaims). An empty
+    classification still publishes ONE empty cdc file: cdc actions
+    are authoritative, so their absence would make readers refuse a
+    mixed commit instead of serving it as changeless."""
+    actions: list[dict] = []
+    token = uuid.uuid4().hex[:8]
+    cdc_staging = os.path.join(out_path, f"_cdc_staging_{version}_{token}")
+    try:
+        changes.repartition(n_files).write.mode("overwrite").parquet(
+            cdc_staging
+        )
+        _io_mkdirs(os.path.join(out_path, CDC_DIR))
+        staged = sorted(
+            n for n in _io_listdir(cdc_staging) if n.endswith(".parquet")
+        )
+        keep = [
+            n
+            for n in staged
+            if _io_parquet_file(
+                os.path.join(cdc_staging, n)
+            ).metadata.num_rows
+        ] or staged[:1]
+        for i, n in enumerate(keep):
+            rel = f"{CDC_DIR}/cdc-{version:020d}-{token}-{i:05d}.parquet"
+            dst = os.path.join(out_path, rel)
+            _io_move(os.path.join(cdc_staging, n), dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": _io_size(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+        if not keep:
+            # Spark writes no file at all for an empty result —
+            # materialize the authoritative-empty cdc file directly
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            sink = _pa.BufferOutputStream()
+            _pq.write_table(
+                to_arrow_schema(changes.schema).empty_table(), sink
+            )
+            rel = f"{CDC_DIR}/cdc-{version:020d}-{token}-00000.parquet"
+            _io_write_bytes(
+                os.path.join(out_path, rel), sink.getvalue().to_bytes()
+            )
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": _io_size(os.path.join(out_path, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        _io_rmtree(cdc_staging)
+    return actions
 
 
 def _legacy_writer_features(min_writer: int) -> set[str]:
