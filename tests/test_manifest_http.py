@@ -385,3 +385,59 @@ def test_log_publish_conflict_with_foreign_body_still_raises(tmp_path, server):
         store.publish(path, b'{"ours":2}\n')
     # idempotent retry of OUR OWN bytes is absorbed silently
     store.publish(path, b'{"theirs":1}\n')
+
+
+def test_read_change_feed_stream_over_http_log_store(
+    spark, tmp_path, server
+):
+    """readChangeFeed × routed log store (mirror mode): a CDF-writing
+    export whose commits publish via conditional PUT is tailed by the
+    cdc-file stream with logStoreUrl/logStoreMirror — the worker-side
+    planner (window plan + incremental timestamp cache) resolves
+    through the store context and the output equals the batch CDF."""
+    import uuid
+
+    import cdc_apache_cassandra_spark.streaming.delta_log as dl
+    from cdc_apache_cassandra_spark.sources.change_feed_source import (
+        register as register_feed,
+    )
+
+    srv, url = server
+    path = str(tmp_path / "store")
+    out = str(tmp_path / "delta")
+    os.makedirs(path)
+    merge_into(spark, path, _batch(spark, BASE), ["pk"], n_buckets=2)
+    prev = dl.set_log_commit_store(HttpLogCommitStore(url))
+    try:
+        dl.delta_export(spark, path, out, change_data_feed=True,
+                        cdf_pk_cols=["pk"])
+        merge_into(spark, path, _batch(spark, BATCH_A), ["pk"], n_buckets=2)
+        dl.delta_export(spark, path, out)
+        want = sorted(
+            (r.pk, r._change_type, r.v)
+            for r in dl.delta_changes_cdf(spark, out, 0, 1).collect()
+        )
+    finally:
+        dl.set_log_commit_store(prev)
+    register_feed(spark)
+    name = "httpcdf_" + uuid.uuid4().hex[:10]
+    q = (
+        spark.readStream.format("cdc_delta_changes")
+        .option("path", out)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", 1)
+        .option("logStoreUrl", url)
+        .option("logStoreMirror", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.pk, r._change_type, r.v) for r in spark.table(name).collect()
+    )
+    assert got == want
