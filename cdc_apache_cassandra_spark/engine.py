@@ -481,6 +481,25 @@ class CdcEngine:
             self.spark, out_path, version=version, timestamp_ms=timestamp_ms
         )
 
+    def clone_table(
+        self,
+        src_path: str,
+        dst_path: str,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> int:
+        """Delta's SHALLOW CLONE: a new table referencing the source
+        snapshot's files by absolute path — zero data copied. Optional
+        version/timestamp picks the snapshot."""
+        from cdc_apache_cassandra_spark.streaming.delta_log import (
+            delta_clone,
+        )
+
+        return delta_clone(
+            self.spark, src_path, dst_path,
+            version=version, timestamp_ms=timestamp_ms,
+        )
+
     def maintain(
         self,
         store_path: str | None = None,

@@ -114,7 +114,11 @@ from cdc_apache_cassandra_spark.plans import llm_pii_queries  # noqa: E402,F401
 # cdc_compound_materialized_state (multi-green; the compound store's
 # state oracle stays in-roster via cdc_compound_delta_export_state
 # and cdc_compound_streaming_end_to_end, which exercise the same
-# merge machinery end to end).
+# merge machinery end to end); cdc_delta_clone (SHALLOW CLONE — new
+# this round) REPLACES cdc_delta_export_state: it builds the very
+# same two-commit export, clones it, and reads back through the
+# clone's log against the same oracle — a strict coverage superset
+# in the same slot.
 # ---------------------------------------------------------------------------
 GATE_ROSTER = [
     "cdc_backfill_union",
@@ -122,7 +126,7 @@ GATE_ROSTER = [
     "cdc_delta_partitioned_import",
     "cdc_delta_export_cdf",
     "cdc_store_point_read",
-    "cdc_delta_export_state",
+    "cdc_delta_clone",
     "cdc_delta_mapped_export_state",
     "cdc_remote_store_lifecycle",
     "cdc_streaming_end_to_end",

@@ -621,6 +621,40 @@ def cdc_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).select("pk", "op", "writetime", *VALUE_COLS)
 
 
+@register("cdc_delta_clone", sql=_MAT_SQL)
+def cdc_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the oracle gate (r11): the two-commit
+    export cloned to a NEW table whose version-0 commit references the
+    source's files by absolute path — zero data copied, metadata-sized
+    at any table size. The rows read back through the CLONE's log must
+    equal the LWW-converged active view exactly (same oracle as
+    cdc_delta_export_state: a clone is the same table, elsewhere)."""
+    import tempfile
+
+    from cdc_apache_cassandra_spark.streaming.delta_log import (
+        delta_clone,
+        delta_export,
+        read_delta,
+    )
+    from cdc_apache_cassandra_spark.streaming.materialize import merge_into
+
+    ev = dedup_mutations(mutation_events(spark, sf_dir)).transform(persist_scoped)
+    root = tempfile.mkdtemp(prefix="cdc_delta_clone_")
+    store = f"{root}/store"
+    table = f"{root}/table"
+    clone = f"{root}/clone"
+    import os
+
+    os.makedirs(store)
+    late = F.pmod(F.col("pk"), F.lit(97)) == 0
+    for batch in (ev.filter(~late), ev.filter(late)):
+        merge_into(spark, store, batch, ["pk"])
+        delta_export(spark, store, table)
+    ev.unpersist()
+    delta_clone(spark, table, clone)
+    return read_delta(spark, clone).select("pk", "op", "writetime", *VALUE_COLS)
+
+
 _MAT_DV_SQL = f"""
 WITH {_CTE},
 deduped AS (

@@ -2569,6 +2569,98 @@ def delta_restore(
     )
 
 
+def delta_clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Delta's SHALLOW CLONE — create ``dst_path`` as a new table
+    whose version-0 commit REFERENCES the source snapshot's data
+    files by absolute path: zero data copied, metadata-sized driver
+    work at any table size (delta-spark's ``CREATE TABLE ... SHALLOW
+    CLONE src [VERSION/TIMESTAMP AS OF]``). The clone is a real,
+    independent table: it time-travels from ITS version 0, exports
+    can continue onto it (add tags and the exporter's empty-bucket
+    memo carry over, so an incremental ``delta_export`` diffs against
+    the cloned state), and VACUUM on the clone never touches the
+    source's files (its liveness scan covers only the clone's own
+    ``data/`` directory). As in delta-spark, deleting or vacuuming
+    the SOURCE's files breaks the clone's reads — shallow means
+    shared bytes.
+
+    ``'u'``-form deletion-vector descriptors convert to ``'p'``
+    (verbatim absolute): relative DV payloads resolve against the
+    TABLE root, which has changed. Stats, partition values and tags
+    pass through untouched; the metaData keeps schema, partition
+    columns and configuration but mints a fresh table id
+    (delta-spark's behavior); the protocol is copied verbatim (the
+    replay that produced the snapshot already verified this engine
+    reads those features). Refuses when ``dst_path`` already has a
+    Delta log. Returns the clone's committed version (0)."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("delta_clone: pass version OR timestamp_ms")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(src_path, timestamp_ms)
+    src = _replay(src_path, version)
+    if src.meta is None:
+        raise FileNotFoundError(f"no Delta log at {src_path}")
+    dst_log = os.path.join(dst_path, LOG_DIR)
+    if _io_exists(dst_log) and any(
+        n.endswith(".json") for n in _log_listdir(dst_log)
+    ):
+        raise ValueError(
+            f"delta_clone: {dst_path} already has a Delta log; clone "
+            "targets must be new tables"
+        )
+    from cdc_apache_cassandra_spark.streaming.deletion_vectors import (
+        dv_absolute_path,
+    )
+
+    def absolute(rel: str) -> str:
+        if "://" in rel or os.path.isabs(rel):
+            return rel
+        if "://" in src_path:
+            return f"{src_path.rstrip('/')}/{rel}"
+        return os.path.abspath(os.path.join(src_path, rel))
+
+    now = _now_ms()
+    meta = dict(src.meta)
+    meta["id"] = str(uuid.uuid4())
+    meta["createdTime"] = now
+    actions: list[dict] = [
+        {"protocol": src.proto or dict(PROTOCOL)},
+        {"metaData": meta},
+    ]
+    info: dict = {
+        "timestamp": now,
+        "operation": "CLONE",
+        "operationParameters": {
+            "source": src_path,
+            "sourceVersion": str(src.last),
+        },
+        # carry the exporter's memo so an export onto the clone diffs
+        # against the cloned state (explicit even when empty)
+        "emptyBuckets": {str(b): v for b, v in src.empty_buckets.items()},
+    }
+    actions.append({"commitInfo": info})
+    for rel in sorted(src.files):
+        add = dict(src.files[rel])
+        add["path"] = absolute(rel)
+        add["dataChange"] = True
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": dv_absolute_path(src_path, dv),
+            }
+        actions.append({"add": add})
+    _write_commit(dst_path, 0, actions)
+    return 0
+
+
 def version_at_timestamp(out_path: str, ts_ms: int) -> int:
     """``TIMESTAMP AS OF`` resolution, exactly Delta's rule: the LAST
     version whose ADJUSTED commit timestamp is <= the requested time.
@@ -3219,8 +3311,15 @@ def _dv_deleted_udf(bc):
             # only the longest is the true relative path. A DV'd file
             # that matches NOTHING is a correctness failure (silently
             # skipping the filter would resurrect deleted rows).
+            # ABSOLUTE add paths (SHALLOW CLONE references) arrive
+            # from the scan as 'file:<abs>' URIs — match those on a
+            # ':'-anchored suffix
             matches = [
-                k for k in dv_map if u == k or u.endswith("/" + k)
+                k
+                for k in dv_map
+                if u == k
+                or u.endswith("/" + k)
+                or (k.startswith("/") and u.endswith(":" + k))
             ]
             if not matches:
                 raise ValueError(
@@ -3346,7 +3445,13 @@ def _scan_adds(
             cache: dict = {}
             for u in fp:
                 if u not in cache:
-                    ms = [k for k in m if u == k or u.endswith("/" + k)]
+                    ms = [
+                        k
+                        for k in m
+                        if u == k
+                        or u.endswith("/" + k)
+                        or (k.startswith("/") and u.endswith(":" + k))
+                    ]
                     if not ms:
                         raise ValueError(
                             f"partition-value scan: file path {u!r} "
