@@ -106,6 +106,65 @@ def compound_reduce(
     return rows.unionByName(pdel).unionByName(statics).distinct()
 
 
+def compound_reduce_bucketed(
+    events: DataFrame,
+    part_col: str = "pk_p",
+    cluster_col: str = "pk_c",
+    static_col: str = "s_mktsegment",
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """:func:`compound_reduce` as a SINGLE-EXCHANGE plan for
+    ``merge_into(reducer_bucketed=True)`` — input pre-partitioned by
+    ``bucket_col`` (a deterministic function of ``part_col``), output
+    value-identical to ``compound_reduce``.
+
+    Why a second form (guide §2.4): the three-branch union shape costs
+    an exchange per window branch plus one more for the closing
+    ``distinct`` (UnionExec forgets its children's partitioning, so the
+    distinct re-shuffles by every column), and merge_into then pays a
+    final repartition to restore the one-file-per-bucket layout — five
+    shuffles of the full bucket payload per commit. Here each branch
+    becomes a row_number over a window whose partition spec PREFIXES
+    ``bucket_col`` and APPENDS the branch's filter as a partition
+    expression — rank-within-(part, branch-subset), exactly what
+    filter-then-rank computed, evaluated without an exchange because
+    hash(bucket) already clusters every spec. A row is retained iff it
+    wins at least one branch; the closing dropDuplicates over all
+    columns reproduces ``distinct``'s collapse of identical winners
+    (redelivered events make old ∪ batch carry exact duplicate rows)
+    and stays exchange-free for the same clustering reason. Windows
+    preserve the input partitioning, so each bucket still lands in
+    exactly ONE write task — the staging invariant delta_export checks.
+
+    Equivalence argument, branch by branch: rows — ranking ALL rows per
+    (part, cluster) gives cluster-null rows their own groups, and every
+    non-null group contains exactly the rows the filtered form ranked;
+    pdel/statics — appending ``ptype = PDEL`` / ``static IS NOT NULL``
+    to the partition spec makes the TRUE subgroup exactly the filtered
+    branch's group, and the FALSE subgroup is dropped by the retention
+    predicate. Pinned value-equal to compound_reduce by
+    tests/test_compound_reduce_bucketed.py and the three compound
+    oracle gates."""
+    pdel_pred = F.col("ptype") == PARTITION_DELETE_PTYPE
+    static_pred = F.col(static_col).isNotNull()
+    order = [F.col("writetime").desc(), F.col("op").desc()]
+    w_row = Window.partitionBy(bucket_col, part_col, cluster_col).orderBy(*order)
+    w_pd = Window.partitionBy(bucket_col, part_col, pdel_pred).orderBy(*order)
+    w_st = Window.partitionBy(bucket_col, part_col, static_pred).orderBy(*order)
+    flagged = (
+        events.withColumn("_rnr", F.row_number().over(w_row))
+        .withColumn("_rnp", F.row_number().over(w_pd))
+        .withColumn("_rns", F.row_number().over(w_st))
+    )
+    keep = (
+        (F.col(cluster_col).isNotNull() & (F.col("_rnr") == 1))
+        | (pdel_pred & (F.col("_rnp") == 1))
+        | (static_pred & (F.col("_rns") == 1))
+    )
+    out = flagged.filter(keep).drop("_rnr", "_rnp", "_rns")
+    return out.dropDuplicates(out.columns)
+
+
 def compound_active_view(
     state: DataFrame,
     part_col: str = "pk_p",

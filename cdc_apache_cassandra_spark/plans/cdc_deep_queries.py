@@ -624,7 +624,7 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
 
     from cdc_apache_cassandra_spark.operators.lww import (
         compound_active_view,
-        compound_reduce,
+        compound_reduce_bucketed,
     )
     from cdc_apache_cassandra_spark.streaming.materialize import (
         merge_into,
@@ -649,8 +649,9 @@ def cdc_compound_materialized_state(spark: SparkSession, sf_dir: str) -> DataFra
             ev.filter(F.pmod(F.coalesce(F.col("pk_c"), F.col("pk_p")), F.lit(2)) == i),
             pk_cols=["pk_p", "pk_c"],
             bucket_cols=["pk_p"],
-            reducer=compound_reduce,
+            reducer=compound_reduce_bucketed,
             kind="compound",
+            reducer_bucketed=True,
         )
     ev.unpersist()
     state = read_state(spark, path)
@@ -684,7 +685,7 @@ def cdc_compound_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFra
 
     from cdc_apache_cassandra_spark.operators.lww import (
         compound_active_view,
-        compound_reduce,
+        compound_reduce_bucketed,
     )
     from cdc_apache_cassandra_spark.streaming.delta_log import (
         delta_export,
@@ -714,9 +715,10 @@ def cdc_compound_delta_export_state(spark: SparkSession, sf_dir: str) -> DataFra
             ),
             pk_cols=["pk_p", "pk_c"],
             bucket_cols=["pk_p"],
-            reducer=compound_reduce,
+            reducer=compound_reduce_bucketed,
             kind="compound",
             n_buckets=8,
+            reducer_bucketed=True,
         )
         delta_export(spark, store, table, active_view_fn=compound_active_view)
     ev.unpersist()
@@ -754,7 +756,7 @@ def cdc_compound_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataF
 
     from cdc_apache_cassandra_spark.operators.lww import (
         compound_active_view,
-        compound_reduce,
+        compound_reduce_bucketed,
     )
     from cdc_apache_cassandra_spark.streaming.materialize import (
         materialize_stream,
@@ -785,8 +787,9 @@ def cdc_compound_streaming_end_to_end(spark: SparkSession, sf_dir: str) -> DataF
         ["pk_p", "pk_c"],
         n_buckets=8,
         bucket_cols=["pk_p"],
-        reducer=compound_reduce,
+        reducer=compound_reduce_bucketed,
         kind="compound",
+        reducer_bucketed=True,
     )
     try:
         q.processAllAvailable()

@@ -67,6 +67,7 @@ from pyspark.sql import types as T
 from cdc_apache_cassandra_spark.streaming.materialize import (
     CommitConflict,
     _bucket_paths,
+    _read_bucket_files,
     _read_manifest,
 )
 
@@ -1915,11 +1916,10 @@ def delta_export(
 
     if changed:
         paths = _bucket_paths(store_path, manifest, changed)
-        raw = (
-            spark.read.option("basePath", store_path)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-            .drop("__ver")
+        # recorded-schema scan: no footer-merging job at plan time
+        # (guide §1/§6; legacy manifests fall back to mergeSchema)
+        raw = _read_bucket_files(spark, store_path, manifest, paths).drop(
+            "__ver"
         )
         # ``active_view_fn``: state rows -> publishable table rows. The
         # default (row-tombstone filter) matches the single-PK store;

@@ -326,6 +326,35 @@ def _bucket_paths(path: str, manifest: dict, buckets: list[int] | None = None) -
     ]
 
 
+def _stored_schema(manifest: dict):
+    """The table-wide Spark schema ``merge_into``/``compact`` recorded at
+    write time (data columns only, no ``__bucket``) — or None on a
+    legacy store that predates schema recording."""
+    from pyspark.sql import types as T
+
+    s = manifest.get("schema")
+    return T.StructType.fromJson(json.loads(s)) if s else None
+
+
+def _read_bucket_files(spark: SparkSession, path: str, manifest: dict, paths):
+    """Scan live bucket files with the manifest's RECORDED schema — zero
+    footer IO and zero schema-inference Spark job at plan time (guide
+    §1/§6: the mergeSchema option used to cost one distributed
+    footer-merging job per read, per merge commit). Spark appends the
+    ``__ver``/``__bucket`` partition columns to the explicit schema from
+    the directory names; files written before an ALTER-ADD surface the
+    missing columns as nulls, exactly what footer unification produced.
+    Legacy stores without a recorded schema keep the mergeSchema path."""
+    schema = _stored_schema(manifest)
+    reader = spark.read.option("basePath", path)
+    reader = (
+        reader.schema(schema)
+        if schema is not None
+        else reader.option("mergeSchema", "true")
+    )
+    return reader.parquet(*paths)
+
+
 def read_state(
     spark: SparkSession, path: str, store: ManifestStore | None = None
 ) -> DataFrame | None:
@@ -340,8 +369,7 @@ def read_state(
         return None
     paths = _bucket_paths(path, manifest)
     return (
-        spark.read.option("basePath", path).option("mergeSchema", "true")
-        .parquet(*paths)
+        _read_bucket_files(spark, path, manifest, paths)
         .drop("__ver", "__bucket")
     )
 
@@ -380,6 +408,12 @@ def active_view(state: DataFrame) -> DataFrame:
     return state.filter("op <> 'DELETE'")
 
 
+#: Observe-based per-commit stats cap: above this many touched buckets
+#: the conditional-aggregate expression list (3 per bucket) stops being
+#: metadata-sized per row and the read-back job is the better trade.
+_OBS_STATS_MAX_BUCKETS = 64
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -390,6 +424,7 @@ def merge_into(
     reducer=None,
     store: ManifestStore = _DEFAULT_STORE,
     kind: str | None = None,
+    reducer_bucketed: bool = False,
 ) -> None:
     """One incremental MERGE commit: rewrite only the buckets the batch
     touches, then CAS-swap the manifest (:class:`ManifestStore`).
@@ -463,8 +498,7 @@ def merge_into(
     # stores keep the footer-unification read path until a full-coverage
     # rewrite (compact) records the true table schema.
     can_record_schema = "schema" in manifest or not manifest["buckets"]
-    if reducer is None:
-        reducer = lambda df: last_write_wins(df, pk_cols=pk_cols)  # noqa: E731
+    default_lww = reducer is None
     batch = batch.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
 
     # Metadata-sized driver exchange: WHICH buckets changed (≤ n_buckets ints).
@@ -476,15 +510,65 @@ def merge_into(
 
     old_paths = _bucket_paths(path, manifest, touched)
     if old_paths:
-        old = (
-            spark.read.option("basePath", path).option("mergeSchema", "true")
-            .parquet(*old_paths)
-            .drop("__ver")
-        )
-        merged = reducer(_union_evolving(old, batch))
+        old = _read_bucket_files(spark, path, manifest, old_paths).drop("__ver")
+        unioned = _union_evolving(old, batch)
     else:
-        merged = reducer(batch)
-    merged = merged.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
+        unioned = batch
+    # ONE exchange for reduce + file layout (guide §2.4: two operations
+    # keyed the same way share one shuffle). ``__bucket`` is a
+    # deterministic function of ``bucket_cols``, so when the reducer's
+    # grouping keys contain ``bucket_cols`` (the default LWW reducer
+    # groups by pk_cols ⊇ bucket_cols), pre-partitioning the union by
+    # __bucket and PREFIXING the reducer's grouping with __bucket
+    # reduces in place: the window/aggregate's ClusteredDistribution is
+    # already satisfied, no second exchange, and each bucket stays in
+    # exactly one task ⇒ one file per bucket dir (the invariant
+    # delta_export's staging relies on). ``reducer_bucketed=True`` is a
+    # caller promise that its custom reducer has the same property
+    # (its grouping keys all functionally determine __bucket's value).
+    # Reducers without it keep the reduce-then-repartition shape.
+    bucketed = reducer_bucketed or (
+        default_lww and set(bucket_cols) <= set(pk_cols)
+    )
+    if default_lww:
+        lww_keys = ["__bucket", *pk_cols] if bucketed else pk_cols
+        reducer = lambda df: last_write_wins(df, pk_cols=lww_keys)  # noqa: E731
+    if bucketed:
+        merged = reducer(unioned.repartition(len(touched), F.col("__bucket")))
+    else:
+        merged = reducer(unioned)
+        merged = merged.withColumn(
+            "__bucket", _bucket_expr(bucket_cols, n_buckets)
+        )
+        # Repartition by bucket: one task per touched bucket ⇒ one file
+        # per bucket dir (without it, every shuffle partition writes a
+        # sliver into every bucket — the small-files anti-pattern).
+        merged = merged.repartition(len(touched), F.col("__bucket"))
+
+    # Per-bucket stats observed DURING the staging write (guide §1.4/§2.3:
+    # the read-back job this replaces re-read every just-written byte as a
+    # second Spark job per commit). Bounded: 3 aggregate expressions per
+    # touched bucket, only up to _OBS_STATS_MAX_BUCKETS — a wide commit
+    # (compact-sized) falls back to the column-pruned read-back.
+    obs = None
+    has_ops = "op" in unioned.columns
+    has_wt = has_ops and "writetime" in unioned.columns
+    if len(touched) <= _OBS_STATS_MAX_BUCKETS:
+        from pyspark.sql import Observation
+
+        exprs = []
+        for b in touched:
+            inb = F.col("__bucket") == F.lit(b)
+            exprs.append(F.count(F.when(inb, True)).alias(f"r{b}"))
+            if has_ops:
+                delb = inb & (F.col("op") == "DELETE")
+                exprs.append(F.count(F.when(delb, True)).alias(f"t{b}"))
+                if has_wt:
+                    exprs.append(
+                        F.min(F.when(delb, F.col("writetime"))).alias(f"m{b}")
+                    )
+        obs = Observation()
+        merged = merged.observe(obs, *exprs)
 
     version = manifest["version"] + 1
     old_dirs = _live_dirs(manifest)
@@ -493,11 +577,6 @@ def merge_into(
     # the loser deletes only its own staging (see except below).
     dirname = f"__ver={version}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(path, dirname)
-    # Distributed write of ONLY the touched buckets. Repartition by
-    # bucket first: one task per touched bucket ⇒ one file per bucket dir
-    # (without it, every shuffle partition writes a sliver into every
-    # bucket — the small-files anti-pattern at any scale).
-    merged = merged.repartition(len(touched), F.col("__bucket"))
     try:
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
     except Exception:
@@ -535,7 +614,21 @@ def merge_into(
                 [f for f in merged.schema.fields if f.name != "__bucket"]
             ),
         )
-    stats = _bucket_stats(spark, path, out_dir)
+    if obs is not None:
+        # observed during the write — no read-back job; a bucket whose
+        # rows the reducer emptied observes 0 and leaves the map below
+        vals = obs.get
+        stats = {}
+        for b in touched:
+            r = int(vals[f"r{b}"] or 0)
+            if r:
+                stats[str(b)] = {
+                    "rows": r,
+                    "tombstones": int(vals[f"t{b}"] or 0) if has_ops else 0,
+                    "min_del_wt": vals[f"m{b}"] if has_wt else None,
+                }
+    else:
+        stats = _bucket_stats(spark, path, out_dir)
     for b in touched:
         k = str(b)
         if k in stats:
@@ -570,6 +663,7 @@ def merge_into_retrying(
     store: ManifestStore = _DEFAULT_STORE,
     max_attempts: int = 5,
     kind: str | None = None,
+    reducer_bucketed: bool = False,
 ) -> int:
     """Multi-writer ergonomics over :func:`merge_into`: on
     :class:`CommitConflict` the ENTIRE merge re-runs — reload manifest,
@@ -586,7 +680,7 @@ def merge_into_retrying(
             merge_into(
                 spark, path, batch, pk_cols, n_buckets,
                 bucket_cols=bucket_cols, reducer=reducer, store=store,
-                kind=kind,
+                kind=kind, reducer_bucketed=reducer_bucketed,
             )
             return attempt
         except CommitConflict:
@@ -795,9 +889,7 @@ def compact(
         if not targets:
             return
         paths = _bucket_paths(path, manifest, targets)
-        state = (
-            spark.read.option("basePath", path).option("mergeSchema", "true").parquet(*paths).drop("__ver")
-        )
+        state = _read_bucket_files(spark, path, manifest, paths).drop("__ver")
     else:
         # read through the SAME store whose tag this compaction will
         # commit with: the default-store fallback would read a stale
@@ -1081,6 +1173,7 @@ def foreach_batch_upsert(
     delta_active_view_fn=None,
     kind: str | None = None,
     store: ManifestStore = _DEFAULT_STORE,
+    reducer_bucketed: bool = False,
 ):
     """foreachBatch hook: incremental bucket MERGE per micro-batch.
 
@@ -1119,6 +1212,7 @@ def foreach_batch_upsert(
             reducer=reducer,
             kind=kind,
             store=store,
+            reducer_bucketed=reducer_bucketed,
         )
         if delta_path is not None:
             from cdc_apache_cassandra_spark.streaming.delta_log import (
@@ -1166,6 +1260,7 @@ def materialize_stream(
     delta_active_view_fn=None,
     kind: str | None = None,
     store: ManifestStore = _DEFAULT_STORE,
+    reducer_bucketed: bool = False,
 ):
     """Wire a mutation-event stream into the materialized table.
     Compound tables pass ``bucket_cols=[partition_key]`` and
@@ -1184,6 +1279,7 @@ def materialize_stream(
                 delta_active_view_fn=delta_active_view_fn,
                 kind=kind,
                 store=store,
+                reducer_bucketed=reducer_bucketed,
             )
         )
         .option("checkpointLocation", checkpoint)
