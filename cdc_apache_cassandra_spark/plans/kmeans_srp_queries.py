@@ -308,7 +308,10 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- build + PERSIST the index (one-time cost, amortized) ----
     cent = kmeans_lite(corpus, _DIM, _STRIDE, _ITERS, "vec")
-    asg = ivf_assign(corpus, cent, "vec")
+    # persist the assignment: merge_into evaluates its batch twice
+    # (touched-bucket aggregation + staging write) and the broadcast
+    # cross-score + argmin window would otherwise run both times
+    asg = ivf_assign(corpus, cent, "vec").transform(persist_scoped)
     root = tempfile.mkdtemp(prefix="llm_ivf_index_")
     merge_into(
         spark, f"{root}/centroids",
@@ -333,8 +336,9 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = ivf_probe_topn(incoming, stored_cent, "vec", _NPROBE).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv"), "cid"
     ).transform(persist_scoped)
-    # metadata-sized driver exchange: WHICH cells to open (<= n centroids)
-    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    # metadata-sized driver exchange: WHICH cells to open (<= n centroids;
+    # collect_set = map-side partial aggregation, no row shuffle)
+    cids = sorted(probed.agg(F.collect_set("cid")).first()[0])
     members = (
         spark.read.format("cdc_store")
         .option("path", f"{root}/cells").option("mode", "state")
@@ -421,10 +425,12 @@ def ann_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["cid"], n_buckets=4,
         reducer=lambda df: df.dropDuplicates(["cid"]), kind="ann_index",
     )
+    # persisted: merge_into evaluates its batch twice (touched + write)
     merge_into(
         spark, f"{root}/cells",
         ivf_assign(corpus, cent, "vec")
-        .select("vec_id", "cid", F.lit(0).alias("is_new")),
+        .select("vec_id", "cid", F.lit(0).alias("is_new"))
+        .transform(persist_scoped),
         ["vec_id"], n_buckets=8, bucket_cols=["cid"],
         reducer=dedup_vec, kind="ann_index",
     )
@@ -439,7 +445,8 @@ def ann_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into(
         spark, f"{root}/cells",
         ivf_assign(incoming, stored_cent, "vec")
-        .select("vec_id", "cid", F.lit(1).alias("is_new")),
+        .select("vec_id", "cid", F.lit(1).alias("is_new"))
+        .transform(persist_scoped),
         ["vec_id"], n_buckets=8, bucket_cols=["cid"],
         reducer=dedup_vec, kind="ann_index",
     )

@@ -501,10 +501,12 @@ def merge_into(
     default_lww = reducer is None
     batch = batch.withColumn("__bucket", _bucket_expr(bucket_cols, n_buckets))
 
-    # Metadata-sized driver exchange: WHICH buckets changed (≤ n_buckets ints).
-    touched = sorted(
-        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
-    )
+    # Metadata-sized driver exchange: WHICH buckets changed (≤ n_buckets
+    # ints). collect_set over a partial map-side aggregation: each task
+    # ships at most n_buckets ints to one reducer — measurably cheaper
+    # than distinct().collect()'s row shuffle (guide §2.3, aggregate
+    # before you shuffle) and the same metadata-sized driver traffic.
+    touched = sorted(batch.agg(F.collect_set("__bucket")).first()[0])
     if not touched:
         return
 

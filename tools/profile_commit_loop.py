@@ -67,7 +67,7 @@ def main():
     # wrapping DataFrame methods is invasive; instead patch the module's
     # F reference level functions? Simplest: time distinct-collect via a
     # wrapper on DataFrame.collect is global — acceptable for a profile.
-    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
 
     orig_collect = DataFrame.collect
 
@@ -76,6 +76,16 @@ def main():
             return orig_collect(self)
 
     DataFrame.collect = collect_timed
+
+    from pyspark.sql import Observation
+
+    orig_get = Observation.get
+
+    def get_timed(self):
+        with timer("Observation.get"):
+            return orig_get.fget(self)
+
+    Observation.get = property(get_timed)
 
     orig_export = dl.delta_export
 
