@@ -96,6 +96,37 @@ def lsh_band_rows(
     return exploded.select(id_col, "band_id", band_key.alias("band_key"))
 
 
+def minhash_signature_rows(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    k: int = 12,
+) -> DataFrame:
+    """(id, minhash array<bigint>) via the flat-AGGREGATE MinHash
+    formulation — value-identical to ``minhash_signature`` (same affine
+    permutations over the same shingle hashes, same min) but planned as
+    explode -> k plain min aggregates -> array regroup, avoiding the
+    nested-lambda codegen the array form costs per fresh session (the
+    same trade :func:`minhash_lsh_candidates` documents; this helper is
+    its signature half, shared so query-side audits don't re-pay the
+    lambda compile)."""
+    h = sh_df.select(
+        id_col, F.explode(shingle_hash32(F.col(shingles_col))).alias("h")
+    )
+    sig = h.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(2 * s + 1) * F.col("h") + F.lit(12345 * s + 678))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"m{s}")
+            for s in range(k)
+        ]
+    )
+    return sig.select(
+        id_col, F.array(*[F.col(f"m{s}") for s in range(k)]).alias("minhash")
+    )
+
+
 def minhash_lsh_candidates(
     sh_df: DataFrame,
     id_col: str = "doc_id",
@@ -209,10 +240,11 @@ def connected_components(
             .agg(F.min("n_comp").alias("min_n_comp"))
             .withColumnRenamed("src", id_col)
         )
-        new_labels = (
+        with_old = (
             labels.join(neighbor_min, id_col, "left")
             .select(
                 id_col,
+                F.col("component").alias("_prev_comp"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("min_n_comp"), F.col("component"))
                 ).alias("component"),
@@ -222,16 +254,16 @@ def connected_components(
             # logical tree doubles per iteration — exponential plan growth
             # that OOMs the driver at plan stringification on dense graphs.
             # Checkpointing replaces the plan with a LogicalRDD leaf.
+            # The PREVIOUS label rides along so the fixpoint check below
+            # is a shuffle-free scan of the checkpointed partitions — the
+            # old re-join of new labels against old labels cost a full
+            # extra shuffle join per iteration (guide §2.4).
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old_comp"), id_col
-            )
-            .filter(F.col("component") != F.col("old_comp"))
-            .count()
-        )
-        labels = new_labels
+        labels = with_old.drop("_prev_comp")
+        changed = with_old.agg(
+            F.count(F.when(F.col("component") != F.col("_prev_comp"), True))
+        ).first()[0]
         if changed == 0:
             break
     und.unpersist()

@@ -704,8 +704,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked. Cost: candidate-bounded (signatures are k integers;
     the two signature joins touch |candidates| rows)."""
     from cdc_apache_cassandra_spark.operators.text_dedup import (
-        minhash_signature,
-        shingle_hash32,
+        minhash_signature_rows,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -717,11 +716,11 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "doc_id", word_shingles(F.col("tokens"), 3).alias("shingles")
     ).transform(persist_scoped)
-    sig = sh.select(
-        "doc_id",
-        minhash_signature(
-            shingle_hash32(F.col("shingles")), _MINHASH_K
-        ).alias("minhash"),
+    # flat-aggregate signature (value-identical to minhash_signature,
+    # no nested-lambda codegen), persisted: both signature join sides
+    # consume it
+    sig = minhash_signature_rows(sh, "doc_id", "shingles", _MINHASH_K).transform(
+        persist_scoped
     )
     cand = minhash_lsh_candidates(
         sh, "doc_id", "shingles", _MINHASH_K, _BANDS, _ROWS_PER_BAND

@@ -629,8 +629,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     side. Intra-batch duplicates are the symmetric query's job."""
     from cdc_apache_cassandra_spark.operators.text_dedup import (
         lsh_band_rows,
-        minhash_signature,
-        shingle_hash32,
+        minhash_signature_rows,
         tokens_expr,
         word_shingles,
     )
@@ -646,9 +645,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(persist_scoped)
 
     def bands_of(side):
-        sig = side.select(
-            "doc_id",
-            minhash_signature(shingle_hash32(F.col("shingles")), 12).alias("sig"),
+        # flat-aggregate signature: value-identical to the array-form
+        # minhash_signature without its nested-lambda codegen cost
+        sig = minhash_signature_rows(side, "doc_id", "shingles", 12).select(
+            "doc_id", F.col("minhash").alias("sig")
         )
         return lsh_band_rows(sig, "doc_id", "sig", 4, 3)
 

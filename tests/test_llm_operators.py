@@ -723,3 +723,32 @@ def test_pil_decode_when_available():
     frames = _decode_with_pil(3, buf.getvalue())
     assert frames[0]["width"] == 8 and frames[0]["height"] == 4
     assert abs(frames[0]["mean_intensity"] - (255 / 3) / 255.0) < 0.02
+
+
+def test_minhash_signature_rows_matches_array_form(spark):
+    """The r11 flat-aggregate signature must be value-identical to the
+    nested-lambda array form (same affine permutations, same mins)."""
+    from pyspark.sql import functions as F
+
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        minhash_signature,
+        minhash_signature_rows,
+        shingle_hash32,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a b", "b c", "c d"]), (2, ["b c", "x y"]), (3, ["zz top"])],
+        "doc_id int, shingles array<string>",
+    )
+    array_form = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id",
+            minhash_signature(shingle_hash32(F.col("shingles")), 8).alias("m"),
+        ).collect()
+    }
+    rows_form = {
+        r["doc_id"]: r["minhash"]
+        for r in minhash_signature_rows(df, "doc_id", "shingles", 8).collect()
+    }
+    assert rows_form == array_form
