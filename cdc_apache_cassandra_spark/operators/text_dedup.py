@@ -270,6 +270,73 @@ def connected_components(
     return labels
 
 
+def grouped_connected_components(
+    edges: DataFrame,
+    group_col: str,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact connected components when EVERY edge lies inside one group
+    (a blocking key: the IVF cell of SemDeDup, a shard, a tenant) — the
+    within-group guarantee means components never span groups, so the
+    global fixpoint collapses to independent per-group problems.
+
+    One shuffle on the group key, then union-find over each group's edge
+    list in an Arrow batch (``applyInPandas``) — replacing the iterative
+    min-label propagation of :func:`connected_components`, whose round
+    count is the component DIAMETER (each round a join + aggregate +
+    checkpoint). Returns ``(group_col, id_col, component)`` for every id
+    that appears in an edge of that group; singletons (no edges) are
+    absent — callers left-join (on group + id, so an id that occurs in
+    several groups labels independently per group) and coalesce to the
+    id, exactly as they do for the iterative operator's untouched
+    labels.
+
+    Scale: per-group state is the group's edge list — bounded by the
+    same blocking-key cardinality cap that keeps the candidate-pair
+    generation sub-quadratic (SemDeDup bounds cell sizes; LSH bounds
+    bucket sizes). The shuffle key is the blocking key: high cardinality,
+    skew-bounded by construction. The labels are identical to the
+    iterative fixpoint: union-by-min-root keeps each root the minimum id
+    of its merged set, so find(x) terminates at the component minimum —
+    the same value min-label propagation converges to (pinned by
+    test_grouped_cc_matches_iterative)."""
+    import pandas as pd
+
+    def _cc_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf[src_col].values, pdf[dst_col].values):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union by min root
+        ids = sorted(set(pdf[src_col]) | set(pdf[dst_col]))
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]] * len(ids),
+                id_col: ids,
+                "component": [find(int(i)) for i in ids],
+            }
+        )
+
+    gtype = edges.schema[group_col].dataType.simpleString()
+    return edges.groupBy(group_col).applyInPandas(
+        _cc_one_group,
+        schema=f"{group_col} {gtype}, {id_col} long, component long",
+    )
+
+
 def jaccard_expr(a: Column, b: Column) -> Column:
     """Exact Jaccard over two DISTINCT-element arrays, as double."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -137,6 +137,47 @@ def test_connected_components_chain_and_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
 
 
+def test_grouped_cc_matches_iterative(spark):
+    """grouped_connected_components (per-blocking-key union-find) labels
+    exactly as the iterative min-label fixpoint when every edge lies
+    inside one group: multi-hop chains, merged stars, reversed edge
+    order, and ids shared across groups (each group labels its own)."""
+    from cdc_apache_cassandra_spark.operators.text_dedup import (
+        connected_components,
+        grouped_connected_components,
+    )
+
+    edges = [
+        # group 10: a 5-node chain given in unhelpful order (forces real
+        # union-by-min + path compression, not first-edge luck)
+        (10, 4, 5), (10, 2, 3), (10, 1, 2), (10, 3, 4),
+        # group 20: two stars merged by a bridge
+        (20, 11, 12), (20, 11, 13), (20, 14, 15), (20, 13, 14),
+        # group 30: reuses ids 1 and 2 — must label within its own group
+        (30, 2, 7), (30, 1, 9),
+    ]
+    edf = spark.createDataFrame(edges, ["cid", "doc_a", "doc_b"])
+    got = {
+        (r.cid, r.doc_id): r.component
+        for r in grouped_connected_components(edf, "cid").collect()
+    }
+    # per-group expectation from the iterative operator on the same edges
+    want = {}
+    for cid in (10, 20, 30):
+        sub = edf.filter(F.col("cid") == cid)
+        nodes = (
+            sub.select(F.col("doc_a").alias("doc_id"))
+            .union(sub.select("doc_b"))
+            .distinct()
+        )
+        for r in connected_components(nodes, sub, "doc_id").collect():
+            want[(cid, r.doc_id)] = r.component
+    assert got == want
+    # spot-check the values themselves
+    assert got[(10, 5)] == 1 and got[(20, 15)] == 11
+    assert got[(30, 7)] == 2 and got[(30, 9)] == 1
+
+
 def test_jaccard(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
     j = df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).first().j
