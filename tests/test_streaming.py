@@ -301,6 +301,84 @@ def test_mutation_cache_processor_logic_with_fake_handle(spark, event_dir):
     )
 
 
+def test_mutation_cache_row_processor_matches_pandas(spark, event_dir):
+    """MutationCacheRowProcessor (the row-mode transformWithState hot
+    path) driven through a faked handle yields the SAME surviving
+    multiset as the batch twin — including across two micro-batches per
+    key (state carry) and with the bounded-eviction cache exercised
+    (max_digests=2 on keys with 3+ distinct digests)."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from cdc_apache_cassandra_spark.streaming.state import (
+        MutationCacheProcessor,
+        MutationCacheRowProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.ttls = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttls[name] = ttlDurationMs
+            return self.states.setdefault(name, FakeValueState())
+
+    cols = ["pk", "digest", "writetime", "segment", "position"]
+    events = spark.read.parquet(event_dir).select(*cols)
+    pdf_all = events.toPandas()
+    sort_idx = (cols.index("writetime"), cols.index("segment"),
+                cols.index("position"))
+    digest_idx = cols.index("digest")
+    for max_digests in (2, 1024):
+        got_rows, want_parts = [], []
+        for pk, group in pdf_all.groupby("pk"):
+            rproc = MutationCacheRowProcessor(
+                sort_idx, digest_idx, max_digests=max_digests, ttl_ms=9876
+            )
+            rhandle = FakeHandle()
+            rproc.init(rhandle)
+            assert rhandle.ttls == {"seen": 9876}
+            pproc = MutationCacheProcessor(
+                max_digests=max_digests, ttl_ms=9876
+            )
+            phandle = FakeHandle()
+            # pandas processor probes via .get() returning None when absent
+            pproc.init(phandle)
+            g = group.sort_values(["segment", "position"], kind="mergesort")
+            half = len(g) // 2
+            for chunk in (g.iloc[:half], g.iloc[half:]):
+                if len(chunk) == 0:
+                    continue
+                rows = [
+                    Row(**{c: chunk.iloc[i][c] for c in cols})
+                    for i in range(len(chunk))
+                ]
+                got_rows.extend(rproc.handleInputRows((pk,), iter(rows), None))
+                want_parts.extend(
+                    pproc.handleInputRows((pk,), iter([chunk]), None)
+                )
+            rproc.close()
+            pproc.close()
+        got = pd.DataFrame([r.asDict() for r in got_rows], columns=cols)
+        want = pd.concat(want_parts, ignore_index=True)[cols]
+        assert (
+            got.sort_values(cols).reset_index(drop=True).astype(str).equals(
+                want.sort_values(cols).reset_index(drop=True).astype(str)
+            )
+        ), f"row/pandas divergence at max_digests={max_digests}"
+
+
 def test_engine_selector_prefers_tws_and_engines_agree(spark, event_dir):
     """mutation_cache_dedup(engine='auto') selects transformWithState
     when its protobuf dependency is satisfiable (always true here: real
