@@ -99,7 +99,36 @@ def gaussian_planes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
     ]
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _sql_double(x: float) -> str:
+    """Shortest exact-round-trip SQL double literal (repr is guaranteed
+    to round-trip the IEEE value; the D suffix pins DoubleType so the
+    parser never routes through DecimalType)."""
+    return repr(float(x)) + "D"
+
+
+def srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of the SRP bucket expression (see :func:`srp_bucket`).
+
+    Built as ONE string parsed by the JVM in a single call: the Column
+    form spends one py4j round trip per plane component (bands × bits ×
+    dim ≈ thousands of ``lit`` calls), which measured ~4 s of DRIVER
+    plan-construction time per banded-signature query — pure overhead
+    the executor never sees (guide §5: driver work scales with nothing
+    but itself). The parsed tree is the same sequential-fold
+    aggregate/zip_with dot per plane, so execution and VALUES are
+    unchanged (pinned by test_srp_bucket_sql_matches_column_form)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(_sql_double(x) for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def srp_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """SRP bucket id from inlined hyperplanes: bit i = [dot(vec, p_i) >= 0].
     One map-side expression per row — the bucket join downstream is the
     only shuffle (same 100-TB shape as sign_lsh_bucket).
@@ -108,7 +137,14 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     per-element-literal expression was measured 8x SLOWER end-to-end
     (a ~3000-node Catalyst tree per signature breaks whole-stage
     codegen and dominates plan build), while the HOF form stays one
-    compact expression."""
+    compact expression.
+
+    Pass the vector column by NAME to build the expression as one
+    SQL-text parse (:func:`srp_bucket_sql`) instead of thousands of
+    py4j ``lit`` round trips — identical tree, ~100× less driver time;
+    the Column form remains for callers holding a derived column."""
+    if isinstance(vec, str):
+        return F.expr(srp_bucket_sql(vec, planes))
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         d = dot(vec, F.array(*[F.lit(x) for x in plane]))
@@ -127,18 +163,21 @@ def srp_band_signatures(
     """Banded SRP signature table ``(id, band, bucket)`` — ``bands``
     bands of ``bits`` Gaussian sign-bits each, one map-side explode per
     row (planes are inlined literals = broadcast; NO shuffle here). The
-    band+bucket equi-join downstream is the only wide stage."""
+    band+bucket equi-join downstream is the only wide stage.
+
+    The whole banded array is ONE SQL-text expression (see
+    :func:`srp_bucket_sql`): the per-``lit`` py4j Column form cost ~4 s
+    of driver plan time per query at 8 bands × 6 bits × 64 dims."""
     assert len(planes) >= bands * bits, "need bands*bits planes"
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                srp_bucket(
-                    F.col(vec_col), planes[j * bits : (j + 1) * bits]
-                ).alias("bucket"),
-            )
+    band_arr = F.expr(
+        "array("
+        + ",".join(
+            f"struct({j} AS band, "
+            + srp_bucket_sql(vec_col, planes[j * bits : (j + 1) * bits])
+            + " AS bucket)"
             for j in range(bands)
-        ]
+        )
+        + ")"
     )
     return vectors.select(id_col, F.explode(band_arr).alias("bb")).select(
         id_col,

@@ -279,13 +279,26 @@ def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    bucket = F.lit(0).cast("bigint")
+    # one SQL-text parse instead of anchors×dim py4j lit calls — the
+    # same plan-construction cut as operators/vectors.srp_bucket_sql
+    # (identical tree: sequential-fold dot per anchor, bigint sum)
+    from cdc_apache_cassandra_spark.operators.vectors import _sql_double
+
+    terms = []
     for row in anchor_rows:
-        plane = F.array(*[F.lit(x) for x in row.v])
-        bucket = bucket + F.when(
-            dot(F.col("v"), plane) >= 0,
-            F.lit(1 << int(row.vec_id)).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
+        arr = "array(" + ",".join(_sql_double(x) for x in row.v) + ")"
+        d = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST({1 << int(row.vec_id)} AS "
+            "BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(terms) if terms
+        else "CAST(0 AS BIGINT)"
+    )
     sig = n.select("vec_id", "v", bucket.alias("bucket"))
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     c = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")

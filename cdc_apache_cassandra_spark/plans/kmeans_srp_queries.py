@@ -214,7 +214,7 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     bkt = n.select(
-        "vec_id", "v", srp_bucket(F.col("v"), _PLANES).alias("bucket")
+        "vec_id", "v", srp_bucket("v", _PLANES).alias("bucket")
     )
     a = bkt.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = bkt.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
@@ -504,7 +504,7 @@ def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     bkt = n.select(
-        "vec_id", "v", srp_bucket(F.col("v"), _PLANES).alias("bucket")
+        "vec_id", "v", srp_bucket("v", _PLANES).alias("bucket")
     )
     is_bench = F.col("vec_id") % _SEMDECON_BENCH_MOD == 0
     train = bkt.filter(~is_bench).select(

@@ -1211,8 +1211,14 @@ def foreach_batch_upsert(
         # action). Persist for the commit's duration so the micro-batch
         # computes once (guide §5 cache-when-reused; measured ~35% off
         # the compound streaming drain). Released in finally: the store
-        # files, not this cache, are the commit's durable output.
-        batch = batch.persist()
+        # files, not this cache, are the commit's durable output. The
+        # scoped ledger is the crash-path backstop, as in delta_export.
+        from cdc_apache_cassandra_spark.caching import (
+            persist_scoped,
+            release_one,
+        )
+
+        batch = persist_scoped(batch)
         try:
             merge_into(
                 batch.sparkSession,
@@ -1227,7 +1233,7 @@ def foreach_batch_upsert(
                 reducer_bucketed=reducer_bucketed,
             )
         finally:
-            batch.unpersist()
+            release_one(batch)
         if delta_path is not None:
             from cdc_apache_cassandra_spark.streaming.delta_log import (
                 delta_export,

@@ -179,3 +179,45 @@ def test_ann_candidate_pairs_seam_matches_banded_plan(spark):
     got = sorted((r.id_a, r.id_b, r.n_bands) for r in seam.collect())
     want = sorted((r.id_a, r.id_b, r.n_bands) for r in plan.collect())
     assert got == want and got, "seam must equal the gated banded plan"
+
+
+def test_srp_bucket_sql_matches_column_form(spark):
+    """The SQL-text SRP bucket (one JVM parse) equals the Column form
+    (per-literal py4j) bit-for-bit on every vector, per band — the
+    plan-construction optimization must not move a single bucket."""
+    from cdc_apache_cassandra_spark.operators.vectors import (
+        as_double_vec,
+        gaussian_planes,
+        srp_band_signatures,
+        srp_bucket,
+    )
+
+    planes = gaussian_planes(16, 12, seed=11)
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.select(
+        "vec_id",
+        as_double_vec(F.slice(F.col("embedding"), 1, 16)).alias("v"),
+    )
+    # Column-literal form (the old path), band by band
+    want = {}
+    for j in range(3):
+        rows = n.select(
+            "vec_id",
+            srp_bucket(F.col("v"), planes[j * 4 : (j + 1) * 4]).alias("b"),
+        ).collect()
+        for r in rows:
+            want[(r.vec_id, j)] = r.b
+    # SQL-text form: the string path of srp_bucket + the banded table
+    got_scalar = {
+        (r.vec_id, 0): r.b
+        for r in n.select(
+            "vec_id", srp_bucket("v", planes[0:4]).alias("b")
+        ).collect()
+    }
+    for k, v in got_scalar.items():
+        assert want[k] == v
+    got = {
+        (r.vec_id, r.band): r.bucket
+        for r in srp_band_signatures(n, planes, 3, 4).collect()
+    }
+    assert got == want
