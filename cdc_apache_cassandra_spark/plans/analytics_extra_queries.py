@@ -177,10 +177,16 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-integer arithmetic: rank 1.0 == 1e6, per-edge contribution is
     BIGINT floor division — bit-exact under any summation order, unlike
     float PageRank whose shuffle-order drift breaks cross-engine hashes.
-    Iterative join/agg shape: edges reused every round (persisted),
-    lineage cut per round with localCheckpoint so the logical plan stays
-    O(1); one dst-side shuffle per iteration. Undirected graph => no
-    dangling nodes, every node re-scores each round.
+    Iterative join/agg shape: edges reused every round (persisted);
+    one dst-side shuffle per iteration. The iteration count is a FIXED
+    small constant (3), so the three rounds chain into one DAG executed
+    by the single downstream action — a per-round localCheckpoint here
+    materialized each round as its own job set at plan-build time for
+    no lineage benefit (r11: 18 jobs -> one action, ~0.6 s off warm
+    runs, values identical; an unbounded-iteration loop would need the
+    checkpoint back, as connected_components' fixpoint does).
+    Undirected graph => no dangling nodes, every node re-scores each
+    round.
     """
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
@@ -216,7 +222,6 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "deg",
                 (F.lit(150000) + F.expr("(85 * s) DIV 100")).cast("bigint").alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.select(
         F.col("node").alias("part_id"), "deg", F.col("pr").alias("rank_scaled")
