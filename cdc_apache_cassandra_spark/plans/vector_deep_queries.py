@@ -389,18 +389,27 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.join(d, e["vec_id"] == d["doc_id"]).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v"), "lang"
     )
+    # per-vector norm hoisted out of the per-pair cosine: one HOF dot
+    # per PAIR instead of three — bit-identical (operators/vectors.
+    # cosine_with_norms), same hoist the SRP verify stages carry
     bkt = n.select(
-        "vec_id", "v", "lang", sign_lsh_bucket(F.col("v"), _XL_LSH_BITS).alias("bucket")
+        "vec_id", "v", "lang",
+        sign_lsh_bucket(F.col("v"), _XL_LSH_BITS).alias("bucket"),
+        norm(F.col("v")).alias("_nn"),
     )
     a = bkt.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("lang").alias("lang_a"), "bucket",
+        F.col("_nn").alias("_na"),
     )
     b = bkt.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
         F.col("lang").alias("lang_b"), "bucket",
+        F.col("_nn").alias("_nb"),
     )
-    cs = cosine(F.col("va"), F.col("vb"))
+    cs = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
