@@ -686,7 +686,12 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     baskets.transform(persist_scoped)  # feeds the self-join both sides + supports
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    # total-order count as a LAZY broadcast scalar (cross-joined onto the
+    # pair-grain relation) instead of a blocking .count() at plan time —
+    # one DAG, no driver round trip, same exact integer
+    n_orders_df = baskets.agg(
+        F.countDistinct("l_orderkey").alias("_n_orders")
+    )
     item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
     a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
@@ -701,11 +706,16 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     lift = (
         F.col("n_pair").cast("double")
-        * F.lit(n_orders)
+        * F.col("_n_orders")
         / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     )
-    scored = pair.join(ia, "part_a").join(ib, "part_b").select(
-        "part_a", "part_b", "n_pair", "n_a", "n_b", lift.alias("lift")
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "part_a", "part_b", "n_pair", "n_a", "n_b", lift.alias("lift")
+        )
     )
     w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
     return (

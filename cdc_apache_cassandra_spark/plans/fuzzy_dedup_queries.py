@@ -330,17 +330,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").alias("n"),
         F.explode("grams").alias("gram"),
     )
-    df = g.groupBy("lang", "gram").agg(F.count("*").alias("df"))
+    # corpus df per (lang, gram) as a COUNT WINDOW over the exploded
+    # grams — one exchange feeding WindowExec directly, instead of the
+    # aggregate + join back onto the same rows (same exchange key, but
+    # an extra hash aggregate and a sort-merge join on the gram stream)
+    df_w = F.count("*").over(Window.partitionBy("lang", "gram"))
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "gram")
     )
     idx = (
-        g.join(df, ["lang", "gram"])
+        g.withColumn("df", df_w)
         .withColumn("rk", rk)
         .filter(
             F.col("rk")
             <= F.col("n") - F.ceil(F.lit(_NGRAM_JACCARD_MIN) * F.col("n")) + 1
         )
+        .select("doc_id", "lang", "len_bucket", "gram")
+        .transform(persist_scoped)  # both self-join sides consume it
     )
     a = idx.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "gram")
     b = idx.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket", "gram")
@@ -644,7 +650,6 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    lsh_pairs.transform(persist_scoped)  # three confusion counts reuse it
     sample = sh.filter(F.col("doc_id") < _EVAL_MAX_DOC)
     a = sample.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sample.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -660,10 +665,36 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b")
     )
-    truth.transform(persist_scoped)
-    tp = truth.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi").count()
-    fp = lsh_pairs.join(truth, ["doc_a", "doc_b"], "left_anti").count()
-    fn = truth.join(lsh_pairs, ["doc_a", "doc_b"], "left_anti").count()
+    # the whole confusion matrix in ONE job: full-outer join on the pair
+    # key with presence flags, then three conditional sums — previously
+    # three separate count actions (semi + two antis), each re-running
+    # the join even over the persisted sides
+    cm = (
+        truth.withColumn("_t", F.lit(1))
+        .join(
+            lsh_pairs.withColumn("_l", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_l").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(F.col("_t").isNull() & F.col("_l").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_l").isNull(), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+        .first()
+    )
+    tp = int(cm["tp"] or 0)
+    fp = int(cm["fp"] or 0)
+    fn = int(cm["fn"] or 0)
     recall = round(tp / (tp + fn), 6) if (tp + fn) else None
     return spark.createDataFrame(
         [(tp, fp, fn, recall)], "tp long, fp long, fn long, recall_r double"
@@ -733,8 +764,12 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
     ).cast("long")
     est = n_match.cast("double") / float(_MINHASH_K)
+    # group the joins by key: both doc_a lookups back-to-back, then both
+    # doc_b lookups — the alternating order re-shuffled the candidate
+    # stream twice (doc_a, doc_b, doc_a again, doc_b again); inner joins
+    # commute, so this is pure plan shape
     joined = (
-        cand.join(sa, "doc_a").join(sb, "doc_b").join(ga, "doc_a").join(gb, "doc_b")
+        cand.join(sa, "doc_a").join(ga, "doc_a").join(sb, "doc_b").join(gb, "doc_b")
     )
     true_j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / (
         F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))

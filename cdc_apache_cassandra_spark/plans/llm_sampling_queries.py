@@ -91,13 +91,21 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (one row per domain) and broadcast into the downstream sampler;
     computing it is one aggregate over the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    total = d.count()  # driver-side scalar: one job, one long
     target = spark.createDataFrame(
         list(_TARGET_SHARES.items()), ["lang", "target_share"]
     )
-    actual = d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        (F.count("*").cast("double") / F.lit(float(total))).alias("actual_share"),
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # corpus total = sum of the per-lang counts (every row is in exactly
+    # one group), cross-joined back as a lazy broadcast scalar — no
+    # blocking .count() job at plan time, one DAG, same exact integer
+    tot = counts.agg(F.sum("n_docs").alias("_total"))
+    actual = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("actual_share"),
     )
     return actual.join(F.broadcast(target), "lang").select(
         "lang",

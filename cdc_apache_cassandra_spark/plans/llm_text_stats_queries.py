@@ -77,14 +77,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     tf.transform(persist_scoped)  # feeds df-build AND the score join
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()  # driver scalar: one long
+    # doc count as a LAZY broadcast scalar instead of a blocking
+    # distinct().count() job (a full doc_id shuffle) at plan time —
+    # one DAG, same exact integer promoted to double in the same place
+    nd = tf.agg(F.countDistinct("doc_id").alias("_n_docs"))
     score = (
         F.col("tf").cast("double")
-        * F.lit(float(n_docs))
+        * F.col("_n_docs")
         / F.col("df").cast("double")
     )
-    scored = tf.join(df, "token").select(
-        "doc_id", "token", "tf", "df", score.alias("score")
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "token", "tf", "df", score.alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (
@@ -324,10 +329,14 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").alias("n"),
         F.explode("grams").alias("gram"),
     )
-    df = g.groupBy("lang", "gram").agg(F.count("*").alias("df"))
+    # corpus df per (lang, gram) as a COUNT WINDOW over the exploded
+    # grams — one exchange feeding WindowExec directly, instead of the
+    # aggregate + join back onto the same rows (same exchange key, but
+    # an extra hash aggregate and a sort-merge join on the gram stream)
+    df_w = F.count("*").over(Window.partitionBy("lang", "gram"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "gram")
     idx = (
-        g.join(df, ["lang", "gram"])
+        g.withColumn("df", df_w)
         .withColumn("rk", F.row_number().over(w_doc))
         .filter(
             F.col("rk")
