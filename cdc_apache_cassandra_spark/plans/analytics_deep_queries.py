@@ -119,14 +119,26 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB swap in approx_percentile for the sketch path — same plan
     shape, mergeable state."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [
-        F.round(F.percentile("l_extendedprice", p), 4).alias(
-            f"price_p{int(p * 100)}"
-        )
-        for p in _PCTS
-    ]
-    aggs.append(F.round(F.percentile("l_quantity", 0.5), 4).alias("qty_median"))
-    return li.groupBy("l_returnflag").agg(*aggs)
+    # ONE percentile buffer for all four price points (array form) —
+    # four scalar percentile aggregates each built and shuffled their
+    # own value->count map of the SAME column; the array form sorts one
+    # buffer and reads the four interpolation points from it (identical
+    # algorithm per point, so identical doubles)
+    prices = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(p) for p in _PCTS])
+    )
+    out = li.groupBy("l_returnflag").agg(
+        prices.alias("_prices"),
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("qty_median"),
+    )
+    return out.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("_prices")[i], 4).alias(f"price_p{int(p * 100)}")
+            for i, p in enumerate(_PCTS)
+        ],
+        "qty_median",
+    )
 
 
 # --- correlation from exact component sums ----------------------------------
@@ -505,23 +517,41 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_s",
         F.col("max_ts").cast("long") - F.col("last_purchase").cast("long"),
     )
-    for rank_name, order in (
-        ("_rk_r", [F.col("recency_s").asc(), F.col("user_id").asc()]),
-        ("_rk_f", [F.col("frequency").desc(), F.col("user_id").asc()]),
-        ("_rk_m", [F.col("monetary").desc(), F.col("user_id").asc()]),
-    ):
-        scored = attach_global_order(
-            scored, order, rank_col=rank_name,
-            total_col="_n" if rank_name == "_rk_r" else f"_n{rank_name}",
+    # three INDEPENDENT narrow rank pipelines joined back on the unique
+    # user key, instead of chaining the three two-pass ranks (chained,
+    # each repartitionByRange's boundary sampling re-executed every
+    # upstream pass — ~40 serial jobs per action; independent, the three
+    # range sorts run as parallel stages of one DAG and each shuffles
+    # only (user_id, one measure) instead of the widening row)
+    scored = scored.transform(persist_scoped)
+    rk_r = attach_global_order(
+        scored.select("user_id", "recency_s"),
+        [F.col("recency_s").asc(), F.col("user_id").asc()],
+        rank_col="_rk_r", total_col="_n",
+    ).select("user_id", "_rk_r", "_n")
+    rk_f = attach_global_order(
+        scored.select("user_id", "frequency"),
+        [F.col("frequency").desc(), F.col("user_id").asc()],
+        rank_col="_rk_f",
+    ).select("user_id", "_rk_f")
+    rk_m = attach_global_order(
+        scored.select("user_id", "monetary"),
+        [F.col("monetary").desc(), F.col("user_id").asc()],
+        rank_col="_rk_m",
+    ).select("user_id", "_rk_m")
+    out = (
+        scored.join(rk_r, "user_id")
+        .join(rk_f, "user_id")
+        .join(rk_m, "user_id")
+        .select(
+            "user_id",
+            "frequency",
+            "monetary",
+            "recency_s",
+            ntile_from_rank(F.col("_rk_r"), F.col("_n"), 5).alias("r_score"),
+            ntile_from_rank(F.col("_rk_f"), F.col("_n"), 5).alias("f_score"),
+            ntile_from_rank(F.col("_rk_m"), F.col("_n"), 5).alias("m_score"),
         )
-    out = scored.select(
-        "user_id",
-        "frequency",
-        "monetary",
-        "recency_s",
-        ntile_from_rank(F.col("_rk_r"), F.col("_n"), 5).alias("r_score"),
-        ntile_from_rank(F.col("_rk_f"), F.col("_n"), 5).alias("f_score"),
-        ntile_from_rank(F.col("_rk_m"), F.col("_n"), 5).alias("m_score"),
     )
     return out.withColumn(
         "is_champion", (F.col("r_score") == 1) & (F.col("f_score") <= 2)
