@@ -166,44 +166,54 @@ def _bpe_round(state: DataFrame):
         "word", "freq", F.explode(F.expr(pos_structs)).alias("q")
     ).select("word", "freq", "q.i", "q.sym", "q.nxt")
 
-    m = (
-        pos.crossJoin(F.broadcast(best))
-        .filter((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("rt")))
-        .select("word", "i")
-    )
+    # Greedy parity selection as pure WINDOW passes over pos (all
+    # partitioned by word, so they share ONE exchange) instead of the
+    # former matched-subset windows + two sort-merge joins of pos on
+    # (word, i) + a re-shuffling groupBy — value-identical (pinned by
+    # tests/test_bpe_round_window.py against the join form):
+    #   match      true iff this position starts an occurrence of best
+    #   prev_m     previous matched position (strictly before this row)
+    #   brk        1 at a run start (first match, or gap > 1 from prev)
+    #   run_start  the current run's first matched position
+    #   is_sel     greedy pick = matches at even offset from run_start
+    #              (identical to odd rank among the run's matches)
+    #   prev_sel   drop the consumed right symbol (position after a pick)
     w_word = Window.partitionBy("word").orderBy("i")
-    runs = m.withColumn(
-        "brk",
-        F.when(
-            F.lag("i").over(w_word).isNull()
-            | (F.col("i") - F.lag("i").over(w_word) > 1),
-            1,
-        ).otherwise(0),
-    ).withColumn("run_id", F.sum("brk").over(w_word))
-    sel = (
-        runs.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("word", "run_id").orderBy("i")
-            ),
-        )
-        .filter(F.col("rn") % 2 == 1)
-        .select("word", "i")
+    w_cum = w_word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_before = w_word.rowsBetween(Window.unboundedPreceding, -1)
+    match = (
+        F.col("nxt").isNotNull()
+        & (F.col("sym") == F.col("l"))
+        & (F.col("nxt") == F.col("rt"))
     )
-    sel_here = sel.select("word", "i", F.lit(1).alias("is_sel"))
-    sel_prev = sel.select("word", (F.col("i") + 1).alias("i"), F.lit(1).alias("prev_sel"))
-    reb = (
-        pos.join(sel_here, ["word", "i"], "left")
-        .join(sel_prev, ["word", "i"], "left")
-        .filter(F.col("prev_sel").isNull())
-        .select(
-            "word",
-            "freq",
-            "i",
-            F.when(F.col("is_sel") == 1, F.concat("sym", "nxt"))
-            .otherwise(F.col("sym"))
-            .alias("sym2"),
+    prev_m = F.max(F.when(F.col("match"), F.col("i"))).over(w_before)
+    tagged = (
+        pos.crossJoin(F.broadcast(best))
+        .withColumn("match", match)
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("match") & (prev_m.isNull() | (F.col("i") - prev_m > 1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
         )
+        .withColumn(
+            "run_start",
+            F.max(F.when(F.col("brk") == 1, F.col("i"))).over(w_cum),
+        )
+        .withColumn(
+            "is_sel",
+            F.col("match") & ((F.col("i") - F.col("run_start")) % 2 == 0),
+        )
+        .withColumn("prev_sel", F.lag("is_sel", 1, False).over(w_word))
+    )
+    reb = tagged.filter(~F.col("prev_sel")).select(
+        "word",
+        "freq",
+        "i",
+        F.when(F.col("is_sel"), F.concat("sym", "nxt"))
+        .otherwise(F.col("sym"))
+        .alias("sym2"),
     )
     next_state = reb.groupBy("word", "freq").agg(
         F.expr(
