@@ -307,21 +307,33 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (coarse quantization).
 
-    centroids must be small (broadcast); tie-break on centroid id via
-    row_number so the assignment is deterministic in any engine.
+    centroids must be small (broadcast); tie-break on centroid id (the
+    argmin struct compares (dist2, cid) lexicographically, identical to
+    the former row_number's ORDER BY dist2 ASC, cid ASC) so the
+    assignment is deterministic in any engine.
     Returns vectors + `cid` column.
-    """
-    from pyspark.sql import Window
 
+    Argmin as an AGGREGATE, not a ranking window (r11, guide §2.3):
+    min(struct(dist2, cid, ...)) partially aggregates map-side, so the
+    exchange ships ONE row per vector instead of the full rows x k
+    cross-scored stream (each row dragging the dim-sized vector through
+    the shuffle and its sort). cid is unique within a vec_id group, so
+    the comparison never reaches the payload fields — deterministic and
+    bit-identical to the window form (pinned by
+    tests/test_ivf_argmin_aggregate.py).
+    """
     cent = F.broadcast(centroids.select(F.col("cid"), F.col("cvec")))
     scored = vectors.crossJoin(cent).withColumn(
         "dist2", squared_distance(F.col(vec_col), F.col("cvec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist2", "cvec")
+    others = [c for c in vectors.columns if c != "vec_id"]
+    m = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cid", *others)).alias("_m")
+    )
+    return m.select(
+        "vec_id",
+        *[F.col(f"_m.{c}").alias(c) for c in others],
+        F.col("_m.cid").alias("cid"),
     )
 
 
@@ -332,16 +344,36 @@ def ivf_probe_topn(
     (probe_rank 1..n). Same broadcast cross-score as `ivf_assign` — the
     corpus keeps ONE cell (its partition), only queries fan out to n cells,
     so index size is unchanged and query cost scales linearly in nprobe.
-    """
-    from pyspark.sql import Window
 
+    Top-n as a sorted-slice AGGREGATE, not a ranking window (r11, guide
+    §2.3): collect_list partially aggregates map-side, so the exchange
+    ships one (vec_id, k-element (dist2, cid) list, payload) row per
+    vector instead of rows x k full-width rows plus their sort.
+    array_sort on the structs orders by (dist2 ASC, cid ASC) — exactly
+    the former window's ORDER BY — and the payload columns ride through
+    min(struct(...)) over identical per-group values (every cross-scored
+    row of a vec_id carries the same vector), so the result is
+    bit-identical to the window form (tests/test_ivf_argmin_aggregate.py).
+    """
     cent = F.broadcast(centroids.select(F.col("cid"), F.col("cvec")))
     scored = vectors.crossJoin(cent).withColumn(
         "dist2", squared_distance(F.col(vec_col), F.col("cvec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= n)
-        .drop("dist2", "cvec")
+    others = [c for c in vectors.columns if c != "vec_id"]
+    g = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("dist2", "cid"))), 1, n
+        ).alias("_top"),
+        F.min(F.struct(*others)).alias("_row"),
+    )
+    ex = g.select(
+        "vec_id",
+        *[F.col(f"_row.{c}").alias(c) for c in others],
+        F.posexplode("_top").alias("_pos", "_t"),
+    )
+    return ex.select(
+        "vec_id",
+        *others,
+        F.col("_t.cid").alias("cid"),
+        (F.col("_pos") + 1).cast("int").alias("probe_rank"),
     )
