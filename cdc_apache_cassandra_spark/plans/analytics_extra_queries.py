@@ -40,7 +40,7 @@ from cdc_apache_cassandra_spark.functions.hashing import (
     hll_registers,
 )
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 from cdc_apache_cassandra_spark.caching import persist_scoped
 
 
@@ -273,7 +273,7 @@ def ann_srp_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     product against anchor vector i (first {a} corpus vectors); anchors
     inlined as literals (broadcast analogue), signature map-side; the
     only shuffle is the 2^{a}-bucket equi-join."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     # anchors are tiny and fixed: pull them to the driver and inline as
     # array literals, so the whole signature is a map-side projection (no
@@ -404,7 +404,7 @@ def ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     so buckets stay O(target) rows and pair mass stays ~N * target —
     linear, not quadratic (r and b are config, not structure). The
     verify re-join fetches vectors by id: cost ~ candidates, not N^2."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     # the self-join's two sides differ only by alias, which defeats
     # exchange reuse — persist the (tiny: 8 rows/vector) signature table
@@ -497,7 +497,7 @@ def ann_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall of the {b}-band OR (banded) vs a single band (band0 — the
     single-table shape the r3 verdict flagged). Banded recall >= single
     by construction (superset); this query pins the gain numerically."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.filter(F.col("vec_id") < _SRPB_EVAL_MAX).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )

@@ -35,7 +35,7 @@ from cdc_apache_cassandra_spark.operators.vectors import (
     sign_lsh_bucket,
 )
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 from cdc_apache_cassandra_spark.caching import persist_scoped
 
 # --- MinHash + LSH near-dup pipeline ---------------------------------------
@@ -309,7 +309,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams was measured 2.5M collision rows at sf0.1 (block^2 mass on
     stop-bigrams) vs ~0.2M prefix collisions. Shuffle keys are
     (lang, bucket, gram) — high-cardinality, no skew at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", "lang", tokens_expr(F.col("text")).alias("tokens"))
@@ -535,7 +535,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the n_a ≪ n_b pair has small Jaccard but containment ≈ 1. Zero new
     index cost: candidates, shingles, and the verify join are shared with
     the Jaccard pipeline; only the final scoring expression differs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
@@ -618,7 +618,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     FN counts truths whose bands never collided. Ground truth is O(k²)
     on the SAMPLE only — the audit pattern that scales (sample the
     ground truth, never the corpus)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
@@ -738,7 +738,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature_rows,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))

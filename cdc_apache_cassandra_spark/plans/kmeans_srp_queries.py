@@ -36,7 +36,7 @@ from cdc_apache_cassandra_spark.operators.vectors import (
     srp_bucket,
 )
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 from cdc_apache_cassandra_spark.caching import persist_scoped
 
 _DIM = 64
@@ -211,7 +211,7 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     on how mass spreads across the first coordinates. Same 100-TB shape:
     map-side bucket signature, ONE bucket equi-join, cosine only on
     in-bucket pairs."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     bkt = n.select(
         "vec_id", "v", srp_bucket("v", _PLANES).alias("bucket")
@@ -501,7 +501,7 @@ def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed, so the probe cost tracks collisions, exactly the
     llm_dedup_incremental asymmetry. Emits the (training doc, benchmark
     item) leak pairs with their cosine — the removal/audit list."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     bkt = n.select(
         "vec_id", "v", srp_bucket("v", _PLANES).alias("bucket")

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 
 _ROUNDS = 3
 
@@ -236,7 +236,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     token total before/after applying it — the compression trajectory a
     tokenizer-training run monitors. All-integer + string concat, so the
     merge table is hash-exact against the unrolled-CTE oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     tok = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     )
@@ -312,7 +312,7 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Train-then-apply in one plan: the segmentation map is
     vocabulary-sized and broadcast onto the document token stream, so
     application costs one narrow join regardless of corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     tok = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     )

@@ -18,7 +18,7 @@ from cdc_apache_cassandra_spark.sources.event_source import (
     events_cte,
     mutation_events,
 )
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 
 # --- BPE-ish regex tokenization --------------------------------------------
 
@@ -91,7 +91,7 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring (not whole-doc) granularity. Narrow per-row transform; the
     fingerprint summary here is linear, and an exploded (fp -> doc)
     posting table is one explode away."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     t = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
     norm = d.select("doc_id", t.alias("t")).filter(
         F.length("t") >= _KGRAM + _WINDOW - 1
@@ -156,7 +156,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length band, symbol-to-word ratio, stopword floor) with a
     combined gate — one narrow projection, every rule a reusable boolean
     column for downstream slicing."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(words)
     mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
@@ -225,7 +225,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark gram set is small -> broadcast join against the exploded
     training grams; at 100 TB this is the standard contaminated-document
     sweep (one pass, no n^2)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))

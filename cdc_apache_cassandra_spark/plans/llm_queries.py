@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 
 # --- exact dedup by content hash -------------------------------------------
 
@@ -225,7 +225,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ANN variant is judged against. Query side is broadcast (tiny);
     the corpus streams through — no N×N shuffle. Dot products are
     sequential double folds so both engines compute identical sums."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     withd = e.select("vec_id", dvec.alias("vec"))
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 
 _K = 8  # duplicated-span shingle width (tokens)
 
@@ -99,7 +99,7 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated span, with span count, covered tokens, coverage ratio.
     All counts integer; the single double division is the last step.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     docs = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
@@ -551,7 +551,7 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles past md5); islands merge is one doc-keyed window. Same
     machinery as llm_substring_span_dedup, different reference set.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     docs = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)

@@ -19,7 +19,7 @@ from cdc_apache_cassandra_spark.operators.text_dedup import (
 )
 from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 from cdc_apache_cassandra_spark.caching import persist_scoped
 
 # --- TF-IDF top terms per document ------------------------------------------
@@ -643,7 +643,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))

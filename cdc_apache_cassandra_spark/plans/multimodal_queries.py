@@ -19,7 +19,7 @@ from cdc_apache_cassandra_spark.operators.multimodal import (
 )
 from cdc_apache_cassandra_spark.caching import persist_scoped
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 
 # md5(payload bytes) == md5(text) because payload IS the UTF-8 encoding.
 _META_SQL = """
@@ -354,7 +354,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
 
 
@@ -435,7 +435,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
 
 
@@ -515,7 +515,7 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_decode, FRAME_SCHEMA)
 
 
@@ -730,7 +730,7 @@ def multimodal_mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_scan, out_schema)
 
 
@@ -828,7 +828,7 @@ def multimodal_webdataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_walk, out_schema)
 
 
@@ -930,7 +930,7 @@ def multimodal_jsonl_gz_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_read, out_schema)
 
 
@@ -1026,7 +1026,7 @@ def multimodal_zip_code_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(synth_and_extract, out_schema)
 
 
@@ -1146,7 +1146,7 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     hashed = d.mapInPandas(synth_hash, "doc_id long, dhash long")
     return hashed.groupBy("dhash").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1249,7 +1249,7 @@ def multimodal_audio_envelope_dedup(
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     hashed = d.mapInPandas(synth_hash, "doc_id long, ahash long")
     return hashed.groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1402,7 +1402,7 @@ def multimodal_image_dhash_hamming(
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     hashed = d.mapInPandas(synth_hash, "doc_id long, dhash long").transform(
         persist_scoped
     )

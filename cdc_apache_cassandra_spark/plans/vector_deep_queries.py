@@ -21,7 +21,7 @@ from cdc_apache_cassandra_spark.operators.vectors import (
     squared_distance,
 )
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table
+from cdc_apache_cassandra_spark.sources.registry import load_table, spread_scan
 
 # --- IVF ANN with multi-probe (nprobe=2) ------------------------------------
 
@@ -295,7 +295,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_apache_cassandra_spark.operators.vectors import kmeans_lite
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     # k-means-lite centroids (2 Lloyd rounds) bound per-cell cardinality on
     # clustered corpora — the knob that keeps the per-cell cosine graph's
@@ -384,7 +384,7 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     before bucketing), so the pair filter is free."""
     from cdc_apache_cassandra_spark.operators.vectors import sign_lsh_bucket
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     n = e.join(d, e["vec_id"] == d["doc_id"]).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v"), "lang"

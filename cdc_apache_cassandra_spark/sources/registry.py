@@ -67,3 +67,25 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Parallelize a compute-heavy NARROW pipeline over an
+    under-partitioned scan (guide §2.5 input skew: a single-row-group
+    parquet file plans as ONE scan task — parquet readers assign a row
+    group to the split holding its start offset, so no
+    maxPartitionBytes setting can split it — serializing every per-row
+    transform and partial aggregate upstream of the first exchange).
+
+    Round-robin repartition to the session's default parallelism when
+    the planned scan has fewer partitions than that; a NO-OP at real
+    scale, where many files/row groups already parallelize the scan
+    (the partition check is plan metadata, no job). Opt-in per query:
+    the exchange ships the input once, so it only pays where the
+    per-row work upstream of the first exchange dominates the input's
+    byte size — measured per call site, not blanket."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
