@@ -413,7 +413,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/vectors.ann_candidate_pairs (banded SRP,
     llm_ann_srp_banded); this axis-sign single-band entry is the
     documented baseline the banded recall audit compares against."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     bkt = n.select(
         "vec_id", "v", sign_lsh_bucket(F.col("v"), _LSH_BITS).alias("bucket")
@@ -485,7 +485,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then each query probes ONLY its own cell — the scale path next to the
     brute-force baseline (llm_ann_cosine_topk). nprobe=1 here; more
     probes = union more cells, same plan."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")

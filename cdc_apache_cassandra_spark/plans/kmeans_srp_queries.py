@@ -131,7 +131,7 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit shape), so the two rows quantify what the Lloyd refinement
     buys. Lloyd rounds are broadcast-assign + cell-grain means; the
     brute-force side stays bounded to the query sample."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     cent = kmeans_lite(n, _DIM, _STRIDE, _ITERS, "vec")
     asg = ivf_assign(n, cent, "vec").transform(persist_scoped)
@@ -301,7 +301,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cdc_apache_cassandra_spark.streaming.materialize import merge_into
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     corpus = n.filter(F.col("vec_id") % _INC_MOD != _INC_RES)
     incoming = n.filter(F.col("vec_id") % _INC_MOD == _INC_RES)
@@ -412,7 +412,7 @@ def ann_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     corpus = n.filter(F.col("vec_id") % _INC_MOD != _INC_RES)
     incoming = n.filter(F.col("vec_id") % _INC_MOD == _INC_RES)

@@ -16,7 +16,7 @@ from cdc_apache_cassandra_spark.functions.conversions import (
     tinyint_to_unsigned_int,
 )
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
+from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables, spread_scan
 from cdc_apache_cassandra_spark.caching import persist_scoped
 
 
@@ -271,7 +271,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     cent = n.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")

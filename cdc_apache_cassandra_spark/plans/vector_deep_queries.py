@@ -72,7 +72,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force at linear (not quadratic) extra cost, the standard IVF
     recall knob. A corpus vector lives in exactly one cell and probe
     cells are distinct, so no candidate dedup pass is needed."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
     cent = n.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
@@ -194,8 +194,8 @@ def quality_filtered_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nearest centroid, report per-(cell, lang) occupancy. The quality
     filter runs BEFORE the join and the join before the broadcast scoring,
     so the expensive vector math touches only surviving docs."""
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     quality = d.filter(
         F.col("n_chars").between(_Q_MIN_CHARS, _Q_MAX_CHARS)
     ).select("doc_id", "lang")
