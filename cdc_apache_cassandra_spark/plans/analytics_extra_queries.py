@@ -657,7 +657,7 @@ def llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard dedup: explode grams once, one DF aggregation (map-side
     partial), one posting->df equi-join on the high-cardinality gram key —
     no doc x doc work anywhere, so it scales with total gram count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
@@ -730,7 +730,7 @@ def stats_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_corr_price_discount (built-in regr_slope streams doubles and is
     partition-order-dependent in the last bits). G formula rows; the only
     shuffle is the tiny group-by."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     x, y = _dec("l_quantity"), _dec("l_extendedprice")
     comp = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -213,7 +213,7 @@ def boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB becomes a TopK partial per partition + tiny final sort, not
     a full-corpus sort).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     docs = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)

@@ -218,7 +218,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast one-row-per-stratum table, and the filter is a narrow
     per-row transform — no shuffle at all, which is the whole point at
     100 TB (sampling must not cost a sort)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     rates = spark.createDataFrame(
         list(_SAMPLE_RATES.items()), ["lang", "rate"]
     )

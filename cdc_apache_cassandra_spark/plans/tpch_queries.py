@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_apache_cassandra_spark.plans.registry import register
-from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
+from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables, spread_scan
 
 
 def _dec(c: str | Column) -> Column:
@@ -46,7 +46,7 @@ GROUP BY l_returnflag, l_linestatus
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter pushdown + 8-aggregate hash aggregation.
     Map-side partial aggregation makes this shuffle ~|groups| rows only."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     qty, price, disc, tax = (
         _dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
     )
