@@ -217,8 +217,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     never changes across reruns/retries (never rand()), rates come from a
     broadcast one-row-per-stratum table, and the filter is a narrow
     per-row transform — no shuffle at all, which is the whole point at
-    100 TB (sampling must not cost a sort)."""
-    d = spread_scan(load_table(spark, sf_dir, "documents"))
+    100 TB (sampling must not cost a sort). Deliberately NOT spread_scan:
+    the md5 filter is too narrow to pay for a round-robin exchange, and
+    the zero-Exchange plan is this query's declared scale property
+    (pinned by test_stratified_sample_no_shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
     rates = spark.createDataFrame(
         list(_SAMPLE_RATES.items()), ["lang", "rate"]
     )

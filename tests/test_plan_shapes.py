@@ -47,11 +47,15 @@ def test_q6_pushdown_and_pruning(spark, sf_dir):
 
 
 def test_q1_single_shuffle_aggregation(spark, sf_dir):
-    """Q1 is scan -> partial agg -> ONE exchange -> final agg. A second
-    exchange would mean the map-side combine regressed."""
+    """Q1 is scan -> [spread] -> partial agg -> ONE hash exchange ->
+    final agg. A second HASH-partitioned exchange would mean the
+    map-side combine regressed; the scan-spread round-robin exchange
+    (sources.registry.spread_scan — a no-op on multi-row-group inputs)
+    is allowed and must stay BELOW the partial aggregate."""
     p = plan_str(q("tpch_q1_pricing_summary", spark, sf_dir))
-    assert count_op(p, "Exchange") == 1
-    assert "HashAggregate" in p
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
+    assert count_op(p, "Exchange") <= 2  # hash agg + optional scan spread
+    assert count_op(p, "HashAggregate") == 2  # partial + final survive
 
 
 def test_dim_broadcasts(spark, sf_dir):
