@@ -639,7 +639,13 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> dict:
     centroid, subspace) distances (persisted), subspace assignments, and
     the query ADC lookup table. Used by the ADC top-k query and the
     recall evaluation."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread BEFORE the posexplode: the stats branch hits its groupBy(pos)
+    # exchange immediately (where session-2's probe stopped), but the
+    # CODES branch below is broadcast-join only — without the spread the
+    # persisted codes inherit the single-task scan partitioning and the
+    # entire |codes| x |centroids| delta^2 expansion feeding cdist (the
+    # family's dominant compute) partial-aggregates on ONE core.
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     ex = (
         e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
         .select(
