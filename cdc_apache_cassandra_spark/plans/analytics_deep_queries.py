@@ -19,6 +19,11 @@ from cdc_apache_cassandra_spark.operators.ranking import (
     attach_global_order,
     ntile_from_rank,
 )
+from cdc_apache_cassandra_spark.operators.graphs import (
+    order_item_sets,
+    order_pair_counts,
+    pair_counts_from_sets,
+)
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table, load_tables
 from cdc_apache_cassandra_spark.caching import persist_scoped
@@ -714,22 +719,28 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     supports come from one distinct + two aggregates; lift is an exact-
     count rational. HAVING prunes the pair tail before scoring."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    baskets.transform(persist_scoped)  # feeds the self-join both sides + supports
+    # per-order item sets (operators/graphs.py): ONE order-keyed exchange
+    # feeds pairs, supports AND the total — the distinct + order-keyed
+    # self-join shape cost 4 exchanges for the same relations
+    sets = order_item_sets(li)
+    sets.transform(persist_scoped)  # feeds pair expansion + supports + total
     # total-order count as a LAZY broadcast scalar (cross-joined onto the
     # pair-grain relation) instead of a blocking .count() at plan time —
-    # one DAG, no driver round trip, same exact integer
-    n_orders_df = baskets.agg(
-        F.countDistinct("l_orderkey").alias("_n_orders")
+    # one DAG, no driver round trip, same exact integer (one row per
+    # distinct order, so count(*) == the old countDistinct(l_orderkey))
+    n_orders_df = sets.agg(F.count("*").alias("_n_orders"))
+    item = (
+        sets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_item"))
     )
-    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_pair"))
+        pair_counts_from_sets(sets)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("w").alias("n_pair"),
+        )
         .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
@@ -922,14 +933,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed triangle formulation. Edge building reuses the
     basket self-join shape (order-keyed, never corpus²)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # edge build via per-order item sets (operators/graphs.py): one
+    # order-keyed exchange + the pair aggregate, replacing the distinct +
+    # order-keyed self-join shape (4 exchanges); counts identical
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        order_pair_counts(li)
         .filter(F.col("w") >= _TRI_MIN_PAIR)
         .select("u", "v")
     )

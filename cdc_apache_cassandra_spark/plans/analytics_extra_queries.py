@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.operators.graphs import order_pair_counts
 from cdc_apache_cassandra_spark.operators.text_dedup import tokens_expr, word_shingles
 from cdc_apache_cassandra_spark.operators.vectors import (
     as_double_vec,
@@ -189,14 +190,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     round.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # edge build via per-order item sets (operators/graphs.py): one
+    # order-keyed exchange + the pair aggregate, replacing the distinct +
+    # order-keyed self-join shape (4 exchanges); counts identical
     und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        order_pair_counts(li)
         .filter(F.col("w") >= _PR_MIN_PAIR)
         .select("u", "v")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_apache_cassandra_spark.operators.graphs import order_pair_counts
 from cdc_apache_cassandra_spark.operators.ranking import attach_global_order
 from cdc_apache_cassandra_spark.plans.registry import register
 from cdc_apache_cassandra_spark.sources.registry import load_table
@@ -84,14 +85,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text_dedup.connected_components' checkpoint discipline."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # edge build via per-order item sets (operators/graphs.py): one
+    # order-keyed exchange + the pair aggregate, replacing the distinct +
+    # order-keyed self-join shape (4 exchanges); counts identical
     half = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        order_pair_counts(li)
         .filter(F.col("w") >= _BFS_MIN_PAIR)
         .select("u", "v")
     )
