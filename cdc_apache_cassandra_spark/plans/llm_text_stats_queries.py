@@ -313,7 +313,7 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1) and shifts onto RARE grams — the Zipf-head grams whose df^2
     dominates at 100 TB are exactly the ones prefixes exclude. Verify
     cost ~ |candidates|, never N^2."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("doc_id", "lang", tokens_expr(F.col("text")).alias("tokens"))
