@@ -571,7 +571,15 @@ def er_supplier_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact here because the corpus names are fixed-width). Levenshtein is
     an exact integer in both engines. At 100 TB the block key becomes
     q-gram signatures (length alone doesn't bound block size on natural
-    names) — same join, finer key."""
+    names) — same join, finer key.
+
+    The fixed-width corpus makes the length block ONE hot key — the
+    classic skew shape AQE's skew split cannot fix (it can't cut a
+    single key), so the |block|^2 levenshtein grid would evaluate in a
+    single task. operators/skew.salted_join spreads the grid over
+    n_salts partitions with identical pair semantics (guide §2.5)."""
+    from cdc_apache_cassandra_spark.operators.skew import salted_join
+
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.length("s_name").alias("n")
     )
@@ -585,7 +593,7 @@ def er_supplier_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, "n")
+        salted_join(a, b, ["n"], n_salts=32)
         .filter(F.col("supp_a") < F.col("supp_b"))
         .filter(dist <= _ER_MAX_DIST)
         .select("supp_a", "supp_b", "name_a", "name_b", dist.alias("edit_dist"))
