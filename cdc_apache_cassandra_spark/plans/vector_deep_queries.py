@@ -931,7 +931,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep), and the scanned artifact per candidate is 8 bytes of codes.
     nprobe=1; more probes = relax the cell equality to a top-n cell
     join, same plan."""
-    parts = _pq_build(spark, sf_dir)
+    return _ivfpq_topk(_pq_build(spark, sf_dir))
+
+
+def _ivfpq_topk(parts: dict) -> DataFrame:
     cdist, amin, qdist = parts["cdist"], parts["amin"], parts["qdist"]
     coarse = (
         cdist.groupBy("vec_id", "cid")
@@ -1024,9 +1027,11 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides."""
     parts = _pq_build(spark, sf_dir)
     codes = parts["codes"]
-    ivfpq5 = ann_ivfpq_topk(spark, sf_dir).select(
-        "qid", "nid", F.lit(1).alias("hit")
-    )
+    # share THIS call's persisted parts with the approximate side instead
+    # of re-running _pq_build inside ann_ivfpq_topk (the second build's
+    # persists only dedup through CacheManager plan matching — sharing
+    # the dict guarantees one fill and halves plan construction)
+    ivfpq5 = _ivfpq_topk(parts).select("qid", "nid", F.lit(1).alias("hit"))
     qc = codes.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
         F.col("vec_id").alias("qid"), "pos", F.col("code").alias("qcode")
     )
