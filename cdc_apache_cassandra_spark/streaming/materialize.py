@@ -336,6 +336,46 @@ def _stored_schema(manifest: dict):
     return T.StructType.fromJson(json.loads(s)) if s else None
 
 
+#: Error-text markers of a read that raced :func:`_prune_superseded` —
+#: Spark error classes (FAILED_READ_FILE.FILE_NOT_EXIST at execution,
+#: PATH_NOT_FOUND at plan-time listing) plus the raw JVM/Hadoop message
+#: fragments they wrap. Matched on str(e) because PySpark surfaces them
+#: as different exception types per phase (AnalysisException vs
+#: SparkException vs Py4JJavaError).
+_STALE_READ_MARKERS = (
+    "FAILED_READ_FILE",
+    "FILE_NOT_EXIST",
+    "PATH_NOT_FOUND",
+    "FileNotFoundException",
+    "does not exist",
+)
+
+
+def _is_stale_read_error(e: BaseException) -> bool:
+    s = str(e)
+    return any(m in s for m in _STALE_READ_MARKERS)
+
+
+def _conflict_if_moved(
+    store: ManifestStore, path: str, manifest: dict, out_dir: str | None = None
+) -> None:
+    """Inside an ``except`` around a Spark read/write of store files:
+    if the manifest moved since ``manifest`` was loaded, a competing
+    commit PRUNED the superseded version dirs this job was reading —
+    surface that as the :class:`CommitConflict` it is (reload + re-merge
+    fixes it). An unmoved manifest means a genuine IO error: return so
+    the caller re-raises the original untouched."""
+    current, _ = store.load(path)
+    if current is not None and current["version"] != manifest["version"]:
+        if out_dir is not None:
+            _dl()._io_rmtree(out_dir)  # only OUR staging
+        raise CommitConflict(
+            f"manifest moved from {manifest['version']} to "
+            f"{current['version']} during the merge job (superseded "
+            "files pruned under this reader); reload and re-merge"
+        )
+
+
 def _read_bucket_files(spark: SparkSession, path: str, manifest: dict, paths):
     """Scan live bucket files with the manifest's RECORDED schema — zero
     footer IO and zero schema-inference Spark job at plan time (guide
@@ -512,7 +552,13 @@ def merge_into(
 
     old_paths = _bucket_paths(path, manifest, touched)
     if old_paths:
-        old = _read_bucket_files(spark, path, manifest, old_paths).drop("__ver")
+        try:
+            # eager file listing: a competing commit may prune these
+            # dirs between our manifest load and this plan-time listing
+            old = _read_bucket_files(spark, path, manifest, old_paths).drop("__ver")
+        except Exception:
+            _conflict_if_moved(store, path, manifest)
+            raise
         unioned = _union_evolving(old, batch)
     else:
         unioned = batch
@@ -583,18 +629,9 @@ def merge_into(
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
     except Exception:
         # A competing commit may have PRUNED the old bucket files this
-        # merge was reading mid-job. If the manifest moved since we
-        # loaded it, that is what happened — surface it as the conflict
-        # it is (reload + re-merge fixes it); a genuine IO error with an
-        # unmoved manifest propagates untouched.
-        current, _ = store.load(path)
-        if current is not None and current["version"] != manifest["version"]:
-            _dl()._io_rmtree(out_dir)
-            raise CommitConflict(
-                f"manifest moved from {manifest['version']} to "
-                f"{current['version']} during the merge job (superseded "
-                "files pruned under this reader); reload and re-merge"
-            )
+        # merge was reading mid-job — surface that as the conflict it
+        # is; a genuine IO error with an unmoved manifest propagates.
+        _conflict_if_moved(store, path, manifest, out_dir=out_dir)
         raise
 
     manifest["version"] = version
@@ -676,7 +713,17 @@ def merge_into_retrying(
     competing batch landed first, the property test_manifest_cas pins).
     Returns the number of attempts used. Bounded: conflicts mean live
     contention, and each loser's next attempt merges ON TOP of the
-    winner, so N writers finish in ≤N rounds absent a crash loop."""
+    winner, so N writers finish in ≤N rounds absent a crash loop.
+
+    Stale-read Spark failures (FAILED_READ_FILE / PATH_NOT_FOUND /
+    FileNotFoundException) are retried EXACTLY like conflicts: they are
+    what a loser sees when a winner's :func:`_prune_superseded` deletes
+    the version dirs the loser's staged merge was still reading, and
+    merge_into's own version check cannot prove the race when the
+    competing commit lands after the check ran. The fresh-manifest
+    re-merge converges identically; a GENUINE missing-file store
+    corruption fails every attempt and the last one propagates the
+    original error."""
     for attempt in range(1, max_attempts + 1):
         try:
             merge_into(
@@ -687,6 +734,9 @@ def merge_into_retrying(
             return attempt
         except CommitConflict:
             if attempt == max_attempts:
+                raise
+        except Exception as e:
+            if attempt == max_attempts or not _is_stale_read_error(e):
                 raise
     raise AssertionError("unreachable")
 
@@ -920,7 +970,13 @@ def compact(
     old_dirs = _live_dirs(manifest)
     dirname = f"__ver={version}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(path, dirname)
-    state.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+    try:
+        state.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+    except Exception:
+        # same prune-under-reader race as merge_into: a concurrent merge
+        # commit may delete the version dirs this compaction was reading
+        _conflict_if_moved(store, path, manifest, out_dir=out_dir)
+        raise
 
     stats = _bucket_stats(spark, path, out_dir)
     if targets is None:
