@@ -69,6 +69,8 @@ from cdc_apache_cassandra_spark.streaming.materialize import (
     _bucket_paths,
     _read_bucket_files,
     _read_manifest,
+    _stored_schema,
+    version_dir,
 )
 
 LOG_DIR = "_delta_log"
@@ -256,6 +258,35 @@ def _io_move(src: str, dst: str) -> None:
         sfs.move(sp, dp)
     else:
         raise ValueError(f"cross-filesystem move {src!r} -> {dst!r}")
+
+
+def _io_link_or_copy(src: str, dst: str) -> None:
+    """Publish an immutable source file under a SECOND name without
+    moving it: hard link where the filesystem supports it (same-device
+    POSIX — metadata-only, zero data bytes), else copy. Safe because
+    data files here are immutable and each side only ever UNLINKS its
+    own name (store prune / table vacuum never touch the shared
+    content). Used by delta_export to adopt a bucket store's active
+    file as the table's data file (one distributed write per commit
+    instead of two)."""
+    sfs, sp = _fs(src)
+    dfs, dp = _fs(dst)
+    if sfs is None and dfs is None:
+        if os.path.exists(dp):
+            os.remove(dp)
+        try:
+            os.link(sp, dp)
+        except OSError:  # cross-device / linkless fs: fall back to copy
+            import shutil
+
+            shutil.copyfile(sp, dp)
+        return
+    if sfs is not None and dfs is not None:
+        # same-scheme seam (store and table share the filesystem in
+        # every deployment shape here); object stores copy server-side
+        sfs.copy_file(sp, dp)
+        return
+    _io_write_bytes(dst, _io_read_bytes(src))
 
 
 def _io_delete(path: str) -> None:
@@ -1915,34 +1946,87 @@ def delta_export(
         export_cfg[_CDF_PK_KEY] = ",".join(cdf_pk)
 
     if changed:
-        paths = _bucket_paths(store_path, manifest, changed)
-        # recorded-schema scan: no footer-merging job at plan time
-        # (guide §1/§6; legacy manifests fall back to mergeSchema)
-        raw = _read_bucket_files(spark, store_path, manifest, paths).drop(
-            "__ver"
-        )
-        # ``active_view_fn``: state rows -> publishable table rows. The
-        # default (row-tombstone filter) matches the single-PK store;
-        # COMPOUND stores MUST pass operators.lww.compound_active_view —
-        # their dominance rules (partition-range tombstones, static
-        # resolution) are read-time, and publishing raw op!='DELETE'
-        # rows would resurrect dominated rows for external readers.
-        # Bucket-local application is sound because the store buckets on
-        # the partition key: a partition's tombstone/static co-locate
-        # with every row they govern (the merge_into invariant).
-        view_fn = active_view_fn or (
-            lambda df: df.filter(F.col("op") != "DELETE")
-        )
-        live = view_fn(raw)
-        if "__bucket" not in live.columns:
-            raise ValueError(
-                "active_view_fn must preserve the __bucket column "
-                "(operate on state rows, do not project it away)"
+        # LINK instead of rewrite (guide §2.4 remove-shuffles-outright /
+        # VERDICT r11 item 4): for the default row-tombstone view, a
+        # changed bucket's publishable rows are EXACTLY the store's
+        # ``active-*.parquet`` file — merge_into staged the active/
+        # tombstone split in its own write job precisely so this export
+        # can adopt the file by hard link (metadata-only) instead of
+        # re-reading and re-writing the same bytes as a second
+        # distributed job per commit. Guards: default view only (custom
+        # views — compound dominance — do real work), unmapped tables
+        # (mapped files stage under physical names), no DVs, no CDF
+        # (its classification consumes the live view anyway), recorded
+        # manifest schema (the linked file's schema equals it by
+        # construction), and the bucket dir actually carries the split
+        # layout (pre-split and compacted-legacy dirs fall back to the
+        # staging job per bucket).
+        stored_schema = _stored_schema(manifest)
+        linkable: dict[int, str | None] = {}
+        if (
+            active_view_fn is None
+            and not is_mapped
+            and not deletion_vectors
+            and not cdf_on
+            and stored_schema is not None
+        ):
+            for b in changed:
+                bdir = os.path.join(
+                    store_path,
+                    version_dir(manifest, store_buckets[b]),
+                    f"__bucket={b}",
+                )
+                names = [
+                    n for n in _io_listdir(bdir) if n.endswith(".parquet")
+                ]
+                actives = [n for n in names if n.startswith("active-")]
+                if (
+                    names
+                    and len(actives) <= 1
+                    and all(
+                        n.startswith(("active-", "tombs-")) for n in names
+                    )
+                ):
+                    # None = every row in the bucket is a tombstone (no
+                    # active file): publish as the empty-bucket memo
+                    linkable[b] = (
+                        os.path.join(bdir, actives[0]) if actives else None
+                    )
+        spark_changed = [b for b in changed if b not in linkable]
+        if spark_changed:
+            paths = _bucket_paths(store_path, manifest, spark_changed)
+            # recorded-schema scan: no footer-merging job at plan time
+            # (guide §1/§6; legacy manifests fall back to mergeSchema)
+            raw = _read_bucket_files(spark, store_path, manifest, paths).drop(
+                "__ver"
             )
+            # ``active_view_fn``: state rows -> publishable table rows. The
+            # default (row-tombstone filter) matches the single-PK store;
+            # COMPOUND stores MUST pass operators.lww.compound_active_view —
+            # their dominance rules (partition-range tombstones, static
+            # resolution) are read-time, and publishing raw op!='DELETE'
+            # rows would resurrect dominated rows for external readers.
+            # Bucket-local application is sound because the store buckets on
+            # the partition key: a partition's tombstone/static co-locate
+            # with every row they govern (the merge_into invariant).
+            view_fn = active_view_fn or (
+                lambda df: df.filter(F.col("op") != "DELETE")
+            )
+            live = view_fn(raw)
+            if "__bucket" not in live.columns:
+                raise ValueError(
+                    "active_view_fn must preserve the __bucket column "
+                    "(operate on state rows, do not project it away)"
+                )
+            new_schema = live.drop("__bucket").schema
+        else:
+            # all-linked commit: the read with .schema(recorded) would
+            # have produced exactly the recorded data columns
+            live = None
+            new_schema = stored_schema
         # the table schema only ever WIDENS: reconcile this export's
         # (changed-buckets) schema with the log's current metaData so a
         # re-export of an old narrow bucket cannot regress the schema
-        new_schema = live.drop("__bucket").schema
         if log.meta is not None:
             from cdc_apache_cassandra_spark.streaming.schema_evolution import (
                 reconcile_schemas,
@@ -2025,54 +2109,96 @@ def delta_export(
         # staging is unique per writer: two racing exporters never
         # clobber each other's files; the loser of the commit race
         # cleans up its own staging and nothing else
-        staging = os.path.join(
-            out_path, f"_staging_{version}_{uuid.uuid4().hex[:8]}"
-        )
-        try:
-            dv_buckets = (
-                _plan_dv_buckets(
-                    spark,
-                    out_path,
-                    live,
-                    log,
-                    changed,
-                    dv_max_fraction,
-                    mapped_fields,
-                )
-                if deletion_vectors
-                else {}
+        staging = None
+        rewrite: list[int] = []
+        if live is not None:
+            staging = os.path.join(
+                out_path, f"_staging_{version}_{uuid.uuid4().hex[:8]}"
             )
-            rewrite = [b for b in changed if b not in dv_buckets]
-            to_stage = (
-                live
-                if not dv_buckets
-                else live.filter(F.col("__bucket").isin(rewrite))
-            )
-            if mapped_fields is not None:
-                # mapped tables stage parquet under PHYSICAL names (the
-                # delta-spark layout; add.stats then key physical too)
-                to_stage = _to_physical(to_stage, mapped_fields)
-            if rewrite:
-                (
-                    to_stage.repartition(len(rewrite), F.col("__bucket"))
-                    .write.mode("overwrite")
-                    .partitionBy("__bucket")
-                    .parquet(staging)
+            try:
+                dv_buckets = (
+                    _plan_dv_buckets(
+                        spark,
+                        out_path,
+                        live,
+                        log,
+                        spark_changed,
+                        dv_max_fraction,
+                        mapped_fields,
+                    )
+                    if deletion_vectors
+                    else {}
                 )
-            else:
-                _io_mkdirs(staging)  # the finally-cleanup expects the dir
-        finally:
-            if deletion_vectors and not cdf_on:
-                # release AND drop the ledger entry (looping callers
-                # outside the registry/bench would otherwise accumulate
-                # one dead reference per export). With CDF on, the
-                # change classification below is the view's actual
-                # last use — its own finally releases there.
-                release_one(live)
-        # move each bucket's single data file to its content-addressed
-        # name; metadata-sized driver work (≤ changed buckets renames)
+                rewrite = [b for b in spark_changed if b not in dv_buckets]
+                to_stage = (
+                    live
+                    if not dv_buckets
+                    else live.filter(F.col("__bucket").isin(rewrite))
+                )
+                if mapped_fields is not None:
+                    # mapped tables stage parquet under PHYSICAL names (the
+                    # delta-spark layout; add.stats then key physical too)
+                    to_stage = _to_physical(to_stage, mapped_fields)
+                if rewrite:
+                    (
+                        to_stage.repartition(len(rewrite), F.col("__bucket"))
+                        .write.mode("overwrite")
+                        .partitionBy("__bucket")
+                        .parquet(staging)
+                    )
+                else:
+                    _io_mkdirs(staging)  # the finally-cleanup expects the dir
+            finally:
+                if deletion_vectors and not cdf_on:
+                    # release AND drop the ledger entry (looping callers
+                    # outside the registry/bench would otherwise accumulate
+                    # one dead reference per export). With CDF on, the
+                    # change classification below is the view's actual
+                    # last use — its own finally releases there.
+                    release_one(live)
         _io_mkdirs(os.path.join(out_path, DATA_DIR))
         now = _now_ms()
+        # linked buckets first: adopt the store's active file by hard
+        # link (metadata-only; no Spark job touches these buckets)
+        for b in sorted(linkable):
+            src = linkable[b]
+            if b in published and published[b][0] is not None:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": published[b][0],
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            if src is None:
+                # every row in the bucket is a tombstone: no active file,
+                # same empty-bucket memo as the staged path
+                empty_now[b] = store_buckets[b]
+                continue
+            empty_now.pop(b, None)
+            rel = f"{DATA_DIR}/b{b:05d}-v{store_buckets[b]:010d}.parquet"
+            dst = os.path.join(out_path, rel)
+            _io_link_or_copy(src, dst)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": _io_size(dst),
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": _file_stats_json(dst),
+                        "tags": {
+                            "bucket": str(b),
+                            "storeVersion": str(store_buckets[b]),
+                        },
+                    }
+                }
+            )
+        # move each staged bucket's single data file to its
+        # content-addressed name; metadata-sized driver work
         try:
             for b in rewrite:
                 bdir = os.path.join(staging, f"__bucket={b}")
@@ -2121,7 +2247,8 @@ def delta_export(
                     }
                 )
         finally:
-            _io_rmtree(staging)
+            if staging is not None:
+                _io_rmtree(staging)
         if dv_buckets:
             for b in sorted(dv_buckets):
                 # descriptor only — the DV file itself was written

@@ -448,6 +448,61 @@ def active_view(state: DataFrame) -> DataFrame:
     return state.filter("op <> 'DELETE'")
 
 
+def _write_bucket_split(merged: DataFrame, out_dir: str) -> None:
+    """Stage a merge/compact output with each bucket's rows SPLIT into an
+    active file and a tombstone file, then flatten the split back into
+    the flat ``__bucket=<b>/`` layout every reader already knows:
+
+        __bucket=<b>/active-<part>.parquet   rows where op != 'DELETE'
+        __bucket=<b>/tombs-<part>.parquet    tombstones (op = 'DELETE',
+                                             or op unparseable/null)
+
+    The point (guide §2.4/VERDICT r11 item 4): ``delta_export``'s staging
+    job re-read and re-wrote exactly the active subset of these bytes as
+    a SECOND distributed write per commit. With the split, the active
+    file IS the export content for default-view (lww) stores, so the
+    export hard-links it instead of running a Spark job — one distributed
+    write per commit instead of two. The split rides the SAME write job
+    (``partitionBy`` adds a bucket-local sort by a boolean, no extra
+    exchange), and the flatten is ≤2 metadata renames per touched bucket
+    on the driver, so readers — which key on the flat ``__bucket=`` dirs
+    and glob ``*.parquet`` — never see a layout change (a mixed
+    old/new-depth layout would break Spark's partition discovery, which
+    is why the split does NOT stay as a directory level).
+
+    Stores without an ``op`` column (custom reducers) write everything
+    as one active file — their exporters pass a custom view anyway."""
+    active = (
+        F.coalesce(F.col("op") != F.lit("DELETE"), F.lit(False))
+        if "op" in merged.columns
+        else F.lit(True)
+    )
+    (
+        merged.withColumn("__active", active)
+        .write.mode("overwrite")
+        .partitionBy("__bucket", "__active")
+        .parquet(out_dir)
+    )
+    dl = _dl()
+    for bname in dl._io_listdir(out_dir):
+        if not bname.startswith("__bucket="):
+            continue
+        bdir = os.path.join(out_dir, bname)
+        for sub, prefix in (
+            ("__active=true", "active-"),
+            ("__active=false", "tombs-"),
+        ):
+            sdir = os.path.join(bdir, sub)
+            names = dl._io_listdir(sdir)
+            for n in names:
+                if n.endswith(".parquet"):
+                    dl._io_move(
+                        os.path.join(sdir, n), os.path.join(bdir, prefix + n)
+                    )
+            if names:
+                dl._io_rmtree(sdir)
+
+
 #: Observe-based per-commit stats cap: above this many touched buckets
 #: the conditional-aggregate expression list (3 per bucket) stops being
 #: metadata-sized per row and the read-back job is the better trade.
@@ -626,7 +681,7 @@ def merge_into(
     dirname = f"__ver={version}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(path, dirname)
     try:
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+        _write_bucket_split(merged, out_dir)
     except Exception:
         # A competing commit may have PRUNED the old bucket files this
         # merge was reading mid-job — surface that as the conflict it
@@ -650,7 +705,11 @@ def merge_into(
         _record_schema(
             manifest,
             T.StructType(
-                [f for f in merged.schema.fields if f.name != "__bucket"]
+                [
+                    f
+                    for f in merged.schema.fields
+                    if f.name not in ("__bucket", "__active")
+                ]
             ),
         )
     if obs is not None:
@@ -971,7 +1030,7 @@ def compact(
     dirname = f"__ver={version}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(path, dirname)
     try:
-        state.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
+        _write_bucket_split(state, out_dir)
     except Exception:
         # same prune-under-reader race as merge_into: a concurrent merge
         # commit may delete the version dirs this compaction was reading
@@ -1002,7 +1061,11 @@ def compact(
         _record_schema(
             new_manifest,
             T.StructType(
-                [f for f in state.schema.fields if f.name != "__bucket"]
+                [
+                    f
+                    for f in state.schema.fields
+                    if f.name not in ("__bucket", "__active")
+                ]
             ),
         )
     else:

@@ -156,10 +156,14 @@ def test_contended_delta_commit_loser_rediffs_to_noop(spark, tmp_path, monkeypat
         os.makedirs(os.path.join(out, "data"), exist_ok=True)
         for a in winner_actions:
             if "add" in a:
-                shutil.copyfile(
-                    os.path.join(shadow, a["add"]["path"]),
-                    os.path.join(out, a["add"]["path"]),
-                )
+                dst = os.path.join(out, a["add"]["path"])
+                if os.path.exists(dst):
+                    # the loser pre-published its (identical) file under
+                    # this name — since exports hard-link the store's
+                    # active file, src and dst may share an inode, which
+                    # copyfile refuses; replace like real publication does
+                    os.remove(dst)
+                shutil.copyfile(os.path.join(shadow, a["add"]["path"]), dst)
         real_write(out, 1, winner_actions)
         return real_write(out_path, version, actions)
 
