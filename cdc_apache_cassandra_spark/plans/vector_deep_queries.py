@@ -634,20 +634,56 @@ SELECT qid, nid, rk, adc FROM ranked WHERE rk <= {_PQ_TOPK}
 """
 
 
+#: WIDE-FORM PQ pipeline (r12, guide §2.3/§2.4). The r11 shape kept every
+#: (vector, pos) pair as a ROW: cdist expanded |codes| x |centroids| rows
+#: PER POSITION (5.1M rows at sf0.1) into a 640k-group hash aggregate,
+#: and the recall ground truth expanded |codes| x |queries| per position
+#: again — the family's plans carried 34-98 Exchange nodes. Here a
+#: vector is ONE row carrying its 64 int8 codes as an array; the 40-row
+#: centroid codebook and the 20-query ADC tables ride a single-row
+#: broadcast; distances/argmins are integer array HOFs inside one
+#: codegen stage. Same integer math, same tie-breaks (centroids sorted
+#: by cid, strict < keeps the FIRST = smallest cid, exactly the oracle's
+#: ROW_NUMBER ORDER BY d2, cid), bit-identical results.
+_PQ_D2M = """
+    transform(ccodes, c ->
+      transform(sequence(0, {nsub}), s ->
+        aggregate(
+          zip_with(slice(codes, s * {sd} + 1, {sd}),
+                   slice(c,     s * {sd} + 1, {sd}),
+                   (a, b) -> (a - b) * (a - b)),
+          0L, (acc, x) -> acc + x)))
+"""
+
+#: argmin over the centroid axis of an [n_cent][n_sub] bigint matrix for
+#: one subspace s (0-based): first index attaining the minimum = the
+#: smallest cid, because ccodes/cids are sorted by cid.
+_PQ_ARGMIN_SUB = """
+    aggregate(sequence(0, size(cids) - 1),
+              named_struct('d', 9223372036854775807L, 'i', -1),
+              (acc, c) -> IF(element_at(element_at(d2m, c + 1), {s} + 1) < acc.d,
+                             named_struct('d', element_at(element_at(d2m, c + 1), {s} + 1),
+                                          'i', c),
+                             acc),
+              acc -> acc.i)
+"""
+
+
 def _pq_build(spark: SparkSession, sf_dir: str) -> dict:
-    """Shared PQ pipeline stages: int8 codes (persisted), per-(vector,
-    centroid, subspace) distances (persisted), subspace assignments, and
-    the query ADC lookup table. Used by the ADC top-k query and the
-    recall evaluation."""
-    # spread BEFORE the posexplode: the stats branch hits its groupBy(pos)
-    # exchange immediately (where session-2's probe stopped), but the
-    # CODES branch below is broadcast-join only — without the spread the
-    # persisted codes inherit the single-task scan partitioning and the
-    # entire |codes| x |centroids| delta^2 expansion feeding cdist (the
-    # family's dominant compute) partial-aggregates on ONE core.
+    """Shared PQ pipeline stages, wide form: per-vector code arrays
+    (persisted), and per-vector subspace assignments / coarse cell /
+    query ADC tables computed as array HOFs against the broadcast
+    codebook (persisted). Used by the ADC top-k queries and the recall
+    evaluations; ``cdist``/``amin``/``qdist`` row forms are derived
+    views kept for consumers that want the relational shape."""
+    nsub = 64 // _PQ_SUBDIMS  # 8 subspaces over 64 dims
+    # spread feeds BOTH branches: the stats aggregate AND the per-vector
+    # HOF pipeline below (a single-row-group scan would run the whole
+    # codebook-distance computation on ONE task)
     e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     ex = (
-        e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        e
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
         .select(
             "vec_id",
             (F.col("pos0") + 1).alias("pos"),
@@ -655,75 +691,191 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> dict:
         )
     )
     stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    sq8 = F.least(
-        F.lit(255).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.floor(
-                ((F.col("x") - F.col("mn")) * F.lit(255.0))
-                / (F.col("mx") - F.col("mn"))
-            ).cast("bigint"),
-        ),
+    # per-position min/max as two 64-wide arrays on ONE broadcast row
+    statsw = (
+        stats.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.expr("transform(s, x -> x.mn)").alias("mns"),
+            F.expr("transform(s, x -> x.mx)").alias("mxs"),
+        )
     )
-    # persisted: read thrice (centroid extraction, corpus side of cdist,
-    # and the broadcast build) — without it the explode+stats subtree
-    # re-runs per consumer.
-    codes = (
-        ex.join(F.broadcast(stats), "pos")
+    # quantize each vector in place: the SAME double expression the r11
+    # row form (and the DuckDB oracle) evaluates, per element
+    quant = """
+        transform(embedding, (v, i) ->
+          CASE WHEN element_at(mxs, i + 1) > element_at(mns, i + 1) THEN
+            LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+              CAST(FLOOR(((CAST(v AS DOUBLE) - element_at(mns, i + 1)) * 255.0D)
+                   / (element_at(mxs, i + 1) - element_at(mns, i + 1))) AS BIGINT)))
+          ELSE CAST(0 AS BIGINT) END)
+    """
+    codesv = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(statsw))
+        .select("vec_id", F.expr(quant).alias("codes"))
+        .transform(persist_scoped)
+    )
+    # codebook: the strided donors as (cids, ccodes) arrays on one
+    # broadcast row, sorted by cid (the argmin tie-break relies on it)
+    centw = (
+        codesv.filter(F.col("vec_id") % _PQ_STRIDE == 0)
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "codes"))
+            ).alias("cs")
+        )
+        .select(
+            F.expr("transform(cs, x -> x.vec_id)").alias("cids"),
+            F.expr("transform(cs, x -> x.codes)").alias("ccodes"),
+        )
+    )
+    d2m = _PQ_D2M.format(nsub=nsub - 1, sd=_PQ_SUBDIMS)
+    amin_idx = (
+        "transform(sequence(0, %d), s -> %s)"
+        % (nsub - 1, _PQ_ARGMIN_SUB.format(s="s"))
+    )
+    cell_idx = """
+        aggregate(sequence(0, size(cids) - 1),
+                  named_struct('d', 9223372036854775807L, 'i', -1),
+                  (acc, c) -> IF(aggregate(element_at(d2m, c + 1), 0L,
+                                           (a, x) -> a + x) < acc.d,
+                                 named_struct('d', aggregate(element_at(d2m, c + 1),
+                                                             0L, (a, x) -> a + x),
+                                              'i', c),
+                                 acc),
+                  acc -> acc.i)
+    """
+    # per-vector: d2 matrix vs every centroid, subspace assignments
+    # (as dense codebook indices), coarse cell, and — for query vectors
+    # only — the full ADC lookup matrix. ONE codegen stage over the
+    # persisted codes; persisted because every consumer below reads it.
+    pv = (
+        codesv.crossJoin(F.broadcast(centw))
+        .select("vec_id", "cids", F.expr(d2m).alias("d2m"))
         .select(
             "vec_id",
-            "pos",
-            F.floor((F.col("pos") - 1) / F.lit(float(_PQ_SUBDIMS)))
-            .cast("bigint")
-            .alias("sub"),
-            F.when(F.col("mx") > F.col("mn"), sq8)
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("code"),
+            "cids",
+            F.expr(amin_idx).alias("aidx"),
+            F.expr(cell_idx).alias("cidx"),
+            F.when(F.col("vec_id") % _PQ_QSTRIDE == 0, F.col("d2m")).alias(
+                "qd2"
+            ),
         )
         .transform(persist_scoped)
     )
-    cent = codes.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"),
-        "pos",
-        F.col("sub").alias("csub"),
-        F.col("code").alias("ccode"),
+    # relational views (row forms) for consumers/tests that want them
+    amin = pv.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(aidx, i -> element_at(cids, i + 1))")
+        ).alias("sub0", "cid"),
+    ).select("vec_id", F.col("sub0").cast("bigint").alias("sub"), "cid")
+    qdist = (
+        pv.filter(F.col("qd2").isNotNull())
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cids",
+            F.posexplode("qd2").alias("ci", "row"),
+        )
+        .select(
+            "qid",
+            F.expr("element_at(cids, ci + 1)").alias("cid"),
+            F.posexplode("row").alias("sub0", "d2"),
+        )
+        .select(
+            "qid", "cid", F.col("sub0").cast("bigint").alias("sub"), "d2"
+        )
     )
-    delta2 = (F.col("code") - F.col("ccode")) * (F.col("code") - F.col("ccode"))
-    # cdist feeds BOTH sides of the ADC join (corpus assignment + query
-    # lookup table) — persist so the quantize+encode subtree runs once.
     cdist = (
-        codes.join(F.broadcast(cent.drop("csub")), "pos")
-        .groupBy("vec_id", "cid", "sub")
-        .agg(F.sum(delta2).cast("bigint").alias("d2"))
-        .transform(persist_scoped)
+        codesv.crossJoin(F.broadcast(centw))
+        .select("vec_id", "cids", F.expr(d2m).alias("d2m"))
+        .select("vec_id", "cids", F.posexplode("d2m").alias("ci", "row"))
+        .select(
+            "vec_id",
+            F.expr("element_at(cids, ci + 1)").alias("cid"),
+            F.posexplode("row").alias("sub0", "d2"),
+        )
+        .select(
+            "vec_id", "cid", F.col("sub0").cast("bigint").alias("sub"), "d2"
+        )
     )
-    # argmin as an aggregate (min of (d2, cid) struct = lexicographic, so
-    # ties break on smallest cid exactly like the oracle's ROW_NUMBER) —
-    # map-side combinable, unlike a ranking window's full sort shuffle.
-    amin = (
-        cdist.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", "sub", F.col("m.cid").alias("cid"))
-    )
-    qdist = cdist.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
-        F.col("vec_id").alias("qid"), "cid", "sub", "d2"
-    )
-    return {"codes": codes, "cdist": cdist, "amin": amin, "qdist": qdist}
+    return {
+        "codesv": codesv,
+        "pv": pv,
+        "cdist": cdist,
+        "amin": amin,
+        "qdist": qdist,
+    }
+
+
+#: ADC of one corpus row against one query's lookup matrix: sum over
+#: subspaces of the query's distance to the corpus vector's assigned
+#: centroid in that subspace — a pure LUT gather, no join keys shuffled.
+_PQ_ADC = """
+    aggregate(sequence(0, size(aidx) - 1), 0L,
+              (acc, s) -> acc + element_at(
+                  element_at(qd2, element_at(aidx, s + 1) + 1), s + 1))
+"""
 
 
 def _pq_topk(parts: dict) -> DataFrame:
+    pv = parts["pv"]
+    qlut = pv.filter(F.col("qd2").isNotNull()).select(
+        F.col("vec_id").alias("qid"), "qd2"
+    )
     score = (
-        parts["amin"]
-        .join(F.broadcast(parts["qdist"]), ["cid", "sub"])
+        pv.select("vec_id", "aidx")
+        .crossJoin(F.broadcast(qlut))
         .filter(F.col("qid") != F.col("vec_id"))
-        .groupBy("qid", F.col("vec_id").alias("nid"))
-        .agg(F.sum("d2").cast("bigint").alias("adc"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr(_PQ_ADC).cast("bigint").alias("adc"),
+        )
     )
     w_rank = Window.partitionBy("qid").orderBy("adc", "nid")
     return (
         score.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("qid", "nid", "rk", "adc")
+    )
+
+
+def _pq_exact5(parts: dict) -> DataFrame:
+    """Exact code-space top-5 (the recall ground truth): full 64-dim
+    squared code distance of every corpus vector against every query,
+    one integer HOF per (corpus, query) pair over the broadcast query
+    codes — the r11 form expanded this per POSITION into a
+    |codes| x |queries| hash aggregate."""
+    codesv = parts["codesv"]
+    qcw = codesv.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes")
+    )
+    exactd = (
+        codesv.crossJoin(F.broadcast(qcw))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr(
+                "aggregate(zip_with(codes, qcodes, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    return (
+        exactd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "nid")
     )
 
 
@@ -796,24 +948,8 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN tuning loop watches when picking subspace count/codebook size.
     Both rankings are integer-exact, so recall is deterministic."""
     parts = _pq_build(spark, sf_dir)
-    codes = parts["codes"]
     pq5 = _pq_topk(parts).select("qid", "nid")
-    qc = codes.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("code").alias("qcode")
-    )
-    delta = F.col("qcode") - F.col("code")
-    exactd = (
-        codes.join(F.broadcast(qc), "pos")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("nid"))
-        .agg(F.sum(delta * delta).cast("bigint").alias("d2"))
-    )
-    w = Window.partitionBy("qid").orderBy("d2", "nid")
-    exact5 = (
-        exactd.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_TOPK)
-        .select("qid", "nid")
-    )
+    exact5 = _pq_exact5(parts)
     hits = pq5.select("qid", "nid", F.lit(1).alias("hit"))
     return (
         exact5.join(hits, ["qid", "nid"], "left")
@@ -935,28 +1071,30 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_topk(parts: dict) -> DataFrame:
-    cdist, amin, qdist = parts["cdist"], parts["amin"], parts["qdist"]
-    coarse = (
-        cdist.groupBy("vec_id", "cid")
-        .agg(F.sum("d2").cast("bigint").alias("t"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("t", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cell"))
+    pv = parts["pv"]
+    cell = F.expr("element_at(cids, cidx + 1)")
+    qlut = pv.filter(F.col("qd2").isNotNull()).select(
+        F.col("vec_id").alias("qid"), cell.alias("qcell"), "qd2"
     )
-    qcell = coarse.select(F.col("vec_id").alias("qid"), F.col("cell").alias("qcell"))
     score = (
-        amin.join(coarse, "vec_id")
-        .join(F.broadcast(qdist.join(qcell, "qid")), ["cid", "sub"])
-        .filter((F.col("qcell") == F.col("cell")) & (F.col("qid") != F.col("vec_id")))
-        .groupBy("qid", F.col("vec_id").alias("nid"))
-        .agg(F.sum("d2").cast("bigint").alias("adc"))
+        pv.select("vec_id", "aidx", cell.alias("cell"))
+        .crossJoin(F.broadcast(qlut))
+        .filter(
+            (F.col("qcell") == F.col("cell"))
+            & (F.col("qid") != F.col("vec_id"))
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr(_PQ_ADC).cast("bigint").alias("adc"),
+            F.col("qcell").alias("cell"),
+        )
     )
     w_rank = Window.partitionBy("qid").orderBy("adc", "nid")
     return (
         score.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _PQ_TOPK)
-        .join(F.broadcast(qcell), "qid")
-        .select("qid", "nid", "rk", "adc", F.col("qcell").alias("cell"))
+        .select("qid", "nid", "rk", "adc", "cell")
     )
 
 
@@ -1026,28 +1164,12 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query numbers instead of assuming monotone loss. Integer-exact
     both sides."""
     parts = _pq_build(spark, sf_dir)
-    codes = parts["codes"]
     # share THIS call's persisted parts with the approximate side instead
     # of re-running _pq_build inside ann_ivfpq_topk (the second build's
     # persists only dedup through CacheManager plan matching — sharing
     # the dict guarantees one fill and halves plan construction)
     ivfpq5 = _ivfpq_topk(parts).select("qid", "nid", F.lit(1).alias("hit"))
-    qc = codes.filter(F.col("vec_id") % _PQ_QSTRIDE == 0).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("code").alias("qcode")
-    )
-    delta = F.col("qcode") - F.col("code")
-    exactd = (
-        codes.join(F.broadcast(qc), "pos")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("nid"))
-        .agg(F.sum(delta * delta).cast("bigint").alias("d2"))
-    )
-    w = Window.partitionBy("qid").orderBy("d2", "nid")
-    exact5 = (
-        exactd.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_TOPK)
-        .select("qid", "nid")
-    )
+    exact5 = _pq_exact5(parts)
     return (
         exact5.join(ivfpq5, ["qid", "nid"], "left")
         .groupBy("qid")
