@@ -37,7 +37,14 @@ def pair_counts_from_sets(sets: DataFrame) -> DataFrame:
     """(u, v, w) with u < v: the number of orders whose item set contains
     both. Narrow array expansion per order + one aggregate exchange;
     counts are exact integers, identical to the order-keyed self-join's
-    ``GROUP BY u, v HAVING COUNT(*)`` relation."""
+    ``GROUP BY u, v HAVING COUNT(*)`` relation.
+
+    PRECONDITION (ADVICE r11): group sizes must be DOMAIN-BOUNDED — the
+    expansion materializes the full |items|² struct array per row
+    (including the u >= v half) before filtering, so a caller with
+    unbounded sets (power-law baskets, a celebrity node's neighbor
+    list) would blow per-row memory; split or cap such groups first.
+    TPC-H order baskets (≈4 items) and co-purchase baskets qualify."""
     pairs = F.filter(
         F.flatten(
             F.transform(

@@ -714,10 +714,13 @@ FROM (
 @register("basket_part_pair_lift", sql=_BASKET_SQL)
 def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top part pairs by lift = P(a,b)/(P(a)P(b))
-    over order baskets. The pair self-join is keyed on the ORDER (baskets
-    are small, so per-key pair mass is |basket|² ≈ 16, never corpus²);
-    supports come from one distinct + two aggregates; lift is an exact-
-    count rational. HAVING prunes the pair tail before scoring."""
+    over order baskets. Pairs come from the per-order item-SET expansion
+    (operators/graphs.pair_counts_from_sets: baskets are small, so
+    per-row pair mass is |basket|² ≈ 16, never corpus²) — one
+    order-keyed exchange feeds pairs, supports AND the total; the SQL
+    above keeps the distinct + order-keyed self-join form because that
+    is the oracle's dialect, not this plan's shape. Lift is an
+    exact-count rational. HAVING prunes the pair tail before scoring."""
     li = load_table(spark, sf_dir, "lineitem")
     # per-order item sets (operators/graphs.py): ONE order-keyed exchange
     # feeds pairs, supports AND the total — the distinct + order-keyed

@@ -184,16 +184,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment — the final dedup stage: connected
     components over the verified near-dup graph; component id = min doc
     in the component; keep exactly the keeper per cluster. Spark runs
-    min-label propagation to fixpoint (iterations ~ cluster diameter,
-    each one join+aggregate); the oracle computes the exact transitive
-    closure recursively. Both are exact, so they agree at any SF."""
+    alternating large-star/small-star contraction (rounds ~ LOG of the
+    component size — r12: min-label propagation's round count is the
+    component DIAMETER, the shape a chain-like cluster at 100 TB turns
+    into a non-converging loop; locally the two are within noise and
+    label-identical, pinned by tests/test_cc_star.py); the oracle
+    computes the exact transitive closure recursively. Both are exact,
+    so they agree at any SF."""
     from cdc_apache_cassandra_spark.operators.text_dedup import (
-        connected_components,
+        connected_components_star,
     )
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = connected_components(nodes, pairs, "doc_id", "doc_a", "doc_b")
+    labels, _ = connected_components_star(
+        nodes, pairs, "doc_id", "doc_a", "doc_b"
+    )
     return labels.select(
         "doc_id",
         "component",

@@ -56,6 +56,16 @@ def test_q1_single_shuffle_aggregation(spark, sf_dir):
     assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
     assert count_op(p, "Exchange") <= 2  # hash agg + optional scan spread
     assert count_op(p, "HashAggregate") == 2  # partial + final survive
+    # ADVICE r11: assert the ordering the comment promises — the
+    # round-robin spread (when present) must sit DEEPER in the formatted
+    # tree than the first HashAggregate, i.e. below the partial agg, or
+    # the map-side combine would run on the unspread scan.
+    rr = p.find("roundrobinpartitioning")
+    if rr != -1:
+        first_agg = p.find("HashAggregate")
+        assert first_agg != -1 and first_agg < rr, (
+            "scan-spread exchange must stay below the partial aggregate"
+        )
 
 
 def test_dim_broadcasts(spark, sf_dir):

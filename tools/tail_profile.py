@@ -37,7 +37,6 @@ def main():
     spark = get_spark("tail-profile")
     spark.range(1000).selectExpr("sum(id)").collect()
     sc = spark.sparkContext
-    jsc = sc._jsc.sc()
 
     # warm like bench.py so first-touch JIT doesn't pollute attribution
     from pyspark.sql import functions as F
@@ -52,28 +51,24 @@ def main():
     load_table(spark, sf_dir, "events").groupBy("event_type").count() \
         .write.format("noop").mode("overwrite").save()
 
-    def stage_seconds(since_ms: float) -> tuple[float, int, int]:
+    tracker = sc.statusTracker()
+
+    def stage_seconds(job_lo: int) -> tuple[float, int, int]:
         """(sum of completed-stage wall seconds, n_stages, n_jobs) for
-        stages submitted after since_ms, from the JVM status store."""
-        store = jsc.statusStore()
+        jobs with id >= job_lo, via the Python StatusTracker."""
         total = 0.0
         n = 0
-        it = store.stageList(None).iterator()
-        while it.hasNext():
-            s = it.next()
-            sub = s.submissionTime()
-            if sub.isDefined() and s.completionTime().isDefined():
-                t0 = sub.get().getTime()
-                if t0 >= since_ms:
-                    total += (s.completionTime().get().getTime() - t0) / 1000.0
-                    n += 1
         jobs = 0
-        jit = store.jobsList(None).iterator()
-        while jit.hasNext():
-            j = jit.next()
-            st = j.submissionTime()
-            if st.isDefined() and st.get().getTime() >= since_ms:
-                jobs += 1
+        stage_ids = set()
+        for jid in tracker.getJobIdsForGroup(None):
+            if jid < job_lo:
+                continue
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            jobs += 1
+            stage_ids.update(info.stageIds)
+        n = len(stage_ids)
         return total, n, jobs
 
     rows = []
@@ -84,10 +79,11 @@ def main():
         best = None
         for rep in range(2):
             try:
+                job_lo = (max(tracker.getJobIdsForGroup(None)) + 1
+                          if tracker.getJobIdsForGroup(None) else 0)
                 t0 = time.time()
                 df = q.fn(spark, sf_dir)
                 t1 = time.time()
-                wall0 = time.time() * 1000.0
                 df.write.format("noop").mode("overwrite").save()
                 t2 = time.time()
             except Exception as e:
@@ -102,7 +98,7 @@ def main():
                 "exec": round(t2 - t1, 3),
             }
             if rep == 1:
-                st, n_stages, n_jobs = stage_seconds(wall0)
+                st, n_stages, n_jobs = stage_seconds(job_lo)
                 rec["stage_sec"] = round(st, 3)
                 rec["n_stages"] = n_stages
                 rec["n_jobs"] = n_jobs
